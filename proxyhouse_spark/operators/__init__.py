@@ -1,0 +1,1 @@
+"""Operators: one module per SURVEY.md §2 category."""

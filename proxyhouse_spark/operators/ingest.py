@@ -1,0 +1,107 @@
+"""Ingest-path operators — the reference's data plane (SURVEY §2.1-§2.4).
+
+Pipeline shape (reference ``dorequest`` main.go:164-226 → ``backgroundSender``
+main.go:275-299):
+
+    request records → validation filters (P1-P3) → key projection (P4)
+    → format dispatch (P5) → groupBy(uri).agg(concat bodies, sum rowcount)
+    (A1+A2) → one sink row per distinct key per batch (S2) with URL rewrite
+    (S3)
+
+Everything here is built-in DataFrame expressions — whole-stage codegen,
+no Python in the hot path. The groupBy is a hash aggregation with map-side
+partial combine; at 100 TB the shuffle key is ``uri`` (the distinct-URI
+cardinality is tiny — one per table×format — so the reduced side is
+trivially small; skew on a hot table is absorbed by AQE skew handling and
+the map-side partial aggregation, which shrinks each partition to ≤ one row
+per distinct key before the shuffle).
+
+Concat order within a key is nondeterministic in the reference under
+concurrency (README.md:69-75); the engine defines the deterministic
+canonical form: bodies sorted lexicographically within the key
+(``sort_array(collect_list(...))``), making results reproducible and
+oracle-comparable without changing the multiset of rows delivered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import extract_table, format_dispatch, row_count, url_rewrite
+
+FWD_HOST = "http://clickhouse:8123"
+REPL_HOST = "http://localhost:8123"
+
+
+def validate_requests(df: DataFrame) -> DataFrame:
+    """P1-P3: keep only data-plane requests (POST, path '/', non-empty body).
+
+    Reference: method switch main.go:171-225, path check main.go:166-169,
+    empty-body 405 main.go:219-221. Pure narrow filters — pushed to the scan.
+    """
+    return df.filter(
+        (F.col("method") == "POST") & (F.col("path") == "/") & (F.length("body") > 0)
+    )
+
+
+def with_format(df: DataFrame) -> DataFrame:
+    """P5: derive (delimiter, separator, addrows) from the decoded query."""
+    delimiter, separator, addrows = format_dispatch(F.col("query"))
+    return (
+        df.withColumn("delimiter", delimiter)
+        .withColumn("separator", separator)
+        .withColumn("addrows", addrows)
+    )
+
+
+def with_row_count(df: DataFrame) -> DataFrame:
+    """A2: per-request row count (reference main.go:206)."""
+    return df.withColumn(
+        "n_rows", row_count(F.col("body"), F.col("separator"), F.col("addrows"))
+    )
+
+
+def buffer_aggregate(df: DataFrame) -> DataFrame:
+    """A1+A2 — THE core operator: per-key body concat + row count.
+
+    Reference Buffer semantics (main.go:198-208): Values bodies joined by
+    ','; TSV/CSV bodies joined by '' (their rows carry their own trailing
+    newlines). First body gets no leading delimiter — exactly what
+    concat_ws / array_join produce.
+
+    Scale: map-side partial aggregation collapses each input partition to one
+    row per distinct uri before the shuffle; the post-shuffle state is
+    O(#distinct uris), independent of input row count.
+    """
+    prepared = with_row_count(with_format(validate_requests(df)))
+    agg = prepared.groupBy("uri", "fmt").agg(
+        F.sort_array(F.collect_list("body")).alias("bodies"),
+        F.sum("n_rows").alias("rowcount"),
+        F.count(F.lit(1)).alias("n_requests"),
+    )
+    buffer = F.when(
+        F.col("fmt") == "Values", F.array_join(F.col("bodies"), ",")
+    ).otherwise(F.array_join(F.col("bodies"), ""))
+    return agg.select(
+        "uri",
+        "fmt",
+        buffer.alias("buffer"),
+        F.col("rowcount").cast("bigint").alias("rowcount"),
+        F.col("n_requests").cast("bigint").alias("n_requests"),
+    )
+
+
+def sink_frame(df: DataFrame, fwd: str = FWD_HOST, repl: str = REPL_HOST) -> DataFrame:
+    """S2+S3: the outbound batch — one row per distinct key per flush with the
+    rewritten target URL and extracted table (reference send(), main.go:376-445).
+    """
+    agg = buffer_aggregate(df)
+    return agg.select(
+        "uri",
+        url_rewrite(F.col("uri"), fwd, repl).alias("target_url"),
+        extract_table(F.col("uri")).alias("table_name"),
+        "buffer",
+        "rowcount",
+        "n_requests",
+    )

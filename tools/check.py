@@ -1,0 +1,135 @@
+"""Local differential harness mirroring the driver's t2 correctness check.
+
+Runs every ``queries()`` entry at sf0.01 on Spark AND its ``oracle_sql()``
+on DuckDB, then compares row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted by stringified tuple).
+
+Usage: python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import hashlib
+import math
+import sys
+import time
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from proxyhouse_spark.session import get_spark  # noqa: E402
+from proxyhouse_spark.tables import TABLES  # noqa: E402
+
+
+def norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, Decimal):
+        return f"{float(v):.9g}"
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or sorted(qs)
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    failures = []
+    for name in names:
+        if name not in qs:
+            print(f"{name}: NOT REGISTERED")
+            failures.append(name)
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR: {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: DUCKDB ERROR: {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        else:
+            sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                sset = sorted("\x01".join(norm(r[i]) for i in so) for r in srows)
+                oset = sorted("\x01".join(norm(r[i]) for i in oo) for r in orows)
+                for a, b in zip(sset, oset):
+                    if a != b:
+                        problems.append(f"  first diff:\n  spark: {a[:300]}\n  duck : {b[:300]}")
+                        break
+        if problems:
+            print(f"{name}: FAIL ({time.time()-t0:.1f}s) " + "; ".join(problems[:2]))
+            for p in problems[2:]:
+                print(p)
+            failures.append(name)
+        else:
+            print(f"{name}: OK ({len(srows)} rows, {time.time()-t0:.1f}s)")
+
+    print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
