@@ -1,0 +1,385 @@
+"""Relational north-star operators (SURVEY §2.3, §2.5-§2.8).
+
+The reference has no joins/windows/set-ops (single keyed stream —
+SURVEY §2.3 evidence); these complete the engine surface for the fixture
+star schema. All stock Catalyst — the comments note the physical strategy
+each plan should (and does) pick at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+
+# ---------------------------------------------------------------------------
+# Joins — SURVEY §2.3 J1-J3
+# ---------------------------------------------------------------------------
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: orders ⋈ customer, revenue per market segment.
+
+    customer is the build side: tiny relative to orders at every SF →
+    broadcast hash join (hinted explicitly; AQE would also pick it). At
+    100 TB orders shuffles nothing — the dim ships to every executor.
+    """
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2a: customers that have at least one order (EXISTS → left semi)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2b: customers with no finalized ('F') orders (NOT EXISTS → left
+    anti). Status filter keeps the result non-trivial at every SF."""
+    customer = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: as-of join — each event matched to the user's latest order with
+    o_orderdate <= ts. Spark has no native ASOF JOIN; the composition is
+    range-join + per-event row_number, the standard pattern.
+
+    Scale note: the range join on (user_id = o_custkey, ts >= o_orderdate)
+    is an equi-join on the key with a residual range predicate, so it plans
+    as a hash/sort-merge join on the key — NOT a cartesian. Skewed users are
+    handled by AQE skew-join splitting. The row_number window repartitions
+    by event_id only within already-joined rows. Deterministic tiebreak:
+    latest o_orderdate, then highest o_orderkey.
+    """
+    events = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    joined = events.join(
+        orders,
+        (events.user_id == orders.o_custkey) & (events.ts >= orders.o_orderdate),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions — SURVEY §2.5 W1-W3
+# ---------------------------------------------------------------------------
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: top-3 events per user by value (deterministic event_id tiebreak)."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", "value", "rnk")
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: running per-user value sum in time order."""
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: delta vs the user's previous event."""
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("value", 1).over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - prev, 2).alias("delta_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k — SURVEY §2.6
+# ---------------------------------------------------------------------------
+
+
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: global top-100 events by value. Plans as TakeOrderedAndProject —
+    per-partition heap + driver merge; no global sort at any scale."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.orderBy(F.desc("value"), F.asc("event_id"))
+        .select("event_id", "user_id", "value")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — SURVEY §2.7
+# ---------------------------------------------------------------------------
+
+
+def union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union (bag semantics, unionByName) of two event slices."""
+    events = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return clicks.unionByName(purchases)
+
+
+def except_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: high-value events minus purchase events."""
+    events = table(spark, sf_dir, "events")
+    high = events.filter(F.col("value") > 100).select("event_id", "event_type")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "event_type"
+    )
+    return high.exceptAll(purchases)
+
+
+def intersect_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users seen in both click and purchase events."""
+    events = table(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type") == "click").select("user_id")
+    b = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+# ---------------------------------------------------------------------------
+# Distinct / approx — SURVEY §2.4 A6
+# ---------------------------------------------------------------------------
+
+
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact distinct (partial-aggregate dedup before shuffle)."""
+    return table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: exact count-distinct users per event type."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: HyperLogLog++ approximate distinct. No oracle — DuckDB's HLL is a
+    different sketch; the driver records a rows-only check (SURVEY §2.4)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube — SURVEY §2.4 A7
+# ---------------------------------------------------------------------------
+
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: ROLLUP over region→nation customer stats. Dims broadcast."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    customer = table(spark, sf_dir, "customer")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over order status × priority."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON scalar — SURVEY §2.8 F6
+# ---------------------------------------------------------------------------
+
+
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: parse events.props JSON, aggregate by extracted key."""
+    events = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch equivalents of T3) — SURVEY §2.9
+# ---------------------------------------------------------------------------
+
+
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3a: 1-hour tumbling event-time window (batch form). In streaming the
+    same expression runs under withWatermark('ts', ...) — see streaming/."""
+    events = table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return (
+        events.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3b: 1-hour window sliding every 15 minutes (each event in 4 windows)."""
+    events = table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3c: session windows with a 5-minute gap, per user. No exact DuckDB
+    builtin — oracled via the standard gaps-and-islands SQL."""
+    events = table(spark, sf_dir, "events")
+    win = F.session_window("ts", "5 minutes")
+    return (
+        events.groupBy("user_id", win.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bench headline queries (TPC-H-shaped; exercise scan+agg and the join tree)
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full lineitem scan → 4-group hash aggregate. The scan
+    reads only 7 of 11 columns (pruned); partial aggregation collapses each
+    input split to ≤4 rows before the shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    Join order: fact last, all dims broadcast (region/nation/customer are
+    ≤ 1.5% of lineitem at every SF). At 100 TB only lineitem⋈orders is a
+    real shuffle — both sides pre-partitionable (bucketed) on orderkey."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue over a quarter."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    customer = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import scalars
-from .operators import ingest
+from .operators import dlq, ingest, metrics, relational
 from .sources.requests import requests_cte, requests_df
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -227,3 +227,260 @@ def q_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One outbound request per distinct key per flush (send(), main.go:376-445)."""
     return ingest.sink_frame(requests_df(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Relational north-star (SURVEY §2.3, §2.5-§2.8) — stock Catalyst
+# ---------------------------------------------------------------------------
+
+register("q_join_inner", """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")(relational.join_inner)
+
+register("q_join_semi", """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")(relational.join_semi)
+
+register("q_join_anti", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+""")(relational.join_anti)
+
+register("q_join_asof", """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice FROM j WHERE rn = 1
+""")(relational.join_asof)
+
+register("q_window_rank", """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+  FROM events)
+SELECT user_id, event_id, value, rnk FROM r WHERE rnk <= 3
+""")(relational.window_rank)
+
+register("q_window_running_sum", """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_value
+FROM events
+""")(relational.window_running_sum)
+
+register("q_window_lag", """
+SELECT user_id, event_id,
+       round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+       AS delta_value
+FROM events
+""")(relational.window_lag)
+
+register("q_topk", """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id LIMIT 100
+""")(relational.topk)
+
+register("q_union", """
+SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+""")(relational.union_slices)
+
+register("q_except", """
+SELECT event_id, event_type FROM events WHERE value > 100
+EXCEPT ALL
+SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+""")(relational.except_slices)
+
+register("q_intersect", """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""")(relational.intersect_slices)
+
+register("q_distinct", """
+SELECT DISTINCT user_id, event_type FROM events
+""")(relational.distinct_pairs)
+
+register("q_count_distinct", """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""")(relational.count_distinct)
+
+# HLL++ sketch differs from DuckDB's — rows-only check (SURVEY §2.4 A6)
+register("q_approx_distinct")(relational.approx_distinct)
+
+register("q_rollup", """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")(relational.rollup_region_nation)
+
+register("q_cube", """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")(relational.cube_orders)
+
+register("q_json_props", """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1
+""")(relational.json_props)
+
+register("q_tumbling_window", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""")(relational.tumbling_window)
+
+register("q_sliding_window", """
+WITH w AS (
+  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                        - CAST(o.o AS BIGINT) * 900000000) AS window_start, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o) AS o)
+SELECT window_start, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+FROM w GROUP BY 1
+""")(relational.sliding_window)
+
+register("q_session_window", """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM e)
+SELECT user_id, min(ts) AS session_start, CAST(count(*) AS BIGINT) AS n
+FROM s GROUP BY user_id, sid
+""")(relational.session_window)
+
+register("q_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")(relational.pricing_summary)
+
+register("q_revenue_by_region", """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY r_name, n_name
+""")(relational.revenue_by_region)
+
+register("q_top_customers", """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")(relational.top_customers)
+
+
+# ---------------------------------------------------------------------------
+# Metrics pipeline (SURVEY §2.4 A3-A5)
+# ---------------------------------------------------------------------------
+
+_METRIC = (
+    _COUNTED
+    + ", metric_events AS (SELECT event_id, uri, "
+    "'proxy-' || CAST(event_id % 4 AS STRING) AS host, "
+    + scalars.extract_table_sql("uri")
+    + " AS table_name, n_rows AS rows_received, "
+    "CAST(length(body) AS BIGINT) AS bytes_received, "
+    "CAST(1 AS BIGINT) AS requests_received FROM counted)"
+)
+
+register("q_metric_counters", _METRIC + """
+SELECT CAST(sum(rows_received) AS BIGINT) AS rows_received,
+       CAST(sum(bytes_received) AS BIGINT) AS bytes_received,
+       CAST(sum(requests_received) AS BIGINT) AS requests_received
+FROM metric_events
+""")(metrics.metric_counters)
+
+register("q_grouping_sets", _METRIC + """
+SELECT host, table_name,
+       CAST(sum(rows_received) AS BIGINT) AS rows_received,
+       CAST(sum(bytes_received) AS BIGINT) AS bytes_received,
+       CAST(sum(requests_received) AS BIGINT) AS requests_received
+FROM metric_events
+GROUP BY GROUPING SETS ((), (host), (table_name))
+""")(metrics.metric_grouping_sets)
+
+register("q_metric_ratio", _METRIC + """
+, per_key AS (
+  SELECT uri, CAST(sum(bytes_received) AS BIGINT) AS bytes_sent,
+         CAST(sum(rows_received) AS BIGINT) AS rows_sent
+  FROM metric_events GROUP BY uri),
+d AS (SELECT *, greatest(CAST(1 AS BIGINT), bytes_sent // 65536) AS duration_ms FROM per_key)
+SELECT uri, bytes_sent, rows_sent, duration_ms,
+       CASE WHEN bytes_sent <> 0 AND duration_ms <> 0
+            THEN bytes_sent // duration_ms END AS bytes_to_ms
+FROM d
+""")(metrics.metric_ratio)
+
+
+# ---------------------------------------------------------------------------
+# DLQ (SURVEY §2.1 S4/S5, §2.6 O1, §2.9 T2)
+# ---------------------------------------------------------------------------
+
+_DLQ = (
+    _VALID
+    + ", dlq AS (SELECT event_id, uri, body, CAST(event_id % 12 AS INT) AS level, "
+    "epoch_us(recv_ts) * 1000 AS created_ns FROM valid WHERE event_id % 9 = 0)"
+)
+
+register("q_dlq_spill", _DLQ + """
+SELECT event_id, uri, body, level, created_ns FROM dlq
+""")(dlq.dlq_frame)
+
+register("q_dlq_scan", _DLQ + """
+SELECT event_id, uri, body, level, created_ns FROM dlq WHERE level < 10
+""")(dlq.dlq_scan)
+
+register("q_dlq_retry_policy", _DLQ + """
+SELECT event_id, uri, level,
+       least(level + 1, 10) AS next_level,
+       level >= 10 AS quarantined
+FROM dlq
+""")(dlq.dlq_retry_policy)
+
+register("q_dlq_replay_order", _DLQ + """
+SELECT event_id, uri, level, created_ns,
+       CAST(row_number() OVER (ORDER BY level, created_ns, event_id) AS BIGINT)
+       AS replay_rank
+FROM dlq WHERE level < 10
+""")(dlq.dlq_replay_order)
