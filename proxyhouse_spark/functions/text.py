@@ -1,0 +1,167 @@
+"""Text-analysis expression builders (SURVEY §2.11; north-star text ops).
+
+Every builder returns a PAIR of expression strings — ``spark`` (Spark SQL)
+and ``duck`` (DuckDB SQL) — implementing identical semantics, so each
+operator stays differentially testable. The dialects differ only in
+higher-order-function names (transform/list_transform, …); the logic is
+kept structurally identical so floating-point results agree.
+
+All hashing is md5-based (the one cryptographic hash both engines share),
+so MinHash/SimHash signatures are deterministic and engine-independent —
+no MLlib randomness, no engine-specific murmur seeds.
+"""
+
+from __future__ import annotations
+
+# Tokenization: fixture texts are single-space word streams; both splits
+# keep empty tokens identically.
+TOKS_SPARK = "split(text, ' ')"
+TOKS_DUCK = "string_split(text, ' ')"
+
+STOPWORDS = ("the", "a", "of", "in", "and", "to", "is")
+
+
+def _stoplist_sql() -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# Word 3-gram shingles (distinct), the MinHash unit. Docs with < 3 tokens
+# fall back to the whole text as a single shingle.
+# ---------------------------------------------------------------------------
+
+SHINGLES_SPARK = (
+    f"array_distinct(CASE WHEN size({TOKS_SPARK}) >= 3 THEN "
+    f"transform(sequence(1, size({TOKS_SPARK}) - 2), i -> "
+    f"concat_ws(' ', element_at({TOKS_SPARK}, i), element_at({TOKS_SPARK}, i + 1), "
+    f"element_at({TOKS_SPARK}, i + 2))) ELSE array(text) END)"
+)
+SHINGLES_DUCK = (
+    f"list_distinct(CASE WHEN len({TOKS_DUCK}) >= 3 THEN "
+    f"list_transform(range(1, len({TOKS_DUCK}) - 1), i -> "
+    f"{TOKS_DUCK}[i] || ' ' || {TOKS_DUCK}[i + 1] || ' ' || {TOKS_DUCK}[i + 2]) "
+    "ELSE [text] END)"
+)
+
+
+# ---------------------------------------------------------------------------
+# MinHash: h_s(doc) = min over shingles of md5("s|" + shingle)[:15].
+# A 15-hex-char prefix compared lexicographically IS the numeric min (fixed
+# width), so signatures stay portable strings — no hex→int conversion needed.
+# ---------------------------------------------------------------------------
+
+
+def minhash_spark(seed: int, shingles: str = "sh") -> str:
+    return f"array_min(transform({shingles}, x -> substr(md5('{seed}|' || x), 1, 15)))"
+
+
+def minhash_duck(seed: int, shingles: str = "sh") -> str:
+    return f"list_min(list_transform({shingles}, x -> substr(md5('{seed}|' || x), 1, 15)))"
+
+
+# LSH banding: 8 minhashes → 2 bands of 4; docs sharing any band key are
+# candidate pairs (classic shingle→minhash→band→bucket-join).
+N_HASHES = 8
+BAND_SIZE = 4
+
+
+def band_key_spark(band: int) -> str:
+    cols = " || ".join(f"m{band * BAND_SIZE + j}" for j in range(BAND_SIZE))
+    return f"md5({cols})"
+
+
+band_key_duck = band_key_spark  # md5/|| are identical in both dialects
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-derived): bit p set iff the sum over tokens of
+# (+1 if the p-th hex char of md5(token) has its high bit set, else -1) > 0.
+# Returned as BIGINT so Hamming distance is bit_count(xor(a, b)).
+# ---------------------------------------------------------------------------
+
+_HIGH_HEX = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
+
+SIMHASH_SPARK = (
+    "aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, p) -> acc + "
+    "CASE WHEN aggregate(transform(" + TOKS_SPARK + ", t -> "
+    f"CASE WHEN substr(md5(t), p, 1) IN {_HIGH_HEX} THEN 1 ELSE -1 END), "
+    "0, (a, x) -> a + x) > 0 THEN shiftleft(CAST(1 AS BIGINT), 16 - p) "
+    "ELSE CAST(0 AS BIGINT) END)"
+)
+SIMHASH_DUCK = (
+    "CAST(list_sum(list_transform(range(1, 17), p -> "
+    "CASE WHEN list_sum(list_transform(" + TOKS_DUCK + ", t -> "
+    f"CASE WHEN substr(md5(t), p, 1) IN {_HIGH_HEX} THEN 1 ELSE -1 END)) > 0 "
+    "THEN 1 << (16 - p) ELSE 0 END)) AS BIGINT)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: stopword hit-ratio (an honest n-gram/stopword
+# classifier; the synthetic corpus is English-vocabulary so it labels 'en'
+# when the ratio clears a threshold, 'unk' otherwise).
+# ---------------------------------------------------------------------------
+
+_LANGID_TEMPLATE = (
+    "CASE WHEN {nhits} >= 0.02 * {ntoks} THEN 'en' ELSE 'unk' END"
+)
+
+LANG_ID_SPARK = _LANGID_TEMPLATE.format(
+    nhits=f"size(filter({TOKS_SPARK}, t -> t IN ({_stoplist_sql()})))",
+    ntoks=f"size({TOKS_SPARK})",
+)
+LANG_ID_DUCK = _LANGID_TEMPLATE.format(
+    nhits=f"len(list_filter({TOKS_DUCK}, t -> t IN ({_stoplist_sql()})))",
+    ntoks=f"len({TOKS_DUCK})",
+)
+
+
+# ---------------------------------------------------------------------------
+# Quality score: bounded blend of length, lexical diversity, token shape,
+# and stopword load — the standard cheap pre-filter for training corpora.
+# Identical double arithmetic order in both dialects.
+# ---------------------------------------------------------------------------
+
+_QUALITY_TEMPLATE = (
+    "round(0.3 * least(1.0, CAST({ntoks} AS DOUBLE) / 100.0) "
+    "+ 0.3 * (CAST({ndistinct} AS DOUBLE) / {ntoks}) "
+    "+ 0.2 * least(1.0, ((CAST(length(text) AS DOUBLE) - {ntoks} + 1) / {ntoks}) / 8.0) "
+    "+ 0.2 * (1.0 - CAST({nstop} AS DOUBLE) / {ntoks}), 4)"
+)
+
+QUALITY_SPARK = _QUALITY_TEMPLATE.format(
+    ntoks=f"size({TOKS_SPARK})",
+    ndistinct=f"size(array_distinct({TOKS_SPARK}))",
+    nstop=f"size(filter({TOKS_SPARK}, t -> t IN ({_stoplist_sql()})))",
+)
+QUALITY_DUCK = _QUALITY_TEMPLATE.format(
+    ntoks=f"len({TOKS_DUCK})",
+    ndistinct=f"len(list_distinct({TOKS_DUCK}))",
+    nstop=f"len(list_filter({TOKS_DUCK}, t -> t IN ({_stoplist_sql()})))",
+)
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish regex segmentation
+# (letter runs / digit runs / single punctuation). Same RE in Java regex
+# and RE2.
+# ---------------------------------------------------------------------------
+
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+TOKEN_WS_SPARK = f"size({TOKS_SPARK})"
+TOKEN_WS_DUCK = f"len({TOKS_DUCK})"
+TOKEN_BPE_SPARK = f"size(regexp_extract_all(text, '{BPE_RE}', 0))"
+TOKEN_BPE_DUCK = f"len(regexp_extract_all(text, '{BPE_RE}'))"
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: min-4 of the md5'd shingle set (winnowing-style
+# representative sketch), joined to a stable string.
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_SPARK = (
+    f"array_join(slice(array_sort(transform({SHINGLES_SPARK}, s -> md5(s))), 1, 4), ',')"
+)
+FINGERPRINT_DUCK = (
+    f"array_to_string((list_sort(list_transform({SHINGLES_DUCK}, s -> md5(s))))[1:4], ',')"
+)

@@ -1,0 +1,105 @@
+"""Multimodal-column plumbing (SURVEY §2.11; north-star requirement).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata. The container has no decode libraries, so the decode step is a
+clearly-marked deterministic fake behind the same seam a real decoder
+would use — but the Spark-side plumbing is real and tested:
+
+- binary column materialization (``encode(text)`` stands in for raw media
+  bytes — the fixture set has no binary column),
+- metadata projection (byte length, content hash, magic-prefix hex) as
+  built-in expressions → oracle-checkable,
+- feature extraction as ``mapInPandas`` over Arrow batches — the correct
+  shape for CPU-heavy per-item decode at scale: batch-columnar transfer,
+  per-partition parallelism, no driver involvement. Swapping the fake
+  ``_decode_features`` for PIL/ffmpeg is a one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import table
+
+# Feature schema produced by the extractor (fixed width = stable contract).
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, byte_mean double, byte_std double, "
+    "head_byte int, tail_byte int"
+)
+
+HAVE_REAL_DECODER = False  # flipped when PIL/torchaudio/ffmpeg are present
+
+
+def _decode_features(payload: bytes) -> tuple[float, float, int, int]:
+    """Deterministic stand-in for media decode (image resize / audio
+    frame-sample / video keyframe). Raises if someone expects real decode.
+
+    Real implementation seam: decode `payload` with the media lib and
+    return per-item features. The Spark plumbing (schema, batching,
+    partitioning) is identical either way.
+    """
+    if HAVE_REAL_DECODER:  # pragma: no cover
+        raise NotImplementedError("real media decoder not available in this container")
+    if not payload:
+        return 0.0, 0.0, -1, -1
+    n = len(payload)
+    mean = sum(payload) / n
+    var = sum((b - mean) ** 2 for b in payload) / n
+    return mean, var**0.5, payload[0], payload[-1]
+
+
+def multimodal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-materialized as an opaque binary payload column."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("source").alias("media_source"),
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the binary column — pure built-ins."""
+    mm = multimodal_frame(spark, sf_dir)
+    return mm.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        F.hex(F.expr("substring(payload, 1, 8)")).alias("magic_hex"),
+    )
+
+
+def multimodal_meta_oracle() -> str:
+    return """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           hex(encode(substr(text, 1, 8))) AS magic_hex
+    FROM documents
+    """
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item feature extraction via mapInPandas (Arrow-batched; the
+    decode path a real image/audio pipeline would take). No SQL oracle —
+    rows-only check (the fake decode is still deterministic)."""
+    mm = multimodal_frame(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "byte_mean": [f[0] for f in feats],
+                    "byte_std": [f[1] for f in feats],
+                    "head_byte": [f[2] for f in feats],
+                    "tail_byte": [f[3] for f in feats],
+                }
+            )
+
+    return mm.mapInPandas(extract, FEATURE_SCHEMA)

@@ -484,3 +484,33 @@ SELECT event_id, uri, level, created_ns,
        AS replay_rank
 FROM dlq WHERE level < 10
 """)(dlq.dlq_replay_order)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (SURVEY §2.11): dedup family, similarity search,
+# text analysis, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+from .operators import dedup, multimodal, similarity, textops  # noqa: E402
+
+register("q_dedup_exact", dedup.dedup_exact_oracle())(dedup.dedup_exact)
+register("q_minhash_neardup", dedup.minhash_neardup_oracle())(dedup.minhash_neardup)
+register("q_ngram_jaccard", dedup.ngram_jaccard_oracle())(dedup.ngram_jaccard)
+register("q_simhash", dedup.simhash_oracle())(dedup.simhash)
+register("q_simhash_neardup", dedup.simhash_neardup_oracle())(dedup.simhash_neardup)
+register("q_embedding_neardup", dedup.embedding_neardup_oracle())(dedup.embedding_neardup)
+
+register("q_knn_cosine", similarity.knn_cosine_oracle())(similarity.knn_cosine)
+register("q_knn_lsh", similarity.knn_lsh_oracle())(similarity.knn_lsh)
+
+register("q_text_stats", textops.text_stats_oracle())(textops.text_stats)
+register("q_lang_id", textops.lang_id_oracle())(textops.lang_id)
+register("q_quality_score", textops.quality_score_oracle())(textops.quality_score)
+register("q_token_count", textops.token_count_oracle())(textops.token_count)
+register("q_doc_fingerprint", textops.doc_fingerprint_oracle())(textops.doc_fingerprint)
+
+register("q_multimodal_meta", multimodal.multimodal_meta_oracle())(
+    multimodal.multimodal_meta
+)
+# Arrow-batched decode plumbing — deterministic fake decoder, rows-only check
+register("q_multimodal_features")(multimodal.multimodal_features)
