@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query materializes through the `noop` sink — full computation, no
+driver collect. One warmup of a small action amortizes JVM/codegen startup
+out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from proxyhouse_spark import registry  # noqa: E402
+from proxyhouse_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline suite: the reference's core dataflow + the heaviest relational /
+# LLM operators (one per family).
+HEADLINE = [
+    "q_batch_sink",          # the full ingest pipeline (flagship)
+    "q_groupby_concat",      # core keyed concat aggregation
+    "q_rowcount",            # per-request arithmetic over the stream
+    "q_metric_ratio",        # metrics pipeline
+    "q_grouping_sets",       # 3-scope fan-out
+    "q_pricing_summary",     # scan-heavy aggregation (TPC-H Q1 shape)
+    "q_revenue_by_region",   # 5-way join tree (TPC-H Q5 shape)
+    "q_top_customers",       # join + top-k (TPC-H Q10 shape)
+    "q_join_asof",           # range join + per-event argmax
+    "q_window_rank",         # partitioned window
+    "q_sliding_window",      # event-time windows (4x row expansion)
+    "q_dedup_exact",         # hash dedup
+    "q_minhash_neardup",     # shingle/minhash/band join
+    "q_knn_cosine",          # brute-force vector top-k
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # warmup: JVM + parquet footer caches
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

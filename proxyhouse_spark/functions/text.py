@@ -9,14 +9,16 @@ kept structurally identical so floating-point results agree.
 All hashing is md5-based (the one cryptographic hash both engines share),
 so MinHash/SimHash signatures are deterministic and engine-independent —
 no MLlib randomness, no engine-specific murmur seeds.
+
+PERFORMANCE CONTRACT: every builder takes the *token array column name*
+(``toks``), never the raw text. Callers must materialize
+``split(text, ' ') AS toks`` once in a prior select (behind a REPARTITION
+barrier for the expression-heavy operators) — inlining the split into an
+expression that references the tokens O(n) times makes the plan O(n²) per
+document (measured 10× slowdown at sf0.1).
 """
 
 from __future__ import annotations
-
-# Tokenization: fixture texts are single-space word streams; both splits
-# keep empty tokens identically.
-TOKS_SPARK = "split(text, ' ')"
-TOKS_DUCK = "string_split(text, ' ')"
 
 STOPWORDS = ("the", "a", "of", "in", "and", "to", "is")
 
@@ -25,23 +27,33 @@ def _stoplist_sql() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
+# Token materialization (the one place raw text is split).
+TOKS_SPARK = "split(text, ' ')"
+TOKS_DUCK = "string_split(text, ' ')"
+
+
 # ---------------------------------------------------------------------------
 # Word 3-gram shingles (distinct), the MinHash unit. Docs with < 3 tokens
 # fall back to the whole text as a single shingle.
 # ---------------------------------------------------------------------------
 
-SHINGLES_SPARK = (
-    f"array_distinct(CASE WHEN size({TOKS_SPARK}) >= 3 THEN "
-    f"transform(sequence(1, size({TOKS_SPARK}) - 2), i -> "
-    f"concat_ws(' ', element_at({TOKS_SPARK}, i), element_at({TOKS_SPARK}, i + 1), "
-    f"element_at({TOKS_SPARK}, i + 2))) ELSE array(text) END)"
-)
-SHINGLES_DUCK = (
-    f"list_distinct(CASE WHEN len({TOKS_DUCK}) >= 3 THEN "
-    f"list_transform(range(1, len({TOKS_DUCK}) - 1), i -> "
-    f"{TOKS_DUCK}[i] || ' ' || {TOKS_DUCK}[i + 1] || ' ' || {TOKS_DUCK}[i + 2]) "
-    "ELSE [text] END)"
-)
+
+def shingles_spark(toks: str = "toks", text: str = "text") -> str:
+    return (
+        f"array_distinct(CASE WHEN size({toks}) >= 3 THEN "
+        f"transform(sequence(1, size({toks}) - 2), i -> "
+        f"concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1), "
+        f"element_at({toks}, i + 2))) ELSE array({text}) END)"
+    )
+
+
+def shingles_duck(toks: str = "toks", text: str = "text") -> str:
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= 3 THEN "
+        f"list_transform(range(1, len({toks}) - 1), i -> "
+        f"{toks}[i] || ' ' || {toks}[i + 1] || ' ' || {toks}[i + 2]) "
+        f"ELSE [{text}] END)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -81,19 +93,36 @@ band_key_duck = band_key_spark  # md5/|| are identical in both dialects
 
 _HIGH_HEX = "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f')"
 
-SIMHASH_SPARK = (
-    "aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, p) -> acc + "
-    "CASE WHEN aggregate(transform(" + TOKS_SPARK + ", t -> "
-    f"CASE WHEN substr(md5(t), p, 1) IN {_HIGH_HEX} THEN 1 ELSE -1 END), "
-    "0, (a, x) -> a + x) > 0 THEN shiftleft(CAST(1 AS BIGINT), 16 - p) "
-    "ELSE CAST(0 AS BIGINT) END)"
-)
-SIMHASH_DUCK = (
-    "CAST(list_sum(list_transform(range(1, 17), p -> "
-    "CASE WHEN list_sum(list_transform(" + TOKS_DUCK + ", t -> "
-    f"CASE WHEN substr(md5(t), p, 1) IN {_HIGH_HEX} THEN 1 ELSE -1 END)) > 0 "
-    "THEN 1 << (16 - p) ELSE 0 END)) AS BIGINT)"
-)
+# Token hashes are materialized ONCE (md5 per token), then the 16 bit-sums
+# read characters out of the hash strings — 16× fewer md5 calls than
+# hashing inside the per-bit loop.
+
+
+def token_hashes_spark(toks: str = "toks") -> str:
+    return f"transform({toks}, t -> md5(t))"
+
+
+def token_hashes_duck(toks: str = "toks") -> str:
+    return f"list_transform({toks}, t -> md5(t))"
+
+
+def simhash_spark(hs: str = "hs") -> str:
+    return (
+        "aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, p) -> acc + "
+        f"CASE WHEN aggregate(transform({hs}, h -> "
+        f"CASE WHEN substr(h, p, 1) IN {_HIGH_HEX} THEN 1 ELSE -1 END), "
+        "0, (a, x) -> a + x) > 0 THEN shiftleft(CAST(1 AS BIGINT), 16 - p) "
+        "ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def simhash_duck(hs: str = "hs") -> str:
+    return (
+        "CAST(list_sum(list_transform(range(1, 17), p -> "
+        f"CASE WHEN list_sum(list_transform({hs}, h -> "
+        f"CASE WHEN substr(h, p, 1) IN {_HIGH_HEX} THEN 1 ELSE -1 END)) > 0 "
+        "THEN 1 << (16 - p) ELSE 0 END)) AS BIGINT)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -102,18 +131,21 @@ SIMHASH_DUCK = (
 # when the ratio clears a threshold, 'unk' otherwise).
 # ---------------------------------------------------------------------------
 
-_LANGID_TEMPLATE = (
-    "CASE WHEN {nhits} >= 0.02 * {ntoks} THEN 'en' ELSE 'unk' END"
-)
+_LANGID_TEMPLATE = "CASE WHEN {nhits} >= 0.02 * {ntoks} THEN 'en' ELSE 'unk' END"
 
-LANG_ID_SPARK = _LANGID_TEMPLATE.format(
-    nhits=f"size(filter({TOKS_SPARK}, t -> t IN ({_stoplist_sql()})))",
-    ntoks=f"size({TOKS_SPARK})",
-)
-LANG_ID_DUCK = _LANGID_TEMPLATE.format(
-    nhits=f"len(list_filter({TOKS_DUCK}, t -> t IN ({_stoplist_sql()})))",
-    ntoks=f"len({TOKS_DUCK})",
-)
+
+def lang_id_spark(toks: str = "toks") -> str:
+    return _LANGID_TEMPLATE.format(
+        nhits=f"size(filter({toks}, t -> t IN ({_stoplist_sql()})))",
+        ntoks=f"size({toks})",
+    )
+
+
+def lang_id_duck(toks: str = "toks") -> str:
+    return _LANGID_TEMPLATE.format(
+        nhits=f"len(list_filter({toks}, t -> t IN ({_stoplist_sql()})))",
+        ntoks=f"len({toks})",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -125,20 +157,27 @@ LANG_ID_DUCK = _LANGID_TEMPLATE.format(
 _QUALITY_TEMPLATE = (
     "round(0.3 * least(1.0, CAST({ntoks} AS DOUBLE) / 100.0) "
     "+ 0.3 * (CAST({ndistinct} AS DOUBLE) / {ntoks}) "
-    "+ 0.2 * least(1.0, ((CAST(length(text) AS DOUBLE) - {ntoks} + 1) / {ntoks}) / 8.0) "
+    "+ 0.2 * least(1.0, ((CAST(length({text}) AS DOUBLE) - {ntoks} + 1) / {ntoks}) / 8.0) "
     "+ 0.2 * (1.0 - CAST({nstop} AS DOUBLE) / {ntoks}), 4)"
 )
 
-QUALITY_SPARK = _QUALITY_TEMPLATE.format(
-    ntoks=f"size({TOKS_SPARK})",
-    ndistinct=f"size(array_distinct({TOKS_SPARK}))",
-    nstop=f"size(filter({TOKS_SPARK}, t -> t IN ({_stoplist_sql()})))",
-)
-QUALITY_DUCK = _QUALITY_TEMPLATE.format(
-    ntoks=f"len({TOKS_DUCK})",
-    ndistinct=f"len(list_distinct({TOKS_DUCK}))",
-    nstop=f"len(list_filter({TOKS_DUCK}, t -> t IN ({_stoplist_sql()})))",
-)
+
+def quality_spark(toks: str = "toks", text: str = "text") -> str:
+    return _QUALITY_TEMPLATE.format(
+        text=text,
+        ntoks=f"size({toks})",
+        ndistinct=f"size(array_distinct({toks}))",
+        nstop=f"size(filter({toks}, t -> t IN ({_stoplist_sql()})))",
+    )
+
+
+def quality_duck(toks: str = "toks", text: str = "text") -> str:
+    return _QUALITY_TEMPLATE.format(
+        text=text,
+        ntoks=f"len({toks})",
+        ndistinct=f"len(list_distinct({toks}))",
+        nstop=f"len(list_filter({toks}, t -> t IN ({_stoplist_sql()})))",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -148,8 +187,6 @@ QUALITY_DUCK = _QUALITY_TEMPLATE.format(
 # ---------------------------------------------------------------------------
 
 BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-TOKEN_WS_SPARK = f"size({TOKS_SPARK})"
-TOKEN_WS_DUCK = f"len({TOKS_DUCK})"
 TOKEN_BPE_SPARK = f"size(regexp_extract_all(text, '{BPE_RE}', 0))"
 TOKEN_BPE_DUCK = f"len(regexp_extract_all(text, '{BPE_RE}'))"
 
@@ -159,9 +196,10 @@ TOKEN_BPE_DUCK = f"len(regexp_extract_all(text, '{BPE_RE}'))"
 # representative sketch), joined to a stable string.
 # ---------------------------------------------------------------------------
 
-FINGERPRINT_SPARK = (
-    f"array_join(slice(array_sort(transform({SHINGLES_SPARK}, s -> md5(s))), 1, 4), ',')"
-)
-FINGERPRINT_DUCK = (
-    f"array_to_string((list_sort(list_transform({SHINGLES_DUCK}, s -> md5(s))))[1:4], ',')"
-)
+
+def fingerprint_spark(shingles: str = "sh") -> str:
+    return f"array_join(slice(array_sort(transform({shingles}, s -> md5(s))), 1, 4), ',')"
+
+
+def fingerprint_duck(shingles: str = "sh") -> str:
+    return f"array_to_string((list_sort(list_transform({shingles}, s -> md5(s))))[1:4], ',')"

@@ -20,14 +20,22 @@ Five dedup strategies over the injected-duplicate corpus
 
 All signatures are md5-derived — deterministic, engine-independent, no
 MLlib randomness — so every operator here is differentially testable
-against DuckDB. (MLlib's MinHashLSH would tie signatures to JVM random
-seeds and murmur3; re-expressing the sketch in portable expressions keeps
-the oracle exact and the hot path in whole-stage codegen.)
+against DuckDB.
+
+Plan-shape notes (measured at sf0.1, see functions/text.py contract):
+tokens are materialized once per doc in a layered select (inlined splits
+make the expression tree O(tokens²) per doc), sketch frames that feed
+multiple join branches are materialized via localCheckpoint (lineage
+truncation — see minhash_neardup's docstring for why .cache() is not
+enough), and the sketch stage uses an explicit repartition count so AQE
+doesn't coalesce a tiny-bytes/heavy-CPU stage to one task. Net effect:
+q_minhash_neardup 62 s → 5 s at sf0.1.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions import vectors as V
@@ -62,36 +70,78 @@ def _sig_cols(dialect: str) -> str:
     return ", ".join(f"{mk(s)} AS m{s}" for s in range(T.N_HASHES))
 
 
+# Layered tokenize→shingle CTEs shared by the minhash/jaccard operators.
+_TK_SPARK = f"tk AS (SELECT /*+ REPARTITION(doc_id) */ doc_id, text, {T.TOKS_SPARK} AS toks FROM corpus)"
+_SH_SPARK = f"sh AS (SELECT doc_id, {T.shingles_spark()} AS sh FROM tk)"
+_TK_DUCK = f"tk AS (SELECT doc_id, text, {T.TOKS_DUCK} AS toks FROM corpus)"
+_SH_DUCK = f"sh AS (SELECT doc_id, {T.shingles_duck()} AS sh FROM tk)"
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N4: MinHash-LSH near-duplicate pairs with exact-Jaccard verification."""
-    doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
-    return spark.sql(
-        f"""
-        WITH sh AS (SELECT doc_id, {T.SHINGLES_SPARK} AS sh FROM corpus),
-        sig AS (SELECT doc_id, sh, {_sig_cols('spark')} FROM sh),
-        bands AS (
-          SELECT doc_id, {T.band_key_spark(0)} AS band_key, 0 AS band FROM sig
-          UNION ALL
-          SELECT doc_id, {T.band_key_spark(1)} AS band_key, 1 AS band FROM sig),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
-            ON a.band_key = b.band_key AND a.band = b.band AND a.doc_id < b.doc_id),
-        j AS (
-          SELECT p.doc_a, p.doc_b,
-                 CAST(size(array_intersect(x.sh, y.sh)) AS DOUBLE)
-                 / size(array_union(x.sh, y.sh)) AS jac
-          FROM pairs p JOIN sh x ON x.doc_id = p.doc_a
-                       JOIN sh y ON y.doc_id = p.doc_b)
-        SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.6
-        """
+    """N4: MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    The signature frame is materialized once via localCheckpoint (lineage
+    truncation), for two measured reasons at sf0.1:
+
+    - it feeds four plan branches (two band projections + both Jaccard join
+      sides); with lineage intact Spark re-executes the shingle+minhash
+      pipeline per branch (18 FileScans, 0 ReusedExchange → 37 s);
+    - worse, the band join's implicit ``isnotnull(band_key)`` is pushed
+      down INTO the parquet scan with the whole minhash expression tree
+      inlined, so the scan filter recomputes the sketch per row before the
+      projection computes it again (.cache() does not prevent this — the
+      pushdown rewrites the plan below the cache-match boundary).
+
+    After truncation: sketch computed exactly once (3 s), downstream joins
+    read materialized rows. On a cluster the same structure is "write the
+    sketch table, then join it" — which is how a 100 TB dedup is staged
+    anyway (the sketch is ~100 bytes/doc, 10,000× smaller than the corpus).
+    """
+    corpus = doc_corpus(spark, sf_dir)
+    tk = corpus.repartition(64, "doc_id").selectExpr(
+        "doc_id", "text", f"{T.TOKS_SPARK} AS toks"
+    )  # explicit partition count: AQE would coalesce this tiny-bytes /
+    # heavy-CPU stage to 1 task and serialize the sketch computation
+    sh = tk.selectExpr("doc_id", f"{T.shingles_spark()} AS sh")
+    sig = sh.selectExpr(
+        "doc_id", "sh", *[f"{T.minhash_spark(s)} AS m{s}" for s in range(T.N_HASHES)]
+    ).localCheckpoint()
+    bands = sig.selectExpr(
+        "doc_id", f"{T.band_key_spark(0)} AS band_key", "0 AS band"
+    ).unionByName(
+        sig.selectExpr("doc_id", f"{T.band_key_spark(1)} AS band_key", "1 AS band")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.6)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )
 
 
 def minhash_neardup_oracle() -> str:
     return f"""
     WITH corpus AS ({DOC_CORPUS_SQL}),
-    sh AS (SELECT doc_id, {T.SHINGLES_DUCK} AS sh FROM corpus),
+    {_TK_DUCK},
+    {_SH_DUCK},
     sig AS (SELECT doc_id, sh, {_sig_cols('duck')} FROM sh),
     bands AS (
       SELECT doc_id, {T.band_key_spark(0)} AS band_key, 0 AS band FROM sig
@@ -105,8 +155,8 @@ def minhash_neardup_oracle() -> str:
       SELECT p.doc_a, p.doc_b,
              CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
-      FROM pairs p JOIN sh x ON x.doc_id = p.doc_a
-                   JOIN sh y ON y.doc_id = p.doc_b)
+      FROM pairs p JOIN sig x ON x.doc_id = p.doc_a
+                   JOIN sig y ON y.doc_id = p.doc_b)
     SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.6
     """
 
@@ -116,7 +166,8 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
     return spark.sql(
         f"""
-        WITH sh AS (SELECT doc_id, {T.SHINGLES_SPARK} AS sh FROM corpus)
+        WITH {_TK_SPARK},
+        {_SH_SPARK}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                round(CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
                      / size(array_union(a.sh, b.sh)), 4) AS jaccard
@@ -128,7 +179,8 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_oracle() -> str:
     return f"""
     WITH corpus AS ({DOC_CORPUS_SQL}),
-    sh AS (SELECT doc_id, {T.SHINGLES_DUCK} AS sh FROM corpus)
+    {_TK_DUCK},
+    {_SH_DUCK}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
@@ -136,39 +188,56 @@ def ngram_jaccard_oracle() -> str:
     """
 
 
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, lang, 16-bit simhash — token hashes materialized once."""
+    corpus = doc_corpus(spark, sf_dir)
+    tk = corpus.repartition(64, "doc_id").selectExpr(
+        "doc_id", "lang", f"{T.TOKS_SPARK} AS toks"
+    )
+    th = tk.selectExpr("doc_id", "lang", f"{T.token_hashes_spark()} AS hs")
+    return th.selectExpr("doc_id", "lang", f"{T.simhash_spark()} AS simhash")
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 16-bit SimHash fingerprint."""
-    doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
-    return spark.sql(
-        f"SELECT doc_id, {T.SIMHASH_SPARK} AS simhash FROM corpus"
-    )
+    return _simhash_frame(spark, sf_dir).select("doc_id", "simhash")
 
 
 def simhash_oracle() -> str:
     return f"""
-    WITH corpus AS ({DOC_CORPUS_SQL})
-    SELECT doc_id, {T.SIMHASH_DUCK} AS simhash FROM corpus
+    WITH corpus AS ({DOC_CORPUS_SQL}), {_TK_DUCK},
+    th AS (SELECT doc_id, {T.token_hashes_duck()} AS hs FROM tk)
+    SELECT doc_id, {T.simhash_duck()} AS simhash FROM th
     """
 
 
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups: Hamming(a, b) <= 3, blocked by lang."""
-    doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
-    return spark.sql(
-        f"""
-        WITH s AS (SELECT doc_id, lang, {T.SIMHASH_SPARK} AS sim FROM corpus)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(a.sim ^ b.sim) AS INT) AS hamming
-        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE bit_count(a.sim ^ b.sim) <= 3
-        """
+    """SimHash near-dups: Hamming(a, b) <= 3, blocked by lang. The simhash
+    frame is materialized (lineage truncation) — it feeds both sides of the
+    blocked self-join; see minhash_neardup for the pushdown rationale."""
+    s = _simhash_frame(spark, sf_dir).localCheckpoint()
+    a = s.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("simhash").alias("sim_a")
+    )
+    b = s.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        a.join(b, (a.lang == b.lang_b) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(hamming <= 3)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
     )
 
 
 def simhash_neardup_oracle() -> str:
     return f"""
     WITH corpus AS ({DOC_CORPUS_SQL}),
-    s AS (SELECT doc_id, lang, {T.SIMHASH_DUCK} AS sim FROM corpus)
+    tk AS (SELECT doc_id, lang, {T.TOKS_DUCK} AS toks FROM corpus),
+    th AS (SELECT doc_id, lang, {T.token_hashes_duck()} AS hs FROM tk),
+    s AS (SELECT doc_id, lang, {T.simhash_duck()} AS sim FROM th)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
     FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id

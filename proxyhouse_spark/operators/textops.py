@@ -4,7 +4,8 @@ Language-ID, quality scoring, token counting and fingerprinting over the
 ``documents`` table. Everything is built-in expression math (codegen'd);
 at 100 TB these are embarrassingly-parallel narrow projections — no
 shuffle except the final stats groupBy on `lang` (5 keys, map-side
-combined)."""
+combined). Tokens are materialized once per doc (functions/text.py
+contract) so no expression tree re-splits the text."""
 
 from __future__ import annotations
 
@@ -12,6 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import text as T
 from ..tables import table
+
+_TK_SPARK = f"tk AS (SELECT *, {T.TOKS_SPARK} AS toks FROM documents)"
+_TK_DUCK = f"tk AS (SELECT *, {T.TOKS_DUCK} AS toks FROM documents)"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> None:
@@ -23,22 +27,24 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir)
     return spark.sql(
         f"""
+        WITH {_TK_SPARK}
         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
-               round(avg(CAST({T.TOKEN_WS_SPARK} AS DOUBLE)), 4) AS avg_tokens,
+               round(avg(CAST(size(toks) AS DOUBLE)), 4) AS avg_tokens,
                CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-        FROM documents GROUP BY lang
+        FROM tk GROUP BY lang
         """
     )
 
 
 def text_stats_oracle() -> str:
     return f"""
+    WITH {_TK_DUCK}
     SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
            round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
-           round(avg(CAST({T.TOKEN_WS_DUCK} AS DOUBLE)), 4) AS avg_tokens,
+           round(avg(CAST(len(toks) AS DOUBLE)), 4) AS avg_tokens,
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-    FROM documents GROUP BY lang
+    FROM tk GROUP BY lang
     """
 
 
@@ -47,18 +53,20 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir)
     return spark.sql(
         f"""
-        SELECT doc_id, lang, {T.LANG_ID_SPARK} AS pred_lang,
-               ({T.LANG_ID_SPARK} = lang) AS is_match
-        FROM documents
+        WITH {_TK_SPARK}
+        SELECT doc_id, lang, {T.lang_id_spark()} AS pred_lang,
+               ({T.lang_id_spark()} = lang) AS is_match
+        FROM tk
         """
     )
 
 
 def lang_id_oracle() -> str:
     return f"""
-    SELECT doc_id, lang, {T.LANG_ID_DUCK} AS pred_lang,
-           ({T.LANG_ID_DUCK} = lang) AS is_match
-    FROM documents
+    WITH {_TK_DUCK}
+    SELECT doc_id, lang, {T.lang_id_duck()} AS pred_lang,
+           ({T.lang_id_duck()} = lang) AS is_match
+    FROM tk
     """
 
 
@@ -66,12 +74,12 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap quality pre-filter: length / diversity / token-shape blend."""
     _docs(spark, sf_dir)
     return spark.sql(
-        f"SELECT doc_id, {T.QUALITY_SPARK} AS quality FROM documents"
+        f"WITH {_TK_SPARK} SELECT doc_id, {T.quality_spark()} AS quality FROM tk"
     )
 
 
 def quality_score_oracle() -> str:
-    return f"SELECT doc_id, {T.QUALITY_DUCK} AS quality FROM documents"
+    return f"WITH {_TK_DUCK} SELECT doc_id, {T.quality_duck()} AS quality FROM tk"
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,18 +87,20 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir)
     return spark.sql(
         f"""
-        SELECT doc_id, CAST({T.TOKEN_WS_SPARK} AS BIGINT) AS n_tokens_ws,
+        WITH {_TK_SPARK}
+        SELECT doc_id, CAST(size(toks) AS BIGINT) AS n_tokens_ws,
                CAST({T.TOKEN_BPE_SPARK} AS BIGINT) AS n_tokens_bpe
-        FROM documents
+        FROM tk
         """
     )
 
 
 def token_count_oracle() -> str:
     return f"""
-    SELECT doc_id, CAST({T.TOKEN_WS_DUCK} AS BIGINT) AS n_tokens_ws,
+    WITH {_TK_DUCK}
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens_ws,
            CAST({T.TOKEN_BPE_DUCK} AS BIGINT) AS n_tokens_bpe
-    FROM documents
+    FROM tk
     """
 
 
@@ -98,9 +108,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style min-4 shingle-hash fingerprint."""
     _docs(spark, sf_dir)
     return spark.sql(
-        f"SELECT doc_id, {T.FINGERPRINT_SPARK} AS fingerprint FROM documents"
+        f"""
+        WITH {_TK_SPARK},
+        sh AS (SELECT doc_id, {T.shingles_spark()} AS sh FROM tk)
+        SELECT doc_id, {T.fingerprint_spark()} AS fingerprint FROM sh
+        """
     )
 
 
 def doc_fingerprint_oracle() -> str:
-    return f"SELECT doc_id, {T.FINGERPRINT_DUCK} AS fingerprint FROM documents"
+    return f"""
+    WITH {_TK_DUCK},
+    sh AS (SELECT doc_id, {T.shingles_duck()} AS sh FROM tk)
+    SELECT doc_id, {T.fingerprint_duck()} AS fingerprint FROM sh
+    """

@@ -1,0 +1,164 @@
+"""The micro-batch flush pipeline — the reference's runtime, Spark-first.
+
+Reference runtime (SURVEY §3): 4 goroutines around two mutex-guarded maps —
+ingest handlers accumulate into ``map[uri]*Buffer``; ``backgroundSender``
+swaps the map every ``syncsec`` seconds and POSTs one request per key
+(main.go:275-299); failures spill to an errors dir (main.go:365-373);
+``backgroundRecovery`` replays them with level escalation and quarantine
+(main.go:302-321, 447-485).
+
+Spark mapping:
+
+- the map-swap-flush loop IS a micro-batch boundary →
+  ``trigger(processingTime=syncsec)`` (or ``availableNow`` for drains);
+- the per-trigger buffer map is ``groupBy(uri).agg(...)`` inside
+  ``foreachBatch`` — state never crosses a trigger, exactly like the
+  reference dropping its map every flush (main.go:285-288), so NO
+  cross-batch streaming state is needed;
+- the errors dir is a Parquet DLQ table (level + created_ns columns);
+- the recovery loop is an independent batch job (``replay_dlq``) —
+  retry state lives in the DLQ table, not in operator state.
+
+Delivery semantics: the reference acks clients on buffer (data-loss window
+before flush, main.go:198-218) and is at-least-once downstream with
+possible duplicates (main.go:423-441). This pipeline upgrades the ack-loss
+window away (checkpointed source: a crashed trigger re-reads its input)
+and keeps at-least-once downstream; the sink table carries ``batch_id`` so
+an idempotent consumer can dedupe on (batch_id, uri).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dlq import MAX_LEVEL
+from ..operators.ingest import FWD_HOST, REPL_HOST, sink_frame
+
+SinkAttempt = Callable[[DataFrame], tuple[DataFrame, DataFrame]]
+
+
+def _split_by_failure(grouped: DataFrame, fail_predicate: Column | None):
+    """Split a flush frame into (delivered, failed). ``fail_predicate``
+    models the downstream HTTP sink rejecting a key (non-200, main.go:423-425);
+    None = everything delivers."""
+    if fail_predicate is None:
+        return grouped, grouped.limit(0)
+    return grouped.filter(~fail_predicate), grouped.filter(fail_predicate)
+
+
+class FlushPipeline:
+    """request-record stream → validate → groupBy(uri) concat → per-key sink,
+    with DLQ spill for failed keys."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source_dir: str,
+        sink_dir: str,
+        dlq_dir: str,
+        checkpoint_dir: str,
+        trigger_seconds: int = 2,
+        fail_predicate: Column | None = None,
+        fwd: str = FWD_HOST,
+        repl: str = REPL_HOST,
+    ) -> None:
+        self.spark = spark
+        self.source_dir = source_dir
+        self.sink_dir = sink_dir
+        self.dlq_dir = dlq_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.trigger_seconds = trigger_seconds
+        self.fail_predicate = fail_predicate
+        self.fwd = fwd
+        self.repl = repl
+
+    # -- one micro-batch = one reference flush cycle -------------------------
+    def _flush(self, batch_df: DataFrame, batch_id: int) -> None:
+        grouped = sink_frame(batch_df, self.fwd, self.repl).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        ok, failed = _split_by_failure(grouped, self.fail_predicate)
+        # One output file per flush mirrors "few large requests": the frame
+        # is tiny (one row per distinct uri), so coalesce(1) costs nothing.
+        ok.coalesce(1).write.mode("append").parquet(self.sink_dir)
+        spilled = failed.select(
+            F.col("uri"),
+            F.col("buffer").alias("body"),
+            F.lit(1).cast("int").alias("level"),  # first failure → level 1 (main.go:441)
+            (F.unix_micros(F.current_timestamp()) * 1000).alias("created_ns"),
+        )
+        if spilled.take(1):
+            spilled.coalesce(1).write.mode("append").parquet(self.dlq_dir)
+
+    def start(self, available_now: bool = False) -> StreamingQuery:
+        schema = self.spark.read.parquet(self.source_dir).schema
+        stream = self.spark.readStream.schema(schema).parquet(self.source_dir)
+        writer = stream.writeStream.foreachBatch(self._flush).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
+        return writer.start()
+
+
+def replay_dlq(
+    spark: SparkSession,
+    dlq_dir: str,
+    sink_dir: str,
+    fail_predicate: Column | None = None,
+) -> dict[str, int]:
+    """One recovery pass (reference backgroundRecovery/checkErr semantics,
+    main.go:302-321, 447-485):
+
+    - read the DLQ, skip quarantined packets (level >= MAX_LEVEL — the 'O'
+      prefix rule as a predicate),
+    - replay in (level, created_ns) order (the lexicographic filename sort),
+    - delivered packets land in the sink; failed packets are re-spilled at
+      level + 1; level >= MAX_LEVEL → quarantined forever.
+
+    Returns counters {replayed, requeued, quarantined} (the reference's
+    Graphite metrics analog)."""
+    if not os.path.isdir(dlq_dir) or not os.listdir(dlq_dir):
+        return {"replayed": 0, "requeued": 0, "quarantined": 0}
+    dlq = spark.read.parquet(dlq_dir).cache()
+    dlq.count()  # materialize before the directory is rewritten
+
+    eligible = dlq.filter(F.col("level") < MAX_LEVEL).orderBy("level", "created_ns")
+    quarantined = dlq.filter(F.col("level") >= MAX_LEVEL)
+
+    ok, failed = _split_by_failure(eligible, fail_predicate)
+    delivered = ok.select(
+        "uri",
+        F.col("body").alias("buffer"),
+        F.lit(-1).cast("bigint").alias("rowcount"),  # replay reports rowcount=1 in the
+        # reference (main.go:479) — we mark replayed rows -1 instead of lying
+        F.lit(-1).cast("bigint").alias("batch_id"),
+    )
+    if delivered.take(1):
+        delivered.coalesce(1).write.mode("append").parquet(
+            os.path.join(sink_dir, "replayed")
+        )
+
+    escalated = failed.withColumn("level", (F.col("level") + 1).cast("int"))
+    new_dlq = escalated.unionByName(quarantined)
+    counts = {
+        "replayed": ok.count(),
+        "requeued": escalated.filter(F.col("level") < MAX_LEVEL).count(),
+        "quarantined": new_dlq.filter(F.col("level") >= MAX_LEVEL).count(),
+    }
+    # rewrite the queue: tmp-dir + atomic rename (the pudge-file delete analog)
+    tmp = dlq_dir.rstrip("/") + ".tmp"
+    new_dlq.coalesce(1).write.mode("overwrite").parquet(tmp)
+    dlq.unpersist()
+    import shutil
+
+    shutil.rmtree(dlq_dir)
+    os.rename(tmp, dlq_dir)
+    return counts

@@ -1,0 +1,52 @@
+"""Sanity tests for the LLM-pipeline operators at sf0.001 — the differential
+harness (tools/check.py) is the primary gate; these pin the *semantics*
+(injected duplicates are actually found, kNN ranks the planted copy first)."""
+
+from proxyhouse_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def test_dedup_exact_finds_injected_copies(spark):
+    out = registry.QUERIES["q_dedup_exact"](spark, SF_SMALL)
+    dups = out.filter("n_copies > 1").collect()
+    # doc_id % 10 == 0 → exact copy injected; keeper is always the original
+    assert len(dups) == 50
+    assert all(r.keeper_doc_id < 1_000_000 for r in dups)
+
+
+def test_minhash_neardup_finds_exact_pairs(spark):
+    out = registry.QUERIES["q_minhash_neardup"](spark, SF_SMALL).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    # every exact-copy pair shares all bands and has jaccard 1.0
+    exact = [(d, d + 1_000_000) for d in range(0, 500, 10)]
+    assert all(p in pairs for p in exact)
+    assert all(r.jaccard >= 0.6 for r in out)
+
+
+def test_ngram_jaccard_near_copies_high_similarity(spark):
+    out = registry.QUERIES["q_ngram_jaccard"](spark, SF_SMALL).collect()
+    assert len(out) == 50  # doc_id % 10 == 5 near-copies
+    assert all(0.7 <= r.jaccard < 1.0 for r in out)
+
+
+def test_knn_cosine_top_hit_is_planted_copy(spark):
+    out = registry.QUERIES["q_knn_cosine"](spark, SF_SMALL).collect()
+    # probe vec_id=0 has an injected near-identical copy at 1_000_000
+    assert out[0].vec_id == 1_000_000
+    assert out[0].cos_sim > 0.99
+    assert out[0].cos_sim >= out[-1].cos_sim
+
+
+def test_embedding_neardup_exactly_the_injected_pairs(spark):
+    out = registry.QUERIES["q_embedding_neardup"](spark, SF_SMALL).collect()
+    assert {(r.vec_a, r.vec_b) for r in out} == {
+        (v, v + 1_000_000) for v in range(0, 500, 25)
+    }
+
+
+def test_multimodal_features_deterministic(spark):
+    a = registry.QUERIES["q_multimodal_features"](spark, SF_SMALL)
+    rows = {r.doc_id: r for r in a.collect()}
+    assert len(rows) == 500
+    r0 = rows[0]
+    assert r0.n_bytes > 0 and 0 <= r0.byte_mean <= 255 and r0.head_byte >= 0

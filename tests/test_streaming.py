@@ -1,0 +1,91 @@
+"""Streaming behavior tests (SURVEY §5.2 item 3): flush batching, DLQ spill
+on sink failure, replay escalation 1→10 and quarantine — the reference's
+backgroundSender/backgroundRecovery semantics (main.go:275-321, 447-485)."""
+
+import datetime as dt
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from proxyhouse_spark.operators.dlq import MAX_LEVEL
+from proxyhouse_spark.streaming.pipeline import FlushPipeline, replay_dlq
+
+TS = dt.datetime(2024, 1, 1)
+COLS = ["event_id", "recv_ts", "method", "path", "uri", "query", "query_string", "fmt", "body"]
+
+
+def _req(event_id, table, body):
+    uri = f"/?query=INSERT%20INTO%20{table}%20FORMAT%20Values"
+    return (event_id, TS, "POST", "/", uri, f"INSERT INTO {table} FORMAT Values",
+            uri.split("?")[1], "Values", body)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("source", "sink", "dlq", "ckpt")}
+    return d
+
+
+def _run_pipeline(spark, dirs, fail_predicate=None):
+    pipe = FlushPipeline(
+        spark, dirs["source"], dirs["sink"], dirs["dlq"], dirs["ckpt"],
+        fail_predicate=fail_predicate,
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+
+
+def test_flush_one_row_per_key_per_batch(spark, dirs):
+    reqs = [_req(i, f"t{i % 3}", f"({i})") for i in range(300)]
+    spark.createDataFrame(reqs, COLS).coalesce(1).write.parquet(dirs["source"])
+    _run_pipeline(spark, dirs)
+    sink = spark.read.parquet(dirs["sink"])
+    # one flushed row per distinct uri per micro-batch (T1)
+    assert sink.count() == 3
+    assert sink.agg(F.sum("rowcount")).first()[0] == 300
+    assert sink.select("batch_id").distinct().count() == 1
+
+
+def test_failed_keys_spill_to_dlq_at_level_1(spark, dirs):
+    reqs = [_req(1, "good", "(1)"), _req(2, "bad", "(2)")]
+    spark.createDataFrame(reqs, COLS).coalesce(1).write.parquet(dirs["source"])
+    _run_pipeline(spark, dirs, fail_predicate=F.col("table_name") == "bad")
+    sink = spark.read.parquet(dirs["sink"])
+    assert sink.count() == 1 and sink.first().table_name == "good"
+    dlq = spark.read.parquet(dirs["dlq"])
+    assert dlq.count() == 1
+    row = dlq.first()
+    assert row.level == 1 and "bad" in row.uri and row.body == "(2)"
+
+
+def test_replay_delivers_and_clears_queue(spark, dirs):
+    reqs = [_req(1, "bad", "(1)")]
+    spark.createDataFrame(reqs, COLS).coalesce(1).write.parquet(dirs["source"])
+    _run_pipeline(spark, dirs, fail_predicate=F.lit(True))
+    counts = replay_dlq(spark, dirs["dlq"], dirs["sink"])  # sink healthy again
+    assert counts == {"replayed": 1, "requeued": 0, "quarantined": 0}
+    replayed = spark.read.parquet(dirs["sink"] + "/replayed")
+    assert replayed.count() == 1
+    assert spark.read.parquet(dirs["dlq"]).count() == 0
+
+
+def test_replay_escalates_then_quarantines(spark, dirs):
+    """A poison packet climbs level 1→10 across failing replays, then is
+    quarantined and never replayed again (max 10 retries, main.go:366-369)."""
+    reqs = [_req(1, "poison", "(1)")]
+    spark.createDataFrame(reqs, COLS).coalesce(1).write.parquet(dirs["source"])
+    _run_pipeline(spark, dirs, fail_predicate=F.lit(True))
+
+    for expected_level in range(2, MAX_LEVEL + 1):
+        counts = replay_dlq(spark, dirs["dlq"], dirs["sink"], fail_predicate=F.lit(True))
+        dlq = spark.read.parquet(dirs["dlq"])
+        assert dlq.first().level == expected_level
+        if expected_level == MAX_LEVEL:
+            assert counts["quarantined"] == 1
+
+    # quarantined: a healthy replay no longer touches it
+    counts = replay_dlq(spark, dirs["dlq"], dirs["sink"])
+    assert counts == {"replayed": 0, "requeued": 0, "quarantined": 1}
+    assert not glob.glob(dirs["sink"] + "/replayed/*.parquet")
+    assert spark.read.parquet(dirs["dlq"]).first().level == MAX_LEVEL
