@@ -105,3 +105,24 @@ def sink_frame(df: DataFrame, fwd: str = FWD_HOST, repl: str = REPL_HOST) -> Dat
         "rowcount",
         "n_requests",
     )
+
+
+def values_parse(df: DataFrame) -> DataFrame:
+    """Round-trip parse of FORMAT Values buffers back into row counts.
+
+    The inverse of :func:`buffer_aggregate` for Values keys: split the
+    flushed buffer on the ``),(`` row boundary and check the parsed row
+    count against the reference's rowcount arithmetic (main.go:206 counts
+    ``),`` occurrences + 1 per request — the two agree exactly for
+    well-formed tuples; a value containing ``),`` would diverge in the
+    reference too, SURVEY §5.2). Narrow projection over the already-
+    aggregated frame — no extra shuffle.
+    """
+    agg = buffer_aggregate(df).filter(F.col("fmt") == "Values")
+    n_parsed = F.size(F.split(F.col("buffer"), r"\),\(")).cast("bigint")
+    return agg.select(
+        "uri",
+        n_parsed.alias("n_parsed"),
+        "rowcount",
+        (n_parsed == F.col("rowcount")).alias("matched"),
+    )

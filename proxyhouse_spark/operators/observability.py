@@ -1,0 +1,66 @@
+"""Observability-plane operators: GELF log-record construction.
+
+The reference ships errors to Graylog as GELF messages
+(/root/reference/graylog.go:121-141): short_message is the full message
+when it's under 128 chars; otherwise the prefix up to the first newline,
+unless that newline is absent or past index 128, in which case the first
+125 chars + ``'...'``. ``gelf_format`` reproduces that truncation exactly
+as a portable expression (the zlib/UDP transport is out of the data
+plane — SURVEY §2.1 S6; the reference's lost-final-chunk bug,
+graylog.go:182-190, is deliberately not reproduced).
+
+The message text is the send-error line the reference logs (uri +
+response body), built from the request stream so TSV bodies contribute
+embedded newlines and all three truncation branches are exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.requests import requests_df
+from .ingest import validate_requests
+
+GELF_VERSION = "1.1"
+LEVEL_ERROR = 3
+
+# Portable (Spark SQL ∩ DuckDB): CASE/instr/substr/||/chr.
+_MSG = "'proxyhouse send error uri=' || uri || ' resp=' || body || ' / ' || body"
+
+_SHORT = (
+    "CASE WHEN length(msg) < 128 THEN msg "
+    "WHEN instr(msg, chr(10)) = 0 OR instr(msg, chr(10)) > 129 "
+    "THEN substr(msg, 1, 125) || '...' "
+    "ELSE substr(msg, 1, instr(msg, chr(10)) - 1) END"
+)
+
+_HOST = "'proxy-' || CAST(event_id % 4 AS STRING)"
+
+
+def _gelf_select(epoch_expr: str) -> str:
+    return (
+        f"SELECT event_id, '{GELF_VERSION}' AS version, {_HOST} AS host, "
+        f"{epoch_expr} AS timestamp, {LEVEL_ERROR} AS level, "
+        f"{_SHORT} AS short_message, msg AS full_message "
+        "FROM m"
+    )
+
+
+def gelf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    validate_requests(requests_df(spark, sf_dir)).createOrReplaceTempView("valid_req")
+    return spark.sql(
+        "WITH m AS (SELECT event_id, recv_ts, " + _MSG + " AS msg FROM valid_req) "
+        + _gelf_select("unix_micros(recv_ts) DIV 1000000")
+    )
+
+
+def gelf_format_oracle(valid_cte: str) -> str:
+    """DuckDB equivalent; ``valid_cte`` is the registry's validated-request
+    CTE prefix (``WITH requests AS (...), valid AS (...)``)."""
+    return (
+        valid_cte
+        + ", m AS (SELECT event_id, recv_ts, "
+        + _MSG
+        + " AS msg FROM valid) "
+        + _gelf_select("epoch_us(recv_ts) // 1000000")
+    )

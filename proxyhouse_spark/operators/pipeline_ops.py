@@ -1,0 +1,222 @@
+"""Training-data pipeline operators over ``documents`` (SURVEY §2.11 ext).
+
+The operations a large-scale LLM training-data pipeline runs between raw
+crawl and tokenizer, beyond dedup/similarity (operators/dedup.py,
+operators/similarity.py):
+
+- ``doc_chunk``     — fixed-size token windows with stride/overlap (the
+                      pre-tokenization chunking pass)
+- ``hash_split``    — deterministic train/val/test assignment by content
+                      hash (reproducible across engines and runs; no RNG)
+- ``dedup_url``     — URL-level dedup: one canonical doc per ``source``
+                      (keep the longest), over the injected-dup corpus
+- ``ngram_stats``   — corpus-level top-k bigram counts (tokenizer/quality
+                      diagnostics)
+- ``length_filter`` — C4-style per-doc filter verdicts (too_short /
+                      too_long / non_en / keep)
+
+All are built-in expressions (whole-stage codegen) and differentially
+tested against DuckDB. Tokens are materialized once per doc
+(functions/text.py contract). Scale notes per op in docstrings.
+
+Reference parity note: the reference proxy (see /root/reference/main.go)
+has no document operators at all — this family is the north-star surface
+mandated by BASELINE.json, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.corpus import DOC_CORPUS_SQL, doc_corpus
+from ..tables import table
+
+# Chunking geometry: 32-token windows, stride 24 (8-token overlap).
+CHUNK = 32
+STRIDE = 24
+
+_N_CHUNKS = (
+    "CASE WHEN {ntoks} <= {chunk} THEN 1 "
+    "ELSE CAST(ceil(({ntoks} - {chunk}) / {stride}.0) AS INT) + 1 END"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> None:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# doc_chunk — one row per (doc, window). Narrow map + generate: no shuffle
+# at all; at 100 TB this is the ideal embarrassingly-parallel pass (output
+# partitioning inherits input file splits).
+# ---------------------------------------------------------------------------
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    n_chunks = _N_CHUNKS.format(ntoks="ntoks", chunk=CHUNK, stride=STRIDE)
+    return spark.sql(
+        f"""
+        WITH tk AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+        n AS (SELECT doc_id, toks, size(toks) AS ntoks FROM tk),
+        c AS (SELECT doc_id, toks, {n_chunks} AS n_chunks FROM n)
+        SELECT doc_id, chunk_id,
+               CAST(size(slice(toks, chunk_id * {STRIDE} + 1, {CHUNK})) AS BIGINT)
+                 AS chunk_tokens,
+               concat_ws(' ', slice(toks, chunk_id * {STRIDE} + 1, {CHUNK})) AS chunk_text
+        FROM c LATERAL VIEW explode(sequence(0, n_chunks - 1)) t AS chunk_id
+        """
+    )
+
+
+def doc_chunk_oracle() -> str:
+    n_chunks = _N_CHUNKS.format(ntoks="ntoks", chunk=CHUNK, stride=STRIDE)
+    lo = f"chunk_id * {STRIDE} + 1"
+    hi = f"chunk_id * {STRIDE} + {CHUNK}"
+    return f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS ntoks FROM tk),
+    c AS (SELECT doc_id, toks, {n_chunks} AS n_chunks FROM n),
+    e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+    SELECT doc_id, chunk_id,
+           CAST(len(toks[{lo}:{hi}]) AS BIGINT) AS chunk_tokens,
+           array_to_string(toks[{lo}:{hi}], ' ') AS chunk_text
+    FROM e
+    """
+
+
+# ---------------------------------------------------------------------------
+# hash_split — md5-keyed assignment compared as HEX STRINGS (portable: no
+# hex→int conversion exists in both engines). First hex char: 0..c → train
+# (13/16), d..e → val (2/16), f → test (1/16). Deterministic, stable under
+# re-partitioning/re-runs — the property a training pipeline actually needs.
+# ---------------------------------------------------------------------------
+
+_SPLIT_CASE = (
+    "CASE WHEN h < 'd' THEN 'train' WHEN h < 'f' THEN 'val' ELSE 'test' END"
+)
+
+
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH h AS (SELECT n_chars,
+                          substr(md5(CAST(doc_id AS STRING)), 1, 1) AS h
+                   FROM documents)
+        SELECT {_SPLIT_CASE} AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM h GROUP BY 1
+        """
+    )
+
+
+def hash_split_oracle() -> str:
+    return f"""
+    WITH h AS (SELECT n_chars,
+                      substr(md5(CAST(doc_id AS STRING)), 1, 1) AS h
+               FROM documents)
+    SELECT {_SPLIT_CASE} AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM h GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# dedup_url — canonical doc per source (URL-level dedup: keep the longest).
+# Window over partition key = one shuffle on `source`; at 100 TB this is the
+# standard "group by url, argmax" pass — skewed hot URLs are absorbed by
+# AQE skew-split since row_number only needs partition-local order.
+# Runs over the injected-duplicate corpus (sources/corpus.py) where copies
+# share their source.
+# ---------------------------------------------------------------------------
+
+_DEDUP_URL_SQL = """
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+  FROM corpus)
+SELECT source, doc_id AS canonical_doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rn = 1
+"""
+
+
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
+    return spark.sql(f"WITH {_DEDUP_URL_SQL}")
+
+
+def dedup_url_oracle() -> str:
+    return f"WITH corpus AS ({DOC_CORPUS_SQL}), {_DEDUP_URL_SQL}"
+
+
+# ---------------------------------------------------------------------------
+# ngram_stats — top-20 bigrams by count. Generate (narrow) → partial
+# hash-agg map-side → single shuffle on bigram → TakeOrdered. The partial
+# agg collapses the per-partition bigram multiset before shuffling, so
+# shuffle volume is O(distinct bigrams), not O(tokens) — the property that
+# keeps this viable at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH tk AS (SELECT split(text, ' ') AS toks FROM documents),
+        bg AS (SELECT explode(transform(sequence(1, size(toks) - 1), i ->
+                 concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))) AS bigram
+               FROM tk WHERE size(toks) >= 2)
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """
+    )
+
+
+def ngram_stats_oracle() -> str:
+    return """
+    WITH tk AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(toks)), i ->
+             toks[i] || ' ' || toks[i + 1])) AS bigram
+           FROM tk WHERE len(toks) >= 2)
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# length_filter — C4-style per-doc verdicts. Pure narrow projection (no
+# shuffle); the funnel report is a trivial follow-up groupBy for the caller.
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 20
+MAX_TOKENS = 80
+
+_VERDICT = (
+    f"CASE WHEN ntoks < {MIN_TOKENS} THEN 'too_short' "
+    f"WHEN ntoks > {MAX_TOKENS} THEN 'too_long' "
+    "WHEN lang <> 'en' THEN 'non_en' ELSE 'keep' END"
+)
+
+
+def length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH tk AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
+        n AS (SELECT doc_id, lang, size(toks) AS ntoks FROM tk)
+        SELECT doc_id, CAST(ntoks AS BIGINT) AS n_tokens, {_VERDICT} AS verdict
+        FROM n
+        """
+    )
+
+
+def length_filter_oracle() -> str:
+    return f"""
+    WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, lang, len(toks) AS ntoks FROM tk)
+    SELECT doc_id, CAST(ntoks AS BIGINT) AS n_tokens, {_VERDICT} AS verdict
+    FROM n
+    """

@@ -10,6 +10,14 @@
   generation becomes a partition-pruned scan instead of a full pass, at
   the cost of recall (multi-probe = also scan Hamming-adjacent buckets;
   not needed at fixture scale).
+- ``knn_ivf``: IVF-style multi-probe — a coarse 16-cell quantizer (first
+  4 LSH planes); the probe list is the query's cell plus its 4 Hamming-1
+  neighbors, EXPLODED into rows and equi-joined on the cell id, so the
+  candidate scan is a broadcast hash join that partition-prunes when the
+  corpus is stored partitioned by cell — the IVF inverted-list shape.
+- ``embedding_stats``: per-label centroid norms via posexplode → per-dim
+  avg → fold; a two-shuffle dimension-parallel reduction whose state is
+  O(labels × dim), independent of corpus size.
 """
 
 from __future__ import annotations
@@ -78,4 +86,93 @@ def knn_lsh_oracle() -> str:
     WHERE c.vec_id <> {PROBE_VEC_ID}
     ORDER BY cos_sim DESC, c.vec_id
     LIMIT {K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF-style multi-probe ANN
+# ---------------------------------------------------------------------------
+
+N_CELL_BITS = 4
+
+
+def _flip(cell: str, i: int) -> str:
+    """Expression flipping bit-char ``i`` (1-based) of a cell bitstring —
+    identical in both dialects (substr/CASE/||)."""
+    return (
+        f"substr({cell}, 1, {i - 1}) || "
+        f"(CASE WHEN substr({cell}, {i}, 1) = '0' THEN '1' ELSE '0' END) || "
+        f"substr({cell}, {i + 1})"
+    )
+
+
+def _probe_cells(cell: str) -> str:
+    flips = ", ".join(_flip(cell, i) for i in range(1, N_CELL_BITS + 1))
+    return f"{cell}, {flips}"
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_corpus(spark, sf_dir).createOrReplaceTempView("embc")
+    cell = f"substr({V.lsh_bucket_spark('e')}, 1, {N_CELL_BITS})"
+    cos = V.cosine_spark("c.e", "p.e")
+    return spark.sql(
+        f"""
+        WITH b AS (SELECT vec_id, label, e, {cell} AS cell FROM embc),
+        p AS (SELECT e, explode(array({_probe_cells('cell')})) AS cell
+              FROM b WHERE vec_id = {PROBE_VEC_ID})
+        SELECT c.vec_id, c.label, c.cell, round({cos}, 6) AS cos_sim
+        FROM b c JOIN p ON c.cell = p.cell
+        WHERE c.vec_id <> {PROBE_VEC_ID}
+        ORDER BY cos_sim DESC, c.vec_id
+        LIMIT {K}
+        """
+    )
+
+
+def knn_ivf_oracle() -> str:
+    cell = f"substr({V.lsh_bucket_duck('e')}, 1, {N_CELL_BITS})"
+    cos = V.cosine_duck("c.e", "p.e")
+    return f"""
+    WITH embc AS ({EMB_CORPUS_DUCK}),
+    b AS (SELECT vec_id, label, e, {cell} AS cell FROM embc),
+    p AS (SELECT e, unnest([{_probe_cells('cell')}]) AS cell
+          FROM b WHERE vec_id = {PROBE_VEC_ID})
+    SELECT c.vec_id, c.label, c.cell, round({cos}, 6) AS cos_sim
+    FROM b c JOIN p ON c.cell = p.cell
+    WHERE c.vec_id <> {PROBE_VEC_ID}
+    ORDER BY cos_sim DESC, c.vec_id
+    LIMIT {K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid stats
+# ---------------------------------------------------------------------------
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_corpus(spark, sf_dir).createOrReplaceTempView("embc")
+    return spark.sql(
+        """
+        WITH x AS (SELECT label, pos, v
+                   FROM embc LATERAL VIEW posexplode(e) t AS pos, v),
+        dim AS (SELECT label, pos, avg(v) AS m FROM x GROUP BY label, pos),
+        cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embc GROUP BY label)
+        SELECT d.label, c.n, round(sqrt(sum(d.m * d.m)), 6) AS centroid_norm
+        FROM dim d JOIN cnt c ON d.label = c.label
+        GROUP BY d.label, c.n
+        """
+    )
+
+
+def embedding_stats_oracle() -> str:
+    return f"""
+    WITH embc AS ({EMB_CORPUS_DUCK}),
+    x AS (SELECT label, i - 1 AS pos, e[i] AS v
+          FROM embc CROSS JOIN range(1, {V.DIM + 1}) AS t(i)),
+    dim AS (SELECT label, pos, avg(v) AS m FROM x GROUP BY label, pos),
+    cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embc GROUP BY label)
+    SELECT d.label, c.n, round(sqrt(sum(d.m * d.m)), 6) AS centroid_norm
+    FROM dim d JOIN cnt c ON d.label = c.label
+    GROUP BY d.label, c.n
     """

@@ -514,3 +514,49 @@ register("q_multimodal_meta", multimodal.multimodal_meta_oracle())(
 )
 # Arrow-batched decode plumbing — deterministic fake decoder, rows-only check
 register("q_multimodal_features")(multimodal.multimodal_features)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline family (SURVEY §2.11 ext): chunking, deterministic
+# splits, URL dedup, n-gram stats, filter funnel
+# ---------------------------------------------------------------------------
+
+from .operators import observability, pipeline_ops  # noqa: E402
+
+register("q_doc_chunk", pipeline_ops.doc_chunk_oracle())(pipeline_ops.doc_chunk)
+register("q_hash_split", pipeline_ops.hash_split_oracle())(pipeline_ops.hash_split)
+register("q_dedup_url", pipeline_ops.dedup_url_oracle())(pipeline_ops.dedup_url)
+register("q_ngram_stats", pipeline_ops.ngram_stats_oracle())(pipeline_ops.ngram_stats)
+register("q_length_filter", pipeline_ops.length_filter_oracle())(
+    pipeline_ops.length_filter
+)
+
+register("q_knn_ivf", similarity.knn_ivf_oracle())(similarity.knn_ivf)
+register("q_embedding_stats", similarity.embedding_stats_oracle())(
+    similarity.embedding_stats
+)
+
+
+# ---------------------------------------------------------------------------
+# Values round-trip parse (ingest family) + GELF formatting (S6 parity)
+# ---------------------------------------------------------------------------
+
+_N_PARSED = r"CAST(len(string_split_regex(buffer, '\),\(')) AS BIGINT)"
+
+@register(
+    "q_values_parse",
+    _COUNTED
+    + " , agg AS ("
+    + _CONCAT_SELECT
+    + f") SELECT uri, {_N_PARSED} AS n_parsed, rowcount, "
+    f"({_N_PARSED} = rowcount) AS matched FROM agg WHERE fmt = 'Values'",
+)
+def q_values_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse of the core concat: parse Values buffers back into rows and
+    reconcile against the reference rowcount arithmetic (main.go:206)."""
+    return ingest.values_parse(requests_df(spark, sf_dir))
+
+
+register("q_gelf_format", observability.gelf_format_oracle(_VALID))(
+    observability.gelf_format
+)

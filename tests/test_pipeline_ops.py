@@ -1,0 +1,84 @@
+"""Semantic tests for the training-pipeline / observability operators at
+sf0.001 — the differential harness is the primary gate; these pin the
+properties the oracle can't see (coverage/overlap invariants, truncation
+branch behavior, IVF recall vs the brute-force baseline)."""
+
+from proxyhouse_spark import registry
+from proxyhouse_spark.operators.pipeline_ops import CHUNK, STRIDE
+from tests.conftest import SF_SMALL
+
+
+def test_doc_chunk_covers_every_token(spark):
+    chunks = registry.QUERIES["q_doc_chunk"](spark, SF_SMALL).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 500  # every doc chunked
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.chunk_id)
+        # contiguous ids; all-but-last windows are full; stride overlap
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        assert all(r.chunk_tokens == CHUNK for r in rows[:-1])
+        assert 1 <= rows[-1].chunk_tokens <= CHUNK
+        total = len(rows[-1].chunk_text.split(" ")) + STRIDE * (len(rows) - 1)
+        assert total >= CHUNK or len(rows) == 1  # windows cover all tokens
+
+
+def test_hash_split_partitions_everything_once(spark):
+    out = {r.split: r for r in registry.QUERIES["q_hash_split"](spark, SF_SMALL).collect()}
+    assert set(out) == {"train", "val", "test"}
+    assert sum(r.n_docs for r in out.values()) == 500
+    # 13/16 expected in train — loose band, deterministic so stable
+    assert out["train"].n_docs > out["val"].n_docs > 0
+
+
+def test_dedup_url_keeps_longest_per_source(spark):
+    out = registry.QUERIES["q_dedup_url"](spark, SF_SMALL).collect()
+    assert len(out) == 20  # one canonical doc per source
+    assert len({r.source for r in out}) == 20
+
+
+def test_length_filter_verdicts_partition_corpus(spark):
+    rows = registry.QUERIES["q_length_filter"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    verdicts = {r.verdict for r in rows}
+    assert verdicts <= {"keep", "too_short", "too_long", "non_en"}
+    for r in rows:
+        if r.verdict == "too_short":
+            assert r.n_tokens < 20
+        elif r.verdict == "too_long":
+            assert r.n_tokens > 80
+
+
+def test_knn_ivf_matches_brute_force_top1(spark):
+    ivf = registry.QUERIES["q_knn_ivf"](spark, SF_SMALL).collect()
+    brute = registry.QUERIES["q_knn_cosine"](spark, SF_SMALL).collect()
+    # the planted near-identical copy lands in the probe's own cell, so
+    # IVF recalls the true top hit
+    assert ivf[0].vec_id == brute[0].vec_id == 1_000_000
+    assert all(r.cos_sim <= ivf[0].cos_sim for r in ivf)
+
+
+def test_values_parse_reconciles_rowcount(spark):
+    out = registry.QUERIES["q_values_parse"](spark, SF_SMALL).collect()
+    assert len(out) > 0
+    assert all(r.matched for r in out)
+
+
+def test_gelf_truncation_branches(spark):
+    rows = registry.QUERIES["q_gelf_format"](spark, SF_SMALL).collect()
+    saw_short = saw_ellipsis = saw_newline_cut = False
+    for r in rows:
+        msg, short = r.full_message, r.short_message
+        if len(msg) < 128:
+            assert short == msg
+            saw_short = True
+        else:
+            ind = msg.find("\n")
+            if ind < 0 or ind > 128:
+                assert short == msg[:125] + "..."
+                saw_ellipsis = True
+            else:
+                assert short == msg[:ind]
+                saw_newline_cut = True
+    assert saw_short and saw_ellipsis and saw_newline_cut
