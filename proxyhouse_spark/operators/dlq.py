@@ -73,3 +73,27 @@ def dlq_replay_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "event_id", "uri", "level", "created_ns", F.row_number().over(w).alias("replay_rank")
     )
+
+
+# Health thresholds (reference flags -w/-c, main.go:48-49).
+WARN_LEVEL = 400
+CRIT_LEVEL = 500
+
+
+def health_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's /status endpoint logic (showstatus, main.go:228-245):
+    errcount = replayable (non-quarantined) DLQ packets; >= critlevel → HTTP
+    500 / critical, >= warnlevel → HTTP 400 / warning, else 200 / ok.
+    Single global count — O(1) result, map-side counted."""
+    d = dlq_scan(spark, sf_dir).agg(F.count(F.lit(1)).cast("bigint").alias("errcount"))
+    return d.select(
+        "errcount",
+        F.when(F.col("errcount") >= CRIT_LEVEL, 500)
+        .when(F.col("errcount") >= WARN_LEVEL, 400)
+        .otherwise(200)
+        .alias("http_status"),
+        F.when(F.col("errcount") >= CRIT_LEVEL, "critical")
+        .when(F.col("errcount") >= WARN_LEVEL, "warning")
+        .otherwise("ok")
+        .alias("health"),
+    )

@@ -90,3 +90,17 @@ def metric_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key.select(
         "uri", "bytes_sent", "rows_sent", "duration_ms", ratio.alias("bytes_to_ms")
     )
+
+
+def inout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The /statistic endpoint's data-plane counters (showstatistic,
+    main.go:247-254): ``in`` = accepted requests (atomic `in`, main.go:209),
+    ``out`` = outbound sends = one per distinct key per flush cycle
+    (main.go:292). Connection-state counters are transport-level, not data
+    plane, and are not modeled. Single-row global aggregate — map-side
+    partial count + distinct, one shuffle."""
+    df = validate_requests(requests_df(spark, sf_dir))
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_requests"),
+        F.countDistinct("uri").cast("bigint").alias("out_requests"),
+    )

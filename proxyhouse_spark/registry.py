@@ -478,6 +478,22 @@ SELECT event_id, uri, level,
 FROM dlq
 """)(dlq.dlq_retry_policy)
 
+register("q_health_status", _DLQ + f"""
+, c AS (SELECT CAST(count(*) AS BIGINT) AS errcount FROM dlq WHERE level < 10)
+SELECT errcount,
+       CASE WHEN errcount >= {dlq.CRIT_LEVEL} THEN 500
+            WHEN errcount >= {dlq.WARN_LEVEL} THEN 400 ELSE 200 END AS http_status,
+       CASE WHEN errcount >= {dlq.CRIT_LEVEL} THEN 'critical'
+            WHEN errcount >= {dlq.WARN_LEVEL} THEN 'warning' ELSE 'ok' END AS health
+FROM c
+""")(dlq.health_status)
+
+register("q_inout_stats", _VALID + """
+SELECT CAST(count(*) AS BIGINT) AS in_requests,
+       CAST(count(DISTINCT uri) AS BIGINT) AS out_requests
+FROM valid
+""")(metrics.inout_stats)
+
 register("q_dlq_replay_order", _DLQ + """
 SELECT event_id, uri, level, created_ns,
        CAST(row_number() OVER (ORDER BY level, created_ns, event_id) AS BIGINT)
