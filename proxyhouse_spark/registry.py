@@ -576,3 +576,32 @@ def q_values_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("q_gelf_format", observability.gelf_format_oracle(_VALID))(
     observability.gelf_format
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming behaviors T1/T2, oracle-checked: the REAL Structured Streaming
+# flush (availableNow) and the REAL replay job run into temp dirs; the
+# resulting state must match the SQL-declared semantics.
+# ---------------------------------------------------------------------------
+
+from .streaming import pipeline as streaming_pipeline  # noqa: E402
+
+register(
+    "q_flush_trigger",
+    # the streamed flush must equal the batch sink frame (T1 ≡ S2 semantics)
+    _COUNTED
+    + " , agg AS ("
+    + _CONCAT_SELECT
+    + ") SELECT uri, "
+    + scalars.url_rewrite_sql("uri", ingest.FWD_HOST, ingest.REPL_HOST)
+    + " AS target_url, "
+    + scalars.extract_table_sql("uri")
+    + " AS table_name, buffer, rowcount, n_requests FROM agg",
+)(streaming_pipeline.flush_trigger_query)
+
+register("q_dlq_replay", _DLQ + """
+SELECT event_id, uri, body, level + 1 AS level, created_ns
+FROM dlq WHERE level < 10 AND level % 2 = 1
+UNION ALL
+SELECT event_id, uri, body, level, created_ns FROM dlq WHERE level >= 10
+""")(streaming_pipeline.dlq_replay_query)

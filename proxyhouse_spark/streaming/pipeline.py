@@ -162,3 +162,56 @@ def replay_dlq(
     shutil.rmtree(dlq_dir)
     os.rename(tmp, dlq_dir)
     return counts
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable streaming behaviors (SURVEY §2.9 T1/T2). These run the
+# REAL pipeline (Structured Streaming availableNow / the replay batch job)
+# into session-scoped temp dirs and return the resulting state as a
+# DataFrame, so the micro-batch semantics themselves are differentially
+# tested against a SQL oracle — not just unit-asserted.
+# ---------------------------------------------------------------------------
+
+
+def flush_trigger_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: one availableNow pass over the request stream (single source file
+    → single micro-batch). The flushed sink must equal the batch
+    q_batch_sink frame exactly — proving trigger+foreachBatch reproduce the
+    reference's map-swap-flush semantics."""
+    import tempfile
+
+    from ..sources.requests import requests_df
+
+    base = tempfile.mkdtemp(prefix="t1_flush_")
+    dirs = {k: os.path.join(base, k) for k in ("source", "sink", "dlq", "ckpt")}
+    requests_df(spark, sf_dir).coalesce(1).write.parquet(dirs["source"])
+    pipe = FlushPipeline(
+        spark, dirs["source"], dirs["sink"], dirs["dlq"], dirs["ckpt"]
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(300)
+    return spark.read.parquet(dirs["sink"]).select(
+        "uri", "target_url", "table_name", "buffer", "rowcount", "n_requests"
+    )
+
+
+def dlq_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: one recovery pass over a synthetic DLQ where every odd-level
+    packet fails again (deterministic). Returns the post-replay queue state:
+    delivered evens removed, failed odds escalated level+1, quarantined
+    (>= MAX_LEVEL) untouched — the checkErr/saveToErrors state transition
+    (main.go:447-485, 365-373) as a checkable table."""
+    import tempfile
+
+    from ..operators.dlq import dlq_frame
+
+    base = tempfile.mkdtemp(prefix="t2_replay_")
+    dlq_dir = os.path.join(base, "dlq")
+    sink_dir = os.path.join(base, "sink")
+    dlq_frame(spark, sf_dir).coalesce(1).write.parquet(dlq_dir)
+    replay_dlq(
+        spark, dlq_dir, sink_dir, fail_predicate=F.col("level") % 2 == 1
+    )
+    return spark.read.parquet(dlq_dir).select(
+        "event_id", "uri", "body", "level", "created_ns"
+    )
