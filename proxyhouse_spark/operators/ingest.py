@@ -126,3 +126,30 @@ def values_parse(df: DataFrame) -> DataFrame:
         "rowcount",
         (n_parsed == F.col("rowcount")).alias("matched"),
     )
+
+
+def lines_parse(df: DataFrame) -> DataFrame:
+    """Round-trip parse of TSV/CSV buffers — and the reference's silent
+    row-merge edge, end-to-end.
+
+    TSV/CSV rowcount counts ``\\n`` occurrences (main.go:192-197, 206), and
+    bodies concatenate with an empty delimiter (main.go:194, 203), so a
+    body missing its trailing newline merges its last row with the next
+    body's first row. Parsing the flushed buffer back (rows = newline
+    splits with a trailing-empty fragment dropped) therefore yields
+    n_parsed < rowcount exactly for keys containing such a body:
+    ``matched = false`` IS the quirk, reproduced and pinned (SURVEY §1.2).
+    """
+    agg = buffer_aggregate(df).filter(F.col("fmt") != "Values")
+    frags = F.split(F.col("buffer"), "\n")
+    n_parsed = (
+        F.size(frags)
+        - F.when(F.element_at(frags, -1) == "", 1).otherwise(0)
+    ).cast("bigint")
+    return agg.select(
+        "uri",
+        "fmt",
+        n_parsed.alias("n_parsed"),
+        "rowcount",
+        (n_parsed == F.col("rowcount")).alias("matched"),
+    )

@@ -577,6 +577,24 @@ register("q_gelf_format", observability.gelf_format_oracle(_VALID))(
     observability.gelf_format
 )
 
+_N_LINES = (
+    "(len(string_split(buffer, chr(10))) - CASE WHEN "
+    "string_split(buffer, chr(10))[-1] = '' THEN 1 ELSE 0 END)"
+)
+
+@register(
+    "q_lines_parse",
+    _COUNTED
+    + " , agg AS ("
+    + _CONCAT_SELECT
+    + f") SELECT uri, fmt, CAST({_N_LINES} AS BIGINT) AS n_parsed, rowcount, "
+    f"(CAST({_N_LINES} AS BIGINT) = rowcount) AS matched FROM agg WHERE fmt <> 'Values'",
+)
+def q_lines_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSV/CSV buffer round-trip incl. the reference's silent row-merge
+    quirk for bodies missing their trailing newline (main.go:194, 203)."""
+    return ingest.lines_parse(requests_df(spark, sf_dir))
+
 
 # ---------------------------------------------------------------------------
 # Streaming behaviors T1/T2, oracle-checked: the REAL Structured Streaming
