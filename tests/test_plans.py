@@ -1,0 +1,79 @@
+"""Physical-plan regression tests — pin the plan *shape*, not just results.
+
+At 100 TB the plan is the product: a dim join that stops broadcasting, a
+filter that stops reaching the parquet scan, or a top-k that materializes
+a full sort would all still pass the value oracle while being orders of
+magnitude slower. These assertions fail the build instead.
+"""
+
+from proxyhouse_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_SMALL)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return je.explainString(mode)
+
+
+def tree_of(plan: str) -> str:
+    """The operator tree (first block of formatted explain) — each physical
+    operator appears exactly once here, unlike the detail sections."""
+    return plan.split("\n\n")[0]
+
+
+def test_join_tree_broadcasts_all_dims(spark):
+    tree = tree_of(plan_of(spark, "q_revenue_by_region"))
+    # lineitem probe side + 4 broadcast dims (orders, customer, nation, region)
+    assert tree.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in tree
+    # a single hash exchange: the final groupBy — joins add none
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q_pricing_summary")
+    # the shipdate predicate must reach the parquet reader...
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # ...and the scan must read only the 7 referenced columns (of 16)
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    cols = read_schema.split("struct<", 1)[1].count(",") + 1
+    assert cols == 7
+    assert "l_orderkey" not in read_schema
+
+
+def test_topk_plans_take_ordered_not_global_sort(spark):
+    for name in ("q_topk", "q_top_customers"):
+        assert "TakeOrderedAndProject" in plan_of(spark, name), name
+
+
+def test_window_rank_prunes_map_side(spark):
+    # rnk <= 3 / rn = 1 filters must push a WindowGroupLimit below the
+    # shuffle so each map task emits at most k rows per key
+    for name in ("q_window_rank", "q_join_asof"):
+        assert "WindowGroupLimit" in plan_of(spark, name), name
+
+
+def test_core_concat_is_single_shuffle(spark):
+    # map-side partial agg + exactly one exchange on the grouping key
+    tree = tree_of(plan_of(spark, "q_groupby_concat"))
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_ingest_pipeline_no_shuffle_before_group(spark):
+    # validation + projection + format dispatch + url rewrite are all
+    # narrow: the whole sink pipeline shuffles exactly once (the keyed agg)
+    tree = tree_of(plan_of(spark, "q_batch_sink"))
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_narrow_ops_have_zero_shuffles(spark):
+    for name in ("q_rowcount", "q_length_filter", "q_doc_chunk", "q_lang_id"):
+        tree = tree_of(plan_of(spark, name))
+        assert "Exchange" not in tree, name
+
+
+def test_knn_broadcasts_the_probe(spark):
+    tree = tree_of(plan_of(spark, "q_knn_cosine"))
+    assert "Broadcast" in tree  # 1-row probe side is broadcast, corpus streams
