@@ -103,3 +103,62 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return mm.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling — the video-shaped operation: payload = sequence of
+# fixed-size frames; sample every SAMPLE_STRIDE-th frame. The Python side
+# is real mapInPandas plumbing; the outputs are deliberately chosen to be
+# SQL-expressible so this Arrow-batched path gets a FULL differential
+# oracle (unlike q_multimodal_features' statistical outputs).
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 16
+SAMPLE_STRIDE = 4
+
+FRAME_SCHEMA = (
+    "doc_id bigint, n_frames bigint, n_sampled bigint, "
+    "first_frame_hex string, last_frame_hex string"
+)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every SAMPLE_STRIDE-th FRAME_BYTES-sized frame of each binary
+    payload via mapInPandas (the keyframe-extraction shape: per-item
+    variable-length output derived batch-columnar, no driver involvement).
+    A real video pipeline swaps the byte-slice for an ffmpeg keyframe
+    decode; schema, batching and partitioning are identical."""
+    mm = multimodal_frame(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "n_sampled",
+                                   "first_frame_hex", "last_frame_hex")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                n_frames = (len(p) + FRAME_BYTES - 1) // FRAME_BYTES
+                frames = [
+                    p[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    for i in range(0, n_frames, SAMPLE_STRIDE)
+                ]
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n_frames)
+                out["n_sampled"].append(len(frames))
+                out["first_frame_hex"].append(frames[0].hex().upper())
+                out["last_frame_hex"].append(frames[-1].hex().upper())
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def frame_sample_oracle() -> str:
+    fb, st = FRAME_BYTES, SAMPLE_STRIDE
+    n_frames = f"CAST(ceil(octet_length(encode(text)) / {fb}.0) AS BIGINT)"
+    n_sampled = f"CAST(ceil({n_frames} / {st}.0) AS BIGINT)"
+    last_start = f"(({n_sampled} - 1) * {st} * {fb} + 1)"
+    return f"""
+    SELECT doc_id, {n_frames} AS n_frames, {n_sampled} AS n_sampled,
+           hex(encode(substr(text, 1, {fb}))) AS first_frame_hex,
+           hex(encode(substr(text, {last_start}, {fb}))) AS last_frame_hex
+    FROM documents
+    """

@@ -383,3 +383,54 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles per event_type. Spark's `percentile`
+    and DuckDB's `quantile_cont` share the linear-interpolation definition,
+    so the oracle is exact to rounding. At 100 TB the exact variant becomes
+    `approx_percentile` (t-digest, mergeable map-side sketch); the exact one
+    is the correctness baseline."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               transform(percentile(value, array(0.5, 0.95, 0.99)),
+                         x -> round(x, 4)) AS pcts
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram — a single map-side-combinable groupBy
+    on the bucket expression."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT CAST(floor(value / 100) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        FROM events GROUP BY 1
+        """
+    )
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: user-decile × event-type counts. Spark's pivot is planned as
+    one aggregation with conditional counts — same single shuffle as the
+    oracle's explicit CASE sums (which IS the portable spelling)."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.withColumn("decile", (F.col("user_id") % 10).cast("int"))
+        .groupBy("decile")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+        .select(
+            "decile", *[F.col(t).cast("bigint").alias(t) for t in EVENT_TYPES]
+        )
+    )

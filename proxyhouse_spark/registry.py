@@ -333,6 +333,29 @@ SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)(relational.cube_orders)
 
+register("q_percentiles", """
+SELECT event_type,
+       list_transform(quantile_cont(value, [0.5, 0.95, 0.99]),
+                      x -> round(x, 4)) AS pcts
+FROM events GROUP BY event_type
+""")(relational.percentiles)
+
+register("q_histogram", """
+SELECT CAST(floor(value / 100) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+FROM events GROUP BY 1
+""")(relational.histogram)
+
+register("q_pivot", """
+SELECT CAST(user_id % 10 AS INT) AS decile,
+""" + ",\n".join(
+    f"       CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+    for t in relational.EVENT_TYPES
+) + """
+FROM events GROUP BY 1
+""")(relational.pivot_event_types)
+
 register("q_json_props", """
 SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
        CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
@@ -530,6 +553,8 @@ register("q_multimodal_meta", multimodal.multimodal_meta_oracle())(
 )
 # Arrow-batched decode plumbing — deterministic fake decoder, rows-only check
 register("q_multimodal_features")(multimodal.multimodal_features)
+# Arrow-batched frame sampling — outputs chosen SQL-expressible, full oracle
+register("q_frame_sample", multimodal.frame_sample_oracle())(multimodal.frame_sample)
 
 
 # ---------------------------------------------------------------------------
