@@ -18,34 +18,52 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 # extractTable — reference main.go:323-349
 #
-# Lowercase the raw key, look for "insert%20into%20<tbl>%20"; if absent try
-# the form-encoded "insert+into+<tbl>+"; a table name at end-of-string (no
-# trailing separator) yields "unknown" (`to > 0` check, main.go:331-334) —
-# that quirk is preserved because both regexes REQUIRE the trailing
-# separator.
+# Lowercase the raw key, take the substring between the FIRST
+# "insert%20into%20" marker and the FIRST "%20" after it (strings.Index
+# semantics — the span may itself contain other %-escapes, e.g. %2F); an
+# EMPTY span (terminator immediately after the marker) or a missing
+# terminator yields "unknown" (`to > 0`, main.go:331-334) — then the same
+# with the form-encoded "insert+into+" / "+" pair. NOT expressible as a
+# non-greedy regex: regex backtracks past an adjacent terminator to a later
+# one, Go gives up (pinned by tests/test_property_fidelity.py). Index
+# arithmetic is the faithful spelling — and it's cheaper than regex anyway.
 # ---------------------------------------------------------------------------
 
-_PCT_PATTERN = "insert%20into%20([^%]+?)%20"
-_PLUS_PATTERN = r"insert\+into\+([^+]+?)\+"
+_PCT_MARKER = "insert%20into%20"
+_PLUS_MARKER = "insert+into+"
+
+
+def _extract_branch(low: Column, marker: str, term: str) -> Column:
+    mp = F.instr(low, marker)  # 1-based; 0 = absent
+    rest = F.substring(low, mp + len(marker), F.length(low))
+    to = F.instr(rest, term)  # 1-based within rest; Go's `to > 0` ⇔ to > 1
+    return F.when((mp > 0) & (to > 1), F.substring(rest, F.lit(1), to - 1))
 
 
 def extract_table(uri: Column) -> Column:
     low = F.lower(uri)
-    pct = F.regexp_extract(low, _PCT_PATTERN, 1)
-    plus = F.regexp_extract(low, _PLUS_PATTERN, 1)
     return F.coalesce(
-        F.nullif(pct, F.lit("")), F.nullif(plus, F.lit("")), F.lit("unknown")
+        _extract_branch(low, _PCT_MARKER, "%20"),
+        _extract_branch(low, _PLUS_MARKER, "+"),
+        F.lit("unknown"),
     )
 
 
+def _extract_branch_sql(low: str, marker: str, term: str) -> str:
+    mp = f"instr({low}, '{marker}')"
+    rest = f"substring({low}, {mp} + {len(marker)})"
+    to = f"instr({rest}, '{term}')"
+    return f"CASE WHEN {mp} > 0 AND {to} > 1 THEN substring({rest}, 1, {to} - 1) END"
+
+
 def extract_table_sql(uri: str) -> str:
-    """DuckDB fragment. RE2 regexes; note DuckDB string literals do not
-    process backslashes, so the ``\\+`` below reaches RE2 as intended."""
+    """Dialect-portable fragment (instr/substring/CASE are identical in
+    Spark SQL and DuckDB)."""
+    low = f"lower({uri})"
     return (
-        "coalesce(nullif(regexp_extract(lower({u}), 'insert%20into%20([^%]+?)%20', 1), ''), "
-        r"nullif(regexp_extract(lower({u}), 'insert\+into\+([^+]+?)\+', 1), ''), "
-        "'unknown')"
-    ).format(u=uri)
+        f"coalesce({_extract_branch_sql(low, _PCT_MARKER, '%20')}, "
+        f"{_extract_branch_sql(low, _PLUS_MARKER, '+')}, 'unknown')"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -55,16 +73,25 @@ def extract_table_sql(uri: str) -> str:
 
 
 def hide_password(uri: Column) -> Column:
-    return F.regexp_replace(uri, "password=[^&]*", "password=*")
+    # First-occurrence-only splice, exactly the reference's strings.Index
+    # scan (a second password param stays unredacted there too): find
+    # "password=", keep everything up to and incl. it, emit '*', resume at
+    # the first '&' after the match (or drop the rest if none).
+    pos = F.instr(uri, "password=")
+    tail = F.substring(uri, pos + 9, F.length(uri))
+    amp = F.instr(tail, "&")
+    redacted = F.concat(
+        F.substring(uri, F.lit(1), pos + 8),
+        F.lit("*"),
+        F.when(amp > 0, F.substring(tail, amp, F.length(tail))).otherwise(F.lit("")),
+    )
+    return F.when(pos > 0, redacted).otherwise(uri)
 
 
 def hide_password_sql(uri: str) -> str:
-    # DuckDB regexp_replace is first-match-only by default; the reference
-    # also rewrites only the first occurrence (strings.Index scan) — but our
-    # Spark regexp_replace is replace-all. Synthetic URIs carry at most one
-    # password param, and for multi-occurrence inputs the reference's output
-    # is genuinely first-only; q_hide_password's fixtures have one.
-    return f"regexp_replace({uri}, 'password=[^&]*', 'password=*', 'g')"
+    # DuckDB regexp_replace is first-match-only by default — which matches
+    # the reference's first-occurrence splice semantics exactly.
+    return f"regexp_replace({uri}, 'password=[^&]*', 'password=*')"
 
 
 # ---------------------------------------------------------------------------
