@@ -215,3 +215,77 @@ def dlq_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dlq_dir).select(
         "event_id", "uri", "body", "level", "created_ns"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch state: the reference's cumulative per-key counters.
+#
+# The in/out atomics (main.go:77-82, bumped at main.go:209/292) are the one
+# piece of reference state that outlives a flush cycle (the buffer map is
+# dropped every trigger; DLQ state lives in its table). Spark-first this is
+# applyInPandasWithState: per-key totals live in the state store, persist
+# across micro-batches AND restarts via the checkpoint, and each trigger
+# appends (uri, batch_requests, batch_rows, total_requests, total_rows).
+# At 1000 executors the state store shards by the groupBy key like any
+# other stateful aggregation.
+# ---------------------------------------------------------------------------
+
+CUM_OUT_SCHEMA = (
+    "uri string, batch_requests bigint, batch_rows bigint, "
+    "total_requests bigint, total_rows bigint"
+)
+CUM_STATE_SCHEMA = "total_requests bigint, total_rows bigint"
+
+
+def _accumulate(key, pdfs, state):
+    import pandas as pd
+
+    n_req = 0
+    n_rows = 0
+    for pdf in pdfs:
+        n_req += len(pdf)
+        n_rows += int(pdf["n_rows"].sum())
+    prev_req, prev_rows = state.get if state.exists else (0, 0)
+    total_req, total_rows = prev_req + n_req, prev_rows + n_rows
+    state.update((total_req, total_rows))
+    yield pd.DataFrame(
+        {
+            "uri": [key[0]],
+            "batch_requests": [n_req],
+            "batch_rows": [n_rows],
+            "total_requests": [total_req],
+            "total_rows": [total_rows],
+        }
+    )
+
+
+def cumulative_counters(
+    spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Start one availableNow pass of the stateful counter stream. Calling
+    it again after appending more source files resumes from the checkpoint:
+    totals continue, proving state survives restarts (the semantics the
+    reference only gets within one process lifetime)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.ingest import validate_requests, with_format, with_row_count
+    from ..sources.requests import requests_stream_df
+
+    stream = requests_stream_df(spark, source_dir)
+    prepared = with_row_count(with_format(validate_requests(stream))).select(
+        "uri", "n_rows"
+    )
+    counted = prepared.groupBy("uri").applyInPandasWithState(
+        _accumulate,
+        CUM_OUT_SCHEMA,
+        CUM_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        counted.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )

@@ -31,9 +31,15 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
 def _nanos_columns(path: str) -> list[str]:
     """Columns stored as parquet timestamp[ns] (Spark reads them as
-    epoch-nanos BIGINT under spark.sql.legacy.parquet.nanosAsLong)."""
+    epoch-nanos BIGINT under spark.sql.legacy.parquet.nanosAsLong).
+    Cached per path — fixture schemas are immutable and this is called at
+    every plan build."""
     import pyarrow.parquet as pq
 
     try:

@@ -89,3 +89,35 @@ def test_replay_escalates_then_quarantines(spark, dirs):
     assert counts == {"replayed": 0, "requeued": 0, "quarantined": 1}
     assert not glob.glob(dirs["sink"] + "/replayed/*.parquet")
     assert spark.read.parquet(dirs["dlq"]).first().level == MAX_LEVEL
+
+
+def test_cumulative_counters_survive_restart(spark, dirs, tmp_path):
+    """Per-key totals accumulate across separate availableNow runs via the
+    checkpointed state store — the reference's cumulative in/out atomics,
+    minus their process-lifetime limitation."""
+    from proxyhouse_spark.streaming.pipeline import cumulative_counters
+
+    out_dir = str(tmp_path / "counts")
+    # batch 1: 3 requests for t0, 2 for t1
+    reqs1 = [_req(i, f"t{0 if i < 3 else 1}", f"({i})") for i in range(5)]
+    spark.createDataFrame(reqs1, COLS).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    q = cumulative_counters(spark, dirs["source"], out_dir, dirs["ckpt"])
+    q.awaitTermination(120)
+
+    # batch 2 (new file, same keys + multi-row body): totals must continue
+    reqs2 = [_req(10, "t0", "(10),(11)")]
+    spark.createDataFrame(reqs2, COLS).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    q = cumulative_counters(spark, dirs["source"], out_dir, dirs["ckpt"])
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir)
+    t0 = {r.total_requests: r for r in out.filter("uri LIKE '%t0%'").collect()}
+    assert set(t0) == {3, 4}          # after batch 1, after batch 2
+    assert t0[4].batch_requests == 1
+    assert t0[4].total_rows == 5      # 3 single-row + one 2-row body
+    t1 = out.filter("uri LIKE '%t1%'").collect()
+    assert {r.total_requests for r in t1} == {2}  # untouched by batch 2
