@@ -289,3 +289,46 @@ def cumulative_counters(
         .option("path", out_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows + watermark (SURVEY §2.9 T3). The reference has no
+# event time at all (processing-time trigger only); this is the north-star
+# upgrade: per-(window, uri) request counts over the request records' own
+# timestamps, with a watermark bounding state and dropping late arrivals.
+# ---------------------------------------------------------------------------
+
+WATERMARK_DELAY = "10 minutes"
+WINDOW_SIZE = "1 hour"
+
+
+def windowed_counts(
+    spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """One availableNow pass of the event-time windowed counter stream.
+    Append mode: a (window, uri) row is emitted only once its window is
+    closed by the watermark; rows arriving after their window closed are
+    dropped — bounded state at any scale (the alternative, keeping every
+    window open forever, is exactly what does NOT survive 100 TB)."""
+    from ..operators.ingest import validate_requests
+    from ..sources.requests import requests_stream_df
+
+    stream = requests_stream_df(spark, source_dir)
+    counted = (
+        validate_requests(stream)
+        .withWatermark("recv_ts", WATERMARK_DELAY)
+        .groupBy(F.window("recv_ts", WINDOW_SIZE).alias("w"), F.col("uri"))
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "uri",
+            "n_requests",
+        )
+    )
+    return (
+        counted.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )

@@ -121,3 +121,39 @@ def test_cumulative_counters_survive_restart(spark, dirs, tmp_path):
     assert t0[4].total_rows == 5      # 3 single-row + one 2-row body
     t1 = out.filter("uri LIKE '%t1%'").collect()
     assert {r.total_requests for r in t1} == {2}  # untouched by batch 2
+
+
+def test_watermark_drops_late_rows(spark, dirs, tmp_path):
+    """T3: append-mode windowed counts emit once the watermark closes a
+    window, and rows later than the watermark are dropped — across two
+    availableNow runs sharing a checkpoint."""
+    from proxyhouse_spark.streaming.pipeline import windowed_counts
+
+    out_dir = str(tmp_path / "wins")
+
+    def at(minute):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+    def req_at(event_id, minute):
+        r = list(_req(event_id, "t0", f"({event_id})"))
+        r[1] = at(minute)
+        return tuple(r)
+
+    # run 1: two rows in hour 0, one at 03:00 → watermark 02:50 closes hour 0
+    batch1 = [req_at(1, 10), req_at(2, 20), req_at(3, 180)]
+    spark.createDataFrame(batch1, COLS).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    windowed_counts(spark, dirs["source"], out_dir, dirs["ckpt"]).awaitTermination(120)
+
+    # run 2: a LATE row for hour 0 (dropped) + one at 06:00 → closes hour 3
+    batch2 = [req_at(4, 30), req_at(5, 360)]
+    spark.createDataFrame(batch2, COLS).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    windowed_counts(spark, dirs["source"], out_dir, dirs["ckpt"]).awaitTermination(120)
+
+    out = {r.window_start.hour: r.n_requests for r in spark.read.parquet(out_dir).collect()}
+    assert out[0] == 2      # late event_id=4 NOT counted
+    assert out[3] == 1
+    assert 6 not in out     # still open — unemitted, state bounded
