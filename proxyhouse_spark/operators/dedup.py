@@ -304,3 +304,81 @@ def embedding_neardup_oracle() -> str:
     FROM embc a JOIN embc b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {cos} >= 0.9
     """
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment: connected components over the MinHash
+    pair graph, each doc labeled with the min doc_id of its component (the
+    canonical keeper a dedup pass retains).
+
+    The iterative custom operator (SURVEY §7 category (c)): Spark has no
+    native CC, so it's a driver-side fixpoint loop of label-propagation
+    joins — label(v) := min(label(v), min over neighbors u of label(u)) —
+    each iteration one shuffle join, state localCheckpoint'ed to truncate
+    lineage (without it iteration k replays all k-1 predecessors). Label
+    propagation halves the longest min-to-node path per round, so
+    iterations = O(log(diameter)): 5 rounds cover diameter 32, far beyond
+    any near-dup chain in practice; the loop also stops early the moment
+    an iteration changes nothing (counted distributively, no collect of
+    labels). This is the standard large-graph CC (GraphFrames does the
+    same under AQE); per-round cost is one self-join shuffle of the edge
+    list — linear, partitionable, 100 TB-safe.
+
+    Oracle: DuckDB WITH RECURSIVE transitive closure → exact min-reachable
+    label per doc — the fixpoint the loop converges to.
+    """
+    pairs = minhash_neardup(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    # undirected edge list (both directions) — min flows both ways
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(5):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a)
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_oracle() -> str:
+    neardup = minhash_neardup_oracle()
+    return f"""
+    WITH RECURSIVE pairs_all AS ({neardup}),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs_all
+      UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs_all),
+    nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM nodes
+      UNION
+      SELECT reach.doc_id, edges.doc_b AS r
+      FROM reach JOIN edges ON edges.doc_a = reach.r)
+    SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc_id
+    """

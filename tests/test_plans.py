@@ -77,3 +77,41 @@ def test_narrow_ops_have_zero_shuffles(spark):
 def test_knn_broadcasts_the_probe(spark):
     tree = tree_of(plan_of(spark, "q_knn_cosine"))
     assert "Broadcast" in tree  # 1-row probe side is broadcast, corpus streams
+
+
+def test_bucketed_join_is_colocated(spark):
+    """Bucketing = the persisted half of a shuffle: two tables bucketed by
+    the join key join with NO Exchange on either side — the 100 TB recipe
+    for repeated joins on the same key (pay the shuffle once at write)."""
+    from proxyhouse_spark.tables import table
+    from tests.conftest import SF_SMALL
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        table(spark, SF_SMALL, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).saveAsTable("orders_bkt")
+        table(spark, SF_SMALL, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ).write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+            "overwrite"
+        ).saveAsTable("customer_bkt")
+
+        o, c = spark.table("orders_bkt"), spark.table("customer_bkt")
+        joined = o.join(c, o.o_custkey == c.c_custkey)
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree  # co-located: bucket layout IS the shuffle
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
