@@ -153,3 +153,42 @@ def lines_parse(df: DataFrame) -> DataFrame:
         "rowcount",
         (n_parsed == F.col("rowcount")).alias("matched"),
     )
+
+
+def buffer_aggregate_salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
+    """A1+A2 under heavy key skew: the two-stage salted spelling.
+
+    When one URI dominates the stream (the reference's real workload IS
+    one hot table), a single hash partition receives nearly all rows.
+    Stage 1 aggregates by (uri, fmt, salt) — n_salts-way fan-out of the hot
+    key, map-side combined like any groupBy; stage 2 merges the per-salt
+    partials (flatten + resort, sum counts) on the true key, touching only
+    #keys × n_salts rows. Produces byte-identical output to
+    :func:`buffer_aggregate` (same oracle — proven in the registry).
+
+    This is the manual fallback for when AQE skew handling can't apply
+    (skewed AGGREGATION, not join: AQE splits skewed join partitions, but
+    a skewed groupBy partition is irreducible without salting).
+    """
+    prepared = with_row_count(with_format(validate_requests(df)))
+    salted = prepared.withColumn("salt", (F.col("event_id") % n_salts).cast("int"))
+    partial = salted.groupBy("uri", "fmt", "salt").agg(
+        F.collect_list("body").alias("bodies_part"),
+        F.sum("n_rows").alias("rowcount_part"),
+        F.count(F.lit(1)).alias("n_requests_part"),
+    )
+    merged = partial.groupBy("uri", "fmt").agg(
+        F.sort_array(F.flatten(F.collect_list("bodies_part"))).alias("bodies"),
+        F.sum("rowcount_part").alias("rowcount"),
+        F.sum("n_requests_part").alias("n_requests"),
+    )
+    buffer = F.when(
+        F.col("fmt") == "Values", F.array_join(F.col("bodies"), ",")
+    ).otherwise(F.array_join(F.col("bodies"), ""))
+    return merged.select(
+        "uri",
+        "fmt",
+        buffer.alias("buffer"),
+        F.col("rowcount").cast("bigint").alias("rowcount"),
+        F.col("n_requests").cast("bigint").alias("n_requests"),
+    )

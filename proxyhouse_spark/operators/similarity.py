@@ -176,3 +176,49 @@ def embedding_stats_oracle() -> str:
     FROM dim d JOIN cnt c ON d.label = c.label
     GROUP BY d.label, c.n
     """
+
+
+# ---------------------------------------------------------------------------
+# Batch kNN — top-K for a SET of probes in one pass (the serving shape:
+# queries arrive in batches, the corpus streams once). Probe set is
+# broadcast; per-probe top-k via WindowGroupLimit (map-side pruned).
+# ---------------------------------------------------------------------------
+
+N_PROBES = 5
+BATCH_K = 3
+
+
+def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_corpus(spark, sf_dir).createOrReplaceTempView("embc")
+    cos = V.cosine_spark("c.e", "p.e")
+    return spark.sql(
+        f"""
+        WITH p AS (SELECT vec_id AS probe_id, e FROM embc WHERE vec_id < {N_PROBES}),
+        scored AS (
+          SELECT p.probe_id, c.vec_id, round({cos}, 6) AS cos_sim
+          FROM embc c CROSS JOIN p
+          WHERE c.vec_id <> p.probe_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rnk
+          FROM scored)
+        SELECT probe_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= {BATCH_K}
+        """
+    )
+
+
+def knn_batch_oracle() -> str:
+    cos = V.cosine_duck("c.e", "p.e")
+    return f"""
+    WITH embc AS ({EMB_CORPUS_DUCK}),
+    p AS (SELECT vec_id AS probe_id, e FROM embc WHERE vec_id < {N_PROBES}),
+    scored AS (
+      SELECT p.probe_id, c.vec_id, round({cos}, 6) AS cos_sim
+      FROM embc c CROSS JOIN p
+      WHERE c.vec_id <> p.probe_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT probe_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= {BATCH_K}
+    """

@@ -574,6 +574,14 @@ register("q_length_filter", pipeline_ops.length_filter_oracle())(
 )
 
 register("q_knn_ivf", similarity.knn_ivf_oracle())(similarity.knn_ivf)
+register("q_knn_batch", similarity.knn_batch_oracle())(similarity.knn_batch)
+
+
+@register("q_groupby_concat_salted", _COUNTED + _CONCAT_SELECT)
+def q_groupby_concat_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted spelling of the core concat — byte-identical output
+    (same oracle as q_groupby_concat), for irreducibly skewed keys."""
+    return ingest.buffer_aggregate_salted(requests_df(spark, sf_dir))
 register("q_embedding_stats", similarity.embedding_stats_oracle())(
     similarity.embedding_stats
 )

@@ -76,16 +76,31 @@ class FlushPipeline:
         self.fail_predicate = fail_predicate
         self.fwd = fwd
         self.repl = repl
+        # per-flush delivery counters — the reference's rows_sent /
+        # requests_sent / bytes_sent Graphite metrics (main.go:394-405),
+        # collected via observe(): piggybacked on the sink action, no
+        # second pass over the data.
+        self.metrics: list[dict] = []
 
     # -- one micro-batch = one reference flush cycle -------------------------
     def _flush(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Observation
+
         grouped = sink_frame(batch_df, self.fwd, self.repl).withColumn(
             "batch_id", F.lit(batch_id)
         )
         ok, failed = _split_by_failure(grouped, self.fail_predicate)
+        obs = Observation()
+        ok = ok.observe(
+            obs,
+            F.count(F.lit(1)).alias("requests_sent"),
+            F.coalesce(F.sum("rowcount"), F.lit(0)).alias("rows_sent"),
+            F.coalesce(F.sum(F.length("buffer")), F.lit(0)).alias("bytes_sent"),
+        )
         # One output file per flush mirrors "few large requests": the frame
         # is tiny (one row per distinct uri), so coalesce(1) costs nothing.
         ok.coalesce(1).write.mode("append").parquet(self.sink_dir)
+        self.metrics.append({"batch_id": batch_id, **obs.get})
         spilled = failed.select(
             F.col("uri"),
             F.col("buffer").alias("body"),

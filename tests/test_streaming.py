@@ -39,12 +39,20 @@ def _run_pipeline(spark, dirs, fail_predicate=None):
 def test_flush_one_row_per_key_per_batch(spark, dirs):
     reqs = [_req(i, f"t{i % 3}", f"({i})") for i in range(300)]
     spark.createDataFrame(reqs, COLS).coalesce(1).write.parquet(dirs["source"])
-    _run_pipeline(spark, dirs)
+    pipe = FlushPipeline(
+        spark, dirs["source"], dirs["sink"], dirs["dlq"], dirs["ckpt"]
+    )
+    pipe.start(available_now=True).awaitTermination(120)
     sink = spark.read.parquet(dirs["sink"])
     # one flushed row per distinct uri per micro-batch (T1)
     assert sink.count() == 3
     assert sink.agg(F.sum("rowcount")).first()[0] == 300
     assert sink.select("batch_id").distinct().count() == 1
+    # observed per-flush delivery metrics (main.go:394-405 analog)
+    assert len(pipe.metrics) == 1
+    m = pipe.metrics[0]
+    assert m["requests_sent"] == 3 and m["rows_sent"] == 300
+    assert m["bytes_sent"] > 0
 
 
 def test_failed_keys_spill_to_dlq_at_level_1(spark, dirs):
