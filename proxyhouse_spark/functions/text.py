@@ -151,19 +151,32 @@ def lang_id_duck(toks: str = "toks") -> str:
 # ---------------------------------------------------------------------------
 # Quality score: bounded blend of length, lexical diversity, token shape,
 # and stopword load — the standard cheap pre-filter for training corpora.
-# Identical double arithmetic order in both dialects.
+#
+# Scored in INTEGER BASIS POINTS (0..10000) with integer division: double
+# arithmetic is associativity-sensitive, and a round(x, 4) of a sum of four
+# doubles can land one last-ulp apart across engines exactly on a .00005
+# tie (observed at sf0.001: 2550.6003 vs 2550.6002 aggregate). Integer
+# math is bit-exact everywhere; truncation is part of the score's
+# definition. Components (weights 30/30/20/20):
+#   length     3000 * min(ntoks, 100) / 100
+#   diversity  3000 * ndistinct / ntoks
+#   word shape min(2000, 2000 * (chars - ntoks + 1) / (8 * ntoks))
+#   stopwords  2000 - 2000 * nstop / ntoks
 # ---------------------------------------------------------------------------
 
 _QUALITY_TEMPLATE = (
-    "round(0.3 * least(1.0, CAST({ntoks} AS DOUBLE) / 100.0) "
-    "+ 0.3 * (CAST({ndistinct} AS DOUBLE) / {ntoks}) "
-    "+ 0.2 * least(1.0, ((CAST(length({text}) AS DOUBLE) - {ntoks} + 1) / {ntoks}) / 8.0) "
-    "+ 0.2 * (1.0 - CAST({nstop} AS DOUBLE) / {ntoks}), 4)"
+    "CAST("
+    "(3000 * least({ntoks}, 100)) {div} 100 "
+    "+ (3000 * {ndistinct}) {div} {ntoks} "
+    "+ least(2000, (2000 * (length({text}) - {ntoks} + 1)) {div} (8 * {ntoks})) "
+    "+ 2000 - (2000 * {nstop}) {div} {ntoks} "
+    "AS BIGINT)"
 )
 
 
 def quality_spark(toks: str = "toks", text: str = "text") -> str:
     return _QUALITY_TEMPLATE.format(
+        div="DIV",
         text=text,
         ntoks=f"size({toks})",
         ndistinct=f"size(array_distinct({toks}))",
@@ -173,6 +186,7 @@ def quality_spark(toks: str = "toks", text: str = "text") -> str:
 
 def quality_duck(toks: str = "toks", text: str = "text") -> str:
     return _QUALITY_TEMPLATE.format(
+        div="//",
         text=text,
         ntoks=f"len({toks})",
         ndistinct=f"len(list_distinct({toks}))",
