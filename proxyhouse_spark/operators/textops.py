@@ -122,3 +122,63 @@ def doc_fingerprint_oracle() -> str:
     sh AS (SELECT doc_id, {T.shingles_duck()} AS sh FROM tk)
     SELECT doc_id, {T.fingerprint_duck()} AS fingerprint FROM sh
     """
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-redaction scan: per-doc counts of email-shaped tokens and
+    long digit runs (the cheap regex pass a training pipeline runs before
+    redaction; generalizes the reference's password= redaction,
+    main.go:352-363, from one known key to content patterns). Narrow
+    projection — regex engines (Java / RE2) agree on these explicit
+    character-class patterns."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        r"""
+        SELECT doc_id,
+               CAST(regexp_count(text, '[a-z0-9._%+-]+@[a-z0-9.-]+') AS BIGINT)
+                 AS n_emails,
+               CAST(regexp_count(text, '[0-9]{6,}') AS BIGINT) AS n_long_digits,
+               (regexp_count(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')
+                + regexp_count(text, '[0-9]{6,}')) > 0 AS has_pii
+        FROM documents
+        """
+    )
+
+
+def pii_scan_oracle() -> str:
+    email = r"len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+'))"
+    digits = r"len(regexp_extract_all(text, '[0-9]{6,}'))"
+    return f"""
+    SELECT doc_id,
+           CAST({email} AS BIGINT) AS n_emails,
+           CAST({digits} AS BIGINT) AS n_long_digits,
+           ({email} + {digits}) > 0 AS has_pii
+    FROM documents
+    """
+
+
+# Portable normalization chain (identical regexes, RE2 ∩ Java):
+# lowercase → strip non-[a-z0-9 ] → collapse runs of spaces → trim.
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9 ]', ''), "
+    "'  +', ' '))"
+)
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical pre-dedup normalization: the transformation under which
+    'the same document' is defined (exact dedup hashes THIS, not the raw
+    bytes). Narrow, shuffle-free."""
+    _docs(spark, sf_dir)
+    norm = _NORM.format(t="text")
+    return spark.sql(
+        f"""
+        SELECT doc_id, {norm} AS norm_text, md5({norm}) AS norm_md5
+        FROM documents
+        """
+    )
+
+
+def text_normalize_oracle() -> str:
+    norm = _NORM.format(t="text")
+    return f"SELECT doc_id, {norm} AS norm_text, md5({norm}) AS norm_md5 FROM documents"

@@ -548,6 +548,8 @@ register("q_lang_id", textops.lang_id_oracle())(textops.lang_id)
 register("q_quality_score", textops.quality_score_oracle())(textops.quality_score)
 register("q_token_count", textops.token_count_oracle())(textops.token_count)
 register("q_doc_fingerprint", textops.doc_fingerprint_oracle())(textops.doc_fingerprint)
+register("q_pii_scan", textops.pii_scan_oracle())(textops.pii_scan)
+register("q_text_normalize", textops.text_normalize_oracle())(textops.text_normalize)
 
 register("q_multimodal_meta", multimodal.multimodal_meta_oracle())(
     multimodal.multimodal_meta
