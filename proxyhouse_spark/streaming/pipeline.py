@@ -66,6 +66,7 @@ class FlushPipeline:
         fail_predicate: Column | None = None,
         fwd: str = FWD_HOST,
         repl: str = REPL_HOST,
+        sender: Callable[[DataFrame], dict[str, bool]] | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -76,6 +77,10 @@ class FlushPipeline:
         self.fail_predicate = fail_predicate
         self.fwd = fwd
         self.repl = repl
+        # a real delivery boundary (e.g. sinks.http_sink.http_send): called
+        # with the flush frame, returns {uri: delivered}; delivery failures
+        # spill to the DLQ exactly like fail_predicate ones
+        self.sender = sender
         # per-flush delivery counters — the reference's rows_sent /
         # requests_sent / bytes_sent Graphite metrics (main.go:394-405),
         # collected via observe(): piggybacked on the sink action, no
@@ -89,7 +94,18 @@ class FlushPipeline:
         grouped = sink_frame(batch_df, self.fwd, self.repl).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        ok, failed = _split_by_failure(grouped, self.fail_predicate)
+        if self.sender is not None:
+            # real delivery: POST each key, partition by outcome. The frame
+            # is one row per distinct key, so materializing it for the send
+            # mirrors the reference's sequential flush loop (main.go:290-293)
+            # while the sends themselves run executor-side.
+            grouped = grouped.localCheckpoint()  # send + both filters: one compute
+            delivered = self.sender(grouped)
+            ok_keys = [u for u, d in delivered.items() if d]
+            ok = grouped.filter(F.col("uri").isin(ok_keys))
+            failed = grouped.filter(~F.col("uri").isin(ok_keys))
+        else:
+            ok, failed = _split_by_failure(grouped, self.fail_predicate)
         obs = Observation()
         ok = ok.observe(
             obs,

@@ -1,0 +1,71 @@
+"""End-to-end HTTP sink test: the REAL reference boundary (send(),
+main.go:376-445) against a live in-process HTTP server — one POST per
+distinct key per flush, 200 = delivered, non-200 spills to the DLQ."""
+
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from proxyhouse_spark.sinks.http_sink import http_send
+from proxyhouse_spark.streaming.pipeline import FlushPipeline
+from tests.test_streaming import COLS, _req
+
+
+class _Collector(BaseHTTPRequestHandler):
+    received: list[tuple[str, str]] = []
+    fail_substring = "bad"
+
+    def do_POST(self):  # noqa: N802
+        body = self.rfile.read(int(self.headers["Content-Length"])).decode()
+        type(self).received.append((self.path, body))
+        if self.fail_substring in self.path:
+            self.send_response(503)  # ClickHouse down for this table
+        else:
+            self.send_response(200)
+        self.end_headers()
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+@pytest.fixture()
+def http_server():
+    _Collector.received = []
+    server = HTTPServer(("127.0.0.1", 0), _Collector)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def test_http_sink_delivers_and_spills(spark, tmp_path, http_server):
+    dirs = {k: str(tmp_path / k) for k in ("source", "sink", "dlq", "ckpt")}
+    reqs = [
+        _req(1, "good", "(1)"),
+        _req(2, "good", "(2)"),
+        _req(3, "bad", "(3)"),
+    ]
+    spark.createDataFrame(reqs, COLS).coalesce(1).write.parquet(dirs["source"])
+
+    pipe = FlushPipeline(
+        spark, dirs["source"], dirs["sink"], dirs["dlq"], dirs["ckpt"],
+        fwd=http_server,  # url_rewrite targets the live server
+        sender=http_send,
+    )
+    pipe.start(available_now=True).awaitTermination(120)
+
+    # the server saw exactly one POST per distinct key (2 keys)
+    assert len(_Collector.received) == 2
+    bodies = {path: body for path, body in _Collector.received}
+    good_path = next(p for p in bodies if "good" in p)
+    assert bodies[good_path] == "(1),(2)"  # coalesced buffer, not 2 requests
+
+    # delivered key landed in the sink table; failed key spilled to DLQ
+    sink = spark.read.parquet(dirs["sink"])
+    assert sink.count() == 1 and sink.first().table_name == "good"
+    assert sink.first().rowcount == 2
+    dlq = spark.read.parquet(dirs["dlq"])
+    assert dlq.count() == 1
+    assert "bad" in dlq.first().uri and dlq.first().level == 1
