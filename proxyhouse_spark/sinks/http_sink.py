@@ -48,3 +48,10 @@ def http_send(flush_frame: DataFrame) -> dict[str, bool]:
         _send_rows
     )
     return {uri: ok for uri, ok, _ in statuses.collect()}
+
+
+def http_send_driver(rows) -> dict[str, bool]:
+    """Driver-side variant for the sequential, throttled DLQ replay loop
+    (reference replays one packet per second in one goroutine,
+    main.go:479-480 — pacing is the point, distribution isn't)."""
+    return {uri: ok for uri, ok, _ in _send_rows(rows)}

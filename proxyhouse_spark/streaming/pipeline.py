@@ -144,6 +144,10 @@ def replay_dlq(
     dlq_dir: str,
     sink_dir: str,
     fail_predicate: Column | None = None,
+    sender: Callable | None = None,
+    throttle_seconds: float = 0.0,
+    fwd: str = FWD_HOST,
+    repl: str = REPL_HOST,
 ) -> dict[str, int]:
     """One recovery pass (reference backgroundRecovery/checkErr semantics,
     main.go:302-321, 447-485):
@@ -153,6 +157,12 @@ def replay_dlq(
     - replay in (level, created_ns) order (the lexicographic filename sort),
     - delivered packets land in the sink; failed packets are re-spilled at
       level + 1; level >= MAX_LEVEL → quarantined forever.
+
+    ``sender`` (e.g. ``sinks.http_sink.http_send``) makes the replay a real
+    HTTP delivery like the flush path; ``throttle_seconds`` reproduces the
+    reference's 1 s pause between replayed packets (main.go:480) — replay
+    is deliberately sequential, gentle pressure on a recovering downstream,
+    so driver-side pacing (not a distributed sleep) is the right shape.
 
     Returns counters {replayed, requeued, quarantined} (the reference's
     Graphite metrics analog)."""
@@ -164,7 +174,27 @@ def replay_dlq(
     eligible = dlq.filter(F.col("level") < MAX_LEVEL).orderBy("level", "created_ns")
     quarantined = dlq.filter(F.col("level") >= MAX_LEVEL)
 
-    ok, failed = _split_by_failure(eligible, fail_predicate)
+    if sender is not None:
+        import time as _time
+
+        from ..functions.scalars import url_rewrite
+
+        frame = eligible.withColumn(
+            "target_url", url_rewrite(F.col("uri"), fwd, repl)
+        ).withColumn("buffer", F.col("body"))
+        # ordered + small by definition (it's the error queue): sequential
+        # driver-side replay, one packet at a time, like the reference loop
+        packets = frame.select("uri", "target_url", "buffer").collect()
+        statuses: dict[str, bool] = {}
+        for pkt in packets:
+            statuses.update(sender([pkt]))
+            if throttle_seconds:
+                _time.sleep(throttle_seconds)
+        ok_keys = [u for u, d in statuses.items() if d]
+        ok = eligible.filter(F.col("uri").isin(ok_keys))
+        failed = eligible.filter(~F.col("uri").isin(ok_keys))
+    else:
+        ok, failed = _split_by_failure(eligible, fail_predicate)
     delivered = ok.select(
         "uri",
         F.col("body").alias("buffer"),

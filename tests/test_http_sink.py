@@ -69,3 +69,34 @@ def test_http_sink_delivers_and_spills(spark, tmp_path, http_server):
     dlq = spark.read.parquet(dirs["dlq"])
     assert dlq.count() == 1
     assert "bad" in dlq.first().uri and dlq.first().level == 1
+
+
+def test_http_replay_delivers_spilled_packet(spark, tmp_path, http_server):
+    """Full failure→recovery cycle over live HTTP: a 503'd key spills to
+    the DLQ, the server heals, the throttled HTTP replay delivers it and
+    clears the queue."""
+    from proxyhouse_spark.sinks.http_sink import http_send_driver
+    from proxyhouse_spark.streaming.pipeline import replay_dlq
+
+    dirs = {k: str(tmp_path / k) for k in ("source", "sink", "dlq", "ckpt")}
+    reqs = [_req(1, "bad", "(1),(2)")]
+    spark.createDataFrame(reqs, COLS).coalesce(1).write.parquet(dirs["source"])
+    pipe = FlushPipeline(
+        spark, dirs["source"], dirs["sink"], dirs["dlq"], dirs["ckpt"],
+        fwd=http_server, sender=http_send,
+    )
+    pipe.start(available_now=True).awaitTermination(120)
+    assert spark.read.parquet(dirs["dlq"]).count() == 1
+
+    _Collector.fail_substring = "\x00never"  # server healed
+    try:
+        counts = replay_dlq(
+            spark, dirs["dlq"], dirs["sink"],
+            sender=http_send_driver, throttle_seconds=0.05, fwd=http_server,
+        )
+    finally:
+        _Collector.fail_substring = "bad"
+    assert counts == {"replayed": 1, "requeued": 0, "quarantined": 0}
+    # the replayed POST carried the original coalesced body
+    assert _Collector.received[-1][1] == "(1),(2)"
+    assert spark.read.parquet(dirs["dlq"]).count() == 0
