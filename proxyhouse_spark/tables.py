@@ -68,7 +68,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for col in _nanos_columns(path):
-        df = df.withColumn(col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+        # pyarrow also reports Spark-written INT96 timestamps as
+        # timestamp[ns]; those arrive as real TimestampType and need no
+        # conversion. Only int64-nanos columns land as LongType under
+        # spark.sql.legacy.parquet.nanosAsLong.
+        if df.schema[col].dataType.typeName() == "long":
+            df = df.withColumn(col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
     return df
 
 

@@ -1,0 +1,119 @@
+"""Scaling probe: how does the headline suite behave at 10× the bench SF?
+
+Builds a one-off ~sf1 dataset under .scratch/ (10 copies of sf0.1 with
+consistently shifted keys, so key cardinality — users, orders, docs —
+scales with the data instead of piling duplicates onto fixed keys), then
+times each headline query steady-state (second run) at both scales and
+prints per-query wall-clock ratios. A ratio near the data ratio (10×)
+means scan-bound linear scaling; materially above it means a superlinear
+plan (the thing this probe exists to catch).
+
+Usage: python tools/scale_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import HEADLINE, SF_DIR  # noqa: E402
+from proxyhouse_spark import registry  # noqa: E402
+from proxyhouse_spark.session import get_spark  # noqa: E402
+from proxyhouse_spark.tables import TABLES, table  # noqa: E402
+
+SCRATCH = "/root/repo/.scratch/sf1"
+COPIES = 10
+OFF = 10_000_000  # multiple of every fixture modulus (10, 25, …): injected
+# dup/near-dup patterns replicate per copy instead of breaking
+
+# key columns to shift per table so referential joins keep matching
+SHIFTS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # dims stay as-is: every copy references the same nations/regions/parts
+    "nation": [],
+    "region": [],
+    "part": [],
+    "supplier": [],
+}
+
+
+def build_scratch(spark) -> None:
+    os.makedirs(SCRATCH, exist_ok=True)
+    for name in TABLES:
+        out = f"{SCRATCH}/{name}.parquet"
+        if os.path.exists(out):
+            continue
+        base = table(spark, SF_DIR, name)
+        shifts = SHIFTS[name]
+        if not shifts:
+            base.write.mode("overwrite").parquet(out)
+            continue
+        parts = []
+        for i in range(COPIES):
+            df = base
+            for col in shifts:
+                df = df.withColumn(col, F.col(col) + F.lit(i * OFF))
+            if name == "documents":  # make copies distinct documents
+                df = df.withColumn(
+                    "text", F.concat(F.lit(f"c{i} "), F.col("text"))
+                ).withColumn("n_chars", F.col("n_chars") + len(f"c{i} "))
+            if name == "embeddings":  # avoid 10x exact-tie vectors
+                df = df.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.array(F.element_at("embedding", 1) + F.lit(i * 1e-3)),
+                        F.slice("embedding", 2, 63),
+                    ),
+                )
+            parts.append(df)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        merged.write.mode("overwrite").parquet(out)
+        print(f"built {name}", file=sys.stderr)
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    timings = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    spark = get_spark("scale_probe")
+    build_scratch(spark)
+    small = run_suite(spark, SF_DIR)
+    big = run_suite(spark, SCRATCH)
+    ratios = {k: round(big[k] / max(small[k], 1e-9), 1) for k in small}
+    print(
+        json.dumps(
+            {
+                "data_ratio": COPIES,
+                "sf_small_total": round(sum(small.values()), 2),
+                "sf_big_total": round(sum(big.values()), 2),
+                "total_ratio": round(sum(big.values()) / sum(small.values()), 1),
+                "per_query_ratio": ratios,
+                "big": big,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
