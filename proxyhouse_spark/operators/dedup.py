@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpoints import release_scope, scoped_checkpoint
 from ..functions import text as T
 from ..functions import vectors as V
 from ..sources.corpus import DOC_CORPUS_SQL, doc_corpus, emb_corpus
@@ -103,9 +104,14 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # explicit partition count: AQE would coalesce this tiny-bytes /
     # heavy-CPU stage to 1 task and serialize the sketch computation
     sh = tk.selectExpr("doc_id", f"{T.shingles_spark()} AS sh")
-    sig = sh.selectExpr(
-        "doc_id", "sh", *[f"{T.minhash_spark(s)} AS m{s}" for s in range(T.N_HASHES)]
-    ).localCheckpoint()
+    sig = scoped_checkpoint(
+        sh.selectExpr(
+            "doc_id",
+            "sh",
+            *[f"{T.minhash_spark(s)} AS m{s}" for s in range(T.N_HASHES)],
+        ),
+        "minhash_sig",
+    )
     bands = sig.selectExpr(
         "doc_id", f"{T.band_key_spark(0)} AS band_key", "0 AS band"
     ).unionByName(
@@ -234,7 +240,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The simhash frame is materialized (lineage truncation) — it feeds both
     join sides; see minhash_neardup for the pushdown rationale."""
-    s = _simhash_frame(spark, sf_dir).localCheckpoint()
+    s = scoped_checkpoint(_simhash_frame(spark, sf_dir), "simhash_frame")
     s.createOrReplaceTempView("simhash_v")
     return spark.sql(
         """
@@ -327,42 +333,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB WITH RECURSIVE transitive closure → exact min-reachable
     label per doc — the fixpoint the loop converges to.
     """
-    pairs = minhash_neardup(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    pairs = scoped_checkpoint(
+        minhash_neardup(spark, sf_dir).select("doc_a", "doc_b"), "cc_pairs"
+    )
     # undirected edge list (both directions) — min flows both ways
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    labels = (
+    edges = scoped_checkpoint(
+        pairs.unionByName(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ),
+        "cc_edges",
+    )
+    release_scope(spark, "cc_pairs")  # folded into the edge list
+    labels = scoped_checkpoint(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .withColumn("label", F.col("doc_id")),
+        "cc_labels",
     )
     for _ in range(5):
-        neighbor_min = (
+        # neighbor-min materialized once per round: feeds both the
+        # convergence test and the label update; the scope frees round k-1's
+        # frame the moment round k's lands.
+        neighbor_min = scoped_checkpoint(
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a)
-            .agg(F.min("label").alias("nmin"))
+            .agg(F.min("label").alias("nmin")),
+            "cc_neighbor_min",
         )
-        new_labels = (
+        # a label changes iff some neighbor's label undercuts it — testable
+        # against the OLD labels alone, so the convergence count runs before
+        # the old generation is released by the checkpoint below.
+        changed = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a)
+            .filter(F.col("nmin") < F.col("label"))
+            .count()
+        )
+        if changed == 0:
+            break
+        labels = scoped_checkpoint(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
                     "label"
                 ),
-            )
-            .localCheckpoint()
+            ),
+            "cc_labels",  # frees the previous round's labels after materializing
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    release_scope(spark, "cc_neighbor_min")
+    release_scope(spark, "cc_edges")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..checkpoints import scoped_checkpoint
 from ..operators.dlq import MAX_LEVEL
 from ..operators.ingest import FWD_HOST, REPL_HOST, sink_frame
 
@@ -99,7 +100,11 @@ class FlushPipeline:
             # is one row per distinct key, so materializing it for the send
             # mirrors the reference's sequential flush loop (main.go:290-293)
             # while the sends themselves run executor-side.
-            grouped = grouped.localCheckpoint()  # send + both filters: one compute
+            # send + both filters: one compute. Scoped: a streaming query
+            # checkpoints one flush frame per micro-batch — without freeing
+            # the previous batch's blocks this leaks for the stream's
+            # lifetime (see checkpoints.py).
+            grouped = scoped_checkpoint(grouped, "flush_frame")
             delivered = self.sender(grouped)
             ok_keys = [u for u, d in delivered.items() if d]
             ok = grouped.filter(F.col("uri").isin(ok_keys))
