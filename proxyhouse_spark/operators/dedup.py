@@ -97,6 +97,18 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     read materialized rows. On a cluster the same structure is "write the
     sketch table, then join it" — which is how a 100 TB dedup is staged
     anyway (the sketch is ~100 bytes/doc, 10,000× smaller than the corpus).
+
+    Verify-join shape: the two joins that attach shingle arrays to the
+    candidate pairs are hinted SHUFFLE_HASH building on the PAIRS side.
+    Left to itself Spark broadcasts the sketch frame (checkpointed frames
+    carry no size stats), which inverts the scale relationship: the sketch
+    grows with the corpus (~600 MB at ~sf1, unbounded at 100 TB) while the
+    pair list is bounded by band collisions. Shuffle-hash on doc id is the
+    plan that survives: both sides hash-partition, no sort of the shingle
+    arrays, no corpus-sized broadcast. Per-pair Jaccard does ONE
+    array_intersect — shingles are distinct per doc (functions/text.py), so
+    ``|a ∪ b| = |a| + |b| − |a ∩ b|`` with per-doc sizes precomputed in the
+    sketch.
     """
     corpus = doc_corpus(spark, sf_dir)
     tk = corpus.repartition(64, "doc_id").selectExpr(
@@ -108,6 +120,7 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.selectExpr(
             "doc_id",
             "sh",
+            "size(sh) AS n_sh",
             *[f"{T.minhash_spark(s)} AS m{s}" for s in range(T.N_HASHES)],
         ),
         "minhash_sig",
@@ -128,14 +141,22 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b"))
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
     )
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     return (
-        pairs.join(x, "doc_a")
+        pairs.hint("shuffle_hash")
+        .join(x, "doc_a")
+        .hint("shuffle_hash")
         .join(y, "doc_b")
         .withColumn("jac", jac)
         .filter(F.col("jac") >= 0.6)

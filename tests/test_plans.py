@@ -49,10 +49,20 @@ def test_topk_plans_take_ordered_not_global_sort(spark):
 
 
 def test_window_rank_prunes_map_side(spark):
-    # rnk <= 3 / rn = 1 filters must push a WindowGroupLimit below the
-    # shuffle so each map task emits at most k rows per key
-    for name in ("q_window_rank", "q_join_asof"):
-        assert "WindowGroupLimit" in plan_of(spark, name), name
+    # the rnk <= 3 filter must push a WindowGroupLimit below the shuffle
+    # so each map task emits at most k rows per key
+    assert "WindowGroupLimit" in plan_of(spark, "q_window_rank")
+
+
+def test_join_asof_argmax_combines_map_side(spark):
+    # the per-event argmax is a hash aggregation (max over a struct), so
+    # the expanded range-join output collapses map-side (partial_max)
+    # before its single exchange — no sort, no full-width window shuffle
+    plan = plan_of(spark, "q_join_asof")
+    tree = tree_of(plan)
+    assert "partial_max" in plan
+    assert "Window" not in tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
 
 
 def test_core_concat_is_single_shuffle(spark):
@@ -72,6 +82,14 @@ def test_narrow_ops_have_zero_shuffles(spark):
     for name in ("q_rowcount", "q_length_filter", "q_doc_chunk", "q_lang_id"):
         tree = tree_of(plan_of(spark, name))
         assert "Exchange" not in tree, name
+
+
+def test_minhash_verify_never_broadcasts_the_sketch(spark):
+    # the two joins attaching shingle arrays to candidate pairs must be
+    # shuffled hash joins: the sketch side scales with the corpus (~600 MB
+    # at sf1, unbounded at 100 TB) and must stream, never broadcast
+    tree = tree_of(plan_of(spark, "q_minhash_neardup"))
+    assert tree.count("ShuffledHashJoin") == 2
 
 
 def test_knn_broadcasts_the_probe(spark):
