@@ -45,6 +45,22 @@ def validate_requests(df: DataFrame) -> DataFrame:
     )
 
 
+def with_fmt(df: DataFrame) -> DataFrame:
+    """Derive the format tag from the decoded query's suffix when the
+    source doesn't carry one (live HTTP traffic via sources/http_ingest):
+    the reference's only format signal is the query-string suffix test,
+    main.go:189-197. Synthetic request sources already carry ``fmt`` (it
+    generated the query text) — kept as-is so oracle plans don't change."""
+    if "fmt" in df.columns:
+        return df
+    fmt = (
+        F.when(F.col("query").endswith("FORMAT TSV"), F.lit("TSV"))
+        .when(F.col("query").endswith("FORMAT CSV"), F.lit("CSV"))
+        .otherwise(F.lit("Values"))
+    )
+    return df.withColumn("fmt", fmt)
+
+
 def with_format(df: DataFrame) -> DataFrame:
     """P5: derive (delimiter, separator, addrows) from the decoded query."""
     delimiter, separator, addrows = format_dispatch(F.col("query"))
@@ -74,7 +90,7 @@ def buffer_aggregate(df: DataFrame) -> DataFrame:
     row per distinct uri before the shuffle; the post-shuffle state is
     O(#distinct uris), independent of input row count.
     """
-    prepared = with_row_count(with_format(validate_requests(df)))
+    prepared = with_row_count(with_format(with_fmt(validate_requests(df))))
     agg = prepared.groupBy("uri", "fmt").agg(
         F.sort_array(F.collect_list("body")).alias("bodies"),
         F.sum("n_rows").alias("rowcount"),
@@ -170,7 +186,7 @@ def buffer_aggregate_salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
     (skewed AGGREGATION, not join: AQE splits skewed join partitions, but
     a skewed groupBy partition is irreducible without salting).
     """
-    prepared = with_row_count(with_format(validate_requests(df)))
+    prepared = with_row_count(with_format(with_fmt(validate_requests(df))))
     salted = prepared.withColumn("salt", (F.col("event_id") % n_salts).cast("int"))
     partial = salted.groupBy("uri", "fmt", "salt").agg(
         F.collect_list("body").alias("bodies_part"),

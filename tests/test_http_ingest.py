@@ -1,0 +1,109 @@
+"""End-to-end HTTP ingest shim: live server → Parquet spool → flush
+pipeline. Mirrors the reference's server surface (dorequest,
+main.go:164-226; showstatus 228-245; showstatistic 247-254)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from proxyhouse_spark.operators.ingest import sink_frame
+from proxyhouse_spark.sources.http_ingest import IngestShim
+from proxyhouse_spark.streaming.pipeline import FlushPipeline
+
+
+def _call(base, path, data=None, method=None):
+    req = urllib.request.Request(base + path, data=data, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, r.read(), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+@pytest.fixture()
+def shim(tmp_path):
+    errcount = {"n": 0}
+    s = IngestShim(
+        str(tmp_path / "spool"),
+        flush_seconds=0.3,
+        errcount_fn=lambda: errcount["n"],
+    ).start()
+    s._test_errcount = errcount
+    yield s
+    s.stop()
+
+
+def test_endpoint_semantics(shim):
+    base = f"http://{shim.address[0]}:{shim.address[1]}"
+    # GET / → ready line with a Date header (main.go:172-178)
+    code, body, headers = _call(base, "/")
+    assert code == 200 and b"ready" in body and "Date" in headers
+    # accepted POST acks 200 with TSV content type (main.go:217-218)
+    code, _, headers = _call(
+        base, "/?query=INSERT%20INTO%20t%20FORMAT%20Values", data=b"(1)"
+    )
+    assert code == 200
+    assert headers["Content-Type"].startswith("text/tab-separated-values")
+    # empty body → 405 (main.go:219-221)
+    assert _call(base, "/?query=x", data=b"")[0] == 405
+    # non-root path → 404 (main.go:166-169)
+    assert _call(base, "/other", data=b"(1)")[0] == 404
+    assert _call(base, "/nope")[0] == 404
+    # non-GET/POST → 405 (main.go:223-225)
+    assert _call(base, "/", data=b"(1)", method="PUT")[0] == 405
+
+
+def test_status_thresholds_and_statistics(shim):
+    base = f"http://{shim.address[0]}:{shim.address[1]}"
+    for n, want_code, want_status in [
+        (0, 200, "ok"),
+        (450, 400, "warning"),  # >= warnlevel 400 (main.go:48, 238-241)
+        (600, 500, "critical"),  # >= critlevel 500 (main.go:49, 234-237)
+    ]:
+        shim._test_errcount["n"] = n
+        code, body, _ = _call(base, "/status")
+        assert (code, json.loads(body)["status"]) == (want_code, want_status)
+    _call(base, "/?query=q", data=b"(9)")
+    code, body, _ = _call(base, "/statistic")
+    assert code == 200 and json.loads(body)["in"] == 1
+
+
+def test_spooled_requests_flow_through_flush_pipeline(shim, spark, tmp_path):
+    base = f"http://{shim.address[0]}:{shim.address[1]}"
+    values_uri = "/?query=INSERT%20INTO%20t%20FORMAT%20Values"
+    tsv_uri = "/?query=INSERT+INTO+lines+FORMAT+TSV"
+    _call(base, values_uri, data=b"(1)")
+    _call(base, values_uri, data=b"(2)")
+    _call(base, tsv_uri, data=b"7\n8\n")
+    _call(base, "/", data=b"(99)", method="PUT")  # rejected: never spooled
+    shim.stop()  # drains the buffer to the spool
+
+    spool = spark.read.parquet(shim.spool_dir)
+    assert spool.count() == 3  # only accepted POSTs
+
+    # batch view: the core aggregation over the live-captured records
+    frame = {r["uri"]: r for r in sink_frame(spool).collect()}
+    assert frame[values_uri]["buffer"] == "(1),(2)"
+    assert frame[values_uri]["rowcount"] == 2
+    assert frame[values_uri]["table_name"] == "t"
+    assert frame[tsv_uri]["buffer"] == "7\n8\n"
+    assert frame[tsv_uri]["rowcount"] == 2
+    assert frame[tsv_uri]["table_name"] == "lines"
+    # one outbound unit per distinct key was counted (main.go:292)
+    assert shim.out_requests == 2
+
+    # streaming view: the spool is a valid FlushPipeline source
+    pipe = FlushPipeline(
+        spark,
+        shim.spool_dir,
+        str(tmp_path / "sink"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"),
+    )
+    pipe.start(available_now=True).awaitTermination(120)
+    sink = spark.read.parquet(str(tmp_path / "sink"))
+    assert sink.count() == 2
+    assert sink.agg(F.sum("rowcount")).first()[0] == 4
