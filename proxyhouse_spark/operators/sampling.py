@@ -1,0 +1,265 @@
+"""Range join, hierarchical time rollup, and sampling/mix operators.
+
+Second wave of the north-star surface (SURVEY §2.11 ext): the operators a
+100 TB training-data pipeline runs to weight, sample, and band its corpus,
+plus two scale-pattern relational ops the reference lacks entirely
+(reference parity note: /root/reference/main.go has no joins or rollups of
+any kind — see SURVEY §2.3/§2.4 ABSENT rows):
+
+- ``range_join``        — point-in-interval join accelerated by bucket
+                          equi-join (the manual spelling of the range-join
+                          optimization; avoids BroadcastNestedLoopJoin)
+- ``hyper_rollup``      — hypertable-style hierarchical time rollup
+                          (day → hour continuous-aggregate shape)
+- ``stratified_sample`` — deterministic per-stratum downsampling by md5
+                          hex band (no RNG; stable across runs/partitions)
+- ``mix_temperature``   — temperature-based corpus mix weights
+                          (multilingual τ=2 resampling arithmetic)
+- ``repetition_filter`` — Gopher-style within-doc repetition verdicts
+                          (duplicate-bigram fraction, distinct-token ratio)
+
+All built-in expressions; all differentially tested against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> None:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> None:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# range_join — each event assigned to an irregular value band.
+#
+# Scale shape: a naive `e.value >= lo AND e.value < hi` join has no equi
+# key, so Spark plans BroadcastNestedLoopJoin — O(events × bands) predicate
+# evaluations, and a hard wall when neither side is broadcastable. The
+# bucket trick restores an equi key: explode each band into the fixed-width
+# buckets it overlaps (bands are tiny — the explosion is bounded by
+# range/width), map each event to its single bucket with arithmetic, then
+# hash-join on bucket with the range test as a residual filter. The big
+# side is touched once, map-side, with a broadcastable exploded dim; the
+# same spelling works big-big with a shuffle hash join on bucket.
+# ---------------------------------------------------------------------------
+
+# Irregular band boundaries over events.value (domain [0, ~500)); hi exclusive.
+BANDS: list[tuple[str, int, int]] = [
+    ("micro", 0, 5),
+    ("small", 5, 25),
+    ("mid", 25, 75),
+    ("large", 75, 150),
+    ("xlarge", 150, 300),
+    ("jumbo", 300, 500),
+]
+BUCKET_W = 25
+
+_BANDS_ROWS = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in BANDS)
+
+
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH bands AS (SELECT * FROM VALUES {_BANDS_ROWS} AS t(band, lo, hi)),
+        -- integer boundaries: last overlapped bucket is (hi - 1) DIV W
+        bb AS (SELECT band, lo, hi, explode(sequence(
+                 CAST(floor(lo / {BUCKET_W}) AS INT),
+                 CAST((hi - 1) DIV {BUCKET_W} AS INT))) AS bucket
+               FROM bands),
+        e AS (SELECT value, CAST(floor(value / {BUCKET_W}) AS INT) AS bucket
+              FROM events)
+        SELECT /*+ BROADCAST(bb) */ band,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value
+        FROM e JOIN bb ON e.bucket = bb.bucket AND e.value >= bb.lo AND e.value < bb.hi
+        GROUP BY band
+        """
+    )
+
+
+def range_join_oracle() -> str:
+    return f"""
+    WITH bands AS (SELECT * FROM (VALUES {_BANDS_ROWS}) AS t(band, lo, hi))
+    SELECT band, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """
+
+
+# ---------------------------------------------------------------------------
+# hyper_rollup — hierarchical time rollup (TimescaleDB continuous-aggregate
+# shape): one pass emits hour-grain rows plus day-grain and grand-total
+# summary rows via ROLLUP. Spark plans a single Expand + hash aggregate
+# with map-side partial combine, so the 100 TB cost is one shuffle of
+# O(distinct (day, hour)) partial rows — the multi-resolution materialized
+# view a hypertable maintains, computed declaratively.
+# ---------------------------------------------------------------------------
+
+
+def hyper_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 2) AS total_value,
+               round(avg(value), 4) AS avg_value
+        FROM events
+        GROUP BY ROLLUP (day, hour)
+        """
+    )
+
+
+def hyper_rollup_oracle() -> str:
+    # CAST: DuckDB's date_trunc('day') yields DATE; Spark yields TIMESTAMP
+    return """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    GROUP BY ROLLUP (day, hour)
+    """
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample — per-stratum deterministic downsampling: keep a doc iff
+# the first two hex chars of md5(doc_id) fall below the stratum's threshold
+# (en ≈ 0.898 = 0xe6/0x100; other langs 0.25 = 0x40/0x100). Hex-string
+# comparison is the portable spelling (hash_split contract); no RNG means
+# the sample is reproducible across engines, runs, and repartitioning — the
+# property `df.sample()` does NOT give you (its Bernoulli draw is seeded
+# per-partition, so any repartition resamples). Pure narrow projection:
+# zero shuffle at any scale.
+# ---------------------------------------------------------------------------
+
+_STRATA_THRESHOLD = "CASE WHEN lang = 'en' THEN 'e6' ELSE '40' END"
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH h AS (SELECT doc_id, lang,
+                          substr(md5(CAST(doc_id AS STRING)), 1, 2) AS h2
+                   FROM documents)
+        SELECT doc_id, lang, h2, h2 < {_STRATA_THRESHOLD} AS kept
+        FROM h
+        """
+    )
+
+
+def stratified_sample_oracle() -> str:
+    return f"""
+    WITH h AS (SELECT doc_id, lang,
+                      substr(md5(CAST(doc_id AS STRING)), 1, 2) AS h2
+               FROM documents)
+    SELECT doc_id, lang, h2, h2 < {_STRATA_THRESHOLD} AS kept
+    FROM h
+    """
+
+
+# ---------------------------------------------------------------------------
+# mix_temperature — temperature-based corpus mix (the multilingual-training
+# resampling rule: stratum share ∝ count^(1/τ), τ=2 → sqrt). Output is the
+# per-language sampling plan: raw count, smoothed share, and epochs-per-doc
+# needed to hit a fixed token budget at that share. One O(#strata) aggregate
+# + a broadcast of the 1-row total: the planning step is free at any corpus
+# size; the plan then drives stratified_sample-style filters.
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET = 100_000  # total sampled-doc budget the shares are scaled to
+
+
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        t AS (SELECT sum(sqrt(n_docs)) AS tot FROM s)
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               round(sqrt(n_docs) / tot, 6) AS share,
+               round(sqrt(n_docs) / tot * {MIX_BUDGET} / n_docs, 4) AS epochs
+        FROM s CROSS JOIN t
+        """
+    )
+
+
+def mix_temperature_oracle() -> str:
+    return f"""
+    WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT sum(sqrt(n_docs)) AS tot FROM s)
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           round(sqrt(n_docs) / tot, 6) AS share,
+           round(sqrt(n_docs) / tot * {MIX_BUDGET} / n_docs, 4) AS epochs
+    FROM s CROSS JOIN t
+    """
+
+
+# ---------------------------------------------------------------------------
+# repetition_filter — Gopher-style within-doc repetition scoring: a doc is
+# 'repetitive' when >20% of its bigrams are duplicates OR <30% of its tokens
+# are distinct. The verdict compares INTEGERS (5*dup > n_bg; 10*distinct <
+# 3*n) so both engines decide identically — the rounded ratios are display
+# only, never compared against thresholds. Narrow per-doc array math, no
+# shuffle; bigrams materialized once per doc.
+# ---------------------------------------------------------------------------
+
+_REP_VERDICT = (
+    "CASE WHEN n_bg > 0 AND 5 * (n_bg - n_bg_d) > n_bg THEN 'repetitive' "
+    "WHEN 10 * n_tok_d < 3 * n_tok THEN 'repetitive' ELSE 'ok' END"
+)
+_REP_SELECT = f"""
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       round(CASE WHEN n_bg > 0 THEN (n_bg - n_bg_d) / CAST(n_bg AS DOUBLE)
+                  ELSE 0.0 END, 4) AS dup_bigram_frac,
+       round(n_tok_d / CAST(n_tok AS DOUBLE), 4) AS distinct_token_ratio,
+       {_REP_VERDICT} AS verdict
+FROM n
+"""
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH tk AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+        -- CASE guard, not greatest(): Spark's sequence(1, 0) is DESCENDING
+        -- [1, 0], not empty, so a 1-token doc must short-circuit to array()
+        bg AS (SELECT doc_id, toks,
+                      CASE WHEN size(toks) < 2 THEN array()
+                           ELSE transform(sequence(1, size(toks) - 1), i ->
+                             concat_ws(' ', element_at(toks, i),
+                                       element_at(toks, i + 1))) END AS bgs
+               FROM tk),
+        n AS (SELECT doc_id, size(toks) AS n_tok,
+                     size(array_distinct(toks)) AS n_tok_d,
+                     size(bgs) AS n_bg, size(array_distinct(bgs)) AS n_bg_d
+              FROM bg)
+        {_REP_SELECT}
+        """
+    )
+
+
+def repetition_filter_oracle() -> str:
+    return f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bg AS (SELECT doc_id, toks,
+                  list_transform(range(1, greatest(len(toks), 1)), i ->
+                    toks[i] || ' ' || toks[i + 1]) AS bgs
+           FROM tk),
+    n AS (SELECT doc_id, len(toks) AS n_tok,
+                 len(list_distinct(toks)) AS n_tok_d,
+                 len(bgs) AS n_bg, len(list_distinct(bgs)) AS n_bg_d
+          FROM bg)
+    {_REP_SELECT}
+    """

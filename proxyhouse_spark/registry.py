@@ -578,6 +578,21 @@ register("q_length_filter", pipeline_ops.length_filter_oracle())(
 register("q_knn_ivf", similarity.knn_ivf_oracle())(similarity.knn_ivf)
 register("q_knn_batch", similarity.knn_batch_oracle())(similarity.knn_batch)
 
+# Range join, hierarchical rollup, sampling/mix family (SURVEY §2.11 ext 2)
+from .operators import sampling  # noqa: E402
+
+register("q_range_join", sampling.range_join_oracle())(sampling.range_join)
+register("q_hyper_rollup", sampling.hyper_rollup_oracle())(sampling.hyper_rollup)
+register("q_stratified_sample", sampling.stratified_sample_oracle())(
+    sampling.stratified_sample
+)
+register("q_mix_temperature", sampling.mix_temperature_oracle())(
+    sampling.mix_temperature
+)
+register("q_repetition_filter", sampling.repetition_filter_oracle())(
+    sampling.repetition_filter
+)
+
 
 @register("q_groupby_concat_salted", _COUNTED + _CONCAT_SELECT)
 def q_groupby_concat_salted(spark: SparkSession, sf_dir: str) -> DataFrame:

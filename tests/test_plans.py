@@ -133,3 +133,31 @@ def test_bucketed_join_is_colocated(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_range_join_is_bucketed_hash_join_not_bnlj(spark):
+    # the bucket equi-key must turn the interval predicate into a broadcast
+    # HASH join (residual range filter), never BroadcastNestedLoopJoin —
+    # the difference between O(events) and O(events × bands) at 100 TB
+    tree = tree_of(plan_of(spark, "q_range_join"))
+    assert "BroadcastHashJoin" in tree
+    assert "NestedLoop" not in tree
+    assert "Cartesian" not in tree
+
+
+def test_hyper_rollup_single_expand_single_shuffle(spark):
+    # ROLLUP plans one Expand + partial hash agg: shuffle volume is
+    # O(distinct (day, hour) × 3 grouping sets), not O(events)
+    plan = plan_of(spark, "q_hyper_rollup")
+    tree = tree_of(plan)
+    assert tree.count("Expand") == 1
+    assert "partial" in plan.lower()
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_sampling_ops_are_narrow(spark):
+    # deterministic hash sampling + repetition scoring are pure projections:
+    # zero shuffle regardless of corpus size
+    for name in ("q_stratified_sample", "q_repetition_filter"):
+        tree = tree_of(plan_of(spark, name))
+        assert "Exchange" not in tree, name
