@@ -398,3 +398,85 @@ def windowed_counts(
         .option("path", out_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (north-star: the streaming face of q_dedup_exact).
+# The reference replays DLQ packets at-least-once, so duplicates REACH the
+# downstream (SURVEY §2.9 T5); this operator is the missing suppression
+# stage: emit each logical record once, with state bounded by the watermark
+# instead of growing forever — the only dedup contract that survives an
+# unbounded stream. Duplicates older than the watermark are NOT suppressed
+# (their state is evicted); that bound is the documented trade, tested
+# explicitly in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+DEDUP_DELAY = "10 minutes"
+
+
+def dedup_stream(
+    spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """One availableNow pass of watermark-bounded exact dedup on event_id:
+    re-running after appending source files resumes from the checkpoint, so
+    duplicates arriving across restarts (the DLQ-replay case) are suppressed
+    as long as they land within the watermark delay."""
+    from ..operators.ingest import validate_requests
+    from ..sources.requests import requests_stream_df
+
+    stream = requests_stream_df(spark, source_dir)
+    deduped = (
+        validate_requests(stream)
+        .withWatermark("recv_ts", DEDUP_DELAY)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "recv_ts", "uri", "body")
+    )
+    return (
+        deduped.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join: each micro-batch joins the request stream
+# against a slowly-changing routing dim (table_name -> route), re-read per
+# batch so dim updates are picked up without restarting the query. The dim
+# side broadcasts (it is the small side by construction), so the stream is
+# never shuffled — at 1000 executors the batch cost stays O(stream rows).
+# The reference's analog is the static `fwd`/`repl` flag pair
+# (main.go:36-37): a 2-entry routing table frozen at process start.
+# ---------------------------------------------------------------------------
+
+
+def enrich_stream(
+    spark: SparkSession,
+    source_dir: str,
+    dim_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """One availableNow pass joining the validated request stream to the
+    routing dim on the extracted table name. Left join: tables without a
+    route still flow (route null), mirroring the reference's pass-through
+    default rather than dropping traffic on a dim miss."""
+    from ..functions.scalars import extract_table
+    from ..operators.ingest import validate_requests
+    from ..sources.requests import requests_stream_df
+
+    dim = F.broadcast(spark.read.parquet(dim_path))
+    stream = validate_requests(requests_stream_df(spark, source_dir)).withColumn(
+        "table_name", extract_table(F.col("uri"))
+    )
+    enriched = stream.join(dim, "table_name", "left").select(
+        "event_id", "recv_ts", "uri", "table_name", "route", "body"
+    )
+    return (
+        enriched.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )

@@ -165,3 +165,56 @@ def test_watermark_drops_late_rows(spark, dirs, tmp_path):
     assert out[0] == 2      # late event_id=4 NOT counted
     assert out[3] == 1
     assert 6 not in out     # still open — unemitted, state bounded
+
+
+def test_dedup_stream_suppresses_dups_within_watermark(spark, dirs, tmp_path):
+    """Watermark-bounded streaming dedup: duplicates within the delay are
+    suppressed (even across restarts), and state is EVICTED once the
+    watermark passes — a very-late duplicate re-emits. Both halves of the
+    bounded-state contract, asserted."""
+    from proxyhouse_spark.streaming.pipeline import dedup_stream
+
+    out_dir = str(tmp_path / "dedup")
+
+    def req_at(event_id, minute):
+        r = list(_req(event_id, "t0", f"({event_id})"))
+        r[1] = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+        return tuple(r)
+
+    def run(batch):
+        spark.createDataFrame(batch, COLS).coalesce(1).write.mode("append").parquet(
+            dirs["source"]
+        )
+        dedup_stream(spark, dirs["source"], out_dir, dirs["ckpt"]).awaitTermination(120)
+
+    # run 1: id 2 duplicated in-batch; run 2: id 2 again across restart
+    run([req_at(1, 0), req_at(2, 1), req_at(2, 2)])
+    run([req_at(2, 3), req_at(3, 4)])
+    out = spark.read.parquet(out_dir)
+    assert sorted(r.event_id for r in out.collect()) == [1, 2, 3]
+
+    # run 3 jumps event time to minute 1000 -> watermark 990 evicts id 2's
+    # state; run 4's duplicate (995 > watermark) is then re-emitted
+    run([req_at(100, 1000)])
+    run([req_at(2, 995)])
+    ids = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
+    assert ids == [1, 2, 2, 3, 100]
+
+
+def test_enrich_stream_joins_routing_dim_without_shuffle(spark, dirs, tmp_path):
+    """Stream-static left join: routed tables get their route, unrouted
+    tables flow with null (pass-through default, main.go:36-37 analog)."""
+    from proxyhouse_spark.streaming.pipeline import enrich_stream
+
+    dim_path = str(tmp_path / "dim")
+    out_dir = str(tmp_path / "enriched")
+    spark.createDataFrame(
+        [("t0", "shard-a"), ("t1", "shard-b")], ["table_name", "route"]
+    ).write.parquet(dim_path)
+
+    reqs = [_req(1, "t0", "(1)"), _req(2, "t1", "(2)"), _req(3, "t9", "(3)")]
+    spark.createDataFrame(reqs, COLS).coalesce(1).write.parquet(dirs["source"])
+    enrich_stream(spark, dirs["source"], dim_path, out_dir, dirs["ckpt"]).awaitTermination(120)
+
+    out = {r.table_name: r.route for r in spark.read.parquet(out_dir).collect()}
+    assert out == {"t0": "shard-a", "t1": "shard-b", "t9": None}
