@@ -220,3 +220,37 @@ def length_filter_oracle() -> str:
     SELECT doc_id, CAST(ntoks AS BIGINT) AS n_tokens, {_VERDICT} AS verdict
     FROM n
     """
+
+
+# ---------------------------------------------------------------------------
+# chunk_dedup — corpus-GLOBAL exact dedup of token chunks (the boilerplate-
+# removal pass: a chunk appearing in many docs survives only at its first
+# (doc_id, chunk_id) occurrence). One shuffle, partitioned by md5(chunk) —
+# a uniform key by construction, so no skew at any corpus size; the window
+# only ranks within single-hash groups (tiny), never sorts the corpus.
+# The chunk geometry is doc_chunk's (CHUNK/STRIDE) — dedup composes on the
+# same pass a tokenizer pipeline already runs.
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    chunks = doc_chunk(spark, sf_dir)
+    w = Window.partitionBy(F.md5("chunk_text")).orderBy("doc_id", "chunk_id")
+    return (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "chunk_id", (F.col("rn") == 1).alias("kept"))
+    )
+
+
+def chunk_dedup_oracle() -> str:
+    return f"""
+    WITH chunks AS ({doc_chunk_oracle()}),
+    r AS (SELECT doc_id, chunk_id,
+                 row_number() OVER (PARTITION BY md5(chunk_text)
+                                    ORDER BY doc_id, chunk_id) AS rn
+          FROM chunks)
+    SELECT doc_id, chunk_id, rn = 1 AS kept FROM r
+    """

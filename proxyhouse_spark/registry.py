@@ -574,6 +574,9 @@ register("q_ngram_stats", pipeline_ops.ngram_stats_oracle())(pipeline_ops.ngram_
 register("q_length_filter", pipeline_ops.length_filter_oracle())(
     pipeline_ops.length_filter
 )
+register("q_chunk_dedup", pipeline_ops.chunk_dedup_oracle())(
+    pipeline_ops.chunk_dedup
+)
 
 register("q_knn_ivf", similarity.knn_ivf_oracle())(similarity.knn_ivf)
 register("q_knn_batch", similarity.knn_batch_oracle())(similarity.knn_batch)

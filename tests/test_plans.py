@@ -161,3 +161,10 @@ def test_sampling_ops_are_narrow(spark):
     for name in ("q_stratified_sample", "q_repetition_filter"):
         tree = tree_of(plan_of(spark, name))
         assert "Exchange" not in tree, name
+
+
+def test_chunk_dedup_single_hash_shuffle(spark):
+    # chunk generation is narrow; the only exchange is the window's hash
+    # partition on md5(chunk_text) — uniform key, no corpus-wide sort
+    tree = tree_of(plan_of(spark, "q_chunk_dedup"))
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
