@@ -68,6 +68,7 @@ class FlushPipeline:
         fwd: str = FWD_HOST,
         repl: str = REPL_HOST,
         sender: Callable[[DataFrame], dict[str, bool]] | None = None,
+        partition_by_table: bool = False,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -82,6 +83,12 @@ class FlushPipeline:
         # with the flush frame, returns {uri: delivered}; delivery failures
         # spill to the DLQ exactly like fail_predicate ones
         self.sender = sender
+        # Hive-partition the sink by extracted table name: per-table readers
+        # then prune to their directory at the SCAN (PartitionFilters), the
+        # layout that keeps a 100 TB multi-tenant sink queryable. The
+        # reference's analog is its per-table metric split (extractTable,
+        # main.go:210-216) — here the split is physical.
+        self.partition_by_table = partition_by_table
         # per-flush delivery counters — the reference's rows_sent /
         # requests_sent / bytes_sent Graphite metrics (main.go:394-405),
         # collected via observe(): piggybacked on the sink action, no
@@ -120,7 +127,10 @@ class FlushPipeline:
         )
         # One output file per flush mirrors "few large requests": the frame
         # is tiny (one row per distinct uri), so coalesce(1) costs nothing.
-        ok.coalesce(1).write.mode("append").parquet(self.sink_dir)
+        writer = ok.coalesce(1).write.mode("append")
+        if self.partition_by_table:
+            writer = writer.partitionBy("table_name")
+        writer.parquet(self.sink_dir)
         self.metrics.append({"batch_id": batch_id, **obs.get})
         spilled = failed.select(
             F.col("uri"),

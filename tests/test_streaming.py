@@ -218,3 +218,29 @@ def test_enrich_stream_joins_routing_dim_without_shuffle(spark, dirs, tmp_path):
 
     out = {r.table_name: r.route for r in spark.read.parquet(out_dir).collect()}
     assert out == {"t0": "shard-a", "t1": "shard-b", "t9": None}
+
+
+def test_partitioned_sink_prunes_per_table_reads(spark, dirs):
+    """partition_by_table=True lays the sink out hive-style by table_name;
+    a per-table read then prunes at the scan (PartitionFilters), never
+    listing the other tables' directories."""
+    import os
+
+    reqs = [_req(i, f"t{i % 3}", f"({i})") for i in range(30)]
+    spark.createDataFrame(reqs, COLS).coalesce(1).write.parquet(dirs["source"])
+    FlushPipeline(
+        spark, dirs["source"], dirs["sink"], dirs["dlq"], dirs["ckpt"],
+        partition_by_table=True,
+    ).start(available_now=True).awaitTermination(120)
+
+    assert sorted(
+        d for d in os.listdir(dirs["sink"]) if d.startswith("table_name=")
+    ) == ["table_name=t0", "table_name=t1", "table_name=t2"]
+
+    one = spark.read.parquet(dirs["sink"]).filter(F.col("table_name") == "t1")
+    assert one.count() == 1 and one.first().rowcount == 10
+    plan = one._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "table_name" in pf  # pruned at the scan, not filtered after
