@@ -222,3 +222,48 @@ def knn_batch_oracle() -> str:
       FROM scored)
     SELECT probe_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= {BATCH_K}
     """
+
+
+# ---------------------------------------------------------------------------
+# ts_similarity — time-series similarity search over the event stream
+# (pattern anchor: "Time Series Similarity Search for Streaming Data in
+# Distributed Systems", EDBT 2019 — the distributed profile-match shape,
+# not its index): each user's activity is reduced to a 24-dim hour-of-day
+# value profile map-side (conditional aggregation, partial combine), then
+# scored by cosine against a constant business-hours query pattern.
+# Shuffle volume is O(users × 24 doubles) regardless of event count, and
+# the top-k plans TakeOrderedAndProject — the same sketch-then-score shape
+# that scales the kNN family. Reference parity: ABSENT (no value/time
+# analysis of any kind in /root/reference).
+# ---------------------------------------------------------------------------
+
+# query pattern: flat business-hours block (09:00-16:59 UTC)
+TS_PATTERN = [1.0 if 9 <= h <= 16 else 0.0 for h in range(24)]
+TS_K = 20
+
+_TS_NB = sum(x * x for x in TS_PATTERN) ** 0.5
+
+
+def _ts_sql(hour_fn: str) -> str:
+    profile = ", ".join(
+        f"sum(CASE WHEN {hour_fn} = {h} THEN value ELSE 0 END) AS s{h}"
+        for h in range(24)
+    )
+    dot = " + ".join(f"s{h} * {TS_PATTERN[h]}" for h in range(24) if TS_PATTERN[h])
+    na = " + ".join(f"s{h} * s{h}" for h in range(24))
+    return f"""
+    WITH p AS (SELECT user_id, {profile} FROM events GROUP BY user_id)
+    SELECT user_id, round(({dot}) / nullif(sqrt({na}) * {_TS_NB}, 0), 4) AS cos_sim
+    FROM p ORDER BY cos_sim DESC, user_id LIMIT {TS_K}
+    """
+
+
+def ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import table
+
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ts_sql("hour(ts)"))
+
+
+def ts_similarity_oracle() -> str:
+    return _ts_sql("hour(ts)")

@@ -580,6 +580,9 @@ register("q_chunk_dedup", pipeline_ops.chunk_dedup_oracle())(
 
 register("q_knn_ivf", similarity.knn_ivf_oracle())(similarity.knn_ivf)
 register("q_knn_batch", similarity.knn_batch_oracle())(similarity.knn_batch)
+register("q_ts_similarity", similarity.ts_similarity_oracle())(
+    similarity.ts_similarity
+)
 
 # Range join, hierarchical rollup, sampling/mix family (SURVEY §2.11 ext 2)
 from .operators import sampling  # noqa: E402
