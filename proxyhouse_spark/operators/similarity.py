@@ -189,14 +189,28 @@ BATCH_K = 3
 
 
 def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-side norms folded ONCE per vector (embedding_neardup pattern):
+    # inline cosine would re-fold the corpus norm once per probe — a P×
+    # multiplier on the one pass this query exists to avoid. Same fold
+    # order and sqrt placement, so values are bit-identical to the oracle's
+    # inline spelling.
     emb_corpus(spark, sf_dir).createOrReplaceTempView("embc")
-    cos = V.cosine_spark("c.e", "p.e")
+    nrm = (
+        "sqrt(aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v))"
+    )
+    dot = (
+        "aggregate(zip_with(c.e, p.e, (x, y) -> x * y), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    )
     return spark.sql(
         f"""
-        WITH p AS (SELECT vec_id AS probe_id, e FROM embc WHERE vec_id < {N_PROBES}),
+        WITH n AS (SELECT vec_id, e, {nrm} AS nrm FROM embc),
+        p AS (SELECT vec_id AS probe_id, e, nrm FROM n WHERE vec_id < {N_PROBES}),
         scored AS (
-          SELECT p.probe_id, c.vec_id, round({cos}, 6) AS cos_sim
-          FROM embc c CROSS JOIN p
+          SELECT p.probe_id, c.vec_id,
+                 round(({dot}) / (c.nrm * p.nrm), 6) AS cos_sim
+          FROM n c CROSS JOIN p
           WHERE c.vec_id <> p.probe_id),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY probe_id
