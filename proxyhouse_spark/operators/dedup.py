@@ -435,3 +435,59 @@ def dedup_clusters_oracle() -> str:
     SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
     FROM reach GROUP BY doc_id
     """
+
+
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: block by (label, sign-LSH bucket)
+    instead of label alone.
+
+    The scale probe caught the exact variant going superlinear (20.6x wall
+    for 10x data): labels are a FIXED set, so blocks grow with the corpus
+    and the within-block pair count grows quadratically. Sub-blocking by
+    the 8-plane sign-LSH bucket splits every label block up to 256 ways —
+    pairs per block drop ~256^2/256 = 256x — and because the hyperplanes
+    are deterministic rational arithmetic (functions/vectors.py), DuckDB
+    computes the IDENTICAL buckets, so this variant is fully oracle-checked
+    rather than rows-only. The trade is recall: a qualifying pair straddling
+    any hyperplane lands in different buckets and is missed (near-identical
+    vectors agree on most signs, so misses concentrate near the threshold).
+    The exact variant (embedding_neardup) remains the correctness baseline;
+    at 100 TB the bucket becomes the storage partition key and this query
+    partition-prunes."""
+    emb_corpus(spark, sf_dir).createOrReplaceTempView("embc")
+    nrm = (
+        "sqrt(aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v))"
+    )
+    dot = (
+        "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return spark.sql(
+        f"""
+        WITH n AS (SELECT vec_id, label, e, {nrm} AS nrm,
+                          {V.lsh_bucket_spark('e')} AS bkt FROM embc),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+                     ({dot}) / (a.nrm * b.nrm) AS cos_sim
+              FROM n a JOIN n b
+                ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, label, round(cos_sim, 4) AS cos_sim
+        FROM p WHERE cos_sim >= 0.9
+        """
+    )
+
+
+def embedding_neardup_lsh_oracle() -> str:
+    from ..sources.corpus import EMB_CORPUS_DUCK
+
+    cos = V.cosine_duck("a.e", "b.e")
+    return f"""
+    WITH embc AS ({EMB_CORPUS_DUCK}),
+    n AS (SELECT vec_id, label, e, {V.lsh_bucket_duck('e')} AS bkt FROM embc),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+                 {cos} AS cos_sim
+          FROM n a JOIN n b
+            ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, label, round(cos_sim, 4) AS cos_sim
+    FROM p WHERE cos_sim >= 0.9
+    """

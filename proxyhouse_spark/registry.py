@@ -538,6 +538,9 @@ register("q_ngram_jaccard", dedup.ngram_jaccard_oracle())(dedup.ngram_jaccard)
 register("q_simhash", dedup.simhash_oracle())(dedup.simhash)
 register("q_simhash_neardup", dedup.simhash_neardup_oracle())(dedup.simhash_neardup)
 register("q_embedding_neardup", dedup.embedding_neardup_oracle())(dedup.embedding_neardup)
+register("q_embedding_neardup_lsh", dedup.embedding_neardup_lsh_oracle())(
+    dedup.embedding_neardup_lsh
+)
 register("q_dedup_clusters", dedup.dedup_clusters_oracle())(dedup.dedup_clusters)
 
 register("q_knn_cosine", similarity.knn_cosine_oracle())(similarity.knn_cosine)

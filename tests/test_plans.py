@@ -168,3 +168,13 @@ def test_chunk_dedup_single_hash_shuffle(spark):
     # partition on md5(chunk_text) — uniform key, no corpus-wide sort
     tree = tree_of(plan_of(spark, "q_chunk_dedup"))
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_ts_similarity_sketches_before_topk(spark):
+    # profile reduction must partial-agg map-side and the top-20 must plan
+    # TakeOrderedAndProject — never a global sort of the user profiles
+    plan = plan_of(spark, "q_ts_similarity")
+    tree = tree_of(plan)
+    assert "TakeOrderedAndProject" in tree
+    assert "partial" in plan.lower()
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1

@@ -84,7 +84,7 @@ def build_scratch(spark) -> None:
         print(f"built {name}", file=sys.stderr)
 
 
-def run_suite(spark, sf_dir: str, timed_runs: int = 3) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, timed_runs: int = 3, names=None) -> dict[str, float]:
     """Median of ``timed_runs`` after one warmup. One warmup is NOT enough
     at the big SF: the expression-heaviest queries (md5-sketch dedup) run
     3-10× slower until HotSpot finishes compiling the generated code, and
@@ -93,7 +93,7 @@ def run_suite(spark, sf_dir: str, timed_runs: int = 3) -> dict[str, float]:
     runs at ~sf1. The median of three timed runs is the number a
     long-running engine actually delivers."""
     timings = {}
-    for name in HEADLINE:
+    for name in (names or HEADLINE):
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
@@ -109,8 +109,9 @@ def run_suite(spark, sf_dir: str, timed_runs: int = 3) -> dict[str, float]:
 def main() -> None:
     spark = get_spark("scale_probe")
     build_scratch(spark)
-    small = run_suite(spark, SF_DIR)
-    big = run_suite(spark, SCRATCH)
+    names = sys.argv[1:] or None  # optional: probe specific queries
+    small = run_suite(spark, SF_DIR, names=names)
+    big = run_suite(spark, SCRATCH, names=names)
     ratios = {k: round(big[k] / max(small[k], 1e-9), 1) for k in small}
     print(
         json.dumps(
