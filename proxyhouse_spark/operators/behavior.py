@@ -1,0 +1,109 @@
+"""Event-behavior analytics over ``events`` (north-star relational ext).
+
+The product-analytics passes a streaming event pipeline serves from the
+same micro-batch core the reference feeds ClickHouse for (README.md:7 —
+the reference's whole purpose is getting events INTO an analytics store;
+these are the queries run on the other side):
+
+- ``event_funnel``     — strictly-ordered view → click → purchase funnel:
+                         per-user stage timestamps via staged min-after-t
+                         aggregations, then stage counts.
+- ``cohort_retention`` — classic D1/D7 cohort retention: cohort = first
+                         event date per user; retained-on-day-N = any
+                         event exactly N days after cohort date.
+
+Scale notes (100 TB): both ops shuffle on ``user_id`` once and reuse that
+partitioning across the staged aggregations (Catalyst sees the common key;
+AQE coalesces). Outputs are O(stages) / O(days) rows — the final agg is a
+near-free reduction. All outputs are integers/dates — no floats, bit-exact
+across engines.
+
+Reference parity note: ABSENT in the reference (no data-value computation
+exists there, SURVEY §2.5); north-star surface per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> None:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# event_funnel — strict ordering: click must follow the user's FIRST view,
+# purchase must follow that first qualifying click.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_BODY = """
+v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+      FROM events GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND v.tv IS NOT NULL AND e.ts > v.tv
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+      GROUP BY e.user_id)
+SELECT 1 AS stage_id, 'view' AS stage,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM v WHERE tv IS NOT NULL
+UNION ALL
+SELECT 2 AS stage_id, 'view>click' AS stage, CAST(count(*) AS BIGINT) AS n_users
+FROM c
+UNION ALL
+SELECT 3 AS stage_id, 'view>click>purchase' AS stage,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM p
+"""
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel. The staged min-after-t joins all hash on
+    user_id — one logical shuffle, reused."""
+    _events(spark, sf_dir)
+    return spark.sql(f"WITH {_FUNNEL_BODY}")
+
+
+def event_funnel_oracle() -> str:
+    return f"WITH {_FUNNEL_BODY}"
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention — D0 cohort size + D1/D7 return counts per cohort date.
+# ---------------------------------------------------------------------------
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH d AS (SELECT user_id, to_date(ts) AS d FROM events),
+        u AS (SELECT user_id, min(d) AS cohort_date FROM d GROUP BY user_id)
+        SELECT u.cohort_date, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users,
+               CAST(count(DISTINCT CASE WHEN datediff(d.d, u.cohort_date) = 1
+                                        THEN u.user_id END) AS BIGINT) AS n_d1,
+               CAST(count(DISTINCT CASE WHEN datediff(d.d, u.cohort_date) = 7
+                                        THEN u.user_id END) AS BIGINT) AS n_d7
+        FROM u JOIN d ON u.user_id = d.user_id
+        GROUP BY u.cohort_date
+        """
+    )
+
+
+def cohort_retention_oracle() -> str:
+    return """
+    WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    u AS (SELECT user_id, min(d) AS cohort_date FROM d GROUP BY user_id)
+    SELECT u.cohort_date, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN datediff('day', u.cohort_date, d.d) = 1
+                                    THEN u.user_id END) AS BIGINT) AS n_d1,
+           CAST(count(DISTINCT CASE WHEN datediff('day', u.cohort_date, d.d) = 7
+                                    THEN u.user_id END) AS BIGINT) AS n_d7
+    FROM u JOIN d ON u.user_id = d.user_id
+    GROUP BY u.cohort_date
+    """

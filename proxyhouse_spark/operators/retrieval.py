@@ -1,0 +1,239 @@
+"""Retrieval / corpus-index operators over ``documents`` (SURVEY §2.11 ext).
+
+The index-building passes a training-data + retrieval pipeline runs over a
+cleaned corpus:
+
+- ``tfidf_terms``    — top-k salient terms per document, ranked by
+                       (tf DESC, df ASC, term ASC). The classic TF-IDF
+                       ordering expressed with *integer keys only*: idf is
+                       monotone-decreasing in df, so ranking by df ascending
+                       is exactly the idf ranking without a single float —
+                       bit-exact across engines by construction.
+- ``inverted_index`` — term → (df, total_tf, capped postings list). The
+                       core retrieval structure, built as one exploded
+                       aggregation.
+- ``decontaminate``  — benchmark-decontamination pass (GPT-3 appendix-C
+                       shape): flag training docs sharing any 8-token
+                       n-gram with a held-out eval slice.
+- ``domain_stats``   — per-source corpus health: doc counts, languages,
+                       chars, and exact-dup rate in integer basis points.
+
+Scale notes (100 TB):
+- ``tfidf_terms`` / ``inverted_index`` shuffle once on (doc_id, term) for
+  map-side-combinable tf counts, then once on term for df; both keys are
+  near-uniform (terms follow Zipf but the hot term's postings are capped
+  and the tf pre-aggregation bounds per-term rows at n_docs, not n_tokens).
+- ``decontaminate`` broadcasts the eval-gram set (the eval slice is fixed
+  and small by design — 2% of docs) so the training-side scan never
+  shuffles: explode → broadcast-hash semi-join → per-doc count.
+- ``domain_stats`` is a two-level agg on ``source`` (20 keys at fixture
+  scale; at 100 TB a domain key is still ~1e6 distinct — fine).
+
+Reference parity note: the reference proxy (/root/reference/main.go) has
+no document operators; this family is north-star surface per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import table
+
+TOPK_TERMS = 3
+POSTINGS_CAP = 8
+MIN_DF = 3
+NGRAM = 8  # decontamination n-gram width (tokens)
+EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 → held-out eval slice
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> None:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# Shared doc-term frequency CTE: tokenize once, explode, count.
+# ---------------------------------------------------------------------------
+
+_DT_SPARK = """
+tk AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tk LATERAL VIEW explode(toks) t AS tok
+       GROUP BY doc_id, tok)
+"""
+
+_DT_DUCK = """
+tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM ex GROUP BY doc_id, tok)
+"""
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per doc. (tf DESC, df ASC, term ASC) is a total
+    order per doc (terms are distinct within a doc), so row_number is
+    deterministic and engine-independent — no floats anywhere."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH {_DT_SPARK},
+        dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+        ranked AS (
+          SELECT dt.doc_id, dt.tok, dt.tf, dfr.df,
+                 row_number() OVER (PARTITION BY dt.doc_id
+                                    ORDER BY dt.tf DESC, dfr.df ASC, dt.tok ASC)
+                   AS rank
+          FROM dt JOIN dfr ON dt.tok = dfr.tok)
+        SELECT doc_id, CAST(rank AS INT) AS rank, tok AS term, tf, df
+        FROM ranked WHERE rank <= {TOPK_TERMS}
+        """
+    )
+
+
+def tfidf_terms_oracle() -> str:
+    return f"""
+    WITH {_DT_DUCK},
+    dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+    ranked AS (
+      SELECT dt.doc_id, dt.tok, dt.tf, dfr.df,
+             row_number() OVER (PARTITION BY dt.doc_id
+                                ORDER BY dt.tf DESC, dfr.df ASC, dt.tok ASC)
+               AS rank
+      FROM dt JOIN dfr ON dt.tok = dfr.tok)
+    SELECT doc_id, CAST(rank AS INT) AS rank, tok AS term, tf, df
+    FROM ranked WHERE rank <= {TOPK_TERMS}
+    """
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term → df, total_tf, first-8 postings (doc_ids ascending, joined to a
+    stable string). Postings capped so the Zipf head can't blow up a group;
+    a real index would page them — the cap IS the page-1 semantics."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH {_DT_SPARK}
+        SELECT tok AS term, CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS total_tf,
+               array_join(transform(slice(sort_array(collect_list(doc_id)), 1,
+                                          {POSTINGS_CAP}),
+                                    x -> CAST(x AS STRING)), ',') AS postings
+        FROM dt GROUP BY tok HAVING count(*) >= {MIN_DF}
+        """
+    )
+
+
+def inverted_index_oracle() -> str:
+    return f"""
+    WITH {_DT_DUCK}
+    SELECT tok AS term, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           array_to_string((list_sort(list(doc_id)))[1:{POSTINGS_CAP}], ',')
+             AS postings
+    FROM dt GROUP BY tok HAVING count(*) >= {MIN_DF}
+    """
+
+
+# ---------------------------------------------------------------------------
+# decontaminate — 8-token n-gram overlap vs a held-out eval slice.
+# ---------------------------------------------------------------------------
+
+_GRAMS_SPARK = (
+    f"CASE WHEN size(toks) >= {NGRAM} THEN "
+    f"array_distinct(transform(sequence(1, size(toks) - {NGRAM - 1}), "
+    f"i -> md5(concat_ws(' ', slice(toks, i, {NGRAM}))))) "
+    "ELSE array(md5(text)) END"
+)
+
+_GRAMS_DUCK = (
+    f"CASE WHEN len(toks) >= {NGRAM} THEN "
+    f"list_distinct(list_transform(range(1, len(toks) - {NGRAM - 2}), "
+    f"i -> md5(array_to_string(toks[i:i + {NGRAM - 1}], ' ')))) "
+    "ELSE [md5(text)] END"
+)
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs (doc_id % 50 != 0) that share any 8-token n-gram
+    with the eval slice (doc_id % 50 == 0). Eval grams are broadcast — the
+    training scan stays shuffle-free."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH tk AS (SELECT doc_id, text, split(text, ' ') AS toks FROM documents),
+        g AS (SELECT doc_id, {_GRAMS_SPARK} AS grams FROM tk),
+        eg AS (SELECT DISTINCT gram
+               FROM g LATERAL VIEW explode(grams) t AS gram
+               WHERE doc_id % {EVAL_MOD} = 0),
+        tg AS (SELECT doc_id, gram
+               FROM g LATERAL VIEW explode(grams) t AS gram
+               WHERE doc_id % {EVAL_MOD} != 0),
+        hits AS (SELECT /*+ BROADCAST(eg) */ tg.doc_id,
+                        CAST(count(*) AS BIGINT) AS n_hits
+                 FROM tg JOIN eg ON tg.gram = eg.gram
+                 GROUP BY tg.doc_id)
+        SELECT g.doc_id, coalesce(hits.n_hits, 0) AS n_hits,
+               coalesce(hits.n_hits, 0) > 0 AS is_contaminated
+        FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+        WHERE g.doc_id % {EVAL_MOD} != 0
+        """
+    )
+
+
+def decontaminate_oracle() -> str:
+    return f"""
+    WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, {_GRAMS_DUCK} AS grams FROM tk),
+    ge AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    eg AS (SELECT DISTINCT gram FROM ge WHERE doc_id % {EVAL_MOD} = 0),
+    tg AS (SELECT doc_id, gram FROM ge WHERE doc_id % {EVAL_MOD} != 0),
+    hits AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+             FROM tg JOIN eg ON tg.gram = eg.gram
+             GROUP BY tg.doc_id)
+    SELECT g.doc_id, coalesce(hits.n_hits, 0) AS n_hits,
+           coalesce(hits.n_hits, 0) > 0 AS is_contaminated
+    FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+    WHERE g.doc_id % {EVAL_MOD} != 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# domain_stats — per-source corpus health. Dup rate uses the canonical
+# normalization from textops (same md5 basis as q_dedup_exact).
+# ---------------------------------------------------------------------------
+
+_NORM_MD5 = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), "
+    "'  +', ' ')))"
+)
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc/lang/char counts + exact-dup rate (integer basis
+    points — 10000 * dup_docs / docs with integer division; bit-exact)."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH h AS (SELECT source, lang, n_chars, {_NORM_MD5} AS h FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+               CAST((10000 * (count(*) - count(DISTINCT h))) DIV count(*)
+                    AS BIGINT) AS dup_rate_bp
+        FROM h GROUP BY source
+        """
+    )
+
+
+def domain_stats_oracle() -> str:
+    return f"""
+    WITH h AS (SELECT source, lang, n_chars, {_NORM_MD5} AS h FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+           CAST((10000 * (count(*) - count(DISTINCT h))) // count(*)
+                AS BIGINT) AS dup_rate_bp
+    FROM h GROUP BY source
+    """

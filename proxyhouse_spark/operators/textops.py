@@ -182,3 +182,52 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_normalize_oracle() -> str:
     norm = _NORM.format(t="text")
     return f"SELECT doc_id, {norm} AS norm_text, md5({norm}) AS norm_md5 FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules — Gopher-style composite document filter (Rae et al. 2021
+# table A1 shape), all-integer so verdicts are bit-exact across engines:
+#   ok_nwords   10 <= n_words <= 5000
+#   ok_wordlen  mean word length in [3, 10]: 3*n <= sum_len <= 10*n, where
+#               sum_len = length(text) - (n_words - 1) exactly (split on a
+#               single-space separator ⇒ #separators = n_words - 1)
+#   ok_symbols  symbol-to-word ratio <= 0.1: 10 * n_symbols <= n_words
+#   ok_stop     >= 2 stopword hits
+# ---------------------------------------------------------------------------
+
+_GOPHER_TEMPLATE = """
+SELECT doc_id,
+       ({ntoks} BETWEEN 10 AND 5000) AS ok_nwords,
+       (length(text) - {ntoks} + 1 BETWEEN 3 * {ntoks} AND 10 * {ntoks})
+         AS ok_wordlen,
+       (10 * {nsym} <= {ntoks}) AS ok_symbols,
+       ({nstop} >= 2) AS ok_stop,
+       CASE WHEN ({ntoks} BETWEEN 10 AND 5000)
+             AND (length(text) - {ntoks} + 1 BETWEEN 3 * {ntoks} AND 10 * {ntoks})
+             AND (10 * {nsym} <= {ntoks})
+             AND ({nstop} >= 2)
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM tk
+"""
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite repetition-independent Gopher quality rules (the
+    within-doc repetition half lives in q_repetition_filter). Narrow
+    projection — shuffle-free at any scale."""
+    _docs(spark, sf_dir)
+    body = _GOPHER_TEMPLATE.format(
+        ntoks="size(toks)",
+        nsym="regexp_count(text, '[^a-z0-9 ]')",
+        nstop=f"size(filter(toks, t -> t IN ({T._stoplist_sql()})))",
+    )
+    return spark.sql(f"WITH {_TK_SPARK} {body}")
+
+
+def gopher_rules_oracle() -> str:
+    body = _GOPHER_TEMPLATE.format(
+        ntoks="len(toks)",
+        nsym="len(regexp_extract_all(text, '[^a-z0-9 ]'))",
+        nstop=f"len(list_filter(toks, t -> t IN ({T._stoplist_sql()})))",
+    )
+    return f"WITH {_TK_DUCK} {body}"

@@ -683,3 +683,24 @@ FROM dlq WHERE level < 10 AND level % 2 = 1
 UNION ALL
 SELECT event_id, uri, body, level, created_ns FROM dlq WHERE level >= 10
 """)(streaming_pipeline.dlq_replay_query)
+
+
+# ---------------------------------------------------------------------------
+# Retrieval/index + behavior-analytics families (SURVEY §2.11 ext 3)
+# ---------------------------------------------------------------------------
+
+from .operators import behavior, retrieval  # noqa: E402
+
+register("q_tfidf", retrieval.tfidf_terms_oracle())(retrieval.tfidf_terms)
+register("q_inverted_index", retrieval.inverted_index_oracle())(
+    retrieval.inverted_index
+)
+register("q_decontaminate", retrieval.decontaminate_oracle())(
+    retrieval.decontaminate
+)
+register("q_domain_stats", retrieval.domain_stats_oracle())(retrieval.domain_stats)
+register("q_gopher_rules", textops.gopher_rules_oracle())(textops.gopher_rules)
+register("q_event_funnel", behavior.event_funnel_oracle())(behavior.event_funnel)
+register("q_cohort_retention", behavior.cohort_retention_oracle())(
+    behavior.cohort_retention
+)
