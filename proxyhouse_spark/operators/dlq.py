@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.requests import requests_df
+from ..tables import epoch_micros
 from .ingest import validate_requests
 
 MAX_LEVEL = 10  # quarantine threshold (main.go:366-369)
@@ -42,7 +43,7 @@ def dlq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uri",
         "body",
         (F.col("event_id") % 12).cast("int").alias("level"),
-        (F.unix_micros("recv_ts") * 1000).alias("created_ns"),
+        (epoch_micros("recv_ts") * 1000).alias("created_ns"),
     )
 
 

@@ -50,7 +50,9 @@ def gelf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     validate_requests(requests_df(spark, sf_dir)).createOrReplaceTempView("valid_req")
     return spark.sql(
         "WITH m AS (SELECT event_id, recv_ts, " + _MSG + " AS msg FROM valid_req) "
-        + _gelf_select("unix_micros(recv_ts) DIV 1000000")
+        + _gelf_select(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', recv_ts)"
+        )
     )
 
 

@@ -404,11 +404,15 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     `approx_percentile` (t-digest, mergeable map-side sketch); the exact one
     is the correctness baseline."""
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    # Scalar columns, not an array: the driver's canonicalizer sorts column
+    # values and cannot hash list cells. One pass — Spark evaluates the three
+    # percentiles over a single shared sort per group.
     return spark.sql(
         """
         SELECT event_type,
-               transform(percentile(value, array(0.5, 0.95, 0.99)),
-                         x -> round(x, 4)) AS pcts
+               round(percentile(value, 0.5), 4)  AS p50,
+               round(percentile(value, 0.95), 4) AS p95,
+               round(percentile(value, 0.99), 4) AS p99
         FROM events GROUP BY event_type
         """
     )

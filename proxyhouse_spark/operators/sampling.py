@@ -108,7 +108,8 @@ def hyper_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _events(spark, sf_dir)
     return spark.sql(
         """
-        SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS day,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS hour,
                CAST(count(*) AS BIGINT) AS n,
                round(sum(value), 2) AS total_value,
                round(avg(value), 4) AS avg_value

@@ -335,8 +335,9 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 register("q_percentiles", """
 SELECT event_type,
-       list_transform(quantile_cont(value, [0.5, 0.95, 0.99]),
-                      x -> round(x, 4)) AS pcts
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
 FROM events GROUP BY event_type
 """)(relational.percentiles)
 

@@ -54,26 +54,52 @@ def _nanos_columns(path: str) -> list[str]:
     return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
 
 
+#: NTZ epoch literal — anchor for session-timezone-independent epoch math.
+EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def epoch_micros(col: str) -> F.Column:
+    """Wall-clock epoch micros of a TIMESTAMP_NTZ column — the exact Spark
+    equivalent of DuckDB's ``epoch_us`` on a naive timestamp, independent of
+    ``spark.sql.session.timeZone`` (``unix_micros`` rejects NTZ, and any
+    cast through TIMESTAMP would re-interpret the wall clock in session tz)."""
+    return F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, `{col}`)")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain ``spark.read.parquet`` — the columnar
     scan, pushdown and pruning are Catalyst's job, not ours.
 
-    timestamp[ns] columns (events.ts) are converted to Spark timestamps via
-    integer DIV (never float division — epoch-nanos exceeds double's 53-bit
-    mantissa). Fixture data carries no sub-microsecond values, so the
-    truncation is lossless.
+    Every timestamp column is normalized to TIMESTAMP_NTZ (the fixture
+    parquet stores naive timestamps, which is also what the DuckDB oracle
+    sees), so downstream expressions are pure wall-clock arithmetic and give
+    identical results under ANY session timezone — the driver's session does
+    not pin UTC the way :mod:`..session` does:
+
+    - naive parquet read as NTZ (Spark 4 default): already correct;
+    - naive parquet read as LTZ (inferTimestampNTZ off): the naive value was
+      interpreted in session tz on read, so ``CAST(.. AS TIMESTAMP_NTZ)``
+      renders it back in the same tz — round-trips to the stored wall clock;
+    - timestamp[ns] read as epoch-nanos LongType (legacy nanosAsLong): added
+      to the NTZ epoch literal via integer micros (never float — epoch-nanos
+      exceeds double's 53-bit mantissa).
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    for col in _nanos_columns(path):
-        # pyarrow also reports Spark-written INT96 timestamps as
-        # timestamp[ns]; those arrive as real TimestampType and need no
-        # conversion. Only int64-nanos columns land as LongType under
-        # spark.sql.legacy.parquet.nanosAsLong.
-        if df.schema[col].dataType.typeName() == "long":
-            df = df.withColumn(col, F.expr(f"timestamp_micros(CAST(`{col}` DIV 1000 AS BIGINT))"))
+    nanos_long = set(_nanos_columns(path))
+    for field in df.schema.fields:
+        tn = field.dataType.typeName()
+        if field.name in nanos_long and tn == "long":
+            df = df.withColumn(
+                field.name,
+                F.expr(
+                    f"timestampadd(MICROSECOND, CAST(`{field.name}` DIV 1000 AS BIGINT), {EPOCH_NTZ})"
+                ),
+            )
+        elif tn == "timestamp":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp_ntz"))
     return df
 
 

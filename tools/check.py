@@ -57,9 +57,34 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def vanilla_spark():
+    """A driver-shaped SparkSession: NO engine tuning, and a deliberately
+    non-UTC session timezone. Queries must produce oracle-identical results
+    here — the driver's own session pins neither timezone nor parquet
+    legacy flags, so any tz- or config-dependence is a latent driver
+    failure that get_spark() would mask."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("check-vanilla")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--tuned", action="store_true", help="use the engine's get_spark() session"
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -69,7 +94,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args.names or sorted(qs)
 
-    spark = get_spark("check")
+    spark = get_spark("check") if args.tuned else vanilla_spark()
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -89,6 +115,17 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR: {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        # the driver canonicalizes via pandas sort_values, which raises on
+        # list/dict cells — nested result columns are driver-unsafe
+        nested = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nested and name in oracles:
+            print(f"{name}: DRIVER-UNSAFE nested result columns {nested}")
             failures.append(name)
             continue
         if name not in oracles:
