@@ -57,32 +57,63 @@ def shingles_duck(toks: str = "toks", text: str = "text") -> str:
 
 
 # ---------------------------------------------------------------------------
-# MinHash: h_s(doc) = min over shingles of md5("s|" + shingle)[:15].
-# A 15-hex-char prefix compared lexicographically IS the numeric min (fixed
-# width), so signatures stay portable strings — no hex→int conversion needed.
+# MinHash: each shingle is md5-hashed ONCE into a 56-bit BIGINT (14 hex
+# chars — both engines parse it identically), then the N permutations are
+# integer multiply-mod draws over that base hash:
+#
+#     h_s(doc) = min over shingles of (A_s * (base % P) + B_s) % P
+#
+# One cryptographic hash per shingle instead of N (measured 8× fewer md5
+# calls = the dominant sketch cost at sf0.1); the carter-wegman permutation
+# family keeps the minima independent across seeds. P = 2^31 - 1 keeps
+# A_s * h < 2^62 — no bigint overflow under ANSI mode in either engine.
 # ---------------------------------------------------------------------------
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_MINHASH_A = (1000003, 999983, 999979, 999961, 999959, 999953, 999931, 999917)
+_MINHASH_B = (12345, 54321, 77777, 13579, 24680, 11111, 99991, 31415)
 
-def minhash_spark(seed: int, shingles: str = "sh") -> str:
-    return f"array_min(transform({shingles}, x -> substr(md5('{seed}|' || x), 1, 15)))"
+
+def shingle_hashes_spark(shingles: str = "sh") -> str:
+    return (
+        f"transform({shingles}, x -> "
+        f"CAST(conv(substr(md5(x), 1, 14), 16, 10) AS BIGINT) % {MINHASH_P})"
+    )
 
 
-def minhash_duck(seed: int, shingles: str = "sh") -> str:
-    return f"list_min(list_transform({shingles}, x -> substr(md5('{seed}|' || x), 1, 15)))"
+def shingle_hashes_duck(shingles: str = "sh") -> str:
+    return (
+        f"list_transform({shingles}, x -> "
+        f"CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT) % {MINHASH_P})"
+    )
+
+
+def minhash_spark(seed: int, hashes: str = "bh") -> str:
+    a, b = _MINHASH_A[seed], _MINHASH_B[seed]
+    return f"array_min(transform({hashes}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+
+
+def minhash_duck(seed: int, hashes: str = "bh") -> str:
+    a, b = _MINHASH_A[seed], _MINHASH_B[seed]
+    return f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {MINHASH_P}))"
 
 
 # LSH banding: 8 minhashes → 2 bands of 4; docs sharing any band key are
-# candidate pairs (classic shingle→minhash→band→bucket-join).
+# candidate pairs (classic shingle→minhash→band→bucket-join). The key is a
+# plain '|'-joined int string: already unique per (m0..m3) tuple, so an
+# extra md5 buys nothing.
 N_HASHES = 8
 BAND_SIZE = 4
 
 
 def band_key_spark(band: int) -> str:
-    cols = " || ".join(f"m{band * BAND_SIZE + j}" for j in range(BAND_SIZE))
-    return f"md5({cols})"
+    cols = " || '|' || ".join(
+        f"CAST(m{band * BAND_SIZE + j} AS STRING)" for j in range(BAND_SIZE)
+    )
+    return f"({cols})"
 
 
-band_key_duck = band_key_spark  # md5/|| are identical in both dialects
+band_key_duck = band_key_spark  # CAST/|| are identical in both dialects
 
 
 # ---------------------------------------------------------------------------

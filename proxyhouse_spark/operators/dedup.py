@@ -71,11 +71,14 @@ def _sig_cols(dialect: str) -> str:
     return ", ".join(f"{mk(s)} AS m{s}" for s in range(T.N_HASHES))
 
 
-# Layered tokenize→shingle CTEs shared by the minhash/jaccard operators.
+# Layered tokenize→shingle→base-hash CTEs shared by the minhash/jaccard
+# operators. The bh layer is the one md5 pass per shingle; the N minhash
+# permutations are integer arithmetic over it (functions/text.py).
 _TK_SPARK = f"tk AS (SELECT /*+ REPARTITION(doc_id) */ doc_id, text, {T.TOKS_SPARK} AS toks FROM corpus)"
 _SH_SPARK = f"sh AS (SELECT doc_id, {T.shingles_spark()} AS sh FROM tk)"
 _TK_DUCK = f"tk AS (SELECT doc_id, text, {T.TOKS_DUCK} AS toks FROM corpus)"
 _SH_DUCK = f"sh AS (SELECT doc_id, {T.shingles_duck()} AS sh FROM tk)"
+_BH_DUCK = f"bhl AS (SELECT doc_id, sh, {T.shingle_hashes_duck()} AS bh FROM sh)"
 
 
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,8 +119,9 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # explicit partition count: AQE would coalesce this tiny-bytes /
     # heavy-CPU stage to 1 task and serialize the sketch computation
     sh = tk.selectExpr("doc_id", f"{T.shingles_spark()} AS sh")
+    bh = sh.selectExpr("doc_id", "sh", f"{T.shingle_hashes_spark()} AS bh")
     sig = scoped_checkpoint(
-        sh.selectExpr(
+        bh.selectExpr(
             "doc_id",
             "sh",
             "size(sh) AS n_sh",
@@ -125,14 +129,27 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "minhash_sig",
     )
-    bands = sig.selectExpr(
-        "doc_id", f"{T.band_key_spark(0)} AS band_key", "0 AS band"
-    ).unionByName(
-        sig.selectExpr("doc_id", f"{T.band_key_spark(1)} AS band_key", "1 AS band")
+    # Second, NARROW checkpoint for the band path: a checkpointed-RDD scan
+    # cannot column-prune, so any plan that broadcasts a frame derived from
+    # `sig` (AQE does, the band side is tiny by estimate) would collect the
+    # full rows INCLUDING the shingle arrays through the driver — measured
+    # as an intermittent +7 s at sf0.1 whenever AQE chose broadcast. The
+    # narrow frame is 8 BIGINTs/doc, safe to broadcast at any corpus size
+    # where the band join itself is sane.
+    sig_narrow = scoped_checkpoint(
+        sig.select("doc_id", *[f"m{s}" for s in range(T.N_HASHES)]),
+        "minhash_sig_narrow",
     )
+    # both band keys in ONE scan of the narrow signature columns, exploded
+    # to (band, band_key) rows — half the map tasks of a two-branch union
+    bands = sig_narrow.selectExpr(
+        "doc_id",
+        f"explode(array(named_struct('band', 0, 'band_key', {T.band_key_spark(0)}), "
+        f"named_struct('band', 1, 'band_key', {T.band_key_spark(1)}))) AS bk",
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
-        a.join(
+        a.hint("shuffle_hash").join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.band") == F.col("b.band"))
@@ -169,7 +186,8 @@ def minhash_neardup_oracle() -> str:
     WITH corpus AS ({DOC_CORPUS_SQL}),
     {_TK_DUCK},
     {_SH_DUCK},
-    sig AS (SELECT doc_id, sh, {_sig_cols('duck')} FROM sh),
+    {_BH_DUCK},
+    sig AS (SELECT doc_id, sh, {_sig_cols('duck')} FROM bhl),
     bands AS (
       SELECT doc_id, {T.band_key_spark(0)} AS band_key, 0 AS band FROM sig
       UNION ALL
