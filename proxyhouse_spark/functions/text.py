@@ -73,27 +73,59 @@ MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 _MINHASH_A = (1000003, 999983, 999979, 999961, 999959, 999953, 999931, 999917)
 _MINHASH_B = (12345, 54321, 77777, 13579, 24680, 11111, 99991, 31415)
 
+# Rolling 3-token shingle hash: position-weighted polynomial over per-token
+# md5 ints. Builds NO shingle strings at all — the per-token md5 (short
+# strings) is the only cryptographic hash; shingle identity, dedup, minhash
+# permutations and the exact-Jaccard verify all run on BIGINTs. The hashed
+# shingle space is 31-bit, so a ~200-shingle doc has ~1e-5 within-doc
+# collision probability — and because DuckDB computes the identical ints,
+# any collision is reproduced bit-for-bit by the oracle.
+_SH_C = (3, 65537, 40503)  # distinct weights keep token order significant
 
-def shingle_hashes_spark(shingles: str = "sh") -> str:
+
+def token_ints_spark(toks: str = "toks") -> str:
     return (
-        f"transform({shingles}, x -> "
-        f"CAST(conv(substr(md5(x), 1, 14), 16, 10) AS BIGINT) % {MINHASH_P})"
+        f"transform({toks}, t -> "
+        f"CAST(conv(substr(md5(t), 1, 14), 16, 10) AS BIGINT) % {MINHASH_P})"
     )
 
 
-def shingle_hashes_duck(shingles: str = "sh") -> str:
+def token_ints_duck(toks: str = "toks") -> str:
     return (
-        f"list_transform({shingles}, x -> "
-        f"CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT) % {MINHASH_P})"
+        f"list_transform({toks}, t -> "
+        f"CAST(concat('0x', substr(md5(t), 1, 14)) AS BIGINT) % {MINHASH_P})"
     )
 
 
-def minhash_spark(seed: int, hashes: str = "bh") -> str:
+def shingle_ints_spark(th: str = "th", text: str = "text") -> str:
+    c0, c1, c2 = _SH_C
+    return (
+        f"array_distinct(CASE WHEN size({th}) >= 3 THEN "
+        f"transform(sequence(1, size({th}) - 2), i -> "
+        f"({c0} * element_at({th}, i) + {c1} * element_at({th}, i + 1) "
+        f"+ {c2} * element_at({th}, i + 2)) % {MINHASH_P}) "
+        f"ELSE array(CAST(conv(substr(md5({text}), 1, 14), 16, 10) AS BIGINT) "
+        f"% {MINHASH_P}) END)"
+    )
+
+
+def shingle_ints_duck(th: str = "th", text: str = "text") -> str:
+    c0, c1, c2 = _SH_C
+    return (
+        f"list_distinct(CASE WHEN len({th}) >= 3 THEN "
+        f"list_transform(range(1, len({th}) - 1), i -> "
+        f"({c0} * {th}[i] + {c1} * {th}[i + 1] + {c2} * {th}[i + 2]) % {MINHASH_P}) "
+        f"ELSE [CAST(concat('0x', substr(md5({text}), 1, 14)) AS BIGINT) "
+        f"% {MINHASH_P}] END)"
+    )
+
+
+def minhash_spark(seed: int, hashes: str = "sh") -> str:
     a, b = _MINHASH_A[seed], _MINHASH_B[seed]
     return f"array_min(transform({hashes}, h -> ({a} * h + {b}) % {MINHASH_P}))"
 
 
-def minhash_duck(seed: int, hashes: str = "bh") -> str:
+def minhash_duck(seed: int, hashes: str = "sh") -> str:
     a, b = _MINHASH_A[seed], _MINHASH_B[seed]
     return f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {MINHASH_P}))"
 

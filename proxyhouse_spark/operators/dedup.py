@@ -71,14 +71,15 @@ def _sig_cols(dialect: str) -> str:
     return ", ".join(f"{mk(s)} AS m{s}" for s in range(T.N_HASHES))
 
 
-# Layered tokenize→shingle→base-hash CTEs shared by the minhash/jaccard
-# operators. The bh layer is the one md5 pass per shingle; the N minhash
-# permutations are integer arithmetic over it (functions/text.py).
+# Layered tokenize→shingle CTEs shared by the minhash/jaccard operators.
+# The minhash path runs entirely on INT shingle hashes (one md5 per token,
+# rolling-polynomial shingle ids — functions/text.py); the string-shingle
+# layers remain for the operators whose contract is textual shingles
+# (ngram_jaccard, doc_fingerprint).
 _TK_SPARK = f"tk AS (SELECT /*+ REPARTITION(doc_id) */ doc_id, text, {T.TOKS_SPARK} AS toks FROM corpus)"
 _SH_SPARK = f"sh AS (SELECT doc_id, {T.shingles_spark()} AS sh FROM tk)"
 _TK_DUCK = f"tk AS (SELECT doc_id, text, {T.TOKS_DUCK} AS toks FROM corpus)"
 _SH_DUCK = f"sh AS (SELECT doc_id, {T.shingles_duck()} AS sh FROM tk)"
-_BH_DUCK = f"bhl AS (SELECT doc_id, sh, {T.shingle_hashes_duck()} AS bh FROM sh)"
 
 
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,14 +115,31 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch.
     """
     corpus = doc_corpus(spark, sf_dir)
-    tk = corpus.repartition(64, "doc_id").selectExpr(
-        "doc_id", "text", f"{T.TOKS_SPARK} AS toks"
+    # ---- exact-dedup-first staging -------------------------------------
+    # Identical texts have identical shingle sets, identical signatures,
+    # identical band keys and Jaccard 1.0 — so the expensive sketch+verify
+    # only needs ONE representative per distinct text; member pairs are
+    # reconstructed afterwards by cheap joins. The output is provably the
+    # same pair set, but on a duplicate-heavy corpus (the case dedup exists
+    # for — the 10× scale probe holds 10 copies of every text) the verify
+    # stage shrinks quadratically in the copy factor. This is the standard
+    # production staging: exact dedup before near-dup.
+    g = corpus.selectExpr("md5(text) AS gh", "doc_id", "text")
+    members = scoped_checkpoint(g.select("gh", "doc_id"), "minhash_members")
+    reps = (
+        g.groupBy("gh")
+        .agg(F.min(F.struct("doc_id", "text")).alias("r"))
+        .select("gh", F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
+    )
+    tk = reps.repartition(64, "doc_id").selectExpr(
+        "gh", "doc_id", "text", f"{T.TOKS_SPARK} AS toks"
     )  # explicit partition count: AQE would coalesce this tiny-bytes /
     # heavy-CPU stage to 1 task and serialize the sketch computation
-    sh = tk.selectExpr("doc_id", f"{T.shingles_spark()} AS sh")
-    bh = sh.selectExpr("doc_id", "sh", f"{T.shingle_hashes_spark()} AS bh")
+    th = tk.selectExpr("gh", "doc_id", "text", f"{T.token_ints_spark()} AS th")
+    sh = th.selectExpr("gh", "doc_id", f"{T.shingle_ints_spark()} AS sh")
     sig = scoped_checkpoint(
-        bh.selectExpr(
+        sh.selectExpr(
+            "gh",
             "doc_id",
             "sh",
             "size(sh) AS n_sh",
@@ -160,34 +178,69 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = sig.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("gh").alias("gh_a"),
         F.col("sh").alias("sh_a"),
         F.col("n_sh").alias("na"),
     )
     y = sig.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("gh").alias("gh_b"),
         F.col("sh").alias("sh_b"),
         F.col("n_sh").alias("nb"),
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
-    return (
+    rep_pairs = (
         pairs.hint("shuffle_hash")
         .join(x, "doc_a")
         .hint("shuffle_hash")
         .join(y, "doc_b")
         .withColumn("jac", jac)
         .filter(F.col("jac") >= 0.6)
-        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+        .select("gh_a", "gh_b", F.round("jac", 4).alias("jaccard"))
     )
+    # ---- expansion back to doc pairs -----------------------------------
+    # intra-group: identical texts, Jaccard exactly 1.0 — no verify needed
+    m1, m2 = members.alias("m1"), members.alias("m2")
+    intra = (
+        m1.hint("shuffle_hash")
+        .join(
+            m2,
+            (F.col("m1.gh") == F.col("m2.gh"))
+            & (F.col("m1.doc_id") < F.col("m2.doc_id")),
+        )
+        .select(
+            F.col("m1.doc_id").alias("doc_a"),
+            F.col("m2.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    # cross-group: every member pair inherits the representatives' Jaccard
+    # (identical texts ⇒ identical shingle sets). Hinted shuffle-hash: the
+    # member list scales with the corpus and must never be broadcast.
+    ma = members.select(F.col("gh").alias("gh_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("gh").alias("gh_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.hint("shuffle_hash")
+        .join(ma, "gh_a")
+        .hint("shuffle_hash")
+        .join(mb, "gh_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def minhash_neardup_oracle() -> str:
     return f"""
     WITH corpus AS ({DOC_CORPUS_SQL}),
     {_TK_DUCK},
-    {_SH_DUCK},
-    {_BH_DUCK},
-    sig AS (SELECT doc_id, sh, {_sig_cols('duck')} FROM bhl),
+    thl AS (SELECT doc_id, text, {T.token_ints_duck()} AS th FROM tk),
+    shl AS (SELECT doc_id, {T.shingle_ints_duck()} AS sh FROM thl),
+    sig AS (SELECT doc_id, sh, {_sig_cols('duck')} FROM shl),
     bands AS (
       SELECT doc_id, {T.band_key_spark(0)} AS band_key, 0 AS band FROM sig
       UNION ALL

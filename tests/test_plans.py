@@ -85,11 +85,16 @@ def test_narrow_ops_have_zero_shuffles(spark):
 
 
 def test_minhash_verify_never_broadcasts_the_sketch(spark):
-    # the two joins attaching shingle arrays to candidate pairs must be
-    # shuffled hash joins: the sketch side scales with the corpus (~600 MB
-    # at sf1, unbounded at 100 TB) and must stream, never broadcast
+    # every frame in the staged plan (members, signatures, candidate pairs)
+    # scales with the corpus, so every join — band self-join, the two
+    # verify joins, the intra-group join, the two expansion joins — must be
+    # a shuffled hash join; a single BroadcastExchange means AQE found a
+    # corpus-scaling frame to collect through the driver (checkpointed-RDD
+    # scans can't column-prune, so that broadcast also drags the shingle
+    # arrays along — measured +7 s at sf0.1)
     tree = tree_of(plan_of(spark, "q_minhash_neardup"))
-    assert tree.count("ShuffledHashJoin") == 2
+    assert tree.count("ShuffledHashJoin") >= 5
+    assert "BroadcastExchange" not in tree
 
 
 def test_knn_broadcasts_the_probe(spark):
