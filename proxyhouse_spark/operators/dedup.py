@@ -6,12 +6,14 @@ Five dedup strategies over the injected-duplicate corpus
 - exact:        hash-groupBy on md5(normalized text) — one shuffle on the
                 hash, map-side partial agg; at 100 TB this is the cheapest
                 possible dedup (the hash is 16 bytes/row into the shuffle).
-- minhash LSH:  shingle → 8 md5-minhashes → 2 bands of 4 → band-key
-                equi-join → exact Jaccard verify. The band join is the
-                scale path: candidate generation is an equi-join on the
-                band key (no all-pairs); hot buckets are bounded by the
-                band width and can be salted/capped if a degenerate key
-                appears.
+- minhash LSH:  exact-dedup-first staging (sketch only distinct texts),
+                then token-md5 → rolling-polynomial INT shingles → 8
+                multiply-mod minhashes → 2 bands of 4 → band-key equi-join
+                → exact Jaccard verify on int arrays → member-pair
+                expansion. The band join is the scale path: candidate
+                generation is an equi-join on the band key (no all-pairs);
+                hot buckets are bounded by the band width and can be
+                salted/capped if a degenerate key appears.
 - n-gram Jaccard: direct pairwise verify on known candidate pairs
                 (array_intersect/array_union set arithmetic).
 - SimHash:      16-bit md5-derived sign fingerprint; near-dups = Hamming

@@ -92,10 +92,14 @@ def run_suite(spark, sf_dir: str, timed_runs: int = 3, names=None) -> dict[str, 
     measured 78 s, 92 s, 7 s, 19 s for four identical q_minhash_neardup
     runs at ~sf1. The median of three timed runs is the number a
     long-running engine actually delivers."""
-    timings = {}
+    timings, rows = {}, {}
     for name in (names or HEADLINE):
         fn = registry.QUERIES[name]
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # warmup doubles as the output-cardinality measurement: a probe
+        # ratio is only meaningful against how much the RESULT grew (a
+        # pair-listing query over a 10x-duplicated corpus owes a ~100x
+        # larger answer — that's workload growth, not a plan flaw)
+        rows[name] = fn(spark, sf_dir).count()
         samples = []
         for _ in range(timed_runs):
             t0 = time.perf_counter()
@@ -103,16 +107,17 @@ def run_suite(spark, sf_dir: str, timed_runs: int = 3, names=None) -> dict[str, 
             samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
-    return timings
+    return timings, rows
 
 
 def main() -> None:
     spark = get_spark("scale_probe")
     build_scratch(spark)
     names = sys.argv[1:] or None  # optional: probe specific queries
-    small = run_suite(spark, SF_DIR, names=names)
-    big = run_suite(spark, SCRATCH, names=names)
+    small, small_rows = run_suite(spark, SF_DIR, names=names)
+    big, big_rows = run_suite(spark, SCRATCH, names=names)
     ratios = {k: round(big[k] / max(small[k], 1e-9), 1) for k in small}
+    out_ratios = {k: round(big_rows[k] / max(small_rows[k], 1), 1) for k in small}
     print(
         json.dumps(
             {
@@ -121,6 +126,7 @@ def main() -> None:
                 "sf_big_total": round(sum(big.values()), 2),
                 "total_ratio": round(sum(big.values()) / sum(small.values()), 1),
                 "per_query_ratio": ratios,
+                "output_rows_ratio": out_ratios,
                 "big": big,
             }
         )
