@@ -107,3 +107,42 @@ def cohort_retention_oracle() -> str:
     FROM u JOIN d ON u.user_id = d.user_id
     GROUP BY u.cohort_date
     """
+
+
+# ---------------------------------------------------------------------------
+# anomaly_p99 — per-event-type outliers above the exact p99 threshold.
+# Percentile-threshold anomaly flagging instead of z-scores on purpose:
+# exact interpolating percentiles are bit-identical between Spark's
+# `percentile` and DuckDB's `quantile_cont` (proven by q_percentiles),
+# while stddev of a double column is summation-order-sensitive.
+#
+# Scale (100 TB): pass 1 computes 5 thresholds (one tiny row per type,
+# exact percentile needs the per-group sort — at scale swap in
+# approx_percentile's mergeable t-digest, same plan shape); pass 2 is a
+# broadcast-join filter, shuffle-free on the fact side.
+# ---------------------------------------------------------------------------
+
+
+def anomaly_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH p AS (SELECT event_type, percentile(value, 0.99) AS p99
+                   FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+               round(p.p99, 4) AS p99
+        FROM events e JOIN p ON e.event_type = p.event_type
+        WHERE e.value > p.p99
+        """
+    )
+
+
+def anomaly_p99_oracle() -> str:
+    return """
+    WITH p AS (SELECT event_type, quantile_cont(value, 0.99) AS p99
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
+           round(p.p99, 4) AS p99
+    FROM events e JOIN p ON e.event_type = p.event_type
+    WHERE e.value > p.p99
+    """

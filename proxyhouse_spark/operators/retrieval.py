@@ -237,3 +237,70 @@ def domain_stats_oracle() -> str:
                 AS BIGINT) AS dup_rate_bp
     FROM h GROUP BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# bm25_rank — BM25-ranked retrieval for a fixed query-term set (the scoring
+# pass a RAG / eval-retrieval pipeline runs over the corpus index).
+#
+# Float discipline: tf/df/dl/N are exact integers in both engines; avgdl
+# enters as the exact-integer pair (dl * n_docs) / total_dl; the per-doc
+# score is a TEXTUALLY FIXED sum of 5 term expressions (no aggregation
+# order nondeterminism), and ranking compares the ROUNDED score with a
+# doc_id tiebreak, so a last-ulp ln() divergence cannot reorder results.
+#
+# Scale (100 TB): tf columns are a narrow projection over the token array
+# (no explode, zero shuffle); df/N/total_dl is ONE global aggregate row
+# broadcast back; top-k is TakeOrderedAndProject. The corpus is scanned
+# exactly twice (stats pass + score pass) — at scale the stats row is a
+# metadata artifact you persist with the index.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "join", "scan", "merge", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _bm25_sql(
+    toks_fn, size_fn, filter_fn, cross: str
+) -> str:
+    tf_cols = ", ".join(
+        f"CAST({size_fn}({filter_fn}(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    term_scores = " + ".join(
+        f"(ln(1 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * {BM25_K1 + 1}) /"
+        f" (tf_{t} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl * n_docs / total_dl)))"
+        for t in BM25_TERMS
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, {toks_fn} AS toks FROM documents),
+    d AS (SELECT doc_id, {tf_cols},
+                 CAST({size_fn}(toks) AS BIGINT) AS dl FROM tk),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS total_dl, {df_cols}
+              FROM d),
+    scored AS (SELECT doc_id, round({term_scores}, 4) AS bm25
+               FROM d {cross} stats)
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        _bm25_sql("split(text, ' ')", "size", "filter", "CROSS JOIN")
+    )
+
+
+def bm25_rank_oracle() -> str:
+    return _bm25_sql(
+        "string_split(text, ' ')", "len", "list_filter", "CROSS JOIN"
+    )

@@ -705,3 +705,5 @@ register("q_event_funnel", behavior.event_funnel_oracle())(behavior.event_funnel
 register("q_cohort_retention", behavior.cohort_retention_oracle())(
     behavior.cohort_retention
 )
+register("q_bm25", retrieval.bm25_rank_oracle())(retrieval.bm25_rank)
+register("q_anomaly_p99", behavior.anomaly_p99_oracle())(behavior.anomaly_p99)
