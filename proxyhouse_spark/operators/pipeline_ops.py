@@ -254,3 +254,81 @@ def chunk_dedup_oracle() -> str:
           FROM chunks)
     SELECT doc_id, chunk_id, rn = 1 AS kept FROM r
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus_pipeline — the composed end-to-end preprocessing job: normalize →
+# quality gate → exact dedup (keep min doc_id per normalized hash) → chunk
+# → deterministic split. One DAG, ONE shuffle (the dedup window on the
+# 16-byte normalized hash); everything else is narrow projections and a
+# generate. This is the query a training-data run actually submits — the
+# individual operators (q_text_normalize, q_quality_score, q_dedup_exact,
+# q_doc_chunk, q_hash_split) are its unit-tested pieces.
+#
+# Scale (100 TB): the single shuffle moves (hash, doc_id) pairs only; the
+# chunk explode inherits file-split partitioning; quality and split are
+# integer/hash arithmetic. Output is (doc, chunk) grain with the chunk
+# PAYLOAD as md5 — the narrow manifest shape a tokenizer fleet consumes.
+# ---------------------------------------------------------------------------
+
+QUALITY_GATE_BP = 5800  # keeps ~80% of the injected-dup corpus
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), "
+    "'  +', ' '))"
+)
+
+
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
+    from ..functions import text as T
+
+    n_chunks = _N_CHUNKS.format(ntoks="ntoks", chunk=CHUNK, stride=STRIDE)
+    return spark.sql(
+        f"""
+        WITH tk AS (SELECT doc_id, text, split(text, ' ') AS toks FROM corpus),
+        q AS (SELECT doc_id, text, toks FROM tk
+              WHERE {T.quality_spark()} >= {QUALITY_GATE_BP}),
+        n AS (SELECT doc_id, toks, md5({_NORM}) AS h FROM q),
+        k AS (SELECT doc_id, toks,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+              FROM n),
+        keep AS (SELECT doc_id, toks, size(toks) AS ntoks FROM k WHERE rn = 1),
+        c AS (SELECT doc_id, toks, {n_chunks} AS n_chunks FROM keep)
+        SELECT doc_id, chunk_id,
+               CAST(size(slice(toks, chunk_id * {STRIDE} + 1, {CHUNK})) AS BIGINT)
+                 AS chunk_tokens,
+               md5(concat_ws(' ', slice(toks, chunk_id * {STRIDE} + 1, {CHUNK})))
+                 AS chunk_md5,
+               {_SPLIT_CASE.replace("h <", "substr(md5(CAST(doc_id AS STRING)), 1, 1) <")}
+                 AS split
+        FROM c LATERAL VIEW explode(sequence(0, n_chunks - 1)) t AS chunk_id
+        """
+    )
+
+
+def corpus_pipeline_oracle() -> str:
+    from ..functions import text as T
+
+    n_chunks = _N_CHUNKS.format(ntoks="ntoks", chunk=CHUNK, stride=STRIDE)
+    lo = f"chunk_id * {STRIDE} + 1"
+    hi = f"chunk_id * {STRIDE} + {CHUNK}"
+    return f"""
+    WITH corpus AS ({DOC_CORPUS_SQL}),
+    tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
+    q AS (SELECT doc_id, text, toks FROM tk
+          WHERE {T.quality_duck()} >= {QUALITY_GATE_BP}),
+    n AS (SELECT doc_id, toks, md5({_NORM}) AS h FROM q),
+    k AS (SELECT doc_id, toks,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+          FROM n),
+    keep AS (SELECT doc_id, toks, len(toks) AS ntoks FROM k WHERE rn = 1),
+    c AS (SELECT doc_id, toks, {n_chunks} AS n_chunks FROM keep),
+    e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+    SELECT doc_id, chunk_id,
+           CAST(len(toks[{lo}:{hi}]) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(toks[{lo}:{hi}], ' ')) AS chunk_md5,
+           {_SPLIT_CASE.replace("h <", "substr(md5(CAST(doc_id AS STRING)), 1, 1) <")}
+             AS split
+    FROM e
+    """

@@ -707,3 +707,6 @@ register("q_cohort_retention", behavior.cohort_retention_oracle())(
 )
 register("q_bm25", retrieval.bm25_rank_oracle())(retrieval.bm25_rank)
 register("q_anomaly_p99", behavior.anomaly_p99_oracle())(behavior.anomaly_p99)
+register("q_corpus_pipeline", pipeline_ops.corpus_pipeline_oracle())(
+    pipeline_ops.corpus_pipeline
+)
