@@ -183,3 +183,31 @@ def test_ts_similarity_sketches_before_topk(spark):
     assert "TakeOrderedAndProject" in tree
     assert "partial" in plan.lower()
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_corpus_pipeline_single_shuffle(spark):
+    # the composed preprocessing job owes exactly ONE shuffle: the dedup
+    # window on the normalized-text hash; quality gate, chunk explode and
+    # split assignment are narrow (at 100 TB the shuffle moves only
+    # (16-byte hash, doc_id) pairs, never text)
+    tree = tree_of(plan_of(spark, "q_corpus_pipeline"))
+    assert tree.count("Exchange") == 1
+    assert "BroadcastExchange" not in tree
+
+
+def test_bm25_is_topk_not_sort(spark):
+    # ranked retrieval must plan TakeOrderedAndProject (partial top-k per
+    # partition), never a full global Sort of the scored corpus; the
+    # tf computation is a narrow projection — no explode, and the only
+    # exchange feeds the one-row global stats aggregate
+    tree = tree_of(plan_of(spark, "q_bm25"))
+    assert "TakeOrderedAndProject" in tree
+    assert "Generate" not in tree  # no explode in the scoring path
+
+
+def test_anomaly_thresholds_broadcast(spark):
+    # the per-type p99 threshold frame is O(event types) and must
+    # broadcast; the fact side stays shuffle-free on the probe side
+    tree = tree_of(plan_of(spark, "q_anomaly_p99"))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
