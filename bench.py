@@ -38,6 +38,8 @@ HEADLINE = [
     "q_dedup_exact",         # hash dedup
     "q_minhash_neardup",     # shingle/minhash/band join
     "q_knn_cosine",          # brute-force vector top-k
+    "q_corpus_pipeline",     # composed normalize/quality/dedup/chunk/split
+    "q_bm25",                # ranked retrieval (BM25 top-k)
 ]
 
 
