@@ -27,8 +27,11 @@ def _stoplist_sql() -> str:
     return ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
-# Token materialization (the one place raw text is split).
-TOKS_SPARK = "split(text, ' ')"
+# Token materialization (the one place raw text is split). limit=-1 keeps
+# trailing empty tokens — Spark's default split drops them (Java semantics)
+# while DuckDB's string_split keeps them, an edge the adversarial parity
+# test (tests/test_property_fidelity.py) hits on trailing-space texts.
+TOKS_SPARK = "split(text, ' ', -1)"
 TOKS_DUCK = "string_split(text, ' ')"
 
 

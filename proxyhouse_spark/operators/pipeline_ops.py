@@ -57,7 +57,7 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks = _N_CHUNKS.format(ntoks="ntoks", chunk=CHUNK, stride=STRIDE)
     return spark.sql(
         f"""
-        WITH tk AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+        WITH tk AS (SELECT doc_id, split(text, ' ', -1) AS toks FROM documents),
         n AS (SELECT doc_id, toks, size(toks) AS ntoks FROM tk),
         c AS (SELECT doc_id, toks, {n_chunks} AS n_chunks FROM n)
         SELECT doc_id, chunk_id,
@@ -165,7 +165,7 @@ def ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir)
     return spark.sql(
         """
-        WITH tk AS (SELECT split(text, ' ') AS toks FROM documents),
+        WITH tk AS (SELECT split(text, ' ', -1) AS toks FROM documents),
         bg AS (SELECT explode(transform(sequence(1, size(toks) - 1), i ->
                  concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))) AS bigram
                FROM tk WHERE size(toks) >= 2)
@@ -205,7 +205,7 @@ def length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir)
     return spark.sql(
         f"""
-        WITH tk AS (SELECT doc_id, lang, split(text, ' ') AS toks FROM documents),
+        WITH tk AS (SELECT doc_id, lang, split(text, ' ', -1) AS toks FROM documents),
         n AS (SELECT doc_id, lang, size(toks) AS ntoks FROM tk)
         SELECT doc_id, CAST(ntoks AS BIGINT) AS n_tokens, {_VERDICT} AS verdict
         FROM n
@@ -286,7 +286,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks = _N_CHUNKS.format(ntoks="ntoks", chunk=CHUNK, stride=STRIDE)
     return spark.sql(
         f"""
-        WITH tk AS (SELECT doc_id, text, split(text, ' ') AS toks FROM corpus),
+        WITH tk AS (SELECT doc_id, text, split(text, ' ', -1) AS toks FROM corpus),
         q AS (SELECT doc_id, text, toks FROM tk
               WHERE {T.quality_spark()} >= {QUALITY_GATE_BP}),
         n AS (SELECT doc_id, toks, md5({_NORM}) AS h FROM q),

@@ -55,7 +55,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> None:
 # ---------------------------------------------------------------------------
 
 _DT_SPARK = """
-tk AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+tk AS (SELECT doc_id, split(text, ' ', -1) AS toks FROM documents),
 dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
        FROM tk LATERAL VIEW explode(toks) t AS tok
        GROUP BY doc_id, tok)
@@ -160,7 +160,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir)
     return spark.sql(
         f"""
-        WITH tk AS (SELECT doc_id, text, split(text, ' ') AS toks FROM documents),
+        WITH tk AS (SELECT doc_id, text, split(text, ' ', -1) AS toks FROM documents),
         g AS (SELECT doc_id, {_GRAMS_SPARK} AS grams FROM tk),
         eg AS (SELECT DISTINCT gram
                FROM g LATERAL VIEW explode(grams) t AS gram
@@ -296,7 +296,7 @@ def _bm25_sql(
 def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir)
     return spark.sql(
-        _bm25_sql("split(text, ' ')", "size", "filter", "CROSS JOIN")
+        _bm25_sql("split(text, ' ', -1)", "size", "filter", "CROSS JOIN")
     )
 
 

@@ -233,7 +233,7 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir)
     return spark.sql(
         f"""
-        WITH tk AS (SELECT doc_id, split(text, ' ') AS toks FROM documents),
+        WITH tk AS (SELECT doc_id, split(text, ' ', -1) AS toks FROM documents),
         -- CASE guard, not greatest(): Spark's sequence(1, 0) is DESCENDING
         -- [1, 0], not empty, so a 1-token doc must short-circuit to array()
         bg AS (SELECT doc_id, toks,

@@ -100,3 +100,59 @@ def test_scalar_fidelity_against_go_port(spark):
         if got != exp:
             mismatches.append((i, uris[i], bodies[i], fmts[i], exp, got))
     assert not mismatches, mismatches[:5]
+
+
+# --- minhash primitive parity: Spark expressions vs DuckDB, adversarial ----
+
+
+def test_minhash_signature_parity_spark_vs_duckdb(spark):
+    """The dedup family's foundation: token-md5 ints, rolling-polynomial
+    shingle ids, and the 8 multiply-mod minhashes must be BIT-identical
+    between engines on adversarial texts (repeats, short docs, unicode,
+    digits, single token) — a one-ulp-style divergence here silently
+    corrupts every near-dup pair downstream."""
+    import duckdb
+
+    from proxyhouse_spark.functions import text as T
+
+    rng = random.Random(0xA11CE)
+    vocab = ["join", "hash", "α-β", "x1", "9", "scan", "", "the", "çedilla"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+        for _ in range(60)
+    ] + ["solo", "a b", "x x x x x x x x"]
+    rows = [(i, d) for i, d in enumerate(docs)]
+
+    sdf = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    sig_exprs = [f"{T.minhash_spark(s)} AS m{s}" for s in range(T.N_HASHES)]
+    got = (
+        sdf.selectExpr("doc_id", "text", f"{T.TOKS_SPARK} AS toks")
+        .selectExpr("doc_id", "text", f"{T.token_ints_spark()} AS th")
+        .selectExpr("doc_id", f"{T.shingle_ints_spark()} AS sh")
+        .selectExpr("doc_id", "sh", *sig_exprs)
+        .orderBy("doc_id")
+        .collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    duck_sigs = ", ".join(f"{T.minhash_duck(s)} AS m{s}" for s in range(T.N_HASHES))
+    want = con.execute(
+        f"""
+        WITH tk AS (SELECT doc_id, text, {T.TOKS_DUCK} AS toks FROM docs),
+        th AS (SELECT doc_id, text, {T.token_ints_duck()} AS th FROM tk),
+        sh AS (SELECT doc_id, {T.shingle_ints_duck()} AS sh FROM th)
+        SELECT doc_id, sh, {duck_sigs} FROM sh ORDER BY doc_id
+        """
+    ).fetchall()
+
+    assert len(got) == len(want)
+    for srow, drow in zip(got, want):
+        assert srow.doc_id == drow[0]
+        # SET equality: DuckDB's list_distinct does not preserve order
+        # (Spark's array_distinct does); every consumer is order-free
+        # (array_min, size, array_intersect), so the contract is the set
+        assert sorted(srow.sh) == sorted(drow[1]), f"shingles diverge doc {srow.doc_id}"
+        for s in range(T.N_HASHES):
+            assert srow[f"m{s}"] == drow[2 + s], f"m{s} diverges doc {srow.doc_id}"
