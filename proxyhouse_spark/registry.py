@@ -685,6 +685,12 @@ UNION ALL
 SELECT event_id, uri, body, level, created_ns FROM dlq WHERE level >= 10
 """)(streaming_pipeline.dlq_replay_query)
 
+register("q_stream_cumulative", _COUNTED + """
+SELECT uri, CAST(count(*) AS BIGINT) AS total_requests,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows
+FROM counted GROUP BY uri
+""")(streaming_pipeline.stream_cumulative_query)
+
 
 # ---------------------------------------------------------------------------
 # Retrieval/index + behavior-analytics families (SURVEY §2.11 ext 3)

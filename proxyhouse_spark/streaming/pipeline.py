@@ -490,3 +490,38 @@ def enrich_stream(
         .option("path", out_dir)
         .start()
     )
+
+
+def stream_cumulative_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4, oracle-checked: the custom stateful operator
+    (applyInPandasWithState cumulative per-key totals) run as TWO real
+    availableNow passes — the second resumes from the first's checkpoint
+    after more source data lands — then reduced to final per-key totals.
+    The result must hash-match a plain batch aggregation over the same
+    requests: state that survives a restart and still sums correctly is
+    exactly the cross-process upgrade over the reference's in-memory
+    atomics (main.go:77-82, 209, 292), here proven through the driver's
+    differential gate rather than only in pytest."""
+    import tempfile
+
+    from ..sources.requests import requests_df
+
+    base = tempfile.mkdtemp(prefix="t4_cum_")
+    src = os.path.join(base, "source")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    req = requests_df(spark, sf_dir)
+    req.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    q = cumulative_counters(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    req.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q = cumulative_counters(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    emitted = spark.read.parquet(out)
+    # totals are monotone per key, so the final state is the max emission;
+    # keys whose data all arrived in pass 1 emit nothing in pass 2 (append
+    # mode yields only groups present in the batch) — max covers both cases
+    return emitted.groupBy("uri").agg(
+        F.max("total_requests").alias("total_requests"),
+        F.max("total_rows").alias("total_rows"),
+    )
