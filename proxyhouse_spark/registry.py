@@ -691,6 +691,35 @@ SELECT uri, CAST(count(*) AS BIGINT) AS total_requests,
 FROM counted GROUP BY uri
 """)(streaming_pipeline.stream_cumulative_query)
 
+# T3 watermark semantics, declared in SQL: pass 1 (even ids) advances the
+# watermark to w1 = max(recv_ts)-10min and its trailing no-data batch emits
+# the windows w1 closed (pass-1 counts). Pass 2 (odd ids) drops as late any
+# row whose window w1 already closed, then its trailing batch emits windows
+# closed by w2 = max(all)-10min, counting pass-1 + non-late pass-2 rows.
+# (Emission/late boundary is window_end <= watermark — verified empirically;
+# availableNow DOES run the trailing no-data batch after advancing the
+# watermark.)
+register("q_stream_windowed", _VALID + """
+, p1 AS (SELECT * FROM valid WHERE event_id % 2 = 0),
+p2 AS (SELECT * FROM valid WHERE event_id % 2 = 1),
+wm AS (SELECT max(recv_ts) - INTERVAL 10 MINUTE AS w1 FROM p1),
+wm2 AS (SELECT max(recv_ts) - INTERVAL 10 MINUTE AS w2 FROM valid),
+g1 AS (SELECT date_trunc('hour', recv_ts) AS window_start, uri,
+              CAST(count(*) AS BIGINT) AS n_requests
+       FROM p1 GROUP BY 1, 2),
+ok2 AS (SELECT p2.* FROM p2, wm
+        WHERE date_trunc('hour', p2.recv_ts) + INTERVAL 1 HOUR > w1),
+gmix AS (SELECT date_trunc('hour', recv_ts) AS window_start, uri,
+                CAST(count(*) AS BIGINT) AS n_requests
+         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM ok2) GROUP BY 1, 2)
+SELECT window_start, uri, n_requests FROM g1, wm
+WHERE window_start + INTERVAL 1 HOUR <= w1
+UNION ALL
+SELECT window_start, uri, n_requests FROM gmix, wm, wm2
+WHERE window_start + INTERVAL 1 HOUR > w1
+  AND window_start + INTERVAL 1 HOUR <= w2
+""")(streaming_pipeline.stream_windowed_query)
+
 
 # ---------------------------------------------------------------------------
 # Retrieval/index + behavior-analytics families (SURVEY §2.11 ext 3)

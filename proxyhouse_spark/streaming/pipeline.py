@@ -388,10 +388,20 @@ def windowed_counts(
     window open forever, is exactly what does NOT survive 100 TB)."""
     from ..operators.ingest import validate_requests
     from ..sources.requests import requests_stream_df
+    from ..tables import EPOCH_NTZ
 
     stream = requests_stream_df(spark, source_dir)
+    valid = validate_requests(stream)
+    if valid.schema["recv_ts"].dataType.typeName() == "timestamp_ntz":
+        # withWatermark rejects TIMESTAMP_NTZ; convert wall-clock-as-UTC to
+        # an instant via the epoch anchor (session-timezone-independent —
+        # a plain cast would re-interpret the wall clock in session tz)
+        valid = valid.withColumn(
+            "recv_ts",
+            F.expr(f"timestamp_micros(timestampdiff(MICROSECOND, {EPOCH_NTZ}, recv_ts))"),
+        )
     counted = (
-        validate_requests(stream)
+        valid
         .withWatermark("recv_ts", WATERMARK_DELAY)
         .groupBy(F.window("recv_ts", WINDOW_SIZE).alias("w"), F.col("uri"))
         .agg(F.count(F.lit(1)).alias("n_requests"))
@@ -524,4 +534,42 @@ def stream_cumulative_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy("uri").agg(
         F.max("total_requests").alias("total_requests"),
         F.max("total_rows").alias("total_rows"),
+    )
+
+
+def stream_windowed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3, oracle-checked: the REAL watermarked event-time windowed stream,
+    run as two availableNow passes. Pass 1 (even event_ids) advances the
+    checkpointed watermark to max(recv_ts)-10min; pass 2 (odd event_ids)
+    emits exactly the windows that watermark closed — counting ONLY pass-1
+    rows, because pass-2 rows for closed windows are dropped as late and
+    open windows stay unemitted in state. Every piece of that sentence is
+    derivable in plain SQL over the same request stream, so watermark
+    advancement, late-row drops, and append-mode emission are all proven
+    through the driver's differential gate."""
+    import tempfile
+
+    from ..sources.requests import requests_df
+
+    base = tempfile.mkdtemp(prefix="t3_window_")
+    src = os.path.join(base, "source")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    req = requests_df(spark, sf_dir)
+    req.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    q = windowed_counts(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    req.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q = windowed_counts(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    from ..tables import EPOCH_NTZ
+
+    # window_start back to NTZ wall clock (instant → naive-as-UTC) so the
+    # driver's canonicalizer compares it against DuckDB naive timestamps
+    return spark.read.parquet(out).select(
+        F.expr(
+            f"timestampadd(MICROSECOND, unix_micros(window_start), {EPOCH_NTZ})"
+        ).alias("window_start"),
+        "uri",
+        "n_requests",
     )
