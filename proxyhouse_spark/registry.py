@@ -720,6 +720,20 @@ WHERE window_start + INTERVAL 1 HOUR > w1
   AND window_start + INTERVAL 1 HOUR <= w2
 """)(streaming_pipeline.stream_windowed_query)
 
+# T6 dedup-under-replay, declared in SQL (semantics established
+# empirically): a same-timestamp replayed duplicate is ALWAYS suppressed —
+# below the batch-start watermark it drops as late, at/above it the
+# original's state is unexpired — and fresh pass-2 rows survive iff
+# recv_ts >= w1 = max(pass-1 recv_ts) - 10min.
+register("q_stream_dedup", _VALID + """
+SELECT event_id, recv_ts, uri, body FROM valid WHERE event_id % 2 = 0
+UNION ALL
+SELECT event_id, recv_ts, uri, body FROM valid
+WHERE event_id % 2 = 1
+  AND recv_ts >= (SELECT max(recv_ts) - INTERVAL 10 MINUTE
+                  FROM valid WHERE event_id % 2 = 0)
+""")(streaming_pipeline.stream_dedup_query)
+
 
 # ---------------------------------------------------------------------------
 # Retrieval/index + behavior-analytics families (SURVEY §2.11 ext 3)

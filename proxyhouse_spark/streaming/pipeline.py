@@ -378,6 +378,21 @@ WATERMARK_DELAY = "10 minutes"
 WINDOW_SIZE = "1 hour"
 
 
+def _event_time_as_instant(df: DataFrame, col: str) -> DataFrame:
+    """withWatermark rejects TIMESTAMP_NTZ; convert wall-clock-as-UTC to an
+    instant via the epoch anchor — session-timezone-independent, unlike a
+    plain cast (which would re-interpret the wall clock in session tz).
+    No-op for streams that already carry instants."""
+    from ..tables import EPOCH_NTZ
+
+    if df.schema[col].dataType.typeName() != "timestamp_ntz":
+        return df
+    return df.withColumn(
+        col,
+        F.expr(f"timestamp_micros(timestampdiff(MICROSECOND, {EPOCH_NTZ}, `{col}`))"),
+    )
+
+
 def windowed_counts(
     spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:
@@ -388,18 +403,9 @@ def windowed_counts(
     window open forever, is exactly what does NOT survive 100 TB)."""
     from ..operators.ingest import validate_requests
     from ..sources.requests import requests_stream_df
-    from ..tables import EPOCH_NTZ
 
     stream = requests_stream_df(spark, source_dir)
-    valid = validate_requests(stream)
-    if valid.schema["recv_ts"].dataType.typeName() == "timestamp_ntz":
-        # withWatermark rejects TIMESTAMP_NTZ; convert wall-clock-as-UTC to
-        # an instant via the epoch anchor (session-timezone-independent —
-        # a plain cast would re-interpret the wall clock in session tz)
-        valid = valid.withColumn(
-            "recv_ts",
-            F.expr(f"timestamp_micros(timestampdiff(MICROSECOND, {EPOCH_NTZ}, recv_ts))"),
-        )
+    valid = _event_time_as_instant(validate_requests(stream), "recv_ts")
     counted = (
         valid
         .withWatermark("recv_ts", WATERMARK_DELAY)
@@ -446,7 +452,7 @@ def dedup_stream(
 
     stream = requests_stream_df(spark, source_dir)
     deduped = (
-        validate_requests(stream)
+        _event_time_as_instant(validate_requests(stream), "recv_ts")
         .withWatermark("recv_ts", DEDUP_DELAY)
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "recv_ts", "uri", "body")
@@ -572,4 +578,49 @@ def stream_windowed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("window_start"),
         "uri",
         "n_requests",
+    )
+
+
+def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6, oracle-checked: watermark-bounded streaming dedup under DLQ-style
+    replay. Pass 1 streams the even-id requests; pass 2 streams the odd-id
+    requests PLUS a replay of every sixth even request (same event_id, same
+    recv_ts — exactly what an at-least-once DLQ replay re-delivers).
+
+    Empirically established semantics the SQL oracle declares:
+    dropDuplicatesWithinWatermark drops any row older than the batch-start
+    watermark (late), and suppresses any non-late duplicate whose state is
+    still live — and a same-timestamp replay is ALWAYS one or the other
+    (recv_ts < w1 ⇒ late; recv_ts >= w1 ⇒ state unexpired, since expiry is
+    recv_ts + delay > w1). Net: every replayed duplicate is suppressed, and
+    of the fresh odd rows exactly those at or above w1 = max(even recv_ts)
+    - 10min survive. The reference cannot do this at all — its replay path
+    knowingly re-delivers duplicates (SURVEY §2.9 T5)."""
+    import tempfile
+
+    from ..sources.requests import requests_df
+
+    base = tempfile.mkdtemp(prefix="t6_dedup_")
+    src = os.path.join(base, "source")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    req = requests_df(spark, sf_dir)
+    req.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    q = dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    replay = req.filter(F.col("event_id") % 6 == 0)
+    req.filter(F.col("event_id") % 2 == 1).unionByName(replay).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    from ..tables import EPOCH_NTZ
+
+    return spark.read.parquet(out).select(
+        "event_id",
+        F.expr(f"timestampadd(MICROSECOND, unix_micros(recv_ts), {EPOCH_NTZ})").alias(
+            "recv_ts"
+        ),
+        "uri",
+        "body",
     )
