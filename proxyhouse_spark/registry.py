@@ -734,6 +734,17 @@ WHERE event_id % 2 = 1
                   FROM valid WHERE event_id % 2 = 0)
 """)(streaming_pipeline.stream_dedup_query)
 
+_ENRICH_DIM = ", ".join(
+    f"('{t}', '{r}')" for t, r in streaming_pipeline.ENRICH_ROUTES
+)
+register("q_stream_enrich", _VALID + f"""
+, named AS (SELECT event_id, uri, {scalars.extract_table_sql('uri')} AS table_name
+            FROM valid),
+dim(table_name, route) AS (VALUES {_ENRICH_DIM})
+SELECT n.event_id, n.uri, n.table_name, dim.route
+FROM named n LEFT JOIN dim ON n.table_name = dim.table_name
+""")(streaming_pipeline.stream_enrich_query)
+
 
 # ---------------------------------------------------------------------------
 # Retrieval/index + behavior-analytics families (SURVEY §2.11 ext 3)

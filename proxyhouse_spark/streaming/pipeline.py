@@ -624,3 +624,35 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uri",
         "body",
     )
+
+
+# deterministic routing dim for the oracle-checked enrichment pass: three
+# tables routed, the rest deliberately unrouted (left-join pass-through)
+ENRICH_ROUTES = (("click", "ch-0"), ("view", "ch-1"), ("error", "ch-2"))
+
+
+def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6b, oracle-checked: one REAL availableNow pass of the stream-static
+    broadcast enrichment join (per-batch re-read routing dim, stream never
+    shuffles — the scale contract pinned in tests). Left join: unrouted
+    tables flow with route NULL, mirroring the reference's pass-through
+    default (its entire 'dim' is the frozen fwd/repl flag pair,
+    main.go:36-37). The sink must hash-match the plain batch SQL join."""
+    import tempfile
+
+    from ..sources.requests import requests_df
+
+    base = tempfile.mkdtemp(prefix="t6_enrich_")
+    src = os.path.join(base, "source")
+    dim = os.path.join(base, "dim")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    requests_df(spark, sf_dir).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        list(ENRICH_ROUTES), "table_name string, route string"
+    ).coalesce(1).write.parquet(dim)
+    q = enrich_stream(spark, src, dim, out, ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "event_id", "uri", "table_name", "route"
+    )
