@@ -26,15 +26,19 @@ from pyspark.sql import functions as F
 from ..tables import table
 
 # Feature schema produced by the extractor (fixed width = stable contract).
+# Moments are EXACT INTEGERS (sum and sum-of-squares of byte values), not
+# mean/std doubles: integer moments are bit-identical across engines (and
+# trivially yield mean/std downstream), which upgrades this mapInPandas
+# path from a rows-only check to a full DuckDB differential oracle.
 FEATURE_SCHEMA = (
-    "doc_id bigint, n_bytes bigint, byte_mean double, byte_std double, "
+    "doc_id bigint, n_bytes bigint, byte_sum bigint, byte_sumsq bigint, "
     "head_byte int, tail_byte int"
 )
 
 HAVE_REAL_DECODER = False  # flipped when PIL/torchaudio/ffmpeg are present
 
 
-def _decode_features(payload: bytes) -> tuple[float, float, int, int]:
+def _decode_features(payload: bytes) -> tuple[int, int, int, int]:
     """Deterministic stand-in for media decode (image resize / audio
     frame-sample / video keyframe). Raises if someone expects real decode.
 
@@ -45,11 +49,13 @@ def _decode_features(payload: bytes) -> tuple[float, float, int, int]:
     if HAVE_REAL_DECODER:  # pragma: no cover
         raise NotImplementedError("real media decoder not available in this container")
     if not payload:
-        return 0.0, 0.0, -1, -1
-    n = len(payload)
-    mean = sum(payload) / n
-    var = sum((b - mean) ** 2 for b in payload) / n
-    return mean, var**0.5, payload[0], payload[-1]
+        return 0, 0, -1, -1
+    return (
+        sum(payload),
+        sum(b * b for b in payload),
+        payload[0],
+        payload[-1],
+    )
 
 
 def multimodal_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,8 +90,8 @@ def multimodal_meta_oracle() -> str:
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-item feature extraction via mapInPandas (Arrow-batched; the
-    decode path a real image/audio pipeline would take). No SQL oracle —
-    rows-only check (the fake decode is still deterministic)."""
+    decode path a real image/audio pipeline would take). Integer-moment
+    outputs make the Python path fully differentially checkable."""
     mm = multimodal_frame(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,14 +101,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "byte_mean": [f[0] for f in feats],
-                    "byte_std": [f[1] for f in feats],
+                    "byte_sum": pd.Series([f[0] for f in feats], dtype="int64"),
+                    "byte_sumsq": pd.Series([f[1] for f in feats], dtype="int64"),
                     "head_byte": [f[2] for f in feats],
                     "tail_byte": [f[3] for f in feats],
                 }
             )
 
     return mm.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def multimodal_features_oracle() -> str:
+    """The fixture corpus is pure ASCII, so byte values == codepoints and
+    the Python byte loop is re-expressible as codepoint arithmetic."""
+    codes = "list_transform(range(1, length(text) + 1), i -> unicode(substr(text, i, 1)))"
+    return f"""
+    WITH c AS (SELECT doc_id, text, {codes} AS codes FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS byte_sum,
+           CAST(coalesce(list_sum(list_transform(codes, c -> c * c)), 0) AS BIGINT)
+             AS byte_sumsq,
+           CAST(CASE WHEN length(text) = 0 THEN -1 ELSE codes[1] END AS INT)
+             AS head_byte,
+           CAST(CASE WHEN length(text) = 0 THEN -1 ELSE codes[-1] END AS INT)
+             AS tail_byte
+    FROM c
+    """
 
 
 # ---------------------------------------------------------------------------

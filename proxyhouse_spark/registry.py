@@ -558,8 +558,11 @@ register("q_text_normalize", textops.text_normalize_oracle())(textops.text_norma
 register("q_multimodal_meta", multimodal.multimodal_meta_oracle())(
     multimodal.multimodal_meta
 )
-# Arrow-batched decode plumbing — deterministic fake decoder, rows-only check
-register("q_multimodal_features")(multimodal.multimodal_features)
+# Arrow-batched decode plumbing — deterministic fake decoder; integer-moment
+# outputs make the Python mapInPandas path fully oracle-checked
+register("q_multimodal_features", multimodal.multimodal_features_oracle())(
+    multimodal.multimodal_features
+)
 # Arrow-batched frame sampling — outputs chosen SQL-expressible, full oracle
 register("q_frame_sample", multimodal.frame_sample_oracle())(multimodal.frame_sample)
 

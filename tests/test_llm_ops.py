@@ -49,4 +49,5 @@ def test_multimodal_features_deterministic(spark):
     rows = {r.doc_id: r for r in a.collect()}
     assert len(rows) == 500
     r0 = rows[0]
-    assert r0.n_bytes > 0 and 0 <= r0.byte_mean <= 255 and r0.head_byte >= 0
+    assert r0.n_bytes > 0 and 0 <= r0.byte_sum <= 255 * r0.n_bytes
+    assert r0.head_byte >= 0 and r0.byte_sumsq >= r0.byte_sum
