@@ -211,3 +211,44 @@ def test_anomaly_thresholds_broadcast(spark):
     tree = tree_of(plan_of(spark, "q_anomaly_p99"))
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+# queries whose callables RUN work when invoked (streaming passes, the CC
+# fixpoint driver loop) — excluded from the pure plan sweep
+_EXECUTING = {
+    "q_flush_trigger",
+    "q_dlq_replay",
+    "q_stream_cumulative",
+    "q_stream_windowed",
+    "q_stream_dedup",
+    "q_stream_enrich",
+    "q_dedup_clusters",
+}
+
+
+# Reviewed exceptions: a BroadcastNestedLoopJoin is harmless iff the
+# broadcast side is O(1) rows BY CONSTRUCTION (a global aggregate or a
+# constant probe) — the standard scalar-frame attach pattern. Each entry
+# here names the 1-row/k-row frame that justifies it.
+_SCALAR_BNLJ_OK = {
+    "q_bm25",             # 1-row corpus stats (n_docs, total_dl, dfs)
+    "q_knn_cosine",       # 1-row probe vector
+    "q_knn_batch",        # 3-row probe set
+    "q_mix_temperature",  # 1-row corpus total
+}
+
+
+def test_no_query_plans_cartesian_or_nested_loop(spark):
+    """Global safety net: at 100 TB a CartesianProduct or a
+    BroadcastNestedLoopJoin against a data-scaling side is a query that
+    will not finish. Every batch query's physical plan is swept; the
+    reviewed scalar-frame cross joins above are the only exceptions, and
+    the known-executing callables are covered by targeted tests instead."""
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        if name in _EXECUTING or name in _SCALAR_BNLJ_OK:
+            continue
+        tree = tree_of(plan_of(spark, name))
+        if "CartesianProduct" in tree or "BroadcastNestedLoopJoin" in tree:
+            offenders.append(name)
+    assert not offenders, offenders
