@@ -51,3 +51,23 @@ def test_multimodal_features_deterministic(spark):
     r0 = rows[0]
     assert r0.n_bytes > 0 and 0 <= r0.byte_sum <= 255 * r0.n_bytes
     assert r0.head_byte >= 0 and r0.byte_sumsq >= r0.byte_sum
+
+
+def test_approx_distinct_within_hll_error_bound(spark):
+    """q_approx_distinct is the one query without a DuckDB oracle (HLL
+    sketches are engine-specific); pin its accuracy here instead: Spark's
+    HLL++ at default rsd=0.05 must land within 5% of the exact per-group
+    distinct count."""
+    from tests.conftest import SF_SMALL
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in registry.QUERIES["q_approx_distinct"](spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.event_type: r.n_users
+        for r in registry.QUERIES["q_count_distinct"](spark, SF_SMALL).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
