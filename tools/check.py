@@ -96,6 +96,14 @@ def main() -> int:
 
     spark = get_spark("check") if args.tuned else vanilla_spark()
     spark.sparkContext.setLogLevel("ERROR")
+
+    # driver t1 mirror: entry() must run and return rows with a stable schema
+    if not args.names:
+        entry_rows = entrymod.entry(spark).collect()
+        print(f"entry(): {len(entry_rows)} rows")
+        if not entry_rows:
+            print("entry(): FAIL (0 rows)")
+            return 1
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
