@@ -54,14 +54,14 @@ def test_window_rank_prunes_map_side(spark):
     assert "WindowGroupLimit" in plan_of(spark, "q_window_rank")
 
 
-def test_join_asof_argmax_combines_map_side(spark):
-    # the per-event argmax is a hash aggregation (max over a struct), so
-    # the expanded range-join output collapses map-side (partial_max)
-    # before its single exchange — no sort, no full-width window shuffle
+def test_join_asof_is_union_merge_not_expansion(spark):
+    # the union-merge asof: NO join at all (so no events×orders expansion),
+    # one shuffle of the interleaved union on user_id, one partition-local
+    # sort feeding the carry-forward window
     plan = plan_of(spark, "q_join_asof")
     tree = tree_of(plan)
-    assert "partial_max" in plan
-    assert "Window" not in tree
+    assert "Join" not in tree
+    assert "Window" in tree
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
 
 
