@@ -473,3 +473,34 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile", *[F.col(t).cast("bigint").alias(t) for t in EVENT_TYPES]
         )
     )
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension-history build from a changelog: each customer's
+    orders become validity intervals [valid_from, valid_to) with an
+    is_current flag on the open-ended last version — the standard
+    slowly-changing-dimension type-2 construction, spelled as one lead()
+    window. One shuffle on the dimension key; interval arithmetic is
+    partition-local, so the build is linear and 100 TB-safe."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey AS user_id, o_orderkey, o_totalprice,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               lead(o_orderdate) OVER w IS NULL AS is_current
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """
+    )
+
+
+def scd2_intervals_oracle() -> str:
+    return """
+    SELECT o_custkey AS user_id, o_orderkey, o_totalprice,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           lead(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """

@@ -264,3 +264,65 @@ def repetition_filter_oracle() -> str:
           FROM bg)
     {_REP_SELECT}
     """
+
+
+# ---------------------------------------------------------------------------
+# gapfill_locf — hypertable-style gap filling (TimescaleDB
+# time_bucket_gapfill + locf shape): materialize every hourly bucket
+# between each series' first and last observation, mark the empty ones,
+# and carry the last observed hourly value forward across gaps.
+#
+# Scale (100 TB): the observed aggregation is one map-side-combinable
+# shuffle on (series, bucket); the grid explode is O(series × buckets) —
+# bounded by wall-clock time span, not data volume — and the LOCF is a
+# per-series carry-forward window over that bounded grid. At 100 TB the
+# grid is still tiny; the data-sized work stays in the first aggregate.
+# ---------------------------------------------------------------------------
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH hourly AS (
+          SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ) AS h,
+                 CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS hour_value
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+                   FROM hourly GROUP BY 1),
+        grid AS (SELECT event_type,
+                        explode(sequence(h0, h1, INTERVAL 1 HOUR)) AS h
+                 FROM bounds),
+        j AS (SELECT g.event_type, g.h, coalesce(hourly.n, 0) AS n,
+                     hourly.hour_value, hourly.n IS NULL AS filled
+              FROM grid g LEFT JOIN hourly
+                ON g.event_type = hourly.event_type AND g.h = hourly.h)
+        SELECT event_type, h AS hour, n, filled,
+               round(last(hour_value, true) OVER (
+                 PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 AS locf_value
+        FROM j
+        """
+    )
+
+
+def gapfill_locf_oracle() -> str:
+    return """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS hour_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    j AS (SELECT g.event_type, g.h, coalesce(hourly.n, 0) AS n,
+                 hourly.hour_value, hourly.n IS NULL AS filled
+          FROM grid g LEFT JOIN hourly
+            ON g.event_type = hourly.event_type AND g.h = hourly.h)
+    SELECT event_type, h AS hour, n, filled,
+           round(last_value(hour_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS locf_value
+    FROM j
+    """

@@ -773,3 +773,5 @@ register("q_anomaly_p99", behavior.anomaly_p99_oracle())(behavior.anomaly_p99)
 register("q_corpus_pipeline", pipeline_ops.corpus_pipeline_oracle())(
     pipeline_ops.corpus_pipeline
 )
+register("q_gapfill_locf", sampling.gapfill_locf_oracle())(sampling.gapfill_locf)
+register("q_scd2", relational.scd2_intervals_oracle())(relational.scd2_intervals)
