@@ -273,9 +273,15 @@ def chunk_dedup_oracle() -> str:
 
 QUALITY_GATE_BP = 5800  # keeps ~80% of the injected-dup corpus
 
+# Spark regexp_replace replaces all matches; DuckDB needs the 'g' option to
+# do the same (first-match-only by default). Keep both spellings in sync.
 _NORM = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), "
     "'  +', ' '))"
+)
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
+    "'  +', ' ', 'g'))"
 )
 
 
@@ -318,7 +324,7 @@ def corpus_pipeline_oracle() -> str:
     tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM corpus),
     q AS (SELECT doc_id, text, toks FROM tk
           WHERE {T.quality_duck()} >= {QUALITY_GATE_BP}),
-    n AS (SELECT doc_id, toks, md5({_NORM}) AS h FROM q),
+    n AS (SELECT doc_id, toks, md5({_NORM_DUCK}) AS h FROM q),
     k AS (SELECT doc_id, toks,
                  row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
           FROM n),

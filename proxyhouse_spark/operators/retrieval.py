@@ -202,9 +202,15 @@ def decontaminate_oracle() -> str:
 # normalization from textops (same md5 basis as q_dedup_exact).
 # ---------------------------------------------------------------------------
 
+# Spark regexp_replace replaces all matches; DuckDB needs the 'g' option to
+# match (first-match-only by default) — hence the dialect split.
 _NORM_MD5 = (
     "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), "
     "'  +', ' ')))"
+)
+_NORM_MD5_DUCK = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
+    "'  +', ' ', 'g')))"
 )
 
 
@@ -228,7 +234,7 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def domain_stats_oracle() -> str:
     return f"""
-    WITH h AS (SELECT source, lang, n_chars, {_NORM_MD5} AS h FROM documents)
+    WITH h AS (SELECT source, lang, n_chars, {_NORM_MD5_DUCK} AS h FROM documents)
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,

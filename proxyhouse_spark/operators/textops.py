@@ -159,9 +159,18 @@ def pii_scan_oracle() -> str:
 
 # Portable normalization chain (identical regexes, RE2 ∩ Java):
 # lowercase → strip non-[a-z0-9 ] → collapse runs of spaces → trim.
+# DIALECT SPLIT: Spark's regexp_replace replaces ALL matches; DuckDB's is
+# first-match-only unless given the 'g' options argument — the two spellings
+# below are semantically identical, and tests/test_llm_ops.py exercises them
+# on adversarial punctuation/multi-space text so the equivalence is proven,
+# not assumed.
 _NORM = (
     "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9 ]', ''), "
     "'  +', ' '))"
+)
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9 ]', '', 'g'), "
+    "'  +', ' ', 'g'))"
 )
 
 
@@ -180,7 +189,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_normalize_oracle() -> str:
-    norm = _NORM.format(t="text")
+    norm = _NORM_DUCK.format(t="text")
     return f"SELECT doc_id, {norm} AS norm_text, md5({norm}) AS norm_md5 FROM documents"
 
 

@@ -52,6 +52,27 @@ def _split_by_failure(grouped: DataFrame, fail_predicate: Column | None):
     return grouped.filter(~fail_predicate), grouped.filter(fail_predicate)
 
 
+def _split_by_statuses(
+    eligible: DataFrame, statuses: dict[str, bool]
+) -> tuple[DataFrame, DataFrame]:
+    """Split the queue by per-uri delivery status WITHOUT an IN-literal:
+    `isin([...ok_keys...])` inlines every key into the plan — a plan-size
+    hazard the moment the queue isn't tiny. A broadcast left join against a
+    two-column statuses frame keeps the plan O(1) at any queue length
+    (undelivered/unknown uris count as failed)."""
+    spark = eligible.sparkSession
+    status_df = spark.createDataFrame(
+        [(u, bool(d)) for u, d in statuses.items()],
+        "uri string, delivered boolean",
+    )
+    joined = eligible.join(F.broadcast(status_df), "uri", "left")
+    delivered = F.coalesce(F.col("delivered"), F.lit(False))
+    return (
+        joined.filter(delivered).drop("delivered"),
+        joined.filter(~delivered).drop("delivered"),
+    )
+
+
 class FlushPipeline:
     """request-record stream → validate → groupBy(uri) concat → per-key sink,
     with DLQ spill for failed keys."""
@@ -205,9 +226,7 @@ def replay_dlq(
             statuses.update(sender([pkt]))
             if throttle_seconds:
                 _time.sleep(throttle_seconds)
-        ok_keys = [u for u, d in statuses.items() if d]
-        ok = eligible.filter(F.col("uri").isin(ok_keys))
-        failed = eligible.filter(~F.col("uri").isin(ok_keys))
+        ok, failed = _split_by_statuses(eligible, statuses)
     else:
         ok, failed = _split_by_failure(eligible, fail_predicate)
     delivered = ok.select(
@@ -229,9 +248,12 @@ def replay_dlq(
         "requeued": escalated.filter(F.col("level") < MAX_LEVEL).count(),
         "quarantined": new_dlq.filter(F.col("level") >= MAX_LEVEL).count(),
     }
-    # rewrite the queue: tmp-dir + atomic rename (the pudge-file delete analog)
+    # rewrite the queue: tmp-dir + atomic rename (the pudge-file delete analog).
+    # repartition by level (not coalesce(1)) so a large queue rewrites in
+    # parallel, one writer per retry level; layout stays flat so spill
+    # appends and partition discovery keep working.
     tmp = dlq_dir.rstrip("/") + ".tmp"
-    new_dlq.coalesce(1).write.mode("overwrite").parquet(tmp)
+    new_dlq.repartition("level").write.mode("overwrite").parquet(tmp)
     dlq.unpersist()
     import shutil
 

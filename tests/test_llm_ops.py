@@ -71,3 +71,65 @@ def test_approx_distinct_within_hll_error_bound(spark):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_normalization_dialects_agree_on_adversarial_text(spark):
+    """The corpus fixture happens to contain no punctuation, so the oracle
+    path through the normalization chain was vacuous until this test: DuckDB
+    regexp_replace is first-match-only unless given 'g', while Spark always
+    replaces globally. Run both dialect spellings on text that exercises
+    every branch (punctuation runs, multi-space runs, mixed case, leading/
+    trailing junk) and require byte-identical output."""
+    import duckdb
+
+    from proxyhouse_spark.operators.textops import _NORM, _NORM_DUCK
+
+    adversarial = [
+        "Hello,   World!!!  ",
+        "  a--b--c   d!!e??f  ",
+        "ALL CAPS & sym@bols #here# 123",
+        "tabs\tand\nnewlines stay",  # \t and \n are non-[a-z0-9 ] → stripped
+        "no punctuation single spaced",
+        "!!!only junk???",
+        "a  b   c    d",
+        "",
+    ]
+    spark_norm = _NORM.format(t="t")
+    duck_norm = _NORM_DUCK.format(t="t")
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(adversarial)], "i INT, t STRING")
+    df.createOrReplaceTempView("adv_norm")
+    got_spark = {
+        r.i: r.n
+        for r in spark.sql(f"SELECT i, {spark_norm} AS n FROM adv_norm").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE adv_norm(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO adv_norm VALUES (?, ?)", list(enumerate(adversarial)))
+    got_duck = dict(con.execute(f"SELECT i, {duck_norm} FROM adv_norm").fetchall())
+
+    assert got_spark == got_duck
+    # and the chain genuinely did work on this input (not vacuous)
+    assert got_spark[0] == "hello world"
+    assert got_spark[6] == "a b c d"
+
+
+def test_decoder_seam_dispatch(monkeypatch):
+    """r2 verdict: the HAVE_REAL_DECODER flag used to raise on its True
+    branch. Pin the corrected dispatch: False → deterministic byte moments,
+    True → routes to _decode_features_real."""
+    from proxyhouse_spark.operators import multimodal as mm
+
+    # this container ships no media libs
+    assert mm.HAVE_REAL_DECODER is False
+    assert mm._decode_features(b"") == (0, 0, -1, -1)
+    assert mm._decode_features(b"\x01\x02\x03") == (6, 14, 1, 3)
+
+    calls = []
+    monkeypatch.setattr(mm, "HAVE_REAL_DECODER", True)
+    monkeypatch.setattr(
+        mm, "_decode_features_real", lambda p: calls.append(p) or (9, 9, 9, 9)
+    )
+    assert mm._decode_features(b"\xff") == (9, 9, 9, 9)
+    assert calls == [b"\xff"]

@@ -244,3 +244,28 @@ def test_partitioned_sink_prunes_per_table_reads(spark, dirs):
     )
     pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "table_name" in pf  # pruned at the scan, not filtered after
+
+
+def test_split_by_statuses_is_a_join_not_an_in_literal(spark):
+    """r2 verdict nit: the replay split used isin(ok_keys) — a plan-size
+    hazard since every key is inlined as a literal. Pin the join-based
+    split: correct partition of the queue AND a plan that contains a
+    broadcast join but none of the uri keys as literals."""
+    from proxyhouse_spark.streaming.pipeline import _split_by_statuses
+
+    eligible = spark.createDataFrame(
+        [(f"/u{i}", f"b{i}", 1, i) for i in range(200)],
+        "uri string, body string, level int, created_ns bigint",
+    )
+    statuses = {f"/u{i}": (i % 2 == 0) for i in range(200)}
+    statuses.pop("/u198")  # unknown uri → counts as failed
+    ok, failed = _split_by_statuses(eligible, statuses)
+    assert ok.count() == 99
+    assert failed.count() == 101
+    assert ok.columns == ["uri", "body", "level", "created_ns"]
+
+    je = ok._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = je.explainString(mode)
+    assert "/u199" not in plan  # no key literals inlined
+    assert "BroadcastHashJoin" in plan
