@@ -56,6 +56,68 @@ def gelf_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Small on purpose, and sitting at the fixture's packed-size median
+# (168-218 bytes at sf0.01) so BOTH wire paths — raw datagram and chunked —
+# are exercised by the registered query, not just by unit tests.
+GELF_CHUNK_SIZE = 180
+GELF_FILENAME = "proxyhouse"
+
+PACKET_SCHEMA = (
+    "event_id bigint, json_len bigint, packed_len bigint, n_chunks int, "
+    "wire_bytes bigint, chunked boolean"
+)
+
+
+def gelf_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-message wire-level packetization metadata: marshal each GELF
+    record with the Go-compatible encoder, zlib-pack, chunk at
+    GELF_CHUNK_SIZE (sinks/graylog.py = graylog.go:143-191 semantics with
+    its two transport bugs fixed), and report deterministic sizes/counts.
+
+    Arrow-batched ``mapInPandas`` — the same shape the real UDP emission
+    would take on executors (pack+send per partition, no driver
+    involvement); here the datagrams are measured, not transmitted.
+    zlib output is implementation-defined → rows-only driver check; the
+    byte-exact behavior is pinned by tests/test_graylog.py instead."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    base = gelf_format(spark, sf_dir)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sinks import graylog as gl
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "event_id", "json_len", "packed_len", "n_chunks",
+                "wire_bytes", "chunked",
+            )}
+            for r in pdf.itertuples():
+                message = {
+                    "version": r.version,
+                    "host": r.host,
+                    "timestamp": int(r.timestamp),
+                    "file": GELF_FILENAME,
+                    "level": int(r.level),
+                    "short_message": r.short_message,
+                    "full_message": r.full_message,
+                }
+                jsondata = gl.gelf_json(message)
+                payload = gl.pack_message(message)
+                # message id = record key, not a counter: idempotent retries
+                packets = gl.chunk_packets(payload, r.event_id, GELF_CHUNK_SIZE)
+                out["event_id"].append(r.event_id)
+                out["json_len"].append(len(jsondata))
+                out["packed_len"].append(len(payload))
+                out["n_chunks"].append(len(packets))
+                out["wire_bytes"].append(sum(len(p) for p in packets))
+                out["chunked"].append(len(packets) > 1)
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(pack, PACKET_SCHEMA)
+
+
 def gelf_format_oracle(valid_cte: str) -> str:
     """DuckDB equivalent; ``valid_cte`` is the registry's validated-request
     CTE prefix (``WITH requests AS (...), valid AS (...)``)."""

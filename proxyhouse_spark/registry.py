@@ -641,6 +641,11 @@ register("q_gelf_format", observability.gelf_format_oracle(_VALID))(
     observability.gelf_format
 )
 
+# zlib output bytes are implementation-defined → rows-only driver check;
+# byte-exact packing/chunking is pinned by tests/test_graylog.py (the port
+# of the reference's golden test, graylog_test.go:42-68).
+register("q_gelf_packet")(observability.gelf_packets)
+
 _N_LINES = (
     "(len(string_split(buffer, chr(10))) - CASE WHEN "
     "string_split(buffer, chr(10))[-1] = '' THEN 1 ELSE 0 END)"
