@@ -34,11 +34,12 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 
 from ..checkpoints import scoped_checkpoint
 from ..operators.dlq import MAX_LEVEL
 from ..operators.ingest import FWD_HOST, REPL_HOST, sink_frame
+from ..sinks.graphite import PREFIX_AVG, PREFIX_CNT, MetricStorage
 
 SinkAttempt = Callable[[DataFrame], tuple[DataFrame, DataFrame]]
 
@@ -73,6 +74,40 @@ def _split_by_statuses(
     )
 
 
+class GraphiteListener(StreamingQueryListener):
+    """Received-side counter capture (main.go:209-216): each progress event
+    carries the ``gr_received`` observed metrics — Spark's accumulator-backed
+    ``observe()`` aggregates are the distributed analog of the reference's
+    mutex-guarded counter map (summed executor-side within the micro-batch,
+    delivered with the progress event, zero extra passes) — and increments
+    the reference's Graphite counter names into a MetricStorage."""
+
+    OBSERVATION = "gr_received"
+
+    def __init__(self, storage: MetricStorage) -> None:
+        self.storage = storage
+        self.events = 0
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        row = event.progress.observedMetrics.get(self.OBSERVATION)
+        if row is None:
+            return
+        self.events += 1
+        self.storage.increment(
+            f"{PREFIX_CNT}.requests_received", row["requests_received"]
+        )
+        self.storage.increment(f"{PREFIX_CNT}.bytes_received", row["bytes_received"])
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass
+
+
 class FlushPipeline:
     """request-record stream → validate → groupBy(uri) concat → per-key sink,
     with DLQ spill for failed keys."""
@@ -90,6 +125,7 @@ class FlushPipeline:
         repl: str = REPL_HOST,
         sender: Callable[[DataFrame], dict[str, bool]] | None = None,
         partition_by_table: bool = False,
+        metric_storage: MetricStorage | None = None,
     ) -> None:
         self.spark = spark
         self.source_dir = source_dir
@@ -115,6 +151,10 @@ class FlushPipeline:
         # collected via observe(): piggybacked on the sink action, no
         # second pass over the data.
         self.metrics: list[dict] = []
+        # Graphite counter map (metric.go): sent-side counters are
+        # incremented by the flush below; received-side ones by a
+        # GraphiteListener reading the stream's observed metrics.
+        self.metric_storage = metric_storage
 
     # -- one micro-batch = one reference flush cycle -------------------------
     def _flush(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -151,8 +191,24 @@ class FlushPipeline:
         writer = ok.coalesce(1).write.mode("append")
         if self.partition_by_table:
             writer = writer.partitionBy("table_name")
+        import time as _time
+
+        send_start = _time.monotonic()
         writer.parquet(self.sink_dir)
-        self.metrics.append({"batch_id": batch_id, **obs.get})
+        send_ms = int((_time.monotonic() - send_start) * 1000)
+        m = {"batch_id": batch_id, **obs.get}
+        self.metrics.append(m)
+        if self.metric_storage is not None:
+            # sent-side increments, aggregated per flush (main.go:394-405,
+            # 426-428; same totals as the reference's per-send calls)
+            self.metric_storage.increment(
+                f"{PREFIX_CNT}.requests_sent", m["requests_sent"]
+            )
+            self.metric_storage.increment(f"{PREFIX_CNT}.rows_sent", m["rows_sent"])
+            self.metric_storage.increment(f"{PREFIX_CNT}.bytes_sent", m["bytes_sent"])
+            self.metric_storage.increment(f"{PREFIX_AVG}.bytes_sent", m["bytes_sent"])
+            self.metric_storage.increment("bytesSent", m["bytes_sent"])
+            self.metric_storage.increment("sendDuration", send_ms)
         spilled = failed.select(
             F.col("uri"),
             F.col("buffer").alias("body"),
@@ -165,6 +221,24 @@ class FlushPipeline:
     def start(self, available_now: bool = False) -> StreamingQuery:
         schema = self.spark.read.parquet(self.source_dir).schema
         stream = self.spark.readStream.schema(schema).parquet(self.source_dir)
+        if self.metric_storage is not None:
+            # received-side counters (main.go:209-216: accepted inserts
+            # only) ride the micro-batch as observed metrics; a
+            # GraphiteListener turns each progress event into increments.
+            accepted = (
+                (F.col("method") == "POST")
+                & (F.col("path") == "/")
+                & (F.length("body") > 0)
+            )
+            stream = stream.observe(
+                GraphiteListener.OBSERVATION,
+                F.coalesce(
+                    F.sum(F.when(accepted, 1)), F.lit(0)
+                ).alias("requests_received"),
+                F.coalesce(
+                    F.sum(F.when(accepted, F.length("body"))), F.lit(0)
+                ).alias("bytes_received"),
+            )
         writer = stream.writeStream.foreachBatch(self._flush).option(
             "checkpointLocation", self.checkpoint_dir
         )

@@ -269,3 +269,78 @@ def test_split_by_statuses_is_a_join_not_an_in_literal(spark):
     plan = je.explainString(mode)
     assert "/u199" not in plan  # no key literals inlined
     assert "BroadcastHashJoin" in plan
+
+
+def test_graphite_metrics_match_metric_counters(spark, dirs):
+    """T-graphite (metric.go:21-60): run the REAL flush pipeline over the
+    sf0.001 request fixture with a MetricStorage attached. Received-side
+    counters arrive via observe() + StreamingQueryListener, sent-side via
+    the flush; the captured totals must equal q_metric_counters' answers
+    for the same fixture, and the 2s-cadence emitter must drain them as
+    Graphite lines with the bytes_to_milliseconds derivation."""
+    import time
+
+    from proxyhouse_spark import registry
+    from proxyhouse_spark.sinks.graphite import (
+        PREFIX_AVG,
+        PREFIX_CNT,
+        GraphiteEmitter,
+        MetricStorage,
+    )
+    from proxyhouse_spark.sources.requests import requests_df
+    from proxyhouse_spark.streaming.pipeline import GraphiteListener
+    from tests.conftest import SF_SMALL
+
+    requests_df(spark, SF_SMALL).coalesce(1).write.parquet(dirs["source"])
+    expected = registry.QUERIES["q_metric_counters"](spark, SF_SMALL).first()
+
+    storage = MetricStorage()
+    listener = GraphiteListener(storage)
+    spark.streams.addListener(listener)
+    try:
+        pipe = FlushPipeline(
+            spark, dirs["source"], dirs["sink"], dirs["dlq"], dirs["ckpt"],
+            metric_storage=storage,
+        )
+        pipe.start(available_now=True).awaitTermination(120)
+        deadline = time.time() + 30  # listener events are delivered async
+        while listener.events == 0 and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.events >= 1
+
+    snap = storage.snapshot()
+    # received side (observe + listener) == the oracled counter query
+    assert snap[f"{PREFIX_CNT}.requests_received"] == expected["requests_received"]
+    assert snap[f"{PREFIX_CNT}.bytes_received"] == expected["bytes_received"]
+    # sent side (flush increments): every accepted row flushed exactly once;
+    # bytes_sent counts the MERGED buffers (reference: len(val) of the
+    # concatenated flush payload, main.go:392), so compare to the sink
+    sink = spark.read.parquet(dirs["sink"])
+    assert snap[f"{PREFIX_CNT}.rows_sent"] == expected["rows_received"]
+    assert (
+        snap[f"{PREFIX_CNT}.bytes_sent"]
+        == sink.agg(F.sum(F.length("buffer"))).first()[0]
+    )
+    assert snap[f"{PREFIX_AVG}.bytes_sent"] == snap[f"{PREFIX_CNT}.bytes_sent"]
+    assert snap[f"{PREFIX_CNT}.requests_sent"] == sink.count()
+
+    # the 2s flush-loop body: ratio derivation + drain-and-clear
+    emitter = GraphiteEmitter(storage, interval=0.05)
+    lines = emitter.emit_once()
+    ratio = [l for l in lines if l.startswith(f"{PREFIX_AVG}.bytes_to_milliseconds ")]
+    assert len(ratio) == 1  # bytesSent and sendDuration both nonzero
+    assert int(ratio[0].split()[1]) == snap["bytesSent"] // snap["sendDuration"]
+    assert f"{PREFIX_CNT}.requests_received {expected['requests_received']}" in lines
+    assert "bytesSent" not in " ".join(lines)  # the special pair is consumed
+    assert emitter.emit_once() == []  # map cleared, second pass emits nothing
+
+    # cadence: the background loop drains new increments without manual calls
+    emitter.start()
+    storage.increment(f"{PREFIX_CNT}.requests_received", 7)
+    deadline = time.time() + 5
+    while not any("requests_received 7" in l for l in emitter.lines) and time.time() < deadline:
+        time.sleep(0.05)
+    emitter.stop(final_flush=False)
+    assert any(l == f"{PREFIX_CNT}.requests_received 7" for l in emitter.lines)
