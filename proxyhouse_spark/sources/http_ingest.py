@@ -94,6 +94,16 @@ class IngestShim:
         self._records: list[tuple] = []
         self.in_requests = 0
         self.out_requests = 0
+        # connection-state counters (statelistener, main.go:257-271):
+        # new → total+1 curr+1 idle+1; active → idle-1; back-to-idle →
+        # idle+1; closed → curr-1 idle-1. One deliberate deviation: the
+        # reference also decrements idle on a close that follows Active
+        # without an intervening Idle, leaking idle-1 per non-keep-alive
+        # connection; here active always returns to idle first, so the
+        # gauge stays balanced.
+        self.total_connections = 0
+        self.curr_connections = 0
+        self.idle_connections = 0
         self._stop = threading.Event()
         self._server = ThreadingHTTPServer((host, port), self._handler_class())
         self._server.daemon_threads = True
@@ -163,8 +173,36 @@ class IngestShim:
         shim = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive, so connections actually pass through the
+            # idle state between requests (the Go server's default)
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
+
+            def setup(self):  # http.StateNew (main.go:259-262)
+                super().setup()
+                with shim._lock:
+                    shim.total_connections += 1
+                    shim.curr_connections += 1
+                    shim.idle_connections += 1
+
+            def handle_one_request(self):  # StateActive / StateIdle
+                with shim._lock:
+                    shim.idle_connections -= 1
+                try:
+                    super().handle_one_request()
+                finally:
+                    with shim._lock:
+                        shim.idle_connections += 1
+
+            def finish(self):  # http.StateClosed (main.go:267-269)
+                try:
+                    super().finish()
+                finally:
+                    with shim._lock:
+                        shim.curr_connections -= 1
+                        shim.idle_connections -= 1
 
             def _reply(self, code: int, body: bytes, ctype: str = "text/plain"):
                 self.send_response(code)
@@ -191,7 +229,13 @@ class IngestShim:
                 elif path == "/statistic":  # showstatistic (main.go:247-254)
                     with shim._lock:
                         payload = json.dumps(
-                            {"in": shim.in_requests, "out": shim.out_requests}
+                            {
+                                "total_connections": shim.total_connections,
+                                "current_connections": shim.curr_connections,
+                                "idle_connections": shim.idle_connections,
+                                "in": shim.in_requests,
+                                "out": shim.out_requests,
+                            }
                         )
                     self._reply(200, payload.encode(), "application/json")
                 else:

@@ -107,3 +107,48 @@ def test_spooled_requests_flow_through_flush_pipeline(shim, spark, tmp_path):
     sink = spark.read.parquet(str(tmp_path / "sink"))
     assert sink.count() == 2
     assert sink.agg(F.sum("rowcount")).first()[0] == 4
+
+
+def test_connection_state_counters(shim):
+    """statelistener (main.go:257-271) surfaced via /statistic: a held
+    keep-alive connection raises current/idle; a burst of one-shot requests
+    raises total; closing the held connection drains current back down."""
+    import http.client
+    import time
+
+    host, port = shim.address
+    base = f"http://{host}:{port}"
+
+    def stat():
+        return json.loads(_call(base, "/statistic")[1])
+
+    s0 = stat()
+    for k in ("total_connections", "current_connections", "idle_connections"):
+        assert k in s0
+
+    # a held keep-alive connection: +1 total, +1 current, idle while parked
+    held = http.client.HTTPConnection(host, port, timeout=10)
+    held.request("GET", "/")
+    held.getresponse().read()
+    s1 = stat()
+    assert s1["total_connections"] >= s0["total_connections"] + 1
+    assert s1["current_connections"] >= s0["current_connections"] + 1
+
+    # burst of one-shot requests: total grows by at least the burst size
+    for i in range(5):
+        _call(base, f"/?query=INSERT%20INTO%20t{i}%20FORMAT%20Values", data=b"(1)")
+    s2 = stat()
+    assert s2["total_connections"] >= s1["total_connections"] + 5
+    assert s2["in"] == s0["in"] + 5
+
+    # closing the held connection drains current back down
+    held.close()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        s3 = stat()
+        if s3["current_connections"] <= s2["current_connections"] - 1:
+            break
+        time.sleep(0.1)
+    assert s3["current_connections"] <= s2["current_connections"] - 1
+    # gauge stays balanced: idle never drifts negative
+    assert s3["idle_connections"] >= 0
