@@ -704,14 +704,18 @@ FROM counted GROUP BY uri
 # the windows w1 closed (pass-1 counts). Pass 2 (odd ids) drops as late any
 # row whose window w1 already closed, then its trailing batch emits windows
 # closed by w2 = max(all)-10min, counting pass-1 + non-late pass-2 rows.
-# (Emission/late boundary is window_end <= watermark — verified empirically;
-# availableNow DOES run the trailing no-data batch after advancing the
-# watermark.)
+# (Boundaries established empirically on Spark 4.1.2 and pinned by
+# tests/test_streaming.py::test_watermark_boundary_pins: emission/late
+# boundary is window_end <= watermark; availableNow DOES run the trailing
+# no-data batch after advancing the watermark; Spark tracks event-time
+# stats in milliseconds, so the oracle truncates max(recv_ts) the same way.)
 register("q_stream_windowed", _VALID + """
 , p1 AS (SELECT * FROM valid WHERE event_id % 2 = 0),
 p2 AS (SELECT * FROM valid WHERE event_id % 2 = 1),
-wm AS (SELECT max(recv_ts) - INTERVAL 10 MINUTE AS w1 FROM p1),
-wm2 AS (SELECT max(recv_ts) - INTERVAL 10 MINUTE AS w2 FROM valid),
+wm AS (SELECT date_trunc('milliseconds', max(recv_ts))
+              - INTERVAL 10 MINUTE AS w1 FROM p1),
+wm2 AS (SELECT date_trunc('milliseconds', max(recv_ts))
+               - INTERVAL 10 MINUTE AS w2 FROM valid),
 g1 AS (SELECT date_trunc('hour', recv_ts) AS window_start, uri,
               CAST(count(*) AS BIGINT) AS n_requests
        FROM p1 GROUP BY 1, 2),
@@ -728,18 +732,24 @@ WHERE window_start + INTERVAL 1 HOUR > w1
   AND window_start + INTERVAL 1 HOUR <= w2
 """)(streaming_pipeline.stream_windowed_query)
 
-# T6 dedup-under-replay, declared in SQL (semantics established
-# empirically): a same-timestamp replayed duplicate is ALWAYS suppressed —
-# below the batch-start watermark it drops as late, at/above it the
-# original's state is unexpired — and fresh pass-2 rows survive iff
-# recv_ts >= w1 = max(pass-1 recv_ts) - 10min.
+# T6 dedup-under-replay, declared in SQL (semantics established empirically
+# on Spark 4.1.2 and pinned by
+# tests/test_streaming.py::test_watermark_boundary_pins — a Spark upgrade
+# that shifts a boundary fails THAT test with a targeted message, not this
+# oracle): a same-timestamp replayed duplicate is ALWAYS suppressed — below
+# the batch-start watermark it drops as late, at/above it the original's
+# state is unexpired — and fresh pass-2 rows survive iff recv_ts is
+# STRICTLY ABOVE the batch-start watermark w1 = trunc_ms(max(pass-1
+# recv_ts)) - 10min (Spark tracks event-time stats in milliseconds, so the
+# max truncates; rows exactly AT the watermark are dropped as late).
 register("q_stream_dedup", _VALID + """
 SELECT event_id, recv_ts, uri, body FROM valid WHERE event_id % 2 = 0
 UNION ALL
 SELECT event_id, recv_ts, uri, body FROM valid
 WHERE event_id % 2 = 1
-  AND recv_ts >= (SELECT max(recv_ts) - INTERVAL 10 MINUTE
-                  FROM valid WHERE event_id % 2 = 0)
+  AND recv_ts > (SELECT date_trunc('milliseconds', max(recv_ts))
+                        - INTERVAL 10 MINUTE
+                 FROM valid WHERE event_id % 2 = 0)
 """)(streaming_pipeline.stream_dedup_query)
 
 _ENRICH_DIM = ", ".join(

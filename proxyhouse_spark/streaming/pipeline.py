@@ -74,6 +74,41 @@ def _split_by_statuses(
     )
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Session-scoped scratch for the streaming oracle passes. The returned
+    DataFrames read from these dirs lazily, so they must outlive the call;
+    they are removed at interpreter exit instead of leaking across repeated
+    invocations."""
+    import atexit
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(_cleanup_scratch)
+    _SCRATCH_DIRS.append(base)
+    return base
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _await_or_raise(q: StreamingQuery, timeout_s: int = 300) -> None:
+    """availableNow passes finish in seconds; a False return from
+    awaitTermination means the pass is still running and the output dir is
+    incomplete — fail loudly instead of reading partial results as a
+    confusing oracle mismatch."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"streaming pass still running after {timeout_s}s")
+
+
 class GraphiteListener(StreamingQueryListener):
     """Received-side counter capture (main.go:209-216): each progress event
     carries the ``gr_received`` observed metrics — Spark's accumulator-backed
@@ -350,18 +385,16 @@ def flush_trigger_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     → single micro-batch). The flushed sink must equal the batch
     q_batch_sink frame exactly — proving trigger+foreachBatch reproduce the
     reference's map-swap-flush semantics."""
-    import tempfile
-
     from ..sources.requests import requests_df
 
-    base = tempfile.mkdtemp(prefix="t1_flush_")
+    base = _scratch_dir("t1_flush_")
     dirs = {k: os.path.join(base, k) for k in ("source", "sink", "dlq", "ckpt")}
     requests_df(spark, sf_dir).coalesce(1).write.parquet(dirs["source"])
     pipe = FlushPipeline(
         spark, dirs["source"], dirs["sink"], dirs["dlq"], dirs["ckpt"]
     )
     q = pipe.start(available_now=True)
-    q.awaitTermination(300)
+    _await_or_raise(q)
     return spark.read.parquet(dirs["sink"]).select(
         "uri", "target_url", "table_name", "buffer", "rowcount", "n_requests"
     )
@@ -373,11 +406,9 @@ def dlq_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivered evens removed, failed odds escalated level+1, quarantined
     (>= MAX_LEVEL) untouched — the checkErr/saveToErrors state transition
     (main.go:447-485, 365-373) as a checkable table."""
-    import tempfile
-
     from ..operators.dlq import dlq_frame
 
-    base = tempfile.mkdtemp(prefix="t2_replay_")
+    base = _scratch_dir("t2_replay_")
     dlq_dir = os.path.join(base, "dlq")
     sink_dir = os.path.join(base, "sink")
     dlq_frame(spark, sf_dir).coalesce(1).write.parquet(dlq_dir)
@@ -614,21 +645,19 @@ def stream_cumulative_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the cross-process upgrade over the reference's in-memory
     atomics (main.go:77-82, 209, 292), here proven through the driver's
     differential gate rather than only in pytest."""
-    import tempfile
-
     from ..sources.requests import requests_df
 
-    base = tempfile.mkdtemp(prefix="t4_cum_")
+    base = _scratch_dir("t4_cum_")
     src = os.path.join(base, "source")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     req = requests_df(spark, sf_dir)
     req.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
     q = cumulative_counters(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    _await_or_raise(q)
     req.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
     q = cumulative_counters(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    _await_or_raise(q)
     emitted = spark.read.parquet(out)
     # totals are monotone per key, so the final state is the max emission;
     # keys whose data all arrived in pass 1 emit nothing in pass 2 (append
@@ -649,21 +678,19 @@ def stream_windowed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivable in plain SQL over the same request stream, so watermark
     advancement, late-row drops, and append-mode emission are all proven
     through the driver's differential gate."""
-    import tempfile
-
     from ..sources.requests import requests_df
 
-    base = tempfile.mkdtemp(prefix="t3_window_")
+    base = _scratch_dir("t3_window_")
     src = os.path.join(base, "source")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     req = requests_df(spark, sf_dir)
     req.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
     q = windowed_counts(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    _await_or_raise(q)
     req.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
     q = windowed_counts(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    _await_or_raise(q)
     from ..tables import EPOCH_NTZ
 
     # window_start back to NTZ wall clock (instant → naive-as-UTC) so the
@@ -692,24 +719,22 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the fresh odd rows exactly those at or above w1 = max(even recv_ts)
     - 10min survive. The reference cannot do this at all — its replay path
     knowingly re-delivers duplicates (SURVEY §2.9 T5)."""
-    import tempfile
-
     from ..sources.requests import requests_df
 
-    base = tempfile.mkdtemp(prefix="t6_dedup_")
+    base = _scratch_dir("t6_dedup_")
     src = os.path.join(base, "source")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     req = requests_df(spark, sf_dir)
     req.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
     q = dedup_stream(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    _await_or_raise(q)
     replay = req.filter(F.col("event_id") % 6 == 0)
     req.filter(F.col("event_id") % 2 == 1).unionByName(replay).coalesce(1).write.mode(
         "append"
     ).parquet(src)
     q = dedup_stream(spark, src, out, ckpt)
-    q.awaitTermination(300)
+    _await_or_raise(q)
     from ..tables import EPOCH_NTZ
 
     return spark.read.parquet(out).select(
@@ -734,11 +759,9 @@ def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables flow with route NULL, mirroring the reference's pass-through
     default (its entire 'dim' is the frozen fwd/repl flag pair,
     main.go:36-37). The sink must hash-match the plain batch SQL join."""
-    import tempfile
-
     from ..sources.requests import requests_df
 
-    base = tempfile.mkdtemp(prefix="t6_enrich_")
+    base = _scratch_dir("t6_enrich_")
     src = os.path.join(base, "source")
     dim = os.path.join(base, "dim")
     out = os.path.join(base, "out")
@@ -748,7 +771,7 @@ def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         list(ENRICH_ROUTES), "table_name string, route string"
     ).coalesce(1).write.parquet(dim)
     q = enrich_stream(spark, src, dim, out, ckpt)
-    q.awaitTermination(300)
+    _await_or_raise(q)
     return spark.read.parquet(out).select(
         "event_id", "uri", "table_name", "route"
     )

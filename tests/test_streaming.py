@@ -344,3 +344,69 @@ def test_graphite_metrics_match_metric_counters(spark, dirs):
         time.sleep(0.05)
     emitter.stop(final_flush=False)
     assert any(l == f"{PREFIX_CNT}.requests_received 7" for l in emitter.lines)
+
+
+def test_watermark_boundary_pins(spark, dirs):
+    """Pin the empirically-established Spark boundary semantics that the
+    q_stream_windowed / q_stream_dedup oracles encode (established on
+    Spark 4.1; registry.py T3/T6 comments). If a Spark upgrade shifts a
+    <= to <, THIS test fails with a targeted message instead of the
+    oracles failing mysteriously.
+
+    1. Append-mode emission: a window is emitted once window_end <=
+       watermark (11:00-ending window emits when the watermark is exactly
+       11:00).
+    2. dropDuplicatesWithinWatermark: a row at recv_ts == watermark
+       survives; below it drops as late; a same-timestamp replay of an
+       already-seen key is suppressed.
+    """
+    import datetime as dt
+
+    from proxyhouse_spark.streaming.pipeline import (
+        _await_or_raise,
+        dedup_stream,
+        windowed_counts,
+    )
+
+    def t(h, m, s=0, us=0):
+        return dt.datetime(2024, 1, 1, h, m, s, us)
+
+    def req_at(event_id, ts):
+        uri = "/?query=INSERT%20INTO%20t%20FORMAT%20Values"
+        return (event_id, ts, "POST", "/", uri,
+                "INSERT INTO t FORMAT Values", uri.split("?")[1], "Values", "(1)")
+
+    # -- 1: emission boundary. max ts 11:10 → watermark 11:00; the window
+    # [10:00, 11:00) has window_end == watermark and must emit.
+    src, out, ckpt = (str(dirs_p) for dirs_p in
+                      (dirs["source"] + "_w", dirs["sink"] + "_w", dirs["ckpt"] + "_w"))
+    rows = [req_at(0, t(10, 30)), req_at(1, t(11, 10))]
+    spark.createDataFrame(rows, COLS).coalesce(1).write.parquet(src)
+    _await_or_raise(windowed_counts(spark, src, out, ckpt))
+    emitted = {r.window_start for r in spark.read.parquet(out).collect()}
+    assert emitted == {t(10, 0)}, (
+        "append-mode emission boundary moved: window_end == watermark "
+        f"no longer emits (got {emitted}); q_stream_windowed's oracle "
+        "encodes window_end <= watermark"
+    )
+
+    # -- 2: dedup boundaries. Pass 1: e0@10:00, e1@11:10 → watermark 11:00.
+    # Pass 2: e0 replay @10:00 (suppressed); e2 @11:00 EXACTLY AT the
+    # watermark is dropped as late (the late filter is strict: survive iff
+    # recv_ts > wm); e3 just below drops; e4 one microsecond above survives.
+    src, out, ckpt = (str(dirs_p) for dirs_p in
+                      (dirs["source"] + "_d", dirs["sink"] + "_d", dirs["ckpt"] + "_d"))
+    p1 = [req_at(0, t(10, 0)), req_at(1, t(11, 10))]
+    spark.createDataFrame(p1, COLS).coalesce(1).write.parquet(src)
+    _await_or_raise(dedup_stream(spark, src, out, ckpt))
+    p2 = [req_at(0, t(10, 0)), req_at(2, t(11, 0)),
+          req_at(3, t(10, 59, 59, 999999)), req_at(4, t(11, 0, 0, 1))]
+    spark.createDataFrame(p2, COLS).coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(dedup_stream(spark, src, out, ckpt))
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 4], (
+        "dropDuplicatesWithinWatermark boundary moved (got event_ids "
+        f"{got}, want [0, 1, 4]): q_stream_dedup's oracle encodes "
+        "replay-always-suppressed + fresh rows survive iff recv_ts is "
+        "STRICTLY above the ms-truncated batch-start watermark"
+    )

@@ -84,7 +84,9 @@ def build_scratch(spark) -> None:
         print(f"built {name}", file=sys.stderr)
 
 
-def run_suite(spark, sf_dir: str, timed_runs: int = 3, names=None) -> dict[str, float]:
+def run_suite(
+    spark, sf_dir: str, timed_runs: int = 3, names=None
+) -> tuple[dict[str, float], dict[str, int]]:
     """Median of ``timed_runs`` after one warmup. One warmup is NOT enough
     at the big SF: the expression-heaviest queries (md5-sketch dedup) run
     3-10× slower until HotSpot finishes compiling the generated code, and
