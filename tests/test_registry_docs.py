@@ -1,0 +1,28 @@
+"""Docs ↔ registry drift guard (r2 verdict: README said 102 while the
+registry had 104 — make the count impossible to get wrong silently)."""
+
+import re
+
+from proxyhouse_spark import registry
+
+
+def test_readme_counts_match_registry():
+    text = open("/root/repo/README.md", encoding="utf-8").read()
+    m = re.search(r"(\d+) registered queries, (\d+) DuckDB-oracle-checked", text)
+    assert m, "README must state the registry counts in the standard phrasing"
+    assert int(m.group(1)) == len(registry.QUERIES), (
+        f"README says {m.group(1)} registered queries; registry has "
+        f"{len(registry.QUERIES)} — update README.md"
+    )
+    assert int(m.group(2)) == len(registry.ORACLES), (
+        f"README says {m.group(2)} oracle-checked; registry has "
+        f"{len(registry.ORACLES)} — update README.md"
+    )
+
+
+def test_every_query_runs_or_oracles():
+    # every oracle belongs to a registered query, and the rows-only set is
+    # exactly the documented exceptions
+    assert set(registry.ORACLES) <= set(registry.QUERIES)
+    rows_only = set(registry.QUERIES) - set(registry.ORACLES)
+    assert rows_only == {"q_approx_distinct", "q_gelf_packet"}
