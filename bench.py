@@ -37,6 +37,7 @@ HEADLINE = [
     "q_sliding_window",      # event-time windows (4x row expansion)
     "q_dedup_exact",         # hash dedup
     "q_minhash_neardup",     # shingle/minhash/band join
+    "q_simhash_neardup",     # simhash nibble-band join (pair-heavy output)
     "q_knn_cosine",          # brute-force vector top-k
     "q_corpus_pipeline",     # composed normalize/quality/dedup/chunk/split
     "q_bm25",                # ranked retrieval (BM25 top-k)

@@ -377,10 +377,15 @@ def simhash_neardup_oracle() -> str:
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (same-label blocking, cos >= 0.9).
 
+    SCALE WARNING — this is the exact ORACLE BASELINE, superlinear by
+    design (probe: 20.6× wall at 10× data): all-pairs within a block is
+    quadratic in block size. A pipeline running at scale should call
+    ``embedding_neardup_lsh`` (q_embedding_neardup_lsh, below) — the
+    label+sign-LSH blocked variant with identical output contract, probed
+    at 1.5× wall for 10× data and still fully oracled.
+
     At 100 TB the label join IS the blocking strategy (cluster id / shard
-    key); all-pairs within a block is quadratic in block size, so blocks
-    must be bounded — LSH bucketing (q_knn_lsh) is the unbounded-scale
-    alternative.
+    key); blocks must be bounded for the quadratic stage to be safe.
 
     Norms are precomputed per VECTOR before the join (O(corpus) folds),
     so the quadratic pair stage runs only the dot product — the norm fold

@@ -113,17 +113,49 @@ def run_suite(
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("names", nargs="*", help="subset of queries to probe")
+    ap.add_argument(
+        "--small",
+        default=SF_DIR,
+        help="small-side fixture dir (default: bench SF). Pass "
+        "/root/testdata/sf0.01 to turn the ~sf1 scratch into a 100x probe.",
+    )
+    ap.add_argument(
+        "--data-ratio",
+        type=float,
+        default=None,
+        help="data ratio big/small (default: COPIES vs the bench SF; "
+        "inferred x10 per sf decade when --small differs)",
+    )
+    ap.add_argument(
+        "--runs",
+        type=int,
+        default=3,
+        help="timed runs per query (median reported). Use 1 for the "
+        "minutes-long 100x heavy subset; note it in the writeup.",
+    )
+    args = ap.parse_args()
+    data_ratio = args.data_ratio
+    if data_ratio is None:
+        # scratch is COPIES x the bench SF; scale by the sf-dir decade gap
+        small_sf = float(args.small.rstrip("/").split("sf")[-1])
+        bench_sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+        data_ratio = COPIES * bench_sf / small_sf
+
     spark = get_spark("scale_probe")
     build_scratch(spark)
-    names = sys.argv[1:] or None  # optional: probe specific queries
-    small, small_rows = run_suite(spark, SF_DIR, names=names)
-    big, big_rows = run_suite(spark, SCRATCH, names=names)
+    names = args.names or None
+    small, small_rows = run_suite(spark, args.small, timed_runs=args.runs, names=names)
+    big, big_rows = run_suite(spark, SCRATCH, timed_runs=args.runs, names=names)
     ratios = {k: round(big[k] / max(small[k], 1e-9), 1) for k in small}
     out_ratios = {k: round(big_rows[k] / max(small_rows[k], 1), 1) for k in small}
     print(
         json.dumps(
             {
-                "data_ratio": COPIES,
+                "data_ratio": data_ratio,
                 "sf_small_total": round(sum(small.values()), 2),
                 "sf_big_total": round(sum(big.values()), 2),
                 "total_ratio": round(sum(big.values()) / sum(small.values()), 1),
