@@ -138,7 +138,11 @@ def chunk_packets(
 
 def reassemble(packets: list[bytes]) -> bytes:
     """Inverse of chunk_packets (what a GELF server does): order chunks by
-    seq index and concatenate; a single raw datagram passes through."""
+    seq index and concatenate; a single raw datagram passes through.
+
+    Raw-vs-chunked dispatch keys on the 0x1e0f magic prefix, exactly like a
+    GELF server. Unambiguous by construction: raw GELF datagrams are zlib
+    streams, whose first byte is always 0x78."""
     if len(packets) == 1 and not packets[0].startswith(GELF_MAGIC):
         return packets[0]
     chunks: dict[int, bytes] = {}

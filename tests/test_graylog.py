@@ -127,3 +127,29 @@ def test_live_udp_loopback_reassembly():
     assert decoded["timestamp"] == 1594916275
     assert decoded["full_message"] == big
     assert decoded["short_message"] == big[:125] + "..."
+
+
+def test_chunk_roundtrip_property():
+    """Property: for any payload and chunk size, the wire datagrams
+    reassemble to the exact payload (the invariant the reference's two
+    transport bugs break), and every chunked datagram fits header+chunk."""
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        payload=st.binary(min_size=0, max_size=4096),
+        chunk_size=st.integers(min_value=33, max_value=1024),
+        message_id=st.integers(min_value=0, max_value=2**64 - 1),
+    )
+    def check(payload, chunk_size, message_id):
+        # raw datagrams are zlib streams in the protocol (first byte 0x78),
+        # so a payload starting with the chunk magic cannot occur
+        assume(not payload.startswith(gl.GELF_MAGIC))
+        packets = gl.chunk_packets(payload, message_id, chunk_size)
+        assert gl.reassemble(packets) == payload
+        if len(payload) >= chunk_size:
+            assert all(len(p) <= chunk_size + 12 for p in packets)
+            assert len(packets) == -(-len(payload) // chunk_size)
+
+    check()
