@@ -338,3 +338,78 @@ def corpus_pipeline_oracle() -> str:
              AS split
     FROM e
     """
+
+
+# ---------------------------------------------------------------------------
+# sequence_pack — chunks → fixed-length training sequences (the step between
+# chunking and the trainer). Greedy concatenation packing: within a shard,
+# chunks are laid end-to-end in deterministic (doc_id, chunk_id) order and a
+# chunk's sequence is floor(tokens_before / SEQ_LEN); a chunk may straddle a
+# sequence boundary (the trainer slices), which is exactly what makes the
+# layout computable as a running sum instead of a serial first-fit bin-pack.
+#
+# Scale (100 TB): ONE shuffle (hash by shard), then a partitioned window —
+# no global ordering bottleneck. The shard count is the parallelism knob
+# (8 here so sf0.001 still exercises multi-row shards; thousands in
+# production — each shard's packing is independent by construction).
+# Integer-only arithmetic → bit-exact across engines.
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 128  # tokens per packed training sequence
+N_PACK_SHARDS = 8
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    n_chunks = _N_CHUNKS.format(ntoks="ntoks", chunk=CHUNK, stride=STRIDE)
+    return spark.sql(
+        f"""
+        WITH tk AS (SELECT doc_id, size(split(text, ' ', -1)) AS ntoks
+                    FROM documents),
+        c AS (SELECT doc_id, ntoks, {n_chunks} AS n_chunks FROM tk),
+        e AS (SELECT doc_id, ntoks, chunk_id,
+                     CAST(least({CHUNK}, ntoks - chunk_id * {STRIDE}) AS BIGINT)
+                       AS chunk_tokens
+              FROM c LATERAL VIEW explode(sequence(0, n_chunks - 1)) t AS chunk_id),
+        w AS (SELECT doc_id % {N_PACK_SHARDS} AS shard, doc_id, chunk_id,
+                     chunk_tokens,
+                     coalesce(sum(chunk_tokens) OVER (
+                         PARTITION BY doc_id % {N_PACK_SHARDS}
+                         ORDER BY doc_id, chunk_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS tokens_before
+              FROM e)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(tokens_before DIV {SEQ_LEN} AS BIGINT) AS seq_id,
+               doc_id, chunk_id, chunk_tokens,
+               CAST(tokens_before % {SEQ_LEN} AS BIGINT) AS seq_offset
+        FROM w
+        """
+    )
+
+
+def sequence_pack_oracle() -> str:
+    n_chunks = _N_CHUNKS.format(ntoks="ntoks", chunk=CHUNK, stride=STRIDE)
+    return f"""
+    WITH tk AS (SELECT doc_id, len(string_split(text, ' ')) AS ntoks
+                FROM documents),
+    c AS (SELECT doc_id, ntoks, {n_chunks} AS n_chunks FROM tk),
+    e AS (SELECT doc_id, ntoks, unnest(range(0, n_chunks)) AS chunk_id FROM c),
+    e2 AS (SELECT doc_id, chunk_id,
+                  CAST(least({CHUNK}, ntoks - chunk_id * {STRIDE}) AS BIGINT)
+                    AS chunk_tokens
+           FROM e),
+    w AS (SELECT doc_id % {N_PACK_SHARDS} AS shard, doc_id, chunk_id,
+                 chunk_tokens,
+                 coalesce(sum(chunk_tokens) OVER (
+                     PARTITION BY doc_id % {N_PACK_SHARDS}
+                     ORDER BY doc_id, chunk_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS tokens_before
+          FROM e2)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(tokens_before // {SEQ_LEN} AS BIGINT) AS seq_id,
+           doc_id, chunk_id, chunk_tokens,
+           CAST(tokens_before % {SEQ_LEN} AS BIGINT) AS seq_offset
+    FROM w
+    """

@@ -584,6 +584,9 @@ register("q_length_filter", pipeline_ops.length_filter_oracle())(
 register("q_chunk_dedup", pipeline_ops.chunk_dedup_oracle())(
     pipeline_ops.chunk_dedup
 )
+register("q_sequence_pack", pipeline_ops.sequence_pack_oracle())(
+    pipeline_ops.sequence_pack
+)
 
 register("q_knn_ivf", similarity.knn_ivf_oracle())(similarity.knn_ivf)
 register("q_knn_batch", similarity.knn_batch_oracle())(similarity.knn_batch)

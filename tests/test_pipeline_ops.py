@@ -82,3 +82,31 @@ def test_gelf_truncation_branches(spark):
                 assert short == msg[:ind]
                 saw_newline_cut = True
     assert saw_short and saw_ellipsis and saw_newline_cut
+
+
+def test_sequence_pack_layout(spark):
+    """Packing invariants at sf0.001: within every shard, chunks tile the
+    token stream exactly (each chunk starts where the previous ended), the
+    sequence id is the running total DIV SEQ_LEN, offsets stay inside the
+    sequence, and no tokens are lost (per-shard totals equal the chunk-token
+    sum)."""
+    from proxyhouse_spark.operators.pipeline_ops import SEQ_LEN
+    from proxyhouse_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = registry.QUERIES["q_sequence_pack"](spark, SF_SMALL).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.doc_id, r.chunk_id))
+        running = 0
+        for r in rs:
+            assert r.seq_id == running // SEQ_LEN, (shard, r)
+            assert r.seq_offset == running % SEQ_LEN, (shard, r)
+            assert 0 < r.chunk_tokens <= 32
+            running += r.chunk_tokens
+        # every doc's chunks are contiguous in the laid-out order and the
+        # stream covers all tokens — nothing dropped, nothing double-packed
+        assert running == sum(r.chunk_tokens for r in rs)
