@@ -252,3 +252,24 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
         if "CartesianProduct" in tree or "BroadcastNestedLoopJoin" in tree:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_sequence_pack_single_shuffle_no_global_sort(spark):
+    """Packing must stay one hash exchange (by shard) + a partitioned
+    window — a global ORDER BY would serialize the whole corpus through
+    one task at 100 TB."""
+    tree = tree_of(plan_of(spark, "q_sequence_pack"))
+    assert tree.count("Exchange") == 1
+    assert "rangepartitioning" not in tree.lower()  # no global sort
+    assert tree.count("Window") == 1
+
+
+def test_gelf_packet_is_narrow(spark):
+    """Wire packetization is embarrassingly parallel: Arrow-batched
+    MapInPandas directly over the pruned scan — zero exchanges, validation
+    filter pushed below the Python stage."""
+    plan = plan_of(spark, "q_gelf_packet")
+    tree = tree_of(plan)
+    assert "Exchange" not in tree
+    assert "MapInPandas" in tree
+    assert tree.index("MapInPandas") < tree.index("Filter")  # filter below
