@@ -793,3 +793,7 @@ register("q_corpus_pipeline", pipeline_ops.corpus_pipeline_oracle())(
 )
 register("q_gapfill_locf", sampling.gapfill_locf_oracle())(sampling.gapfill_locf)
 register("q_scd2", relational.scd2_intervals_oracle())(relational.scd2_intervals)
+
+from .operators import cdc  # noqa: E402
+
+register("q_cdc_upsert", cdc.cdc_upsert_oracle())(cdc.cdc_upsert)

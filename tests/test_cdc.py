@@ -1,0 +1,44 @@
+"""Semantic tests for the CDC changelog-apply operator at sf0.001 — the
+differential harness is the primary gate; these pin the invariants the
+oracle can't see (idempotence of the fold, tombstone totality, version
+monotonicity)."""
+
+from proxyhouse_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def test_cdc_upsert_latest_wins_and_tombstones_drop(spark):
+    snap = registry.QUERIES["q_cdc_upsert"](spark, SF_SMALL)
+    rows = snap.collect()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys)), "exactly one surviving row per key"
+
+    # tombstoned keys (k % 13 == 0) are gone, all others survive
+    all_keys = {r.o_orderkey for r in orders.select("o_orderkey").collect()}
+    surviving = set(keys)
+    assert surviving == {k for k in all_keys if k % 13 != 0}
+
+    by_key = {r.o_orderkey: r for r in rows}
+    for k, r in by_key.items():
+        if k % 21 == 0:
+            assert r.o_orderstatus == "Y" and r.n_versions == 3
+        elif k % 7 == 0:
+            assert r.o_orderstatus == "X" and r.n_versions == 2
+        else:
+            assert r.n_versions == 1
+
+
+def test_cdc_upsert_is_idempotent(spark):
+    """Applying the same changelog twice yields the same snapshot — the
+    at-least-once replay-safety contract (reference DLQ replay semantics,
+    main.go:423-441, imposed on the analytics side)."""
+    a = registry.QUERIES["q_cdc_upsert"](spark, SF_SMALL)
+    b = registry.QUERIES["q_cdc_upsert"](spark, SF_SMALL)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_cdc_upsert_plan_single_window_no_join(spark):
+    """Compaction must be one shuffle (the window on the key), no join."""
+    plan = registry.QUERIES["q_cdc_upsert"](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
