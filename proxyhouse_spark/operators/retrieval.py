@@ -310,3 +310,65 @@ def bm25_rank_oracle() -> str:
     return _bm25_sql(
         "string_split(text, ' ')", "len", "list_filter", "CROSS JOIN"
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob — LM-quality scoring (CCNet shape: "CCNet: Extracting
+# High Quality Monolingual Datasets from Web Crawl Data", Wenzek et al.
+# 2020 — there a KenLM 5-gram perplexity buckets the corpus into
+# head/middle/tail; here the portable stand-in is a corpus unigram model,
+# the same score family with an exactly-oracle-able definition).
+#
+# score(doc) = mean over token occurrences of log10 P(tok), with
+# P(tok) = corpus_tf(tok) / corpus_tokens. Docs are then bucketed into
+# head/middle/tail terciles by ntile(3) over (score DESC, doc_id) — the
+# CCNet partition that decides what a training run keeps.
+#
+# Float discipline: each token's log10 is rounded to 6 dp and cast to
+# DECIMAL(18,6); the per-doc sum is then EXACT decimal addition —
+# order-independent, so Spark's parallel aggregation and DuckDB's serial
+# one agree bit-for-bit (the same trick as q_bm25's textually-fixed sum).
+#
+# Scale: the unigram model is the vocab-sized frame — a trained LM is
+# fixed-size, so at 100 TB it broadcasts (or shuffle-hash joins on tok if
+# a raw-corpus vocab outgrows broadcast); the doc side shuffles once on
+# doc_id for the per-doc fold. ntile needs a global sort of DOC SCORES
+# (one row per doc, not per token) — at extreme scale the tercile
+# boundary would come from approx_percentile instead; the fixture-exact
+# spelling keeps the oracle bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _unigram_sql(dt: str, cross: str) -> str:
+    return f"""
+    WITH {dt},
+    freq AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf FROM dt GROUP BY tok),
+    tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS n FROM freq),
+    occ AS (
+      SELECT dt.doc_id, dt.tf,
+             CAST(round(log10(CAST(freq.ctf AS DOUBLE) / tot.n), 6)
+                  AS DECIMAL(18, 6)) AS lp
+      FROM dt JOIN freq ON dt.tok = freq.tok {cross} tot),
+    doc AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+             sum(lp * tf) AS sum_lp
+      FROM occ GROUP BY doc_id),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             round(CAST(sum_lp AS DOUBLE) / n_tokens, 4) AS mean_lp
+      FROM doc)
+    SELECT doc_id, n_tokens, mean_lp,
+           CASE ntile(3) OVER (ORDER BY mean_lp DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket
+    FROM scored
+    """
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(_unigram_sql(_DT_SPARK, "CROSS JOIN"))
+
+
+def unigram_logprob_oracle() -> str:
+    return _unigram_sql(_DT_DUCK, "CROSS JOIN")

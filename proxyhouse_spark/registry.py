@@ -797,3 +797,6 @@ register("q_scd2", relational.scd2_intervals_oracle())(relational.scd2_intervals
 from .operators import cdc  # noqa: E402
 
 register("q_cdc_upsert", cdc.cdc_upsert_oracle())(cdc.cdc_upsert)
+register("q_unigram_logprob", retrieval.unigram_logprob_oracle())(
+    retrieval.unigram_logprob
+)

@@ -235,6 +235,7 @@ _SCALAR_BNLJ_OK = {
     "q_knn_cosine",       # 1-row probe vector
     "q_knn_batch",        # 3-row probe set
     "q_mix_temperature",  # 1-row corpus total
+    "q_unigram_logprob",  # 1-row corpus token total (the LM normalizer)
 }
 
 

@@ -81,3 +81,23 @@ def test_cohort_retention_bounds(spark):
     for r in rows:
         assert 0 <= r.n_d1 <= r.n_users
         assert 0 <= r.n_d7 <= r.n_users
+
+
+def test_unigram_logprob_buckets_and_bounds(spark):
+    rows = registry.QUERIES["q_unigram_logprob"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    from collections import Counter
+
+    buckets = Counter(r.bucket for r in rows)
+    # ntile(3) over 500 docs → 167/167/166
+    assert buckets == {"head": 167, "middle": 167, "tail": 166}
+    for r in rows:
+        assert r.mean_lp < 0  # log10 of a probability < 1
+        assert r.n_tokens > 0
+    # bucket order must follow score order: min(head) >= max(middle) etc.
+    assert min(r.mean_lp for r in rows if r.bucket == "head") >= max(
+        r.mean_lp for r in rows if r.bucket == "middle"
+    )
+    assert min(r.mean_lp for r in rows if r.bucket == "middle") >= max(
+        r.mean_lp for r in rows if r.bucket == "tail"
+    )
