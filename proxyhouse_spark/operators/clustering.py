@@ -1,0 +1,179 @@
+"""Embedding clustering + semantic dedup (SURVEY §2.11 ext).
+
+- ``kmeans_embed``    — deterministic Lloyd k-means over the embedding
+  corpus: K=8 centroids initialized from the first K vectors (by
+  vec_id), two full assign→recompute iterations, all in declarative SQL.
+  The per-iteration shape is the one that scales: the K-row centroid
+  frame broadcasts (it is O(K·dim) bytes regardless of corpus size), the
+  assignment is a narrow argmin over that broadcast, and the centroid
+  update is one map-side-combinable aggregation on (cluster, dim) —
+  shuffle volume O(K·dim), not O(rows). A production run loops more
+  iterations (driver loop, same plan per round — the dedup_clusters
+  fixpoint pattern); the fixed 2-iteration unroll keeps the whole thing
+  a single differentially-checkable query.
+- ``semantic_dedup``  — SemDeDup ("SemDeDup: Data-efficient learning at
+  web-scale through semantic deduplication", Abbas et al. 2023) shape:
+  k-means-cluster the corpus, then drop any vector whose cosine to a
+  lower-id member of the SAME cluster exceeds τ — the within-cluster
+  ε-ball prune that removes semantic (not just textual) duplicates from
+  training corpora. Blocking by cluster caps the pair join: cost is
+  Σ|cluster|², controlled by K (at 100 TB you raise K so clusters stay
+  ~10³-10⁴ vectors; the paper uses K=11k over 1.3e9 embeddings). The
+  pair join is hinted SHUFFLE_HASH on the cluster id — both sides scale
+  with the corpus, so broadcasting either is a scale bug (the minhash
+  lesson, tests/test_plans.py).
+
+Float discipline: centroid means and distances are rounded to 6 dp in
+BOTH dialects before any comparison, so parallel-vs-serial summation ulp
+noise cannot flip an argmin; assignment ties break by cluster id. The
+sign-LSH hyperplanes trick (functions/vectors.py) is not needed here —
+init centroids are data vectors, exact in both engines.
+
+Reference parity: ABSENT — /root/reference has no vector/ML surface of
+any kind; north-star addition per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.corpus import EMB_CORPUS_DUCK, EMB_CORPUS_SPARK
+from ..tables import table
+
+K = 8
+DIM = 64
+ITERS = 2
+SEM_TAU = 0.98
+
+
+def _dot(a: str, b: str, duck: bool) -> str:
+    if duck:
+        return f"list_sum(list_transform(range(1, {DIM + 1}), i -> {a}[i] * {b}[i]))"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm2(a: str, duck: bool) -> str:
+    if duck:
+        return f"list_sum(list_transform({a}, x -> x * x))"
+    return (
+        f"aggregate(transform({a}, x -> x * x), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _assign(src: str, cents: str, duck: bool) -> str:
+    """argmin squared distance: |c|² - 2·v·c (|v|² is constant per row)."""
+    d = f"round({_norm2('c.ce', duck)} - 2 * {_dot('v.e', 'c.ce', duck)}, 6)"
+    return f"""(
+      SELECT vec_id, e, c FROM (
+        SELECT v.vec_id, v.e, c.c,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {d}, c.c) AS rn
+        FROM {src} v CROSS JOIN {cents} c) t
+      WHERE rn = 1)"""
+
+
+def _recompute(assign: str, duck: bool) -> str:
+    """Per-cluster mean vector, dimension-parallel, rounded to 6 dp."""
+    if duck:
+        dim = f"""(
+          SELECT c, i - 1 AS pos, round(avg(v), 6) AS m FROM (
+            SELECT c, i, e[i] AS v FROM {assign} a
+            CROSS JOIN range(1, {DIM + 1}) t(i)) x
+          GROUP BY c, pos)"""
+        return f"(SELECT c, list(m ORDER BY pos) AS ce FROM {dim} d GROUP BY c)"
+    dim = f"""(
+      SELECT c, pos, round(avg(v), 6) AS m
+      FROM {assign} a LATERAL VIEW posexplode(e) t AS pos, v
+      GROUP BY c, pos)"""
+    return (
+        f"(SELECT c, transform(array_sort(collect_list(struct(pos, m))), "
+        f"s -> s.m) AS ce FROM {dim} d GROUP BY c)"
+    )
+
+
+def _kmeans_chain(duck: bool) -> str:
+    """CTE chain embc → cents0 → (a1, cents1) → … → (aN, centsN)."""
+    parts = [
+        f"cents0 AS (SELECT CAST(vec_id AS INT) AS c, e AS ce "
+        f"FROM embc WHERE vec_id < {K})"
+    ]
+    for i in range(1, ITERS + 1):
+        parts.append(f"a{i} AS {_assign('embc', f'cents{i - 1}', duck)}")
+        parts.append(f"cents{i} AS {_recompute(f'a{i}', duck)}")
+    return ",\n".join(parts)
+
+
+def _kmeans_sql(embc: str, duck: bool) -> str:
+    return f"""
+    WITH embc AS ({embc}),
+    {_kmeans_chain(duck)},
+    sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS n_members,
+                     CAST(min(vec_id) AS BIGINT) AS min_vec_id
+              FROM a{ITERS} GROUP BY c)
+    SELECT s.c AS cluster_id, s.n_members, s.min_vec_id,
+           round(sqrt({_norm2('ce', duck)}), 6) AS centroid_norm
+    FROM sizes s JOIN cents{ITERS} f ON s.c = f.c
+    """
+
+
+_EMB_PLAIN_SPARK = (
+    "SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings"
+)
+_EMB_PLAIN_DUCK = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+    "FROM embeddings"
+)
+
+
+def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_kmeans_sql(_EMB_PLAIN_SPARK, duck=False))
+
+
+def kmeans_embed_oracle() -> str:
+    return _kmeans_sql(_EMB_PLAIN_DUCK, duck=True)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — within-cluster cosine prune over the injected-duplicate
+# corpus (sources/corpus.py plants vec_id % 25 == 0 → +1e6 twins at
+# cosine ≈ 0.999). Output: each dropped vector with its surviving keeper.
+# ---------------------------------------------------------------------------
+
+
+def _semantic_sql(embc: str, duck: bool, hint: str) -> str:
+    cos = (
+        f"({_dot('a.e', 'b.e', duck)}) / "
+        f"(sqrt({_norm2('a.e', duck)}) * sqrt({_norm2('b.e', duck)}))"
+    )
+    # corpus vec_id is the label column here; strip it for the shared chain
+    return f"""
+    WITH embc AS (SELECT vec_id, e FROM ({embc}) raw),
+    {_kmeans_chain(duck)},
+    pairs AS (
+      SELECT {hint} a.vec_id AS dup_id, b.vec_id AS keep_id, a.c,
+             round({cos}, 6) AS cos_sim
+      FROM a{ITERS} a JOIN a{ITERS} b
+        ON a.c = b.c AND b.vec_id < a.vec_id
+      WHERE round({cos}, 6) >= {SEM_TAU}),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY dup_id
+                                   ORDER BY cos_sim DESC, keep_id) AS rn
+      FROM pairs)
+    SELECT dup_id, keep_id, c AS cluster_id, cos_sim
+    FROM best WHERE rn = 1
+    """
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        _semantic_sql(EMB_CORPUS_SPARK, duck=False, hint="/*+ SHUFFLE_HASH(a, b) */")
+    )
+
+
+def semantic_dedup_oracle() -> str:
+    return _semantic_sql(EMB_CORPUS_DUCK, duck=True, hint="")

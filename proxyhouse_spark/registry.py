@@ -800,3 +800,12 @@ register("q_cdc_upsert", cdc.cdc_upsert_oracle())(cdc.cdc_upsert)
 register("q_unigram_logprob", retrieval.unigram_logprob_oracle())(
     retrieval.unigram_logprob
 )
+
+from .operators import clustering  # noqa: E402
+
+register("q_kmeans_embed", clustering.kmeans_embed_oracle())(
+    clustering.kmeans_embed
+)
+register("q_semantic_dedup", clustering.semantic_dedup_oracle())(
+    clustering.semantic_dedup
+)

@@ -133,3 +133,21 @@ def test_decoder_seam_dispatch(monkeypatch):
     )
     assert mm._decode_features(b"\xff") == (9, 9, 9, 9)
     assert calls == [b"\xff"]
+
+
+def test_kmeans_partitions_corpus_exactly(spark):
+    rows = registry.QUERIES["q_kmeans_embed"](spark, SF_SMALL).collect()
+    assert len(rows) == 8  # no cluster emptied at fixture scale
+    assert sum(r.n_members for r in rows) == 500  # a partition of the corpus
+    assert all(r.centroid_norm > 0 for r in rows)
+
+
+def test_semantic_dedup_drops_exactly_planted_twins(spark):
+    """SemDeDup must find the injected +0.05-perturbed twins (cos≈0.999)
+    and nothing from the IID bulk, and each twin's keeper must be its
+    original (the only other vector within tau)."""
+    rows = registry.QUERIES["q_semantic_dedup"](spark, SF_SMALL).collect()
+    assert rows, "planted twins must be found"
+    for r in rows:
+        assert r.dup_id == r.keep_id + 1_000_000
+        assert r.cos_sim >= 0.99

@@ -236,6 +236,8 @@ _SCALAR_BNLJ_OK = {
     "q_knn_batch",        # 3-row probe set
     "q_mix_temperature",  # 1-row corpus total
     "q_unigram_logprob",  # 1-row corpus token total (the LM normalizer)
+    "q_kmeans_embed",     # K-row centroid frame (O(K·dim) by construction)
+    "q_semantic_dedup",   # K-row centroid frame; pair join pinned shuffle-hash
 }
 
 
@@ -274,3 +276,20 @@ def test_gelf_packet_is_narrow(spark):
     assert "Exchange" not in tree
     assert "MapInPandas" in tree
     assert tree.index("MapInPandas") < tree.index("Filter")  # filter below
+
+
+def test_semantic_dedup_pair_join_is_shuffle_hash(spark):
+    """The within-cluster pair join has two corpus-scaled sides —
+    broadcasting either is the minhash scale bug. Centroid frames (K rows)
+    are the only broadcasts allowed."""
+    tree = tree_of(plan_of(spark, "q_semantic_dedup"))
+    assert tree.count("ShuffledHashJoin") == 1
+    assert "SortMergeJoin" not in tree
+
+
+def test_kmeans_centroid_update_is_partial_agg(spark):
+    """Centroid recompute must plan map-side partial aggregation on
+    (cluster, dim) — shuffle O(K*dim), not O(rows)."""
+    plan = plan_of(spark, "q_kmeans_embed")
+    assert "partial_avg" in plan  # map-side combine on (cluster, dim)
+    assert "CartesianProduct" not in tree_of(plan)
