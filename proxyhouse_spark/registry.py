@@ -755,6 +755,16 @@ WHERE event_id % 2 = 1
                  FROM valid WHERE event_id % 2 = 0)
 """)(streaming_pipeline.stream_dedup_query)
 
+register("q_stream_interval_join", _VALID + f"""
+, a AS (SELECT event_id AS a_id, recv_ts AS a_ts, uri FROM valid
+        WHERE event_id % 2 = 0),
+b AS (SELECT event_id AS b_id, recv_ts AS b_ts, uri FROM valid
+      WHERE event_id % 2 = 1)
+SELECT a.a_id, b.b_id, a.uri, a.a_ts, b.b_ts
+FROM a JOIN b ON a.uri = b.uri AND b.b_ts >= a.a_ts
+  AND b.b_ts <= a.a_ts + INTERVAL {streaming_pipeline.IJOIN_WINDOW_DAYS} DAY
+""")(streaming_pipeline.stream_interval_join_query)
+
 _ENRICH_DIM = ", ".join(
     f"('{t}', '{r}')" for t, r in streaming_pipeline.ENRICH_ROUTES
 )

@@ -775,3 +775,124 @@ def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "event_id", "uri", "table_name", "route"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (north-star T-family extension): the
+# impressions⋈clicks shape — two unbounded streams joined on a key plus an
+# event-time interval. The reference has nothing remotely like this (its
+# single stream is never joined, SURVEY §2.3); in Spark it is the
+# StreamingSymmetricHashJoin: both sides are watermarked, state is kept
+# per key and evicted once the watermark proves no future match can
+# arrive, and the interval condition (b_ts ∈ [a_ts, a_ts + W]) is what
+# makes that eviction bound exist at all — an unconstrained stream-stream
+# join would hold both streams forever, which is exactly what does not
+# survive an unbounded run. State is partitioned by the equi-key (uri),
+# so at 1000 executors the join scales like any keyed shuffle; per-key
+# state is O(rows in the W+delay horizon), independent of stream length.
+# ---------------------------------------------------------------------------
+
+IJOIN_DELAY = "10 minutes"
+IJOIN_WINDOW_DAYS = 2
+# B-side arrival split for the two-pass run (fixture timeline is
+# 2024-01-01..30). Chosen so pass-2 rows are never late (b_ts > split >
+# watermark₁) and their A partners' state is provably live (eviction needs
+# watermark > a_ts + W, and a_ts + W > split by the join condition) — the
+# completeness argument is arithmetic, not an empirically-tuned boundary.
+IJOIN_SPLIT = "2024-01-24 00:00:00"
+
+
+def interval_join_stream(
+    spark: SparkSession,
+    a_dir: str,
+    b_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """One availableNow pass of the watermarked stream-stream interval
+    join: A-side requests matched to same-uri B-side requests arriving
+    within the next IJOIN_WINDOW_DAYS."""
+    from ..operators.ingest import validate_requests
+    from ..sources.requests import requests_stream_df
+
+    a = (
+        _event_time_as_instant(
+            validate_requests(requests_stream_df(spark, a_dir)), "recv_ts"
+        )
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("recv_ts").alias("a_ts"),
+            "uri",
+        )
+        .withWatermark("a_ts", IJOIN_DELAY)
+    )
+    b = (
+        _event_time_as_instant(
+            validate_requests(requests_stream_df(spark, b_dir)), "recv_ts"
+        )
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("recv_ts").alias("b_ts"),
+            F.col("uri").alias("b_uri"),
+        )
+        .withWatermark("b_ts", IJOIN_DELAY)
+    )
+    joined = a.join(
+        b,
+        F.expr(
+            "uri = b_uri AND b_ts >= a_ts "
+            f"AND b_ts <= a_ts + INTERVAL {IJOIN_WINDOW_DAYS} DAYS"
+        ),
+        "inner",
+    ).select("a_id", "b_id", "uri", "a_ts", "b_ts")
+    return (
+        joined.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+
+
+def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7, oracle-checked: the REAL stream-stream interval join run as two
+    availableNow passes — pass 2 delivers the post-split B rows against
+    A-side state restored from pass 1's checkpoint, so the cross-restart
+    join state is exercised, while the split arithmetic (see IJOIN_SPLIT)
+    guarantees no row is late and no partner is evicted. The emitted union
+    must therefore hash-match the plain batch interval join — any drift in
+    Spark's state-eviction bounds would surface as a differential failure,
+    not a silent result change."""
+    import os
+
+    from ..sources.requests import requests_df
+    from ..tables import EPOCH_NTZ
+
+    base = _scratch_dir("t7_ijoin_")
+    a_src = os.path.join(base, "a")
+    b_src = os.path.join(base, "b")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    req = requests_df(spark, sf_dir)
+    split = F.expr(f"TIMESTAMP_NTZ '{IJOIN_SPLIT}'")
+    req.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(a_src)
+    b_rows = req.filter(F.col("event_id") % 2 == 1)
+    b_rows.filter(F.col("recv_ts") <= split).coalesce(1).write.parquet(b_src)
+    q = interval_join_stream(spark, a_src, b_src, out, ckpt)
+    _await_or_raise(q)
+    b_rows.filter(F.col("recv_ts") > split).coalesce(1).write.mode(
+        "append"
+    ).parquet(b_src)
+    q = interval_join_stream(spark, a_src, b_src, out, ckpt)
+    _await_or_raise(q)
+    return spark.read.parquet(out).select(
+        "a_id",
+        "b_id",
+        "uri",
+        F.expr(f"timestampadd(MICROSECOND, unix_micros(a_ts), {EPOCH_NTZ})").alias(
+            "a_ts"
+        ),
+        F.expr(f"timestampadd(MICROSECOND, unix_micros(b_ts), {EPOCH_NTZ})").alias(
+            "b_ts"
+        ),
+    )

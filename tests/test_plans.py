@@ -222,6 +222,7 @@ _EXECUTING = {
     "q_stream_windowed",
     "q_stream_dedup",
     "q_stream_enrich",
+    "q_stream_interval_join",
     "q_dedup_clusters",
 }
 

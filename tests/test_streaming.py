@@ -410,3 +410,54 @@ def test_watermark_boundary_pins(spark, dirs):
         "replay-always-suppressed + fresh rows survive iff recv_ts is "
         "STRICTLY above the ms-truncated batch-start watermark"
     )
+
+
+def test_interval_join_matches_across_checkpoint_and_drops_late(spark, tmp_path):
+    """T7: the stream-stream interval join (a) matches a pass-2 B row
+    against A-side state restored from pass 1's checkpoint, and (b) drops
+    a B row arriving below the watermark (late) even though the batch join
+    would match it — the state bound that makes the join survive an
+    unbounded stream."""
+    from proxyhouse_spark.streaming.pipeline import interval_join_stream
+
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def at(minute):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+    def req_at(event_id, minute):
+        r = list(_req(event_id, "t0", f"({event_id})"))
+        r[1] = at(minute)
+        return tuple(r)
+
+    # pass 1: A at 00:10; B at 00:20 (matches in-batch); watermark carriers
+    # at 03:00 on BOTH sides — the global watermark is the MIN across all
+    # watermarked inputs, so advancing only one side leaves it at zero.
+    # After pass 1 the watermark is ≈ 02:50.
+    spark.createDataFrame([req_at(1, 10), req_at(2, 180)], COLS).coalesce(
+        1
+    ).write.parquet(a_dir)
+    spark.createDataFrame([req_at(100, 20), req_at(101, 180)], COLS).coalesce(
+        1
+    ).write.parquet(b_dir)
+    interval_join_stream(spark, a_dir, b_dir, out, ckpt).awaitTermination(120)
+    pass1 = {(r.a_id, r.b_id) for r in spark.read.parquet(out).collect()}
+    assert pass1 == {(1, 100), (1, 101), (2, 101)}  # all inside the window
+
+    # pass 2: a fresh B at 04:00 matches the checkpointed A=1 state; a LATE
+    # B back at 00:30 (< 02:50 watermark) is dropped despite matching A=1
+    # in batch semantics
+    spark.createDataFrame([req_at(102, 240), req_at(103, 30)], COLS).coalesce(
+        1
+    ).write.mode("append").parquet(b_dir)
+    interval_join_stream(spark, a_dir, b_dir, out, ckpt).awaitTermination(120)
+    pass2 = {(r.a_id, r.b_id) for r in spark.read.parquet(out).collect()} - pass1
+    assert (1, 102) in pass2 and (2, 102) in pass2, (
+        "cross-checkpoint state match must emit"
+    )
+    assert not any(b == 103 for _, b in pass2), (
+        "late B row must be dropped by the watermark"
+    )
