@@ -504,3 +504,62 @@ def scd2_intervals_oracle() -> str:
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """
+
+
+# ---------------------------------------------------------------------------
+# join_salted — the skew-join recipe as a first-class operator. The
+# companion of q_groupby_concat_salted (ingest.py): that one salts a
+# skewed AGGREGATION; this one salts a skewed JOIN. When the fact side's
+# join key is heavily skewed (here event_type: ~5 values over the whole
+# stream — one shuffle partition would receive ~20% of 100 TB) and the
+# dim side is too large to broadcast (billions of keys in production —
+# simulated by pinning the join off the broadcast path), the fix is:
+# fact gets a deterministic salt (event_id % S — portable, reproducible,
+# no RNG), the dim is exploded ×S, and the join key becomes (key, salt),
+# fanning each hot key across S partitions. AQE's skew-join split solves
+# the SORT-side skew for sort-merge joins, but a shuffled HASH join's
+# build side and any downstream keyed agg still see the hot key — salting
+# is the spelling that works everywhere. Output is aggregated back per
+# key, so the oracle (a plain unsalted join in DuckDB) proves the rewrite
+# is semantics-preserving.
+# ---------------------------------------------------------------------------
+
+N_JOIN_SALTS = 8
+
+
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg
+                     FROM events GROUP BY event_type),
+        dim_x AS (SELECT event_type, type_avg,
+                         explode(sequence(0, {N_JOIN_SALTS - 1})) AS salt
+                  FROM dim),
+        fact AS (SELECT event_type, value,
+                        CAST(event_id % {N_JOIN_SALTS} AS INT) AS salt
+                 FROM events)
+        SELECT /*+ SHUFFLE_HASH(d) */ f.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN f.value > d.type_avg THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above_avg,
+               round(sum(f.value), 2) AS total_value
+        FROM fact f JOIN dim_x d
+          ON f.event_type = d.event_type AND f.salt = d.salt
+        GROUP BY f.event_type
+        """
+    )
+
+
+def join_salted_oracle() -> str:
+    return """
+    WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg
+                 FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_avg,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """

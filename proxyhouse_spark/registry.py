@@ -819,3 +819,4 @@ register("q_kmeans_embed", clustering.kmeans_embed_oracle())(
 register("q_semantic_dedup", clustering.semantic_dedup_oracle())(
     clustering.semantic_dedup
 )
+register("q_join_salted", relational.join_salted_oracle())(relational.join_salted)

@@ -294,3 +294,13 @@ def test_kmeans_centroid_update_is_partial_agg(spark):
     plan = plan_of(spark, "q_kmeans_embed")
     assert "partial_avg" in plan  # map-side combine on (cluster, dim)
     assert "CartesianProduct" not in tree_of(plan)
+
+
+def test_join_salted_fans_hot_keys_across_partitions(spark):
+    """The salted join must actually join on (key, salt) — a shuffled hash
+    join whose exchange partitions by both columns — not collapse back to
+    a broadcast of the exploded dim (which would erase the skew fix)."""
+    plan = plan_of(spark, "q_join_salted")
+    tree = tree_of(plan)
+    assert "ShuffledHashJoin" in tree
+    assert "salt" in plan  # join/partition key carries the salt column
