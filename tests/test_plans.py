@@ -239,6 +239,7 @@ _SCALAR_BNLJ_OK = {
     "q_unigram_logprob",  # 1-row corpus token total (the LM normalizer)
     "q_kmeans_embed",     # K-row centroid frame (O(K·dim) by construction)
     "q_semantic_dedup",   # K-row centroid frame; pair join pinned shuffle-hash
+    "q_vocab_coverage",   # 1-row vocabulary-set frame (V tokens by construction)
 }
 
 

@@ -25,4 +25,8 @@ def test_every_query_runs_or_oracles():
     # exactly the documented exceptions
     assert set(registry.ORACLES) <= set(registry.QUERIES)
     rows_only = set(registry.QUERIES) - set(registry.ORACLES)
-    assert rows_only == {"q_approx_distinct", "q_gelf_packet"}
+    assert rows_only == {
+        "q_approx_distinct",      # HLL sketch is engine-specific
+        "q_gelf_packet",          # zlib byte counts implementation-defined
+        "q_approx_percentiles",   # t-digest sketch is engine-specific
+    }
