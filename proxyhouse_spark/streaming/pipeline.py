@@ -808,10 +808,15 @@ def interval_join_stream(
     b_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    join_type: str = "inner",
 ) -> StreamingQuery:
     """One availableNow pass of the watermarked stream-stream interval
     join: A-side requests matched to same-uri B-side requests arriving
-    within the next IJOIN_WINDOW_DAYS."""
+    within the next IJOIN_WINDOW_DAYS. ``join_type="leftOuter"`` adds the
+    unmatched-A contract: an A row with no B partner is emitted
+    null-padded only once the watermark proves no partner can still
+    arrive (state eviction IS the emission trigger — the streaming
+    difference from a batch outer join, pinned in tests)."""
     from ..operators.ingest import validate_requests
     from ..sources.requests import requests_stream_df
 
@@ -843,7 +848,7 @@ def interval_join_stream(
             "uri = b_uri AND b_ts >= a_ts "
             f"AND b_ts <= a_ts + INTERVAL {IJOIN_WINDOW_DAYS} DAYS"
         ),
-        "inner",
+        join_type,
     ).select("a_id", "b_id", "uri", "a_ts", "b_ts")
     return (
         joined.writeStream.trigger(availableNow=True)

@@ -461,3 +461,51 @@ def test_interval_join_matches_across_checkpoint_and_drops_late(spark, tmp_path)
     assert not any(b == 103 for _, b in pass2), (
         "late B row must be dropped by the watermark"
     )
+
+
+def test_interval_join_left_outer_emits_nulls_on_eviction(spark, tmp_path):
+    """T7b: streaming left-outer interval join — an unmatched A row is
+    emitted null-padded only when the watermark passes a_ts + window
+    (state eviction is the emission trigger), never while its match
+    window is still open."""
+    from proxyhouse_spark.streaming.pipeline import interval_join_stream
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def req_at(event_id, table, minute):
+        r = list(_req(event_id, table, f"({event_id})"))
+        r[1] = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+        return tuple(r)
+
+    # pass 1: unmatched A on t0 at 00:10; disjoint-uri carriers at 03:00
+    # advance both watermarks without creating matches
+    spark.createDataFrame(
+        [req_at(1, "t0", 10), req_at(2, "t1", 180)], COLS
+    ).coalesce(1).write.parquet(a_dir)
+    spark.createDataFrame([req_at(100, "t2", 180)], COLS).coalesce(
+        1
+    ).write.parquet(b_dir)
+    interval_join_stream(
+        spark, a_dir, b_dir, out, ckpt, join_type="leftOuter"
+    ).awaitTermination(120)
+    emitted1 = {
+        (r.a_id, r.b_id) for r in spark.read.parquet(out).collect()
+    }
+    assert (1, None) not in emitted1, "window still open — must not emit"
+
+    # pass 2: carriers 3 days out push the watermark past a_ts + 2-day
+    # window → A=1's state evicts and the null-padded row must emit
+    day3 = 3 * 24 * 60
+    spark.createDataFrame([req_at(3, "t1", day3)], COLS).coalesce(
+        1
+    ).write.mode("append").parquet(a_dir)
+    spark.createDataFrame([req_at(101, "t2", day3)], COLS).coalesce(
+        1
+    ).write.mode("append").parquet(b_dir)
+    interval_join_stream(
+        spark, a_dir, b_dir, out, ckpt, join_type="leftOuter"
+    ).awaitTermination(120)
+    emitted2 = {(r.a_id, r.b_id) for r in spark.read.parquet(out).collect()}
+    assert (1, None) in emitted2, "evicted unmatched A must emit null-padded"
+    assert (3, None) not in emitted2, "still-live A state must not emit"
