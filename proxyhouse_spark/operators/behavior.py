@@ -146,3 +146,52 @@ def anomaly_p99_oracle() -> str:
     FROM events e JOIN p ON e.event_type = p.event_type
     WHERE e.value > p.p99
     """
+
+
+# ---------------------------------------------------------------------------
+# linreg_by_group — per-group closed-form OLS (trend analytics): for each
+# event_type, the least-squares line of value against hour-of-day. The
+# distributed-ML workhorse shape: ONE map-side-combinable aggregation
+# collecting the five sufficient statistics (n, Σx, Σx², Σy, Σxy), then
+# O(groups) closed-form arithmetic — no iterative solver, no driver data.
+# Float discipline: y is rounded to 6 dp and carried as DECIMAL so every
+# Σ is EXACT integer/decimal addition (order-independent — Spark's
+# parallel partial aggregation and DuckDB's serial scan agree
+# bit-for-bit); the final slope/intercept divisions run on identical
+# doubles in both engines. Reference parity: ABSENT (no value analysis
+# of any kind in /root/reference); north-star analytics surface.
+# ---------------------------------------------------------------------------
+
+
+def _linreg_sql(hour_fn: str) -> str:
+    return f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST({hour_fn} AS BIGINT) AS x,
+             CAST(round(value, 6) AS DECIMAL(18, 6)) AS y
+      FROM events),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             sum(y) AS sy,
+             sum(CAST(x AS DECIMAL(18, 6)) * y) AS sxy
+      FROM pts GROUP BY event_type)
+    SELECT event_type, n,
+           round((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE))
+                 / (n * sxx - sx * sx), 6) AS slope,
+           round((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE)
+                    - sx * CAST(sy AS DOUBLE)) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM stats
+    """
+
+
+def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir)
+    return spark.sql(_linreg_sql("hour(ts)"))
+
+
+def linreg_by_group_oracle() -> str:
+    return _linreg_sql("hour(ts)")

@@ -798,6 +798,9 @@ register("q_cohort_retention", behavior.cohort_retention_oracle())(
 )
 register("q_bm25", retrieval.bm25_rank_oracle())(retrieval.bm25_rank)
 register("q_anomaly_p99", behavior.anomaly_p99_oracle())(behavior.anomaly_p99)
+register("q_linreg_by_group", behavior.linreg_by_group_oracle())(
+    behavior.linreg_by_group
+)
 register("q_corpus_pipeline", pipeline_ops.corpus_pipeline_oracle())(
     pipeline_ops.corpus_pipeline
 )

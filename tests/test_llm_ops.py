@@ -181,3 +181,24 @@ def test_approx_percentiles_within_rank_error(spark):
         for et, r in approx.items():
             lo, hi = bounds[et]
             assert lo <= getattr(r, col) <= hi, (et, col, getattr(r, col), lo, hi)
+
+
+def test_linreg_matches_numpy_polyfit(spark):
+    """Closed-form distributed OLS must agree with numpy's lstsq on the
+    same points (sanity beyond the DuckDB differential, which shares the
+    SQL shape)."""
+    import numpy as np
+
+    rows = registry.QUERIES["q_linreg_by_group"](spark, SF_SMALL).collect()
+    from proxyhouse_spark.tables import table
+
+    ev = table(spark, SF_SMALL, "events")
+    pts = ev.selectExpr("event_type", "hour(ts) AS x", "round(value, 6) AS y").collect()
+    by_type: dict[str, list] = {}
+    for p in pts:
+        by_type.setdefault(p.event_type, []).append((p.x, p.y))
+    for r in rows:
+        xs, ys = zip(*by_type[r.event_type])
+        slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+        assert abs(r.slope - slope) < 1e-4, (r.event_type, r.slope, slope)
+        assert abs(r.intercept - intercept) < 1e-4
