@@ -111,6 +111,7 @@ def main() -> int:
         )
 
     failures = []
+    results: dict[str, dict] = {}
     for name in names:
         if name not in qs:
             print(f"{name}: NOT REGISTERED")
@@ -138,6 +139,8 @@ def main() -> int:
             continue
         if name not in oracles:
             print(f"{name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) [no oracle]")
+            results[name] = {"status": "rows-only", "rows": len(srows),
+                             "secs": round(time.time() - t0, 1)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -169,10 +172,34 @@ def main() -> int:
             for p in problems[2:]:
                 print(p)
             failures.append(name)
+            results[name] = {"status": "FAIL", "detail": problems[:2],
+                             "secs": round(time.time() - t0, 1)}
         else:
             print(f"{name}: OK ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"status": "OK", "rows": len(srows),
+                             "secs": round(time.time() - t0, 1)}
 
     print(f"\n{len(names)-len(failures)}/{len(names)} passed")
+    # machine-readable artifact for full runs: mirrors the driver's
+    # CORRECTNESS file but always covers the WHOLE registry (the driver
+    # snapshot has been observed to lag HEAD — r2 verdict item 1)
+    if not args.names:
+        import json as _json
+
+        with open("/root/repo/SELFCHECK.json", "w", encoding="utf-8") as f:
+            _json.dump(
+                {
+                    "sf": args.sf,
+                    "session": "tuned" if args.tuned else "vanilla-ny",
+                    "total": len(names),
+                    "passed": len(names) - len(failures),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print("SELFCHECK.json written")
     return 1 if failures else 0
 
 
