@@ -305,3 +305,65 @@ def vocab_coverage_oracle() -> str:
         "len",
         "list(tok)",
     )
+
+
+# ---------------------------------------------------------------------------
+# token_entropy — within-doc Shannon entropy of the token distribution
+# (the information-density cousin of repetition_filter's dup-bigram
+# fraction: low entropy = keyboard-mash / boilerplate / repeated-token
+# docs, a standard pre-training quality signal). Per distinct token,
+# -p·log2(p) is rounded to 6 dp and summed as DECIMAL — exact and
+# order-independent, so the parallel and serial engines agree bit-for-bit
+# (the unigram_logprob discipline). norm_entropy = entropy / log2(V)
+# rescales to [0, 1] across vocabulary sizes (0 where V = 1).
+# Scale: one map-side-combinable shuffle on (doc_id, tok), one on doc_id;
+# both keys near-uniform. Reference parity: ABSENT (north-star).
+# ---------------------------------------------------------------------------
+
+
+def _entropy_sql(dt: str) -> str:
+    return f"""
+    WITH {dt},
+    probs AS (
+      SELECT doc_id, tf,
+             CAST(tf AS DOUBLE) / sum(tf) OVER (PARTITION BY doc_id) AS p
+      FROM dt),
+    doc AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             sum(CAST(round(-p * log2(p), 6) AS DECIMAL(18, 6))) AS ent
+      FROM probs GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           -- 6 dp, NOT coarser: the decimal sum is an exact multiple of
+           -- 1e-6, so re-rounding at 4 dp lands on half-way cases for ~1%%
+           -- of docs, where Spark (shortest-decimal HALF_UP) and DuckDB
+           -- (binary-value rounding) disagree; at the sum's own precision
+           -- the nearest boundary is 5e-7 away and both engines agree
+           round(CAST(ent AS DOUBLE), 6) AS entropy,
+           CASE WHEN n_distinct = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE round(CAST(ent AS DOUBLE) / log2(n_distinct), 4)
+           END AS norm_entropy
+    FROM doc
+    """
+
+
+_DT_TOK_SPARK = (
+    "dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM "
+    "(SELECT doc_id, explode(split(text, ' ', -1)) AS tok FROM documents) x "
+    "GROUP BY doc_id, tok)"
+)
+_DT_TOK_DUCK = (
+    "dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM "
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) x "
+    "GROUP BY doc_id, tok)"
+)
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(_entropy_sql(_DT_TOK_SPARK))
+
+
+def token_entropy_oracle() -> str:
+    return _entropy_sql(_DT_TOK_DUCK)

@@ -792,6 +792,7 @@ register("q_decontaminate", retrieval.decontaminate_oracle())(
 )
 register("q_domain_stats", retrieval.domain_stats_oracle())(retrieval.domain_stats)
 register("q_gopher_rules", textops.gopher_rules_oracle())(textops.gopher_rules)
+register("q_token_entropy", textops.token_entropy_oracle())(textops.token_entropy)
 register("q_event_funnel", behavior.event_funnel_oracle())(behavior.event_funnel)
 register("q_cohort_retention", behavior.cohort_retention_oracle())(
     behavior.cohort_retention
