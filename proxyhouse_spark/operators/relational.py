@@ -583,3 +583,79 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
         """
     )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: full-outer reconciliation — per customer, orders in two halves
+    of the timeline (the classic two-system reconciliation shape: rows in
+    either side survive, missing sides null). Aggregated first so the
+    outer join runs on O(customers) rows per side, not raw orders."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH h1 AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n1
+                    FROM orders WHERE o_orderdate < TIMESTAMP_NTZ '2024-01-16'
+                    GROUP BY o_custkey),
+        h2 AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n2
+               FROM orders WHERE o_orderdate >= TIMESTAMP_NTZ '2024-01-16'
+               GROUP BY o_custkey)
+        SELECT coalesce(h1.o_custkey, h2.o_custkey) AS o_custkey,
+               h1.n1, h2.n2,
+               (h1.o_custkey IS NULL) AS only_late,
+               (h2.o_custkey IS NULL) AS only_early
+        FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+        """
+    )
+
+
+def join_full_outer_oracle() -> str:
+    return """
+    WITH h1 AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n1
+                FROM orders WHERE o_orderdate < TIMESTAMP '2024-01-16'
+                GROUP BY o_custkey),
+    h2 AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n2
+           FROM orders WHERE o_orderdate >= TIMESTAMP '2024-01-16'
+           GROUP BY o_custkey)
+    SELECT coalesce(h1.o_custkey, h2.o_custkey) AS o_custkey,
+           h1.n1, h2.n2,
+           (h1.o_custkey IS NULL) AS only_late,
+           (h2.o_custkey IS NULL) AS only_early
+    FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+    """
+
+
+def unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of q_pivot: melt the decile × event-type count matrix
+    back to (decile, event_type, n) long form via Spark's UNPIVOT —
+    planned as one Expand over the aggregated frame (O(deciles × types)
+    rows), no extra shuffle beyond the pivot's own aggregation."""
+    wide = pivot_event_types(spark, sf_dir)
+    wide.createOrReplaceTempView("pivoted")
+    cols = ", ".join(EVENT_TYPES)
+    return spark.sql(
+        f"""
+        SELECT decile, event_type, n FROM pivoted
+        UNPIVOT (n FOR event_type IN ({cols}))
+        ORDER BY decile, event_type
+        """
+    )
+
+
+def unpivot_events_oracle() -> str:
+    # the long form is just the original groupBy — UNPIVOT∘PIVOT = identity
+    # (modulo zero-count cells, which PIVOT materializes and the original
+    # aggregation never had: recreate them with a decile×type grid)
+    return """
+    WITH grid AS (
+      SELECT d.decile, t.event_type
+      FROM (SELECT DISTINCT user_id % 10 AS decile FROM events) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+    counts AS (
+      SELECT user_id % 10 AS decile, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT g.decile, g.event_type, coalesce(c.n, 0) AS n
+    FROM grid g LEFT JOIN counts c
+      ON g.decile = c.decile AND g.event_type = c.event_type
+    ORDER BY g.decile, g.event_type
+    """

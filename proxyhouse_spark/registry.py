@@ -824,6 +824,12 @@ register("q_semantic_dedup", clustering.semantic_dedup_oracle())(
     clustering.semantic_dedup
 )
 register("q_join_salted", relational.join_salted_oracle())(relational.join_salted)
+register("q_join_full_outer", relational.join_full_outer_oracle())(
+    relational.join_full_outer
+)
+register("q_unpivot", relational.unpivot_events_oracle())(
+    relational.unpivot_events
+)
 register("q_approx_percentiles")(relational.approx_percentiles)
 register("q_vocab_coverage", textops.vocab_coverage_oracle())(
     textops.vocab_coverage
