@@ -509,3 +509,53 @@ def test_interval_join_left_outer_emits_nulls_on_eviction(spark, tmp_path):
     emitted2 = {(r.a_id, r.b_id) for r in spark.read.parquet(out).collect()}
     assert (1, None) in emitted2, "evicted unmatched A must emit null-padded"
     assert (3, None) not in emitted2, "still-live A state must not emit"
+
+
+def test_update_mode_emits_open_windows_append_does_not(spark, tmp_path):
+    """Output-mode contract: update mode emits the CURRENT partial count of
+    a still-open window every batch (dashboards), while append emits a
+    window only once the watermark closes it (immutable downstream
+    tables). Same query, same data — only the mode differs."""
+    from proxyhouse_spark.operators.ingest import validate_requests
+    from proxyhouse_spark.sources.requests import requests_stream_df
+    from proxyhouse_spark.streaming.pipeline import (
+        WATERMARK_DELAY,
+        WINDOW_SIZE,
+        _event_time_as_instant,
+    )
+
+    src = str(tmp_path / "src")
+
+    def req_at(event_id, minute):
+        r = list(_req(event_id, "t0", f"({event_id})"))
+        r[1] = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+        return tuple(r)
+
+    # two rows in hour 0; NO watermark carrier → hour-0 window stays open
+    spark.createDataFrame([req_at(1, 10), req_at(2, 20)], COLS).coalesce(
+        1
+    ).write.parquet(src)
+
+    def run(mode, name):
+        stream = _event_time_as_instant(
+            validate_requests(requests_stream_df(spark, src)), "recv_ts"
+        )
+        counted = (
+            stream.withWatermark("recv_ts", WATERMARK_DELAY)
+            .groupBy(F.window("recv_ts", WINDOW_SIZE))
+            .count()
+        )
+        q = (
+            counted.writeStream.trigger(availableNow=True)
+            .outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    assert run("append", "t_append") == []        # window open: nothing emitted
+    upd = run("update", "t_update")
+    assert len(upd) == 1 and upd[0]["count"] == 2  # update: live partial count
