@@ -202,3 +202,15 @@ def test_linreg_matches_numpy_polyfit(spark):
         slope, intercept = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
         assert abs(r.slope - slope) < 1e-4, (r.event_type, r.slope, slope)
         assert abs(r.intercept - intercept) < 1e-4
+
+
+def test_token_entropy_bounds_and_degenerate_doc(spark):
+    rows = registry.QUERIES["q_token_entropy"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 < r.norm_entropy <= 1.0001
+        assert r.n_distinct <= r.n_tokens
+        # entropy is bounded by log2 of the support size
+        import math
+
+        assert r.entropy <= math.log2(r.n_distinct) + 1e-4  # 6dp term rounding

@@ -305,3 +305,20 @@ def test_join_salted_fans_hot_keys_across_partitions(spark):
     tree = tree_of(plan)
     assert "ShuffledHashJoin" in tree
     assert "salt" in plan  # join/partition key carries the salt column
+
+
+def test_linreg_single_shuffle_sufficient_stats(spark):
+    """OLS via sufficient statistics must be ONE map-side-combinable
+    aggregation — an iterative or join-based plan would be a scale bug."""
+    tree = tree_of(plan_of(spark, "q_linreg_by_group"))
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+    assert "Join" not in tree
+
+
+def test_unigram_model_join_is_broadcast_hash(spark):
+    """The unigram LM (vocab-sized, fixed for a trained model) must reach
+    the doc-term scan as a broadcast hash join — shuffling the corpus side
+    against the model would shuffle input bytes once more for no reason."""
+    tree = tree_of(plan_of(spark, "q_unigram_logprob"))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
