@@ -217,3 +217,69 @@ def semantic_dedup_oracle() -> str:
     {_kmeans_chain(duck=True)},
     {_sem_pairs_sql(f'a{ITERS}', duck=True, hint='')}
     """
+
+
+# ---------------------------------------------------------------------------
+# kmeans_loop — the production iteration pattern for N37: a driver-side
+# Lloyd fixpoint loop (the dedup_clusters recipe applied to centroids).
+# Each round is the SAME plan the registered 2-iteration query pins —
+# K-row centroid broadcast, narrow argmin, O(K·dim) partial-agg update —
+# re-submitted until the rounded centroids stop moving, with
+# scoped_checkpoint truncating lineage per round (without it round k
+# replays all k-1 predecessors) and convergence counted distributively
+# (a K-row join, no label collect). Not a registered query: the round
+# count is data-dependent, so there is no fixed SQL oracle — the
+# registered q_kmeans_embed is the differential gate for the per-round
+# arithmetic, and tests/test_llm_ops.py pins the loop contract
+# (terminates, is a fixpoint, partitions the corpus).
+# ---------------------------------------------------------------------------
+
+
+def kmeans_loop(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 25
+) -> tuple[DataFrame, int]:
+    """Run Lloyd to convergence; returns (assignment frame, rounds run)."""
+    from ..checkpoints import release_scope, scoped_checkpoint
+
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    embc = scoped_checkpoint(spark.sql(_EMB_PLAIN_SPARK), "kmeans_loop_embc")
+    embc.createOrReplaceTempView("loop_embc")
+    cents = spark.sql(
+        f"SELECT CAST(vec_id AS INT) AS c, e AS ce FROM loop_embc "
+        f"WHERE vec_id < {K}"
+    )
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        cents.createOrReplaceTempView("loop_cents")
+        assigned = spark.sql(
+            f"SELECT * FROM {_assign('loop_embc', 'loop_cents', duck=False)} t"
+        )
+        assigned.createOrReplaceTempView("loop_assigned")
+        # alternating scopes: the convergence join still reads round k-1's
+        # frame after round k lands, so a single scope would free blocks
+        # that are still in use (scoped_checkpoint contract)
+        new_cents = scoped_checkpoint(
+            spark.sql(
+                f"SELECT * FROM {_recompute('loop_assigned', duck=False)} t"
+            ),
+            f"kmeans_loop_cents_{rounds % 2}",
+        )
+        # distributed convergence test: rounded centroids identical?
+        moved = (
+            new_cents.alias("n")
+            .join(cents.alias("o"), "c", "full_outer")
+            .where("o.ce IS NULL OR n.ce IS NULL OR NOT (n.ce = o.ce)")
+            .count()
+        )
+        cents = new_cents
+        if moved == 0:
+            break
+    cents.createOrReplaceTempView("loop_cents")
+    final = spark.sql(
+        f"SELECT * FROM {_assign('loop_embc', 'loop_cents', duck=False)} t"
+    )
+    final = final.localCheckpoint()  # detach from the scoped frames
+    release_scope(spark, "kmeans_loop_embc")
+    release_scope(spark, "kmeans_loop_cents_0")
+    release_scope(spark, "kmeans_loop_cents_1")
+    return final, rounds

@@ -214,3 +214,23 @@ def test_token_entropy_bounds_and_degenerate_doc(spark):
         import math
 
         assert r.entropy <= math.log2(r.n_distinct) + 1e-4  # 6dp term rounding
+
+
+def test_kmeans_loop_converges_to_fixpoint(spark):
+    """Driver-loop Lloyd (the production N37 pattern) must terminate well
+    inside the round budget, return a corpus partition, and actually BE a
+    fixpoint: re-assigning against its centroids changes nothing."""
+    from proxyhouse_spark.operators.clustering import K, kmeans_loop
+
+    final, rounds = kmeans_loop(spark, SF_SMALL)
+    assert rounds < 25, "did not converge"
+    rows = final.collect()
+    assert len(rows) == 500
+    clusters = {r.c for r in rows}
+    assert len(clusters) <= K
+    # fixpoint: the loop's own final assignment equals one more assignment
+    again, rounds2 = kmeans_loop(spark, SF_SMALL)
+    assert rounds2 == rounds  # deterministic
+    assert {(r.vec_id, r.c) for r in rows} == {
+        (r.vec_id, r.c) for r in again.collect()
+    }
