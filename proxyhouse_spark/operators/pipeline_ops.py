@@ -413,3 +413,71 @@ def sequence_pack_oracle() -> str:
            CAST(tokens_before % {SEQ_LEN} AS BIGINT) AS seq_offset
     FROM w
     """
+
+
+# ---------------------------------------------------------------------------
+# span_corruption — T5-style span-corruption manifest ("Exploring the
+# Limits of Transfer Learning…", Raffel et al. 2020 §3.1.4: mask ~15% of
+# tokens in length-3 spans). A denoising-pretraining data pipeline emits
+# this manifest (doc, span offsets, masked text) for the tokenizer fleet;
+# the spans must be DETERMINISTIC so re-runs and shard-retries mask the
+# same positions — RNG is replaced by md5 arithmetic on (doc_id, span
+# index), the same derivation discipline as q_hash_split. n_spans =
+# floor(n_tokens/20) ≈ 15%/span_len=3 of the doc; spans may overlap (the
+# reference T5 code prevents overlap with a running sampler — documented
+# simplification, identical in both engines). Narrow: explode is bounded
+# by the 15% mask budget, no shuffle at all.
+# ---------------------------------------------------------------------------
+
+SPAN_LEN = 3
+
+
+def _span_sql(
+    toks: str, size_fn: str, md5int: str, explode_spans: str, join_fn: str
+) -> str:
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, {toks} AS toks, CAST({size_fn}({toks}) AS BIGINT) AS n
+      FROM documents),
+    spans AS (
+      SELECT doc_id, n, CAST(floor(n / 20) AS BIGINT) AS n_spans, {explode_spans} AS i
+      FROM tk WHERE n >= 20),
+    placed AS (
+      SELECT doc_id, n, n_spans, i,
+             1 + ({md5int} % (n - {SPAN_LEN} + 1)) AS start
+      FROM spans)
+    SELECT doc_id, CAST(i AS BIGINT) AS span_idx, CAST(start AS BIGINT) AS start,
+           n_spans, {join_fn} AS masked_text
+    FROM placed p JOIN tk USING (doc_id)
+    """
+
+
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    md5int = (
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '#', "
+        "CAST(i AS STRING))), 1, 14), 16, 10) AS BIGINT)"
+    )
+    return spark.sql(
+        _span_sql(
+            "split(text, ' ', -1)",
+            "size",
+            md5int,
+            "explode(sequence(0, CAST(floor(n / 20) AS BIGINT) - 1))",
+            f"array_join(slice(tk.toks, CAST(start AS INT), {SPAN_LEN}), ' ')",
+        )
+    )
+
+
+def span_corruption_oracle() -> str:
+    md5int = (
+        "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#', "
+        "CAST(i AS VARCHAR))), 1, 14)) AS BIGINT)"
+    )
+    return _span_sql(
+        "string_split(text, ' ')",
+        "len",
+        md5int,
+        "unnest(range(0, CAST(floor(n / 20) AS BIGINT)))",
+        f"array_to_string(list_slice(tk.toks, start, start + {SPAN_LEN} - 1), ' ')",
+    )

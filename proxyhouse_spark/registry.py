@@ -805,6 +805,9 @@ register("q_linreg_by_group", behavior.linreg_by_group_oracle())(
 register("q_corpus_pipeline", pipeline_ops.corpus_pipeline_oracle())(
     pipeline_ops.corpus_pipeline
 )
+register("q_span_corruption", pipeline_ops.span_corruption_oracle())(
+    pipeline_ops.span_corruption
+)
 register("q_gapfill_locf", sampling.gapfill_locf_oracle())(sampling.gapfill_locf)
 register("q_scd2", relational.scd2_intervals_oracle())(relational.scd2_intervals)
 

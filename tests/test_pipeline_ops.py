@@ -110,3 +110,20 @@ def test_sequence_pack_layout(spark):
         # every doc's chunks are contiguous in the laid-out order and the
         # stream covers all tokens — nothing dropped, nothing double-packed
         assert running == sum(r.chunk_tokens for r in rs)
+
+
+def test_span_corruption_spans_are_valid_and_deterministic(spark):
+    from proxyhouse_spark.operators.pipeline_ops import SPAN_LEN
+
+    rows = registry.QUERIES["q_span_corruption"](spark, SF_SMALL).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    n_toks = {d.doc_id: len(d.text.split(" ")) for d in docs}
+    for r in rows:
+        n = n_toks[r.doc_id]
+        assert 1 <= r.start <= n - SPAN_LEN + 1          # span fits the doc
+        assert len(r.masked_text.split(" ")) == SPAN_LEN  # full-length span
+        assert r.n_spans == n // 20                       # ~15% / span_len=3
+    # deterministic: identical manifest on re-run (shard-retry contract)
+    again = registry.QUERIES["q_span_corruption"](spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
