@@ -283,3 +283,55 @@ def fingerprint_spark(shingles: str = "sh") -> str:
 
 def fingerprint_duck(shingles: str = "sh") -> str:
     return f"array_to_string((list_sort(list_transform({shingles}, s -> md5(s))))[1:4], ',')"
+
+
+# ---------------------------------------------------------------------------
+# SimHash-64 (production width): bit p (1..64) reads RAW BIT (p-1) of each
+# token's md5 (4 bits per hex char — 128 available, 64 used), so the
+# fingerprint is 4× wider than the 16-bit teaching variant above at the
+# same one-md5-per-token cost. Wider fingerprint ⇒ Hamming <= 3 becomes a
+# genuinely selective near-dup predicate: the quadratic pair-count growth
+# the 16-bit sketch exhibits at 100× (README §Scale) collapses to
+# near-linear, which is exactly the "widen the fingerprint" knob the
+# 16-bit operator documents. The fingerprint is carried as two unsigned
+# 32-bit words (hi = bits 1..32, lo = bits 33..64): DuckDB's shift is
+# overflow-CHECKED, so materializing bit 1 as BIGINT 1<<63 throws — the
+# word split keeps every shift <= 31 and both words positive, and Hamming
+# distance is just the sum of the two words' bit_count(xor).
+# ---------------------------------------------------------------------------
+
+_HEXVAL = "(instr('0123456789abcdef', substr(h, CAST(floor((q-1)/4) AS INT) + 1, 1)) - 1)"
+
+
+def _simhash32_word(hs: str, offset: int, duck: bool) -> str:
+    """One 32-bit word: bits offset+1 .. offset+32 of the fingerprint,
+    reading raw md5 bit q-1 per token (q = global bit index)."""
+    bit = f"CASE WHEN ({_HEXVAL} >> ((q-1) % 4)) & 1 = 1 THEN 1 ELSE -1 END"
+    if duck:
+        return (
+            f"CAST(list_sum(list_transform(range({offset + 1}, {offset + 33}), q -> "
+            f"CASE WHEN list_sum(list_transform({hs}, h -> {bit})) > 0 "
+            f"THEN CAST(1 AS BIGINT) << ({offset + 32} - q) "
+            "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+        )
+    return (
+        f"aggregate(sequence({offset + 1}, {offset + 32}), CAST(0 AS BIGINT), (acc, q) -> acc + "
+        f"CASE WHEN aggregate(transform({hs}, h -> {bit}), 0, (a, x) -> a + x) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {offset + 32} - q) ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def simhash64_hi_spark(hs: str = "hs") -> str:
+    return _simhash32_word(hs, 0, duck=False)
+
+
+def simhash64_lo_spark(hs: str = "hs") -> str:
+    return _simhash32_word(hs, 32, duck=False)
+
+
+def simhash64_hi_duck(hs: str = "hs") -> str:
+    return _simhash32_word(hs, 0, duck=True)
+
+
+def simhash64_lo_duck(hs: str = "hs") -> str:
+    return _simhash32_word(hs, 32, duck=True)

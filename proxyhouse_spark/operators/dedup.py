@@ -343,7 +343,11 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  shiftright(simhash, 4 * p) & 15 AS nib
           FROM simhash_v LATERAL VIEW explode(sequence(0, 3)) t AS p),
         pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          -- the band frame scales with the corpus: broadcasting either
+          -- side is the minhash scale bug (collects the frame through
+          -- the driver); pinned by tests/test_plans.py
+          SELECT /*+ SHUFFLE_HASH(a, b) */ DISTINCT
+                 a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.simhash AS sim_a, b.simhash AS sim_b
           FROM bands a JOIN bands b
             ON a.lang = b.lang AND a.p = b.p AND a.nib = b.nib
@@ -568,4 +572,86 @@ def embedding_neardup_lsh_oracle() -> str:
             ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, label, round(cos_sim, 4) AS cos_sim
     FROM p WHERE cos_sim >= 0.9
+    """
+
+
+def _simhash_wide_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, lang, 64-bit simhash as (hi, lo) 32-bit words."""
+    doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
+    tk = spark.sql(f"SELECT doc_id, lang, {T.TOKS_SPARK} AS toks FROM corpus")
+    tk.createOrReplaceTempView("tk_wide")
+    th = spark.sql(
+        f"SELECT doc_id, lang, {T.token_hashes_spark()} AS hs FROM tk_wide"
+    )
+    th.createOrReplaceTempView("th_wide")
+    return spark.sql(
+        f"SELECT doc_id, lang, {T.simhash64_hi_spark()} AS hi, "
+        f"{T.simhash64_lo_spark()} AS lo FROM th_wide"
+    )
+
+
+def simhash_wide_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-bit operator's documented scale knob, actually built:
+    64-bit SimHash (Manku et al., WWW 2007 — Google's production width
+    and threshold, Hamming <= 3) with the same pigeonhole banding, now
+    4 bands × 16 BITS. The wide fingerprint is what collapses the
+    quadratic pair growth the 16-bit sketch shows at 100× (README
+    §Scale): a 16-bit band over a 64-bit fingerprint is ~4096× more
+    selective than a 4-bit nibble over 16 bits, so candidate collisions —
+    and the verify join's cost — stay near-linear in the corpus. Recall
+    contract at fixture scale: exact copies at Hamming 0 always found;
+    the planted drop-first-token near-copies land at Hamming 1-7, so the
+    <= 3 cut keeps about half — faithfully reproducing the production
+    tradeoff (wider fingerprint = sharper near-dup definition), and the
+    oracle computes the identical cut."""
+    s = scoped_checkpoint(
+        _simhash_wide_frame(spark, sf_dir), "simhash_wide_frame"
+    )
+    s.createOrReplaceTempView("simhash_wide_v")
+    return spark.sql(
+        """
+        WITH bands AS (
+          SELECT doc_id, lang, hi, lo, p,
+                 shiftright(CASE WHEN p < 2 THEN lo ELSE hi END,
+                            16 * (p % 2)) & 65535 AS band
+          FROM simhash_wide_v LATERAL VIEW explode(sequence(0, 3)) t AS p),
+        pairs AS (
+          SELECT /*+ SHUFFLE_HASH(a, b) */ DISTINCT
+                 a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+          FROM bands a JOIN bands b
+            ON a.lang = b.lang AND a.p = b.p AND a.band = b.band
+               AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS INT)
+                 AS hamming
+        FROM pairs
+        WHERE bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) <= 3
+        """
+    )
+
+
+def simhash_wide_neardup_oracle() -> str:
+    return f"""
+    WITH corpus AS ({DOC_CORPUS_SQL}),
+    tk AS (SELECT doc_id, lang, {T.TOKS_DUCK} AS toks FROM corpus),
+    th AS (SELECT doc_id, lang, {T.token_hashes_duck()} AS hs FROM tk),
+    s AS (SELECT doc_id, lang, {T.simhash64_hi_duck()} AS hi,
+                 {T.simhash64_lo_duck()} AS lo FROM th),
+    bands AS (
+      SELECT doc_id, lang, hi, lo, p,
+             ((CASE WHEN p < 2 THEN lo ELSE hi END) >> (16 * (p % 2)))
+               & 65535 AS band
+      FROM s CROSS JOIN range(0, 4) AS t(p)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+      FROM bands a JOIN bands b
+        ON a.lang = b.lang AND a.p = b.p AND a.band = b.band
+           AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS INT)
+             AS hamming
+    FROM pairs
+    WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
     """

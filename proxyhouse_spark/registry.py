@@ -808,6 +808,9 @@ register("q_corpus_pipeline", pipeline_ops.corpus_pipeline_oracle())(
 register("q_span_corruption", pipeline_ops.span_corruption_oracle())(
     pipeline_ops.span_corruption
 )
+register("q_simhash_wide", dedup.simhash_wide_neardup_oracle())(
+    dedup.simhash_wide_neardup
+)
 register("q_gapfill_locf", sampling.gapfill_locf_oracle())(sampling.gapfill_locf)
 register("q_scd2", relational.scd2_intervals_oracle())(relational.scd2_intervals)
 

@@ -322,3 +322,13 @@ def test_unigram_model_join_is_broadcast_hash(spark):
     tree = tree_of(plan_of(spark, "q_unigram_logprob"))
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_simhash_band_joins_never_broadcast_the_corpus(spark):
+    """Both simhash variants' band self-joins have two corpus-scaled
+    sides — same contract as the minhash pin: shuffled hash only, zero
+    BroadcastExchange anywhere in the plan."""
+    for name in ("q_simhash_neardup", "q_simhash_wide"):
+        tree = tree_of(plan_of(spark, name))
+        assert "ShuffledHashJoin" in tree, name
+        assert "BroadcastExchange" not in tree, name
