@@ -38,6 +38,7 @@ HEADLINE = [
     "q_dedup_exact",         # hash dedup
     "q_minhash_neardup",     # shingle/minhash/band join
     "q_simhash_neardup",     # simhash nibble-band join (pair-heavy output)
+    "q_simhash_wide",        # 64-bit production fingerprint (the scale knob)
     "q_knn_cosine",          # brute-force vector top-k
     "q_corpus_pipeline",     # composed normalize/quality/dedup/chunk/split
     "q_bm25",                # ranked retrieval (BM25 top-k)

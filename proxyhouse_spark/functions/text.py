@@ -300,38 +300,56 @@ def fingerprint_duck(shingles: str = "sh") -> str:
 # distance is just the sum of the two words' bit_count(xor).
 # ---------------------------------------------------------------------------
 
-_HEXVAL = "(instr('0123456789abcdef', substr(h, CAST(floor((q-1)/4) AS INT) + 1, 1)) - 1)"
+# Per-token md5 words: the first/second 8 hex chars ARE bits 1..32 /
+# 33..64 as integers — two base-16 parses per token replace 64 per-bit
+# string probes; the per-bit fold is then pure integer shift/mask.
 
 
-def _simhash32_word(hs: str, offset: int, duck: bool) -> str:
-    """One 32-bit word: bits offset+1 .. offset+32 of the fingerprint,
-    reading raw md5 bit q-1 per token (q = global bit index)."""
-    bit = f"CASE WHEN ({_HEXVAL} >> ((q-1) % 4)) & 1 = 1 THEN 1 ELSE -1 END"
+def token_words_spark(hs: str = "hs") -> str:
+    return (
+        f"transform({hs}, h -> named_struct("
+        "'w1', CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT), "
+        "'w2', CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT)))"
+    )
+
+
+def token_words_duck(hs: str = "hs") -> str:
+    return (
+        f"list_transform({hs}, h -> {{'w1': CAST(concat('0x', substr(h, 1, 8)) AS BIGINT), "
+        "'w2': CAST(concat('0x', substr(h, 9, 8)) AS BIGINT)})"
+    )
+
+
+def _simhash32_word(ws: str, word: str, offset: int, duck: bool) -> str:
+    """One 32-bit fingerprint word from the per-token packed words: bit q
+    (global index) set iff Σ_tokens (2·bit_q(token) − 1) > 0."""
     if duck:
+        contrib = f"2 * ((t.{word} >> ({offset + 32} - q)) & 1) - 1"
         return (
             f"CAST(list_sum(list_transform(range({offset + 1}, {offset + 33}), q -> "
-            f"CASE WHEN list_sum(list_transform({hs}, h -> {bit})) > 0 "
+            f"CASE WHEN list_sum(list_transform({ws}, t -> {contrib})) > 0 "
             f"THEN CAST(1 AS BIGINT) << ({offset + 32} - q) "
             "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
         )
+    contrib = f"2 * CAST(shiftright(t.{word}, {offset + 32} - q) & 1 AS INT) - 1"
     return (
         f"aggregate(sequence({offset + 1}, {offset + 32}), CAST(0 AS BIGINT), (acc, q) -> acc + "
-        f"CASE WHEN aggregate(transform({hs}, h -> {bit}), 0, (a, x) -> a + x) > 0 "
+        f"CASE WHEN aggregate(transform({ws}, t -> {contrib}), 0, (a, x) -> a + x) > 0 "
         f"THEN shiftleft(CAST(1 AS BIGINT), {offset + 32} - q) ELSE CAST(0 AS BIGINT) END)"
     )
 
 
-def simhash64_hi_spark(hs: str = "hs") -> str:
-    return _simhash32_word(hs, 0, duck=False)
+def simhash64_hi_spark(ws: str = "ws") -> str:
+    return _simhash32_word(ws, "w1", 0, duck=False)
 
 
-def simhash64_lo_spark(hs: str = "hs") -> str:
-    return _simhash32_word(hs, 32, duck=False)
+def simhash64_lo_spark(ws: str = "ws") -> str:
+    return _simhash32_word(ws, "w2", 32, duck=False)
 
 
-def simhash64_hi_duck(hs: str = "hs") -> str:
-    return _simhash32_word(hs, 0, duck=True)
+def simhash64_hi_duck(ws: str = "ws") -> str:
+    return _simhash32_word(ws, "w1", 0, duck=True)
 
 
-def simhash64_lo_duck(hs: str = "hs") -> str:
-    return _simhash32_word(hs, 32, duck=True)
+def simhash64_lo_duck(ws: str = "ws") -> str:
+    return _simhash32_word(ws, "w2", 32, duck=True)

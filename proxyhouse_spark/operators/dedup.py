@@ -581,7 +581,8 @@ def _simhash_wide_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = spark.sql(f"SELECT doc_id, lang, {T.TOKS_SPARK} AS toks FROM corpus")
     tk.createOrReplaceTempView("tk_wide")
     th = spark.sql(
-        f"SELECT doc_id, lang, {T.token_hashes_spark()} AS hs FROM tk_wide"
+        f"SELECT doc_id, lang, {T.token_words_spark(T.token_hashes_spark('toks'))} "
+        "AS ws FROM tk_wide"
     )
     th.createOrReplaceTempView("th_wide")
     return spark.sql(
@@ -635,7 +636,8 @@ def simhash_wide_neardup_oracle() -> str:
     return f"""
     WITH corpus AS ({DOC_CORPUS_SQL}),
     tk AS (SELECT doc_id, lang, {T.TOKS_DUCK} AS toks FROM corpus),
-    th AS (SELECT doc_id, lang, {T.token_hashes_duck()} AS hs FROM tk),
+    th AS (SELECT doc_id, lang,
+                  {T.token_words_duck(T.token_hashes_duck('toks'))} AS ws FROM tk),
     s AS (SELECT doc_id, lang, {T.simhash64_hi_duck()} AS hi,
                  {T.simhash64_lo_duck()} AS lo FROM th),
     bands AS (
