@@ -659,3 +659,56 @@ def unpivot_events_oracle() -> str:
       ON g.decile = c.decile AND g.event_type = c.event_type
     ORDER BY g.decile, g.event_type
     """
+
+
+def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumption side of q_scd2: point-in-time dimension lookup —
+    each event joined to the SCD-2 version of its user that was valid at
+    the event's timestamp (valid_from <= ts < valid_to, open-ended last
+    version). The join is an EQUI-join on the dimension key with the
+    interval test as a residual predicate — at 100 TB both sides hash on
+    user_id (the same key the dimension table is bucketed by), so the
+    lookup costs one co-locatable shuffle; never a range-only BNLJ.
+    Events before a user's first version get NULLs (left join) — the
+    early-fact case every SCD consumer must define."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH dim AS (
+          SELECT o_custkey AS user_id, o_orderkey, o_totalprice,
+                 o_orderdate AS valid_from,
+                 lead(o_orderdate) OVER w AS valid_to
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        hit AS (
+          SELECT e.event_id, e.user_id, e.ts, d.o_orderkey, d.o_totalprice
+          FROM events e JOIN dim d
+            ON e.user_id = d.user_id
+           AND e.ts >= d.valid_from
+           AND (d.valid_to IS NULL OR e.ts < d.valid_to))
+        SELECT e.event_id, e.user_id, h.o_orderkey, h.o_totalprice,
+               (h.event_id IS NULL) AS before_first_version
+        FROM events e LEFT JOIN hit h ON e.event_id = h.event_id
+        """
+    )
+
+
+def scd2_lookup_oracle() -> str:
+    return """
+    WITH dim AS (
+      SELECT o_custkey AS user_id, o_orderkey, o_totalprice,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER w AS valid_to
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    hit AS (
+      SELECT e.event_id, e.user_id, e.ts, d.o_orderkey, d.o_totalprice
+      FROM events e JOIN dim d
+        ON e.user_id = d.user_id
+       AND e.ts >= d.valid_from
+       AND (d.valid_to IS NULL OR e.ts < d.valid_to))
+    SELECT e.event_id, e.user_id, h.o_orderkey, h.o_totalprice,
+           (h.event_id IS NULL) AS before_first_version
+    FROM events e LEFT JOIN hit h ON e.event_id = h.event_id
+    """

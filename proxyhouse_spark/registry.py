@@ -813,6 +813,7 @@ register("q_simhash_wide", dedup.simhash_wide_neardup_oracle())(
 )
 register("q_gapfill_locf", sampling.gapfill_locf_oracle())(sampling.gapfill_locf)
 register("q_scd2", relational.scd2_intervals_oracle())(relational.scd2_intervals)
+register("q_scd2_lookup", relational.scd2_lookup_oracle())(relational.scd2_lookup)
 
 from .operators import cdc  # noqa: E402
 
