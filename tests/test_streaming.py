@@ -559,3 +559,65 @@ def test_update_mode_emits_open_windows_append_does_not(spark, tmp_path):
     assert run("append", "t_append") == []        # window open: nothing emitted
     upd = run("update", "t_update")
     assert len(upd) == 1 and upd[0]["count"] == 2  # update: live partial count
+
+
+def test_streaming_session_window_merges_across_batches(spark, tmp_path):
+    """Session windows in Structured Streaming: a session left open in
+    pass 1 is EXTENDED by a pass-2 row within the gap (cross-checkpoint
+    state merge), each closed session is emitted exactly once, and a row
+    below the watermark neither re-opens nor duplicates a closed
+    session."""
+    from proxyhouse_spark.operators.ingest import validate_requests
+    from proxyhouse_spark.sources.requests import requests_stream_df
+    from proxyhouse_spark.streaming.pipeline import _event_time_as_instant
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def req_at(event_id, minute):
+        r = list(_req(event_id, "t0", f"({event_id})"))
+        r[1] = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+        return tuple(r)
+
+    def run():
+        stream = _event_time_as_instant(
+            validate_requests(requests_stream_df(spark, src)), "recv_ts"
+        )
+        sessions = (
+            stream.withWatermark("recv_ts", "10 minutes")
+            .groupBy("uri", F.session_window("recv_ts", "10 minutes"))
+            .count()
+            .select(
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "count",
+            )
+        )
+        q = (
+            sessions.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {(r.s.hour, r.s.minute): r for r in spark.read.parquet(out).collect()}
+
+    # pass 1: session A (00:00, 00:03), session B opens at 03:00 (watermark
+    # after the pass ≈ 02:50 closes A, leaves B open)
+    spark.createDataFrame(
+        [req_at(1, 0), req_at(2, 3), req_at(3, 180)], COLS
+    ).coalesce(1).write.parquet(src)
+    got1 = run()
+    assert (0, 0) in got1 and got1[(0, 0)]["count"] == 2  # A emitted closed
+    assert (3, 0) not in got1                             # B still open
+
+    # pass 2: 03:05 EXTENDS B across the checkpoint; 06:00 advances the
+    # watermark to close B; 00:05 is below the watermark → dropped
+    spark.createDataFrame(
+        [req_at(4, 185), req_at(5, 360), req_at(6, 5)], COLS
+    ).coalesce(1).write.mode("append").parquet(src)
+    got2 = run()
+    assert got2[(3, 0)]["count"] == 2          # merged session, emitted once
+    assert got2[(3, 0)].e.minute == 15         # end extended to 03:15
+    assert got2[(0, 0)]["count"] == 2          # late row did not mutate A
+    assert (6, 0) not in got2                  # open session unemitted
