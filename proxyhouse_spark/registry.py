@@ -755,6 +755,38 @@ WHERE event_id % 2 = 1
                  FROM valid WHERE event_id % 2 = 0)
 """)(streaming_pipeline.stream_dedup_query)
 
+register("q_stream_session_window", _VALID + """
+, w1 AS (SELECT date_trunc('milliseconds', max(recv_ts)) - INTERVAL 10 MINUTE AS w
+         FROM valid WHERE event_id % 2 = 0),
+rows_kept AS (
+  SELECT uri, recv_ts FROM valid WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT uri, recv_ts FROM valid
+  WHERE event_id % 2 = 1 AND recv_ts > (SELECT w FROM w1)),
+w2 AS (SELECT date_trunc('milliseconds', max(recv_ts)) - INTERVAL 10 MINUTE AS w
+       FROM rows_kept),
+marked AS (
+  SELECT uri, recv_ts,
+         CASE WHEN lag(recv_ts) OVER (PARTITION BY uri ORDER BY recv_ts)
+                   IS NULL
+              OR recv_ts - lag(recv_ts) OVER (PARTITION BY uri ORDER BY recv_ts)
+                   > INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS new_session
+  FROM rows_kept),
+sid AS (
+  SELECT uri, recv_ts,
+         sum(new_session) OVER (PARTITION BY uri ORDER BY recv_ts
+                                ROWS UNBOUNDED PRECEDING) AS s
+  FROM marked),
+sess AS (
+  SELECT uri, min(recv_ts) AS session_start,
+         max(recv_ts) + INTERVAL 4 HOUR AS session_end,
+         CAST(count(*) AS BIGINT) AS n_requests
+  FROM sid GROUP BY uri, s)
+SELECT uri, session_start, session_end, n_requests
+FROM sess WHERE session_end <= (SELECT w FROM w2)
+""")(streaming_pipeline.stream_session_query)
+
 register("q_stream_interval_join", _VALID + f"""
 , a AS (SELECT event_id AS a_id, recv_ts AS a_ts, uri FROM valid
         WHERE event_id % 2 = 0),

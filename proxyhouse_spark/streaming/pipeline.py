@@ -901,3 +901,86 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_ts"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SESSION windows (T3 extension): gap-based sessions with
+# watermark-bounded state — the merging window kind (a new row can fuse
+# two open sessions), which tumbling/sliding windows never exercise.
+# Cross-batch merge + single emission + late-row immunity are pinned in
+# tests/test_streaming.py; q_stream_session_window below additionally
+# hash-matches a REAL two-pass run against a declarative SQL model.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP = "4 hours"
+SESSION_DELAY = "10 minutes"
+
+
+def session_stream(
+    spark: SparkSession, source_dir: str, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """One availableNow pass of per-uri session-window counts (append
+    mode: a session is emitted once the watermark passes its end)."""
+    from ..operators.ingest import validate_requests
+    from ..sources.requests import requests_stream_df
+
+    stream = requests_stream_df(spark, source_dir)
+    valid = _event_time_as_instant(validate_requests(stream), "recv_ts")
+    sessions = (
+        valid.withWatermark("recv_ts", SESSION_DELAY)
+        .groupBy(F.col("uri"), F.session_window("recv_ts", SESSION_GAP))
+        .agg(F.count(F.lit(1)).alias("n_requests"))
+        .select(
+            "uri",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_requests",
+        )
+    )
+    return (
+        sessions.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+
+
+def stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3c, oracle-checked: the REAL streaming session windows run as two
+    availableNow passes (evens then odds, the stream_windowed split). The
+    declarative model: watermark w1 = max(even recv_ts) - delay; odd rows
+    at or below w1 are dropped late; sessionize the surviving rows per
+    uri with the gap; emit exactly the sessions whose end (last + gap) is
+    at or below the final watermark w2 = max(all surviving) - delay.
+    Closed-session immutability makes the model well-defined: a session
+    emitted in pass 1 ended at or below w1, and any row that could have
+    extended it (within gap of its last event) is below w1 too — late by
+    construction — so pass-2 data can never contradict a pass-1
+    emission."""
+    import os
+
+    from ..sources.requests import requests_df
+    from ..tables import EPOCH_NTZ
+
+    base = _scratch_dir("t3_session_")
+    src = os.path.join(base, "source")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    req = requests_df(spark, sf_dir)
+    req.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    q = session_stream(spark, src, out, ckpt)
+    _await_or_raise(q)
+    req.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q = session_stream(spark, src, out, ckpt)
+    _await_or_raise(q)
+    return spark.read.parquet(out).select(
+        "uri",
+        F.expr(
+            f"timestampadd(MICROSECOND, unix_micros(session_start), {EPOCH_NTZ})"
+        ).alias("session_start"),
+        F.expr(
+            f"timestampadd(MICROSECOND, unix_micros(session_end), {EPOCH_NTZ})"
+        ).alias("session_end"),
+        "n_requests",
+    )

@@ -223,6 +223,7 @@ _EXECUTING = {
     "q_stream_dedup",
     "q_stream_enrich",
     "q_stream_interval_join",
+    "q_stream_session_window",
     "q_dedup_clusters",
 }
 
