@@ -680,16 +680,13 @@ def scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  o_orderdate AS valid_from,
                  lead(o_orderdate) OVER w AS valid_to
           FROM orders
-          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        hit AS (
-          SELECT e.event_id, e.user_id, e.ts, d.o_orderkey, d.o_totalprice
-          FROM events e JOIN dim d
-            ON e.user_id = d.user_id
-           AND e.ts >= d.valid_from
-           AND (d.valid_to IS NULL OR e.ts < d.valid_to))
-        SELECT e.event_id, e.user_id, h.o_orderkey, h.o_totalprice,
-               (h.event_id IS NULL) AS before_first_version
-        FROM events e LEFT JOIN hit h ON e.event_id = h.event_id
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        SELECT e.event_id, e.user_id, d.o_orderkey, d.o_totalprice,
+               (d.o_orderkey IS NULL) AS before_first_version
+        FROM events e LEFT JOIN dim d
+          ON e.user_id = d.user_id
+         AND e.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)
         """
     )
 
@@ -701,14 +698,11 @@ def scd2_lookup_oracle() -> str:
              o_orderdate AS valid_from,
              lead(o_orderdate) OVER w AS valid_to
       FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-    hit AS (
-      SELECT e.event_id, e.user_id, e.ts, d.o_orderkey, d.o_totalprice
-      FROM events e JOIN dim d
-        ON e.user_id = d.user_id
-       AND e.ts >= d.valid_from
-       AND (d.valid_to IS NULL OR e.ts < d.valid_to))
-    SELECT e.event_id, e.user_id, h.o_orderkey, h.o_totalprice,
-           (h.event_id IS NULL) AS before_first_version
-    FROM events e LEFT JOIN hit h ON e.event_id = h.event_id
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT e.event_id, e.user_id, d.o_orderkey, d.o_totalprice,
+           (d.o_orderkey IS NULL) AS before_first_version
+    FROM events e LEFT JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
     """

@@ -758,33 +758,71 @@ WHERE event_id % 2 = 1
 register("q_stream_session_window", _VALID + """
 , w1 AS (SELECT date_trunc('milliseconds', max(recv_ts)) - INTERVAL 10 MINUTE AS w
          FROM valid WHERE event_id % 2 = 0),
-rows_kept AS (
-  SELECT uri, recv_ts FROM valid WHERE event_id % 2 = 0
-  UNION ALL
-  SELECT uri, recv_ts FROM valid
-  WHERE event_id % 2 = 1 AND recv_ts > (SELECT w FROM w1)),
+-- final watermark: advances on every row SEEN in pass 2 (late rows still
+-- update max event time), so it ranges over ALL valid rows
 w2 AS (SELECT date_trunc('milliseconds', max(recv_ts)) - INTERVAL 10 MINUTE AS w
-       FROM rows_kept),
-marked AS (
+       FROM valid),
+evens AS (SELECT uri, recv_ts FROM valid WHERE event_id % 2 = 0),
+-- phase 1: sessionize the evens; sessions closed by w1 are emitted and
+-- their state evicted; rows of still-open sessions survive into phase 2
+e_marked AS (
   SELECT uri, recv_ts,
          CASE WHEN lag(recv_ts) OVER (PARTITION BY uri ORDER BY recv_ts)
                    IS NULL
               OR recv_ts - lag(recv_ts) OVER (PARTITION BY uri ORDER BY recv_ts)
                    > INTERVAL 4 HOUR
               THEN 1 ELSE 0 END AS new_session
-  FROM rows_kept),
-sid AS (
+  FROM evens),
+e_sid AS (
   SELECT uri, recv_ts,
          sum(new_session) OVER (PARTITION BY uri ORDER BY recv_ts
                                 ROWS UNBOUNDED PRECEDING) AS s
-  FROM marked),
-sess AS (
+  FROM e_marked),
+e_sess AS (
+  SELECT uri, s, min(recv_ts) AS session_start,
+         max(recv_ts) + INTERVAL 4 HOUR AS session_end,
+         CAST(count(*) AS BIGINT) AS n_requests
+  FROM e_sid GROUP BY uri, s),
+e1 AS (SELECT uri, session_start, session_end, n_requests
+       FROM e_sess WHERE session_end <= (SELECT w FROM w1)),
+open_rows AS (
+  SELECT r.uri, r.recv_ts
+  FROM e_sid r JOIN e_sess g ON r.uri = g.uri AND r.s = g.s
+  WHERE g.session_end > (SELECT w FROM w1)),
+-- phase 2: surviving state plus the odd rows that are not late. The late
+-- rule is the WINDOW-END rule (same boundary the tumbling oracle pins):
+-- an odd row is dropped iff recv_ts + gap <= w1 — a row below w1 but
+-- within the gap of it is KEPT (it seeds state; it can only appear in
+-- the output if its session closes by w2)
+p2 AS (
+  SELECT uri, recv_ts FROM open_rows
+  UNION ALL
+  SELECT uri, recv_ts FROM valid
+  WHERE event_id % 2 = 1
+    AND recv_ts + INTERVAL 4 HOUR > (SELECT w FROM w1)),
+p_marked AS (
+  SELECT uri, recv_ts,
+         CASE WHEN lag(recv_ts) OVER (PARTITION BY uri ORDER BY recv_ts)
+                   IS NULL
+              OR recv_ts - lag(recv_ts) OVER (PARTITION BY uri ORDER BY recv_ts)
+                   > INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS new_session
+  FROM p2),
+p_sid AS (
+  SELECT uri, recv_ts,
+         sum(new_session) OVER (PARTITION BY uri ORDER BY recv_ts
+                                ROWS UNBOUNDED PRECEDING) AS s
+  FROM p_marked),
+p_sess AS (
   SELECT uri, min(recv_ts) AS session_start,
          max(recv_ts) + INTERVAL 4 HOUR AS session_end,
          CAST(count(*) AS BIGINT) AS n_requests
-  FROM sid GROUP BY uri, s)
-SELECT uri, session_start, session_end, n_requests
-FROM sess WHERE session_end <= (SELECT w FROM w2)
+  FROM p_sid GROUP BY uri, s),
+e2 AS (SELECT uri, session_start, session_end, n_requests
+       FROM p_sess WHERE session_end <= (SELECT w FROM w2))
+SELECT uri, session_start, session_end, n_requests FROM e1
+UNION ALL
+SELECT uri, session_start, session_end, n_requests FROM e2
 """)(streaming_pipeline.stream_session_query)
 
 register("q_stream_interval_join", _VALID + f"""

@@ -949,15 +949,20 @@ def session_stream(
 def stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3c, oracle-checked: the REAL streaming session windows run as two
     availableNow passes (evens then odds, the stream_windowed split). The
-    declarative model: watermark w1 = max(even recv_ts) - delay; odd rows
-    at or below w1 are dropped late; sessionize the surviving rows per
-    uri with the gap; emit exactly the sessions whose end (last + gap) is
-    at or below the final watermark w2 = max(all surviving) - delay.
-    Closed-session immutability makes the model well-defined: a session
-    emitted in pass 1 ended at or below w1, and any row that could have
-    extended it (within gap of its last event) is below w1 too — late by
-    construction — so pass-2 data can never contradict a pass-1
-    emission."""
+    declarative TWO-PHASE model (the phases mirror the engine's own
+    state lifecycle, which a single global sessionize-then-filter cannot:
+    pass-1 emission EVICTS a closed session's state, so a pass-2 row can
+    never retroactively extend it, while a one-shot model would merge
+    that row in and un-emit the session):
+    phase 1 — sessionize the evens; emit sessions with end <= w1
+    (w1 = max(even recv_ts) - delay); rows of still-open sessions carry
+    forward as state. phase 2 — sessionize (state rows ∪ non-late odds)
+    and emit sessions with end <= w2 (w2 ranges over ALL rows seen —
+    late rows still advance event-time max). The late rule is the
+    WINDOW-END rule, the same boundary the tumbling oracle pins: an odd
+    row is dropped iff recv_ts + gap <= w1 — a row below w1 but within
+    the gap of it is KEPT and seeds state (probe-verified; it surfaces
+    in the output only if its session closes by w2)."""
     import os
 
     from ..sources.requests import requests_df

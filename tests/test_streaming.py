@@ -621,3 +621,14 @@ def test_streaming_session_window_merges_across_batches(spark, tmp_path):
     assert got2[(3, 0)].e.minute == 15         # end extended to 03:15
     assert got2[(0, 0)]["count"] == 2          # late row did not mutate A
     assert (6, 0) not in got2                  # open session unemitted
+
+    # pass 3: the late rule is the WINDOW-END rule, not a row-ts cut — a
+    # row BELOW the watermark (05:50) whose would-be window end is above
+    # it (05:45 + 10min = 05:55) is kept, seeds state, and emits once the
+    # watermark passes its end; a row whose window end is below the
+    # watermark (04:00 + 10min < 05:50) is dropped
+    spark.createDataFrame([req_at(7, 345), req_at(8, 240), req_at(9, 600)], COLS
+    ).coalesce(1).write.mode("append").parquet(src)
+    got3 = run()
+    assert (5, 45) in got3 and got3[(5, 45)]["count"] == 1  # kept-band row
+    assert (4, 0) not in got3                               # window-end late
