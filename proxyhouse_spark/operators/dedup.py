@@ -657,3 +657,57 @@ def simhash_wide_neardup_oracle() -> str:
     FROM pairs
     WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
     """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_match — entity-resolution record linkage: find near-identical
+# record keys by edit distance, with BLOCKING so the quadratic
+# levenshtein never sees the full cross product (the classic ER pipeline:
+# block → compare → match; Fellegi-Sunter / Magellan shape). Record key
+# = the first 40 chars of the normalized text (a title/name stand-in);
+# typo'd variants are synthesized deterministically (every 7th doc gets
+# its 5th character deleted — one edit) so the matcher has real work in
+# both engines. Blocking key = (lang, first 4 chars): an edit at
+# position >= 5 never changes it, so every planted pair shares a block
+# (documented recall bound: edits INSIDE the first 4 chars would need a
+# second blocking pass on e.g. a suffix key — the standard multi-pass
+# blocking answer). The block join is hinted SHUFFLE_HASH (both sides
+# corpus-scaled); levenshtein runs only on within-block candidates.
+# ---------------------------------------------------------------------------
+
+FUZZY_MAXDIST = 2
+
+
+def _fuzzy_sql(norm_fn, duck: bool) -> str:
+    hint = "" if duck else "/*+ SHUFFLE_HASH(a, b) */ "
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, substr({norm_fn}, 1, 40) AS rec FROM documents),
+    typod AS (
+      SELECT doc_id + 3000000 AS doc_id, lang,
+             substr(rec, 1, 4) || substr(rec, 6) AS rec
+      FROM base WHERE doc_id % 7 = 3),
+    recs AS (SELECT * FROM base UNION ALL SELECT * FROM typod),
+    blocked AS (
+      SELECT doc_id, lang, rec, substr(rec, 1, 4) AS blk FROM recs),
+    pairs AS (
+      SELECT {hint}a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.rec, b.rec) AS INT) AS dist
+      FROM blocked a JOIN blocked b
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, dist FROM pairs WHERE dist <= {FUZZY_MAXDIST}
+    """
+
+
+def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import table
+    from .textops import _NORM
+
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_fuzzy_sql(_NORM.format(t="text"), duck=False))
+
+
+def fuzzy_match_oracle() -> str:
+    from .textops import _NORM_DUCK
+
+    return _fuzzy_sql(_NORM_DUCK.format(t="text"), duck=True)

@@ -881,6 +881,7 @@ register("q_span_corruption", pipeline_ops.span_corruption_oracle())(
 register("q_simhash_wide", dedup.simhash_wide_neardup_oracle())(
     dedup.simhash_wide_neardup
 )
+register("q_fuzzy_match", dedup.fuzzy_match_oracle())(dedup.fuzzy_match)
 register("q_gapfill_locf", sampling.gapfill_locf_oracle())(sampling.gapfill_locf)
 register("q_scd2", relational.scd2_intervals_oracle())(relational.scd2_intervals)
 register("q_scd2_lookup", relational.scd2_lookup_oracle())(relational.scd2_lookup)

@@ -234,3 +234,16 @@ def test_kmeans_loop_converges_to_fixpoint(spark):
     assert {(r.vec_id, r.c) for r in rows} == {
         (r.vec_id, r.c) for r in again.collect()
     }
+
+
+def test_fuzzy_match_finds_planted_typos(spark):
+    """Every planted one-edit variant (doc_id % 7 == 3 → +3e6, 5th char
+    deleted) must match its original at distance 1 through the blocking."""
+    rows = registry.QUERIES["q_fuzzy_match"](spark, SF_SMALL).collect()
+    planted = {(r.doc_a, r.doc_b) for r in rows if r.doc_b == r.doc_a + 3_000_000}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    expected = {(d.doc_id, d.doc_id + 3_000_000) for d in docs if d.doc_id % 7 == 3}
+    assert planted == expected
+    for r in rows:
+        if r.doc_b == r.doc_a + 3_000_000:
+            assert r.dist == 1
