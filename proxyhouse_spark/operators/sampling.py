@@ -326,3 +326,51 @@ def gapfill_locf_oracle() -> str:
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS locf_value
     FROM j
     """
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample — deterministic quality-weighted corpus draw per
+# stratum: the Efraimidis-Spirakis A-ES scheme (priority = u^(1/w), top-k
+# by priority ⇒ inclusion probability ∝ weight) with md5 arithmetic as
+# the uniform source — no RNG, so the draw is reproducible under any
+# repartitioning / shard retry (the stratified_sample discipline applied
+# to WEIGHTED selection, which a pipeline needs the moment docs carry a
+# quality score). Spelled in log space (ln(u)/w, higher = better) to
+# avoid pow(); the priority is rounded to 6 dp with doc_id tiebreak so
+# cross-engine libm ulp noise cannot reorder the cut. Weight = n_chars
+# (a stand-in for any quality score). One WindowGroupLimit per stratum —
+# map-side pruned top-k, no global sort.
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 25  # kept per language stratum
+
+
+def _wsample_sql(md5int: str) -> str:
+    # u in (0, 1]: 48-bit md5 slice scaled; +1 avoids ln(0)
+    u = f"(({md5int}) + 1) / 281474976710656.0"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln({u}) / n_chars, 6) AS priority
+      FROM documents),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY priority DESC, doc_id) AS rnk
+      FROM w)
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight, priority,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {WSAMPLE_K}
+    """
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    md5int = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    return spark.sql(_wsample_sql(md5int))
+
+
+def weighted_sample_oracle() -> str:
+    md5int = (
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+    )
+    return _wsample_sql(md5int)

@@ -247,3 +247,26 @@ def test_fuzzy_match_finds_planted_typos(spark):
     for r in rows:
         if r.doc_b == r.doc_a + 3_000_000:
             assert r.dist == 1
+
+
+def test_weighted_sample_prefers_heavy_docs_and_plans_window_limit(spark):
+    """A-ES sanity: the weighted draw must skew toward high-weight docs
+    (mean weight of kept >> stratum mean), be a per-stratum top-k, and
+    plan WindowGroupLimit (map-side pruning, no global sort)."""
+    from proxyhouse_spark.operators.sampling import WSAMPLE_K
+
+    kept = registry.QUERIES["q_weighted_sample"](spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    by_lang: dict[str, list[int]] = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append(d.n_chars)
+    kept_by_lang: dict[str, list[int]] = {}
+    for r in kept:
+        kept_by_lang.setdefault(r.lang, []).append(r.weight)
+    for lang, ws in kept_by_lang.items():
+        assert len(ws) == min(WSAMPLE_K, len(by_lang[lang]))
+        corpus_mean = sum(by_lang[lang]) / len(by_lang[lang])
+        assert sum(ws) / len(ws) > corpus_mean  # weight-proportional skew
+    from tests.test_plans import plan_of
+
+    assert "WindowGroupLimit" in plan_of(spark, "q_weighted_sample")
