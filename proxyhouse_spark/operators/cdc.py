@@ -84,3 +84,110 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_upsert_oracle() -> str:
     return _APPLY
+
+
+# ---------------------------------------------------------------------------
+# Streaming continuous apply — the micro-batch face of the same fold:
+# each batch of changelog rows is merged into a persistent snapshot
+# (read current → union batch → latest-wins per key → atomic rewrite),
+# i.e. what Delta/Hudi MERGE does per trigger, built on plain parquet.
+# Because the fold is idempotent and latest-wins is associative, applying
+# the changelog in ANY batch partitioning yields the same snapshot as
+# one big batch apply — which is exactly what q_stream_cdc proves
+# through the differential gate (two real availableNow passes, oracle =
+# the batch apply SQL). Snapshot rewrite is repartition(key-bucket) +
+# tmp-dir + atomic rename (the replay_dlq recipe); at scale the rewrite
+# is a co-located write when the snapshot is bucketed by the key.
+# ---------------------------------------------------------------------------
+
+_CHANGELOG_SCHEMA = (
+    "o_orderkey bigint, seq int, op string, o_custkey bigint, "
+    "o_orderstatus string, cents bigint, o_orderpriority string"
+)
+
+
+def _merge_snapshot(spark: SparkSession, batch_df: DataFrame, snap_dir: str) -> None:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if os.path.isdir(snap_dir) and os.listdir(snap_dir):
+        current = spark.read.parquet(snap_dir)
+    else:
+        current = spark.createDataFrame([], _CHANGELOG_SCHEMA)
+    merged = current.unionByName(batch_df)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    latest = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    # tombstones are KEPT in the snapshot store (a later batch must still
+    # see that the key was deleted — dropping them here would resurrect a
+    # key if an older update replayed); readers filter op <> 'D'
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    latest.repartition(4, "o_orderkey").write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(snap_dir):
+        shutil.rmtree(snap_dir)
+    os.rename(tmp, snap_dir)
+
+
+def cdc_apply_stream(
+    spark: SparkSession, source_dir: str, snap_dir: str, checkpoint_dir: str
+):
+    """One availableNow pass applying the changelog stream to the
+    snapshot directory via foreachBatch."""
+    stream = (
+        spark.readStream.schema(_CHANGELOG_SCHEMA).parquet(source_dir)
+    )
+    return (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, _id: _merge_snapshot(spark, df, snap_dir))
+        .start()
+    )
+
+
+def stream_cdc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8, oracle-checked: continuous CDC apply run as two REAL
+    availableNow passes — pass 1 delivers the inserts and first updates
+    (seq <= 1), pass 2 the second updates and tombstones — then the final
+    snapshot (minus tombstones, plus the per-key version count the batch
+    operator reports) must hash-match the one-shot batch apply
+    (q_cdc_upsert's oracle verbatim). Associativity of latest-wins is the
+    property under test: batch boundaries must be invisible in the final
+    state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+    from ..tables import table
+
+    base = _scratch_dir("t8_cdc_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    changelog = spark.sql(f"WITH {_CHANGELOG} SELECT * FROM changelog")
+    changelog.filter(F.col("seq") <= 1).coalesce(1).write.parquet(src)
+    _await_or_raise(cdc_apply_stream(spark, src, snap, ckpt))
+    changelog.filter(F.col("seq") >= 2).coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(cdc_apply_stream(spark, src, snap, ckpt))
+    # versions per key come from the full changelog (the snapshot holds
+    # only the surviving row); recompute declaratively like the batch op
+    spark.read.parquet(snap).createOrReplaceTempView("snap")
+    return spark.sql(
+        f"""
+        WITH {_CHANGELOG},
+        nv AS (SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_versions
+               FROM changelog GROUP BY o_orderkey)
+        SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
+               s.cents / 100.0 AS o_totalprice, s.o_orderpriority,
+               nv.n_versions
+        FROM snap s JOIN nv ON s.o_orderkey = nv.o_orderkey
+        WHERE s.op <> 'D'
+        """
+    )

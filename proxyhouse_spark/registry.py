@@ -892,6 +892,7 @@ register("q_scd2_lookup", relational.scd2_lookup_oracle())(relational.scd2_looku
 from .operators import cdc  # noqa: E402
 
 register("q_cdc_upsert", cdc.cdc_upsert_oracle())(cdc.cdc_upsert)
+register("q_stream_cdc", cdc.cdc_upsert_oracle())(cdc.stream_cdc_query)
 register("q_unigram_logprob", retrieval.unigram_logprob_oracle())(
     retrieval.unigram_logprob
 )

@@ -42,3 +42,28 @@ def test_cdc_upsert_plan_single_window_no_join(spark):
     """Compaction must be one shuffle (the window on the key), no join."""
     plan = registry.QUERIES["q_cdc_upsert"](spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_stream_cdc_tombstones_survive_restarts(spark, tmp_path):
+    """A key deleted in one micro-batch must stay deleted in later ones:
+    the snapshot store keeps tombstone rows so a replayed older update
+    cannot resurrect the key (readers filter op <> 'D')."""
+    from proxyhouse_spark.operators.cdc import cdc_apply_stream
+
+    src, snap, ckpt = (str(tmp_path / d) for d in ("src", "snap", "ckpt"))
+    cols = "o_orderkey bigint, seq int, op string, o_custkey bigint, o_orderstatus string, cents bigint, o_orderpriority string"
+    # pass 1: insert key 1 and key 2; delete key 1
+    spark.createDataFrame(
+        [(1, 0, "I", 10, "O", 100, "1-URGENT"), (2, 0, "I", 11, "O", 200, "2-HIGH"),
+         (1, 3, "D", 10, "O", 100, "1-URGENT")], cols
+    ).coalesce(1).write.parquet(src)
+    q = cdc_apply_stream(spark, src, snap, ckpt)
+    assert q.awaitTermination(120)
+    # pass 2: a LATE lower-seq update for deleted key 1 replays (at-least-once)
+    spark.createDataFrame(
+        [(1, 1, "U", 10, "X", 110, "1-URGENT")], cols
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = cdc_apply_stream(spark, src, snap, ckpt)
+    assert q.awaitTermination(120)
+    live = spark.read.parquet(snap).filter("op <> 'D'").collect()
+    assert {r.o_orderkey for r in live} == {2}, "deleted key must not resurrect"

@@ -224,6 +224,7 @@ _EXECUTING = {
     "q_stream_enrich",
     "q_stream_interval_join",
     "q_stream_session_window",
+    "q_stream_cdc",
     "q_dedup_clusters",
 }
 
