@@ -374,3 +374,88 @@ def weighted_sample_oracle() -> str:
         "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
     )
     return _wsample_sql(md5int)
+
+
+# ---------------------------------------------------------------------------
+# incremental_rollup — materialized-aggregate maintenance (the
+# TimescaleDB continuous-aggregate / Materialize shape, completing
+# hyper_rollup's read side with the WRITE side): the persisted state
+# holds mergeable partials (count, sum, min, max) per (event_type, day);
+# a new delta batch is aggregated the same way and MERGED — sum the
+# counts/sums, min the mins, max the maxes — never recomputed from raw
+# history. Non-mergeable aggregates (avg here) must be DERIVED from
+# merged partials (sum/count), which is exactly the modeling rule that
+# makes incremental maintenance correct; storing avg itself and
+# "merging" it is the classic bug this operator's oracle would catch.
+# The oracle is the one-shot aggregation over all rows: merge(state,
+# delta) == full recompute, the associativity contract. Scale: both
+# passes are map-side-combinable aggs; the merge touches O(groups) rows
+# regardless of history size — the entire point at 100 TB.
+# ---------------------------------------------------------------------------
+
+_INC_SPLIT = "2024-01-16 00:00:00"
+
+
+def _inc_partial(pred: str, trunc: str) -> str:
+    return f"""(
+      SELECT event_type, {trunc} AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(value) AS total,
+             round(min(value), 2) AS vmin,
+             round(max(value), 2) AS vmax
+      FROM events WHERE {pred} GROUP BY event_type, {trunc})"""
+
+
+def _inc_sql(trunc: str, split_lit: str) -> str:
+    state = _inc_partial(f"ts < {split_lit}", trunc)
+    delta = _inc_partial(f"ts >= {split_lit}", trunc)
+    return f"""
+    WITH state AS {state},
+    delta AS {delta},
+    merged AS (
+      SELECT event_type, day,
+             CAST(sum(n) AS BIGINT) AS n,
+             -- partials carry RAW sums; round once after the merge.
+             -- Rounding inside partials loses sub-cent residue and the
+             -- merged total drifts from the one-shot recompute — the
+             -- incremental-maintenance bug the oracle exists to catch.
+             -- (min/max commute with rounding — monotone — so those may
+             -- be rounded early.)
+             round(sum(total), 2) AS total,
+             round(min(vmin), 2) AS vmin,
+             round(max(vmax), 2) AS vmax
+      FROM (SELECT * FROM state UNION ALL SELECT * FROM delta) u
+      GROUP BY event_type, day)
+    SELECT event_type, day, n, total, vmin, vmax,
+           round(total / n, 4) AS avg_value
+    FROM merged
+    """
+
+
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir)
+    return spark.sql(
+        _inc_sql(
+            "CAST(date_trunc('DAY', ts) AS TIMESTAMP_NTZ)",
+            f"TIMESTAMP_NTZ '{_INC_SPLIT}'",
+        )
+    )
+
+
+def incremental_rollup_oracle() -> str:
+    # one-shot recompute over ALL rows — merge(state, delta) must equal it
+    # (DuckDB date_trunc('day') yields DATE; cast to TIMESTAMP to match
+    # Spark's NTZ day column)
+    trunc = "CAST(date_trunc('day', ts) AS TIMESTAMP)"
+    return f"""
+    WITH full_agg AS (
+      SELECT event_type, {trunc} AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS total,
+             round(min(value), 2) AS vmin,
+             round(max(value), 2) AS vmax
+      FROM events GROUP BY event_type, {trunc})
+    SELECT event_type, day, n, total, vmin, vmax,
+           round(total / n, 4) AS avg_value
+    FROM full_agg
+    """

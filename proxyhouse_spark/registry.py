@@ -885,6 +885,9 @@ register("q_fuzzy_match", dedup.fuzzy_match_oracle())(dedup.fuzzy_match)
 register("q_weighted_sample", sampling.weighted_sample_oracle())(
     sampling.weighted_sample
 )
+register("q_incremental_rollup", sampling.incremental_rollup_oracle())(
+    sampling.incremental_rollup
+)
 register("q_gapfill_locf", sampling.gapfill_locf_oracle())(sampling.gapfill_locf)
 register("q_scd2", relational.scd2_intervals_oracle())(relational.scd2_intervals)
 register("q_scd2_lookup", relational.scd2_lookup_oracle())(relational.scd2_lookup)
