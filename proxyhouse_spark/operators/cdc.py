@@ -87,6 +87,60 @@ def cdc_upsert_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# snapshot_diff — table-version diff (the data-versioning audit every
+# lakehouse pipeline runs between two snapshots of the same keyed table:
+# which keys were added / removed / changed, with before/after values).
+# Two deterministic snapshots are synthesized from ``orders``: the "old"
+# version is missing keys ≡ 0 (mod 7) (they arrive later), the "new" one
+# dropped keys ≡ 0 (mod 5) and repriced keys ≡ 0 (mod 3) by +10 % in
+# exact integer cents. The diff itself is ONE full-outer equi-join on the
+# primary key — a single co-locatable shuffle; when both snapshot
+# versions are bucketed by the key (the layout any versioned table store
+# uses) the join is entirely shuffle-free, so diffing two 100 TB
+# snapshots costs one partition-local merge pass. Unchanged keys are
+# filtered out, keeping the output proportional to the CHANGE volume,
+# not the table size. Portable SQL: oracle is textually identical.
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+snap_old AS (
+  SELECT o_orderkey, cents FROM base WHERE o_orderkey % 7 <> 0
+),
+snap_new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN CAST(floor(cents * 11 / 10) AS BIGINT)
+              ELSE cents END AS cents
+  FROM base WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       o.cents AS old_cents,
+       n.cents AS new_cents
+FROM snap_old o
+FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.cents <> n.cents
+"""
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff of two table versions: added / removed / changed rows
+    with before/after values; unchanged keys excluded."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SNAPSHOT_DIFF)
+
+
+def snapshot_diff_oracle() -> str:
+    return _SNAPSHOT_DIFF
+
+
+# ---------------------------------------------------------------------------
 # Streaming continuous apply — the micro-batch face of the same fold:
 # each batch of changelog rows is merged into a persistent snapshot
 # (read current → union batch → latest-wins per key → atomic rewrite),

@@ -1,0 +1,159 @@
+"""Tokenizer-side corpus operators: sequence packing + BPE pair counts.
+
+Two passes every pretraining-data pipeline runs after cleaning/dedup and
+before the tokenizer fleet (SURVEY §2.11 ext; the reference proxy —
+/root/reference/main.go — has no document surface at all, this is
+north-star scope per BASELINE.json):
+
+- ``pack_global`` — GPT-style concat-and-chunk packing manifest: the
+  corpus token stream (docs concatenated in deterministic ``doc_id``
+  order) sliced into fixed-length training sequences, emitted as a
+  (seq_id, doc_id, offsets) manifest so the tokenizer fleet can pack
+  shards without ever materializing the concatenation. Complementary to
+  ``pipeline_ops.sequence_pack`` (q_sequence_pack), which packs 8
+  INDEPENDENT shard streams (shard = doc_id % 8) — the embarrassingly
+  parallel layout; this one produces the single GLOBAL stream layout
+  (one deterministic token order corpus-wide), whose prefix sum is the
+  part that needs the two-phase distributed spelling.
+- ``bpe_pairs`` — the inner step of BPE tokenizer training (Sennrich et
+  al. 2016): adjacent character-pair frequencies, counted over word
+  TYPES weighted by word frequency (the standard BPE efficiency trick —
+  pair explosion runs over the vocabulary, not the token instances).
+
+Both are pure-integer / exact-string computations, fully differentially
+oracled against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import table
+
+#: training-sequence length (tokens) for the packing manifest.
+SEQ_LEN = 128
+
+#: docs per prefix-sum bucket. The bucket-totals frame has ndocs/BUCKET
+#: rows; its cumulative sum is the only single-partition step and it is
+#: O(#buckets), not O(docs) — at 100 TB pick BUCKET so #buckets stays in
+#: the millions (a few MB), exactly the two-phase distributed prefix-sum.
+BUCKET = 100
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> None:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# pack_global — the scalable shape matters here: a naive
+# `sum() OVER (ORDER BY doc_id)` plans ONE partition holding the whole
+# corpus. Instead: (1) per-bucket token totals (map-side-combinable
+# shuffle), (2) exclusive cumsum over the TINY bucket frame (single
+# partition, O(#buckets) rows), (3) broadcast the offsets back, (4)
+# within-bucket exclusive cumsum (window partitioned BY bucket — parallel),
+# (5) explode each doc's span into the sequences it overlaps (bounded by
+# ntoks/SEQ_LEN + 1 per doc — narrow). No stage ever holds more than a
+# bucket in one task.
+# ---------------------------------------------------------------------------
+
+
+def pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH tk AS (SELECT doc_id,
+                           CAST(size(split(text, ' ', -1)) AS BIGINT) AS ntoks,
+                           doc_id div {BUCKET} AS bucket
+                    FROM documents),
+        bt AS (SELECT bucket, sum(ntoks) AS btoks FROM tk GROUP BY bucket),
+        bo AS (SELECT bucket,
+                      coalesce(sum(btoks) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS bucket_off
+               FROM bt),
+        sp AS (SELECT tk.doc_id, tk.ntoks,
+                      bo.bucket_off
+                        + coalesce(sum(tk.ntoks) OVER (PARTITION BY tk.bucket
+                            ORDER BY tk.doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS t0
+               FROM tk JOIN bo ON tk.bucket = bo.bucket)
+        SELECT seq_id, doc_id,
+               greatest(t0, seq_id * {SEQ_LEN}) - t0 AS doc_off,
+               greatest(t0, seq_id * {SEQ_LEN}) - seq_id * {SEQ_LEN} AS seq_off,
+               least(t0 + ntoks, (seq_id + 1) * {SEQ_LEN})
+                 - greatest(t0, seq_id * {SEQ_LEN}) AS n_tok
+        FROM sp
+        LATERAL VIEW explode(sequence(t0 div {SEQ_LEN},
+                                      (t0 + ntoks - 1) div {SEQ_LEN})) t AS seq_id
+        """
+    )
+
+
+def pack_global_oracle() -> str:
+    # DuckDB can afford the direct single-window spelling — the oracle
+    # states the SEMANTICS (global concat order), the Spark side the
+    # distributed plan; both must agree token-for-token.
+    return f"""
+    WITH tk AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS ntoks
+                FROM documents),
+    sp AS (SELECT doc_id, ntoks,
+                  CAST(coalesce(sum(ntoks) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS t0
+           FROM tk),
+    e AS (SELECT doc_id, ntoks, t0,
+                 unnest(range(t0 // {SEQ_LEN}, (t0 + ntoks - 1) // {SEQ_LEN} + 1))
+                   AS seq_id
+          FROM sp)
+    SELECT seq_id, doc_id,
+           greatest(t0, seq_id * {SEQ_LEN}) - t0 AS doc_off,
+           greatest(t0, seq_id * {SEQ_LEN}) - seq_id * {SEQ_LEN} AS seq_off,
+           least(t0 + ntoks, (seq_id + 1) * {SEQ_LEN})
+             - greatest(t0, seq_id * {SEQ_LEN}) AS n_tok
+    FROM e
+    """
+
+
+# ---------------------------------------------------------------------------
+# bpe_pairs — BPE merge-candidate counting. Stage 1 folds corpus token
+# instances into (word, count) — map-side-combinable, and Zipfian heavy
+# hitters combine map-side so the shuffle carries word TYPES. Stage 2
+# explodes character pairs over the vocabulary only (the BPE trick: cost
+# O(|vocab| · word_len), independent of corpus size). Final top-k plans
+# TakeOrderedAndProject — no global sort. Ties broken (count DESC, pair
+# ASC) so the cut is engine-identical.
+# ---------------------------------------------------------------------------
+
+TOP_PAIRS = 32
+
+
+def bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH w AS (SELECT explode(split(text, ' ', -1)) AS word FROM documents),
+        wc AS (SELECT word, count(*) AS wcount FROM w GROUP BY word),
+        p AS (SELECT substr(word, i, 2) AS pair, wcount
+              FROM wc
+              LATERAL VIEW explode(sequence(1, length(word) - 1)) t AS i
+              WHERE length(word) >= 2)
+        SELECT pair, CAST(sum(wcount) AS BIGINT) AS n_occ
+        FROM p GROUP BY pair
+        ORDER BY n_occ DESC, pair LIMIT {TOP_PAIRS}
+        """
+    )
+
+
+def bpe_pairs_oracle() -> str:
+    return f"""
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    wc AS (SELECT word, count(*) AS wcount FROM w GROUP BY word),
+    p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, wcount
+          FROM wc, unnest(range(1, length(word))) AS t(i)
+          WHERE length(word) >= 2)
+    SELECT pair, CAST(sum(wcount) AS BIGINT) AS n_occ
+    FROM p GROUP BY pair
+    ORDER BY n_occ DESC, pair LIMIT {TOP_PAIRS}
+    """

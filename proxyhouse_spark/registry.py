@@ -919,3 +919,11 @@ register("q_approx_percentiles")(relational.approx_percentiles)
 register("q_vocab_coverage", textops.vocab_coverage_oracle())(
     textops.vocab_coverage
 )
+
+from .operators import packing  # noqa: E402
+
+register("q_pack_global", packing.pack_global_oracle())(
+    packing.pack_global
+)
+register("q_bpe_pairs", packing.bpe_pairs_oracle())(packing.bpe_pairs)
+register("q_snapshot_diff", cdc.snapshot_diff_oracle())(cdc.snapshot_diff)

@@ -209,9 +209,9 @@ class FlushPipeline:
             # lifetime (see checkpoints.py).
             grouped = scoped_checkpoint(grouped, "flush_frame")
             delivered = self.sender(grouped)
-            ok_keys = [u for u, d in delivered.items() if d]
-            ok = grouped.filter(F.col("uri").isin(ok_keys))
-            failed = grouped.filter(~F.col("uri").isin(ok_keys))
+            # statuses join, not isin(): an IN-literal inlines every key
+            # into the plan (see _split_by_statuses)
+            ok, failed = _split_by_statuses(grouped, delivered)
         else:
             ok, failed = _split_by_failure(grouped, self.fail_predicate)
         obs = Observation()

@@ -377,3 +377,44 @@ def test_ivf_cell_partitioned_corpus_prunes_scan(spark, tmp_path):
     total = corpus.count()
     assert 0 < rows < total
     assert len(n_cells) > 5  # enough cells exist for pruning to matter
+
+
+def test_pack_global_two_phase_prefix_sum(spark):
+    """The global packing manifest must never window the whole corpus in
+    one partition: the only SinglePartition exchange feeds the O(#buckets)
+    bucket-offset frame, the corpus-sized window is partitioned BY bucket,
+    and the offsets come back via broadcast."""
+    plan = plan_of(spark, "q_pack_global")
+    tree = tree_of(plan)
+    assert plan.count("Arguments: SinglePartition") == 1  # tiny bucket frame only
+    assert "BroadcastHashJoin" in tree  # offsets broadcast back
+    assert tree.count("Window") == 2  # bucket cumsum + within-bucket cumsum
+    assert "rangepartitioning" not in plan.lower()  # never a global sort
+
+
+def test_bpe_pairs_vocab_only_explode_topk(spark):
+    """Pair explosion must run over word TYPES (after the (word,count)
+    fold), not token instances, and the final cut must plan
+    TakeOrderedAndProject, not a global sort."""
+    tree = tree_of(plan_of(spark, "q_bpe_pairs"))
+    assert "TakeOrderedAndProject" in tree
+    assert "Sort" not in tree.replace("TakeOrderedAndProject", "")
+    # vocab-only explosion: top-down the first Generate is the char-pair
+    # explode, the second the token explode feeding the word fold — the
+    # (word,count) HashAggregate must sit BETWEEN them, proving pairs are
+    # generated over word types, not token instances
+    first_gen = tree.index("Generate")
+    second_gen = tree.index("Generate", first_gen + 1)
+    assert "HashAggregate" in tree[first_gen:second_gen]
+    assert tree.count("Exchange") == 2  # word fold + pair fold, nothing else
+
+
+def test_snapshot_diff_single_colocatable_join(spark):
+    """The version diff is one full-outer equi-join on the primary key —
+    both snapshot scans must prune to (key, price) and push their key
+    filters down; no second join, no broadcast of a table-sized side."""
+    plan = plan_of(spark, "q_snapshot_diff")
+    tree = tree_of(plan)
+    assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") == 1
+    assert "BroadcastHashJoin" not in tree  # both sides scale with the table
+    assert plan.count("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>") == 2
