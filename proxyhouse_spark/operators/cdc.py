@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..tables import table
+from ..streaming.pipeline import _oracle_stream_conf
 
 # Portable changelog CTE: (seq, op, key, payload...). seq is the change
 # sequence number (commit LSN stand-in); higher seq wins. Prices are
@@ -204,6 +205,7 @@ def cdc_apply_stream(
     )
 
 
+@_oracle_stream_conf
 def stream_cdc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8, oracle-checked: continuous CDC apply run as two REAL
     availableNow passes — pass 1 delivers the inserts and first updates

@@ -99,6 +99,38 @@ def _cleanup_scratch() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+#: state-store partition count for the q_stream_* oracle passes. A
+#: stateful streaming query materializes one state-store instance per
+#: shuffle partition per stateful operator per micro-batch; over the tiny
+#: fixture slices that fixed cost dwarfs the data at the vanilla
+#: session's 32 partitions. The count is baked in at first query start
+#: from the session conf (fresh checkpoints every invocation, so 8 here
+#: never conflicts), and production pipelines are untouched — they keep
+#: the session default, sized to the executor fleet.
+STREAM_ORACLE_PARTITIONS = 8
+
+
+def _oracle_stream_conf(fn):
+    """Scope ``spark.sql.shuffle.partitions`` to STREAM_ORACLE_PARTITIONS
+    for the duration of a q_stream_* oracle function, restoring the
+    caller's setting after. The expensive streaming passes run EAGERLY
+    inside the function (awaitTermination); the returned DataFrame only
+    re-reads their parquet output, so the restore cannot affect results."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(STREAM_ORACLE_PARTITIONS))
+        try:
+            return fn(spark, sf_dir)
+        finally:
+            spark.conf.set(key, prev)
+
+    return wrapper
+
+
 def _await_or_raise(q: StreamingQuery, timeout_s: int = 300) -> None:
     """availableNow passes finish in seconds; a False return from
     awaitTermination means the pass is still running and the output dir is
@@ -380,6 +412,7 @@ def replay_dlq(
 # ---------------------------------------------------------------------------
 
 
+@_oracle_stream_conf
 def flush_trigger_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: one availableNow pass over the request stream (single source file
     → single micro-batch). The flushed sink must equal the batch
@@ -400,6 +433,7 @@ def flush_trigger_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_oracle_stream_conf
 def dlq_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: one recovery pass over a synthetic DLQ where every odd-level
     packet fails again (deterministic). Returns the post-replay queue state:
@@ -635,6 +669,7 @@ def enrich_stream(
     )
 
 
+@_oracle_stream_conf
 def stream_cumulative_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4, oracle-checked: the custom stateful operator
     (applyInPandasWithState cumulative per-key totals) run as TWO real
@@ -668,6 +703,7 @@ def stream_cumulative_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_oracle_stream_conf
 def stream_windowed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3, oracle-checked: the REAL watermarked event-time windowed stream,
     run as two availableNow passes. Pass 1 (even event_ids) advances the
@@ -704,6 +740,7 @@ def stream_windowed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_oracle_stream_conf
 def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6, oracle-checked: watermark-bounded streaming dedup under DLQ-style
     replay. Pass 1 streams the even-id requests; pass 2 streams the odd-id
@@ -752,6 +789,7 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 ENRICH_ROUTES = (("click", "ch-0"), ("view", "ch-1"), ("error", "ch-2"))
 
 
+@_oracle_stream_conf
 def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6b, oracle-checked: one REAL availableNow pass of the stream-static
     broadcast enrichment join (per-batch re-read routing dim, stream never
@@ -859,6 +897,7 @@ def interval_join_stream(
     )
 
 
+@_oracle_stream_conf
 def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7, oracle-checked: the REAL stream-stream interval join run as two
     availableNow passes — pass 2 delivers the post-split B rows against
@@ -946,6 +985,7 @@ def session_stream(
     )
 
 
+@_oracle_stream_conf
 def stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3c, oracle-checked: the REAL streaming session windows run as two
     availableNow passes (evens then odds, the stream_windowed split). The
