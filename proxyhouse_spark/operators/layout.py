@@ -1,0 +1,129 @@
+"""Physical-layout planning & shuffle-health diagnostics (SURVEY §2.11 ext).
+
+Operating a 100 TB table is as much about LAYOUT as about queries: which
+keys skew the shuffles, and how to cluster files so scans skip data.
+These operators are the planning/diagnostic passes an operator of a
+large deployment runs (the reference — /root/reference/main.go — has no
+storage layer at all; north-star scope per BASELINE.json):
+
+- ``skew_report``  — group-size distribution for a prospective shuffle
+  key: per-decile group counts and sizes plus min/max. The report that
+  decides between a plain hash shuffle, salting (q_groupby_concat_salted
+  / q_join_salted), and AQE skew-join handling.
+- ``zorder_stats`` — Z-order (Morton) interleaving of two dimensions
+  into a space-filling-curve key, rows assigned to files by z-region,
+  with per-file min/max extents on BOTH dimensions — the data-skipping
+  index a lakehouse OPTIMIZE ZORDER produces, and the evidence that a
+  2-D-filtered scan can prune most files.
+
+Both are exact integer computations, differentially oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import table
+
+# ---------------------------------------------------------------------------
+# skew_report — one map-side-combinable fold to (key, n) — the shuffle
+# under diagnosis is the one being sized, so this costs exactly one run
+# of it — then an ntile over GROUPS (O(#keys) rows, not O(rows)). Ties
+# broken (n, key) so the decile cut is engine-identical. At extreme key
+# cardinality swap ntile for approx_percentile boundary buckets — the
+# decile schema is unchanged.
+# ---------------------------------------------------------------------------
+
+_SKEW_REPORT = """
+WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY user_id),
+d AS (SELECT n, CAST(ntile(10) OVER (ORDER BY n, user_id) AS BIGINT) AS decile
+      FROM g)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       min(n) AS min_size,
+       max(n) AS max_size,
+       CAST(sum(n) AS BIGINT) AS sum_rows
+FROM d GROUP BY decile
+"""
+
+
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile group-size distribution for ``events.user_id`` — the
+    shuffle-key health report (max_size/avg in the top decile is the
+    skew factor that picks plain hash vs salting vs AQE skew split)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_SKEW_REPORT)
+
+
+def skew_report_oracle() -> str:
+    return _SKEW_REPORT
+
+
+# ---------------------------------------------------------------------------
+# zorder_stats — Morton interleave of (o_custkey, order epoch-day), both
+# masked to 16 bits; z-region = top 4 bits of the 32-bit z-value → 16
+# files. The bit-spread is the standard shift-or-mask ladder (5 narrow
+# integer ops per dimension — whole-stage codegen, zero shuffle); the
+# only shuffle is the final 16-group stats fold. Production writes the
+# rows range-partitioned by zval (a parallel sort-shuffle); file
+# assignment by fixed z-region keeps THIS op narrow and the oracle
+# exact, and the emitted per-file (custkey, day) extents are precisely
+# the min/max skipping index readers prune on.
+# ---------------------------------------------------------------------------
+
+
+def _spread(col: str) -> str:
+    """Interleave zeros between the low 16 bits of ``col`` (portable:
+    only <<, &, | — identical operators in Spark SQL and DuckDB)."""
+    s = f"({col} & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+def _zorder_sql(day_expr: str, idiv: str) -> str:
+    """``idiv`` is the engine's integer-division operator (Spark ``div``,
+    DuckDB ``//``) — float division would be 1-ulp-fragile exactly at the
+    integer boundaries the curve cuts on. Dimensions are min-max scaled
+    to the full 16-bit range first (raw keys rarely fill their bit width,
+    which would collapse every row into one z-region); the 1-row extent
+    frame rides the established CROSS JOIN scalar-broadcast pattern
+    (bm25/unigram_logprob)."""
+    zx = _spread("x16")
+    zy = _spread("y16")
+    return f"""
+    WITH b AS (SELECT o_custkey, {day_expr} AS d FROM orders),
+    s AS (SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+                 min(d) AS dmin, max(d) AS dmax
+          FROM b),
+    n AS (SELECT o_custkey, d,
+                 coalesce(((o_custkey - cmin) * 65535) {idiv} nullif(cmax - cmin, 0), 0) AS x16,
+                 coalesce(((d - dmin) * 65535) {idiv} nullif(dmax - dmin, 0), 0) AS y16
+          FROM b CROSS JOIN s),
+    z AS (SELECT o_custkey, d,
+                 CAST(({zx}) | (({zy}) << 1) AS BIGINT) AS zval
+          FROM n)
+    SELECT CAST((zval >> 28) AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_custkey) AS min_custkey, max(o_custkey) AS max_custkey,
+           min(d) AS min_day, max(d) AS max_day
+    FROM z GROUP BY file_id
+    """
+
+
+def zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        _zorder_sql(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT)",
+            "div",
+        )
+    )
+
+
+def zorder_stats_oracle() -> str:
+    return _zorder_sql(
+        "CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)",
+        "//",
+    )

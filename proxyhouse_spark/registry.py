@@ -927,3 +927,8 @@ register("q_pack_global", packing.pack_global_oracle())(
 )
 register("q_bpe_pairs", packing.bpe_pairs_oracle())(packing.bpe_pairs)
 register("q_snapshot_diff", cdc.snapshot_diff_oracle())(cdc.snapshot_diff)
+
+from .operators import layout  # noqa: E402
+
+register("q_skew_report", layout.skew_report_oracle())(layout.skew_report)
+register("q_zorder_stats", layout.zorder_stats_oracle())(layout.zorder_stats)

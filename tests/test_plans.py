@@ -242,6 +242,7 @@ _SCALAR_BNLJ_OK = {
     "q_kmeans_embed",     # K-row centroid frame (O(K·dim) by construction)
     "q_semantic_dedup",   # K-row centroid frame; pair join pinned shuffle-hash
     "q_vocab_coverage",   # 1-row vocabulary-set frame (V tokens by construction)
+    "q_zorder_stats",     # 1-row dimension-extent frame (min-max normalizer)
 }
 
 
@@ -418,3 +419,77 @@ def test_snapshot_diff_single_colocatable_join(spark):
     assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") == 1
     assert "BroadcastHashJoin" not in tree  # both sides scale with the table
     assert plan.count("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>") == 2
+
+
+def test_skew_report_windows_groups_not_rows(spark):
+    """The ntile runs over the already-folded (key, n) frame — O(#keys)
+    rows through the single-partition window, never the raw events. Pin:
+    the SinglePartition exchange sits ABOVE the first hash aggregation."""
+    plan = plan_of(spark, "q_skew_report")
+    tree = tree_of(plan)
+    assert plan.count("Arguments: SinglePartition") == 1
+    assert tree.count("Window") == 1
+    # leaf-to-root operator order in the formatted tree is bottom=last:
+    # the events fold (hashpartitioning on user_id) must be planned BELOW
+    # (i.e. after, in tree text) the single-partition window exchange
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_zorder_ladder_stays_narrow(spark):
+    """The Morton bit-spread must be pure codegen arithmetic: no joins
+    except the 1-row extent broadcast, no Python, and only the two
+    aggregation exchanges (global extent row + per-file stats fold)."""
+    plan = plan_of(spark, "q_zorder_stats")
+    tree = tree_of(plan)
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
+    assert "InPandas" not in tree and "BatchEvalPython" not in tree
+    assert tree.count("Exchange") <= 3
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """Spark's runtime row-level bloom filter: a selective dim-side filter
+    is turned into a might_contain() predicate on the FACT side before the
+    join shuffle — the 100 TB semi-join reduction (shuffle only rows that
+    can match). Thresholds are scoped here because the local fixtures are
+    far below the production defaults (10 GB application-side scan)."""
+    from proxyhouse_spark.tables import table
+    from tests.conftest import SF_SMALL
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+        o = (
+            table(spark, SF_SMALL, "orders")
+            .filter("o_orderpriority = '1-URGENT'")
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in plan  # fact side pre-filtered...
+        assert "bloom_filter_agg" in plan  # ...by the dim-side bloom build
+        # and the filter sits on the lineitem (application) side scan
+        li_filter = [
+            l for l in plan.splitlines()
+            if "might_contain" in l and "l_orderkey" in l
+        ]
+        assert li_filter
+        # semantics unchanged vs the plain join
+        n_bloom = j.count()
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        assert n_bloom == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
