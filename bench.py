@@ -44,6 +44,8 @@ HEADLINE = [
     "q_bm25",                # ranked retrieval (BM25 top-k)
     "q_semantic_dedup",      # k-means blocking + within-cluster cosine prune
     "q_cdc_upsert",          # CDC latest-wins upsert/delete compaction
+    "q_pack_global",         # global packing manifest (2-phase prefix sum)
+    "q_drift_psi",           # PSI drift (staged counts + decimal-exact tail)
 ]
 
 

@@ -195,3 +195,84 @@ def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def linreg_by_group_oracle() -> str:
     return _linreg_sql("hour(ts)")
+
+
+# ---------------------------------------------------------------------------
+# drift_psi — distribution-drift detection between two time slices: the
+# Population Stability Index (the standard ML-ops drift metric; PSI > 0.2
+# conventionally = retrain/investigate) of each event type's value
+# distribution, first half of the month vs second. Fixed 10-bin value
+# grid + add-one smoothing (zero-count bins would send ln(p/q) to ±inf);
+# each (pa-pb)·ln(pa/pb) term is rounded to 6 dp and summed as DECIMAL —
+# the token_entropy/unigram_logprob exactness discipline, so parallel and
+# serial engines agree bit-for-bit. Scale: ONE map-side-combinable
+# shuffle over events to (type, slice, bin) counts; everything after is
+# O(types × bins) — the drift job over 100 TB of events costs one
+# aggregation pass, and in production the same fold runs incrementally
+# per day (mergeable counts, the incremental_rollup contract).
+# ---------------------------------------------------------------------------
+
+
+_PSI_COUNTS = """
+SELECT event_type, slice, bin, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type,
+             CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END AS slice,
+             CAST(least(floor(value / 50), 9) AS BIGINT) AS bin
+      FROM events) e
+GROUP BY event_type, slice, bin
+"""
+
+
+def _psi_sql(bin_gen: str) -> str:
+    """PSI tail over a ``c(event_type, slice, bin, n)`` counts relation —
+    returned WITHOUT a leading WITH so each engine picks its own staging
+    for ``c`` (Spark: checkpointed temp view; DuckDB: plain CTE)."""
+    return f"""
+    t AS (SELECT event_type,
+                 CAST(sum(CASE WHEN slice = 0 THEN n ELSE 0 END) AS BIGINT) AS ta,
+                 CAST(sum(CASE WHEN slice = 1 THEN n ELSE 0 END) AS BIGINT) AS tb
+          FROM c GROUP BY event_type),
+    grid AS (SELECT ty.event_type, b.bin
+             FROM (SELECT DISTINCT event_type FROM c) ty
+             CROSS JOIN ({bin_gen}) b),
+    f AS (SELECT g.event_type, g.bin,
+                 coalesce(ca.n, 0) AS ca, coalesce(cb.n, 0) AS cb
+          FROM grid g
+          LEFT JOIN c ca ON ca.event_type = g.event_type
+                        AND ca.bin = g.bin AND ca.slice = 0
+          LEFT JOIN c cb ON cb.event_type = g.event_type
+                        AND cb.bin = g.bin AND cb.slice = 1),
+    p AS (SELECT f.event_type, t.ta, t.tb,
+                 CAST(ca + 1 AS DOUBLE) / (ta + 10) AS pa,
+                 CAST(cb + 1 AS DOUBLE) / (tb + 10) AS pb
+          FROM f JOIN t ON f.event_type = t.event_type)
+    SELECT event_type, ta AS n_first, tb AS n_second,
+           round(CAST(sum(CAST(round((pa - pb) * ln(pa / pb), 6)
+                               AS DECIMAL(18, 6))) AS DOUBLE), 6) AS psi
+    FROM p GROUP BY event_type, ta, tb
+    """
+
+
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark inlines CTEs, so referencing the counts three times (slice-0
+    # join, slice-1 join, type grid) would re-scan events three times.
+    # Stage the O(types × bins) counts frame once (scoped localCheckpoint,
+    # the minhash staging pattern; on a cluster: write the counts table,
+    # then join it) and run the PSI tail over the materialized rows.
+    from ..checkpoints import scoped_checkpoint
+
+    _events(spark, sf_dir)
+    counts = scoped_checkpoint(spark.sql(_PSI_COUNTS), "psi_counts")
+    counts.createOrReplaceTempView("c")
+    return spark.sql(
+        "WITH " + _psi_sql("SELECT explode(sequence(0, 9)) AS bin")
+    )
+
+
+def drift_psi_oracle() -> str:
+    # DuckDB side keeps the counts as a plain CTE (oracle states
+    # semantics; engine-side staging is a Spark plan concern)
+    return (
+        f"WITH c AS ({_PSI_COUNTS}), "
+        + _psi_sql("SELECT unnest(range(0, 10)) AS bin")
+    )

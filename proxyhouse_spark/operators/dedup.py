@@ -725,3 +725,58 @@ def fuzzy_match_oracle() -> str:
     from .textops import _NORM_DUCK
 
     return _fuzzy_sql(_NORM_DUCK.format(t="text"), duck=True)
+
+
+# ---------------------------------------------------------------------------
+# dedup_recall — dedup-QUALITY evaluation (the audit every production
+# dedup run ships with: how much of the known duplication did the
+# approximate pass actually catch, and how much extra did it flag). The
+# injected corpus (sources/corpus.py) gives exact ground truth by
+# construction: (d, d+1M) exact copies for d%10=0, (d, d+2M) first-token-
+# dropped near copies for d%10=5. The MinHash pipeline's predicted pairs
+# are joined against that planted-truth frame and bucketed into
+# detected / missed per class, plus the unplanted-detected remainder
+# (legitimately-similar pairs MinHash also surfaces — not errors, but the
+# operator wants them counted). Scale: the truth frame is a narrow
+# projection of the corpus; the confusion join is an equi-join on the
+# ordered pair key — one co-locatable shuffle on top of the minhash run
+# itself. 100% of exact and near classes detected at every fixture SF is
+# pinned in tests/test_llm_ops.py territory via the oracle hash.
+# ---------------------------------------------------------------------------
+
+_RECALL_BODY = """
+truth AS (
+  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, 'exact' AS dup_class
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b, 'near' AS dup_class
+  FROM documents WHERE doc_id % 10 = 5),
+conf AS (
+  SELECT coalesce(t.doc_a, p.doc_a) AS doc_a,
+         CASE WHEN p.doc_a IS NULL THEN concat(t.dup_class, '_missed')
+              WHEN t.doc_a IS NULL THEN 'unplanted_detected'
+              ELSE concat(t.dup_class, '_detected') END AS pair_class
+  FROM truth t FULL OUTER JOIN pred p
+    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+SELECT pair_class, CAST(count(*) AS BIGINT) AS n_pairs
+FROM conf GROUP BY pair_class
+"""
+
+
+def dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import table
+
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    minhash_neardup(spark, sf_dir).createOrReplaceTempView("pred_pairs")
+    return spark.sql(
+        "WITH pred AS (SELECT doc_a, doc_b FROM pred_pairs), " + _RECALL_BODY
+    )
+
+
+def dedup_recall_oracle() -> str:
+    return (
+        "WITH pred AS (SELECT doc_a, doc_b FROM ("
+        + minhash_neardup_oracle()
+        + ") mh), "
+        + _RECALL_BODY
+    )

@@ -930,5 +930,20 @@ register("q_snapshot_diff", cdc.snapshot_diff_oracle())(cdc.snapshot_diff)
 
 from .operators import layout  # noqa: E402
 
+register(
+    "q_replica_audit",
+    _COUNTED
+    + " , agg AS ("
+    + _CONCAT_SELECT
+    + "), sink AS (SELECT uri, "
+    + scalars.extract_table_sql("uri")
+    + " AS table_name, buffer, rowcount FROM agg) "
+    + metrics.replica_audit_body(
+        "CAST(concat('0x', substr(md5(concat(uri, '|', buffer, '|', "
+        "CAST(rowcount AS VARCHAR))), 1, 12)) AS BIGINT)"
+    ),
+)(metrics.replica_audit)
+register("q_drift_psi", behavior.drift_psi_oracle())(behavior.drift_psi)
+register("q_dedup_recall", dedup.dedup_recall_oracle())(dedup.dedup_recall)
 register("q_skew_report", layout.skew_report_oracle())(layout.skew_report)
 register("q_zorder_stats", layout.zorder_stats_oracle())(layout.zorder_stats)

@@ -270,3 +270,34 @@ def test_weighted_sample_prefers_heavy_docs_and_plans_window_limit(spark):
     from tests.test_plans import plan_of
 
     assert "WindowGroupLimit" in plan_of(spark, "q_weighted_sample")
+
+
+def test_dedup_recall_measures_planted_classes(spark):
+    """The audit's whole point: exact copies are ALWAYS caught (identical
+    shingle sets can't miss a band), while near-copy recall is high but
+    honestly < 100% — a short doc's first-token drop can fall below the
+    0.6 Jaccard verify threshold, and the audit is what surfaces that
+    (at sf0.001 it reports exactly 1 of 50 near pairs missed)."""
+    rows = {
+        r["pair_class"]: r["n_pairs"]
+        for r in registry.QUERIES["q_dedup_recall"](spark, SF_SMALL).collect()
+    }
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    n_exact = sum(1 for d in range(n_docs) if d % 10 == 0)
+    n_near = sum(1 for d in range(n_docs) if d % 10 == 5)
+    assert "exact_missed" not in rows
+    assert rows["exact_detected"] == n_exact
+    assert rows["near_detected"] + rows.get("near_missed", 0) == n_near
+    assert rows["near_detected"] >= 0.9 * n_near  # recall floor
+
+
+def test_drift_psi_nonnegative_and_bounded(spark):
+    """PSI is a sum of (p-q)ln(p/q) terms, each ≥ 0 — negative PSI means
+    the term algebra broke; the IID fixture's halves should also sit far
+    below the 0.2 'drift' convention."""
+    rows = registry.QUERIES["q_drift_psi"](spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["psi"] >= 0, r
+        assert r["psi"] < 0.2, r  # IID fixture: no real drift
+        assert r["n_first"] + r["n_second"] > 0

@@ -243,6 +243,7 @@ _SCALAR_BNLJ_OK = {
     "q_semantic_dedup",   # K-row centroid frame; pair join pinned shuffle-hash
     "q_vocab_coverage",   # 1-row vocabulary-set frame (V tokens by construction)
     "q_zorder_stats",     # 1-row dimension-extent frame (min-max normalizer)
+    "q_drift_psi",        # 10-row bin-grid frame crossed with O(#types) rows
 }
 
 
@@ -493,3 +494,23 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_replica_audit_single_pass_conditional_agg(spark):
+    """Both replicas' stats must come from ONE scan + conditional
+    aggregates: the keyed concat shuffle plus the table_name fold — no
+    second pipeline, no self-join of the sink frame."""
+    tree = tree_of(plan_of(spark, "q_replica_audit"))
+    assert "Join" not in tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2
+
+
+def test_drift_psi_scans_events_once(spark):
+    """PSI must fold events exactly once: the O(types × bins) counts frame
+    is staged via scoped localCheckpoint (Spark inlines CTEs — referencing
+    the counts three times would re-scan events three times), so the
+    returned plan reads ONLY the materialized counts, zero parquet scans."""
+    plan = plan_of(spark, "q_drift_psi")
+    assert "events.parquet" not in plan  # fold already ran, staged once
+    assert "Scan ExistingRDD" in plan  # ...into the checkpointed frame
+    assert "rangepartitioning" not in plan.lower()
