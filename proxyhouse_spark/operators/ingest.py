@@ -89,22 +89,25 @@ def buffer_aggregate(df: DataFrame) -> DataFrame:
     Scale: map-side partial aggregation collapses each input partition to one
     row per distinct uri before the shuffle; the post-shuffle state is
     O(#distinct uris), independent of input row count.
+
+    Spelled with ``listagg`` (string_agg): concatenates directly into the
+    aggregation buffer instead of materializing a sorted array first
+    (collect_list + sort_array + array_join) — measured 1.2-1.6× faster
+    at sf0.1 with byte-identical output. The delimiter is per-format and
+    listagg's delimiter must be foldable, so each group evaluates both
+    spellings and the CASE (on the ``fmt`` group key) picks one — the
+    wasted twin concat still beats the array materialization.
     """
     prepared = with_row_count(with_format(with_fmt(validate_requests(df))))
-    agg = prepared.groupBy("uri", "fmt").agg(
-        F.sort_array(F.collect_list("body")).alias("bodies"),
-        F.sum("n_rows").alias("rowcount"),
-        F.count(F.lit(1)).alias("n_requests"),
+    buffer = F.expr(
+        "CASE WHEN fmt = 'Values'"
+        " THEN listagg(body, ',') WITHIN GROUP (ORDER BY body)"
+        " ELSE listagg(body, '') WITHIN GROUP (ORDER BY body) END"
     )
-    buffer = F.when(
-        F.col("fmt") == "Values", F.array_join(F.col("bodies"), ",")
-    ).otherwise(F.array_join(F.col("bodies"), ""))
-    return agg.select(
-        "uri",
-        "fmt",
+    return prepared.groupBy("uri", "fmt").agg(
         buffer.alias("buffer"),
-        F.col("rowcount").cast("bigint").alias("rowcount"),
-        F.col("n_requests").cast("bigint").alias("n_requests"),
+        F.sum("n_rows").cast("bigint").alias("rowcount"),
+        F.count(F.lit(1)).cast("bigint").alias("n_requests"),
     )
 
 

@@ -706,3 +706,90 @@ def scd2_lookup_oracle() -> str:
      AND e.ts >= d.valid_from
      AND (d.valid_to IS NULL OR e.ts < d.valid_to)
     """
+
+
+# ---------------------------------------------------------------------------
+# window_range — RANGE-frame window (the time-valued frame the W-family's
+# ROWS frames can't express: "everything in the trailing hour", peers
+# included regardless of row order). Count + cents-sum per user over a
+# trailing 3600 s frame keyed on epoch seconds. Value carried in integer
+# cents: RANGE frames are where engines differ most in evaluation
+# strategy (running accumulation vs segment tree), so float addition
+# order is NOT cross-engine stable — integer sums are. Scale: one
+# shuffle on user_id, partition-local ordered scan with a sliding
+# aggregate; frame state is bounded by events-per-hour-per-user.
+# ---------------------------------------------------------------------------
+
+
+def window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import EPOCH_NTZ
+
+    events = table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.expr(f"timestampdiff(SECOND, {EPOCH_NTZ}, ts)").alias("es"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("es"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "es",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum("cents").over(w).cast("bigint").alias("cents_1h"),
+    )
+
+
+def window_range_oracle() -> str:
+    return """
+    WITH e AS (SELECT event_id, user_id,
+                      date_diff('second', TIMESTAMP '1970-01-01', ts) AS es,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT event_id, user_id, es,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY es
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """
+
+
+# ---------------------------------------------------------------------------
+# agg_argminmax — min_by / max_by (DuckDB arg_min / arg_max): which user
+# leads/trails each event type by total spend. The argmax KEY packs the
+# tiebreak into the ordering value (total·1e5 ± user_id) because struct/
+# tuple ordering inside max_by is where the two engines' dialects
+# diverge; the packing is exact while user_id < 1e5 and totals < 9e13
+# cents (both true at every fixture SF — production widens the radix or
+# pre-ranks with a window). One map-side-combinable shuffle on
+# (type, user), then an O(users) fold per type.
+# ---------------------------------------------------------------------------
+
+_ARGMM_BODY = """
+t AS (SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+      FROM events GROUP BY event_type, user_id)
+SELECT event_type,
+       {maxby}(user_id, total * 100000 + (99999 - user_id)) AS top_user,
+       {maxby}(total, total * 100000 + (99999 - user_id)) AS top_cents,
+       {minby}(user_id, total * 100000 + user_id) AS low_user,
+       {minby}(total, total * 100000 + user_id) AS low_cents
+FROM t GROUP BY event_type
+"""
+
+
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        "WITH " + _ARGMM_BODY.format(maxby="max_by", minby="min_by")
+    )
+
+
+def agg_argminmax_oracle() -> str:
+    return "WITH " + _ARGMM_BODY.format(maxby="arg_max", minby="arg_min")

@@ -943,6 +943,12 @@ register(
         "CAST(rowcount AS VARCHAR))), 1, 12)) AS BIGINT)"
     ),
 )(metrics.replica_audit)
+register("q_window_range", relational.window_range_oracle())(
+    relational.window_range
+)
+register("q_argminmax", relational.agg_argminmax_oracle())(
+    relational.agg_argminmax
+)
 register("q_drift_psi", behavior.drift_psi_oracle())(behavior.drift_psi)
 register("q_dedup_recall", dedup.dedup_recall_oracle())(dedup.dedup_recall)
 register("q_skew_report", layout.skew_report_oracle())(layout.skew_report)
