@@ -247,3 +247,109 @@ def stream_cdc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE s.op <> 'D'
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k leaderboard — incremental view maintenance with the
+# ADDITIVE merge algebra (stream_cdc above proves latest-wins; this one
+# proves sum-mergeability, the algebra behind every continuously-
+# maintained aggregate/leaderboard). Each foreachBatch folds the batch's
+# per-user cent sums into a persistent totals snapshot (read → full-outer
+# add → atomic rewrite; state O(#users), bounded by key cardinality, not
+# stream length); the top-k itself is a per-read TakeOrdered over the
+# snapshot — never maintained incrementally, because top-k alone is NOT
+# mergeable (an evicted key can re-enter; the totals table is the
+# mergeable carrier). Two REAL availableNow passes must reproduce the
+# one-shot batch answer: associativity of + across arbitrary batch
+# boundaries is the property under differential test.
+# ---------------------------------------------------------------------------
+
+_TOTALS_SCHEMA = "user_id bigint, total_cents bigint"
+TOPK_N = 10
+
+
+def _merge_totals(spark: SparkSession, batch_df: DataFrame, snap_dir: str) -> None:
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    batch_totals = batch_df.groupBy("user_id").agg(
+        F.sum("cents").cast("bigint").alias("total_cents")
+    )
+    if os.path.isdir(snap_dir) and os.listdir(snap_dir):
+        current = spark.read.parquet(snap_dir)
+    else:
+        current = spark.createDataFrame([], _TOTALS_SCHEMA)
+    merged = (
+        current.withColumnRenamed("total_cents", "prev")
+        .join(batch_totals.withColumnRenamed("total_cents", "delta"),
+              "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce(F.col("prev"), F.lit(0))
+             + F.coalesce(F.col("delta"), F.lit(0))).cast("bigint")
+            .alias("total_cents"),
+        )
+    )
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    merged.repartition(4, "user_id").write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(snap_dir):
+        shutil.rmtree(snap_dir)
+    os.rename(tmp, snap_dir)
+
+
+@_oracle_stream_conf
+def stream_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9, oracle-checked: two availableNow passes (events split on
+    event_id parity) maintaining the totals snapshot; the final top-10
+    must hash-match the one-shot batch leaderboard."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t9_topk_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "event_id bigint, user_id bigint, cents bigint"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _id: _merge_totals(spark, df, snap))
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+    spark.read.parquet(snap).createOrReplaceTempView("totals_snap")
+    return spark.sql(
+        f"""
+        SELECT user_id, total_cents FROM totals_snap
+        ORDER BY total_cents DESC, user_id LIMIT {TOPK_N}
+        """
+    )
+
+
+def stream_topk_oracle() -> str:
+    return f"""
+    WITH t AS (SELECT user_id,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                        AS total_cents
+               FROM events GROUP BY user_id)
+    SELECT user_id, total_cents FROM t
+    ORDER BY total_cents DESC, user_id LIMIT {TOPK_N}
+    """
