@@ -57,3 +57,23 @@ def lsh_bucket_duck(e: str) -> str:
         f"array_to_string(list_transform(range(0, {N_PLANES}), p -> "
         f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END), '')"
     )
+
+
+# --- squared L2 distance over a sub-vector (PQ, SURVEY §2.11 N58) ----------
+# Same sequential-fold structure as cosine above; SUBDIM-length inputs.
+
+SUBDIM = 16
+
+
+def l2sq_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def l2sq_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {SUBDIM + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )

@@ -281,3 +281,76 @@ def ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ts_similarity_oracle() -> str:
     return _ts_sql("hour(ts)")
+
+
+# ---------------------------------------------------------------------------
+# knn_pq — product-quantization ANN (the PQ half of the FAISS IVF-PQ
+# stack; q_knn_ivf above is the IVF half). The 64-dim space splits into
+# 4 sub-spaces of 16 dims; each sub-space gets a 16-entry codebook
+# (deterministically seeded from the 16 lowest-vec_id corpus vectors —
+# production trains the codebook offline on a sample, the seeding stands
+# in exactly like q_kmeans_embed's init); every vector compresses to 4
+# one-byte codes (16× compression at 64-dim; 32× at float32-128-dim).
+# Query scoring is ADC: the probe's 4×16 distance table is O(1) to
+# build, each candidate costs 4 lookups + adds instead of 64 multiplies.
+#
+# Determinism discipline: the encode argmin packs (round(dist2·1e6), cid)
+# into ONE BIGINT and takes min() — a map-side-combinable aggregate, no
+# window shuffle, and the tiebreak is part of the key; ADC table entries
+# are rounded to 6 dp and summed as DECIMAL (the token_entropy rule), so
+# the 4-term additions are exact in any order. Scale: encode is the
+# corpus × 64 narrow pass every PQ build pays (codebook broadcasts);
+# the score join is O(corpus × 4) against a 64-row broadcast table; the
+# final cut is TakeOrdered. Codes are the stored index: at 100 TB the
+# codes table is ~100-1000× smaller than the vectors.
+# ---------------------------------------------------------------------------
+
+N_SUB = 4
+N_CODES = 16
+
+
+def _pq_sql(duck: bool) -> str:
+    if duck:
+        sub_of = "e[s * 16 + 1 : s * 16 + 16]"
+        gen_s = "(SELECT unnest(range(0, 4)) AS s) t"
+        d2 = V.l2sq_duck
+    else:
+        sub_of = "slice(e, s * 16 + 1, 16)"
+        gen_s = "LATERAL VIEW explode(sequence(0, 3)) t AS s"
+        d2 = V.l2sq_spark
+    cross = ", " if duck else " "
+    return f"""
+    base AS (SELECT vec_id, label, e FROM embc),
+    seed AS (SELECT vec_id, e FROM base ORDER BY vec_id LIMIT {N_CODES}),
+    seedr AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+              FROM seed),
+    cb AS (SELECT s, cid, {sub_of} AS c FROM seedr{cross}{gen_s}),
+    sub AS (SELECT vec_id, s, {sub_of} AS v FROM base{cross}{gen_s}),
+    dist AS (SELECT sub.vec_id, sub.s,
+                    CAST(round({d2('sub.v', 'cb.c')} * 1000000) AS BIGINT)
+                      * {N_CODES} + cb.cid AS packed
+             FROM sub JOIN cb ON sub.s = cb.s),
+    codes AS (SELECT vec_id, s, CAST(min(packed) % {N_CODES} AS INT) AS code
+              FROM dist GROUP BY vec_id, s),
+    dt AS (SELECT cb.s, cb.cid,
+                  CAST(round({d2('p.v', 'cb.c')}, 6) AS DECIMAL(18, 6)) AS d
+           FROM cb JOIN (SELECT s, v FROM sub
+                         WHERE vec_id = {PROBE_VEC_ID}) p ON p.s = cb.s),
+    scored AS (SELECT c.vec_id, sum(dt.d) AS score
+               FROM codes c JOIN dt ON dt.s = c.s AND dt.cid = c.code
+               GROUP BY c.vec_id)
+    SELECT b.vec_id, b.label, round(CAST(s.score AS DOUBLE), 6) AS approx_d
+    FROM scored s JOIN base b ON b.vec_id = s.vec_id
+    WHERE b.vec_id <> {PROBE_VEC_ID}
+    ORDER BY approx_d, b.vec_id
+    LIMIT {K}
+    """
+
+
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_corpus(spark, sf_dir).createOrReplaceTempView("embc")
+    return spark.sql("WITH " + _pq_sql(duck=False))
+
+
+def knn_pq_oracle() -> str:
+    return f"WITH embc AS ({EMB_CORPUS_DUCK}), " + _pq_sql(duck=True)

@@ -301,3 +301,12 @@ def test_drift_psi_nonnegative_and_bounded(spark):
         assert r["psi"] >= 0, r
         assert r["psi"] < 0.2, r  # IID fixture: no real drift
         assert r["n_first"] + r["n_second"] > 0
+
+
+def test_knn_pq_top_hit_is_planted_copy(spark):
+    """PQ quality floor: the probe's planted +0.05 twin (vec_id 1000000)
+    quantizes to the probe's own codes, so its ADC distance is exactly the
+    probe's quantization residual — nothing can rank above it."""
+    rows = registry.QUERIES["q_knn_pq"](spark, SF_SMALL).collect()
+    assert rows[0]["vec_id"] == 1000000
+    assert rows[0]["approx_d"] <= rows[-1]["approx_d"]

@@ -514,3 +514,13 @@ def test_drift_psi_scans_events_once(spark):
     assert "events.parquet" not in plan  # fold already ran, staged once
     assert "Scan ExistingRDD" in plan  # ...into the checkpointed frame
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_knn_pq_codebook_broadcasts_corpus_streams(spark):
+    """PQ plan contract: the 64-row codebook (and the 64-row ADC table)
+    broadcast; the corpus side never shuffles for the encode join; the
+    final cut is TakeOrdered, not a global sort."""
+    tree = tree_of(plan_of(spark, "q_knn_pq"))
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
