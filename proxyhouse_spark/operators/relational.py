@@ -793,3 +793,75 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_argminmax_oracle() -> str:
     return "WITH " + _ARGMM_BODY.format(maxby="arg_max", minby="arg_min")
+
+
+# ---------------------------------------------------------------------------
+# shipping_priority — TPC-H Q3 shape: segment-filtered customers ⋈ open
+# orders ⋈ shipped lineitems → revenue per order → top 10. Completes the
+# classic join-tree trio (Q1 scan-agg, Q5 star join, Q10 join+topk) with
+# the selective-dim + fact-agg + TakeOrdered shape. Revenue is summed in
+# integer MICROS (per-row round then exact integer sum) because the
+# top-10 CUT ranks on the sum — a float sum's last-ulp wobble could
+# reorder the boundary between engines, where Q1's unranked 6-row output
+# could not. Plan: both dims broadcast, lineitem never shuffles before
+# the aggregation, final cut TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF = "'1998-01-01'"
+_Q3_SEGMENT = "'BUILDING'"
+
+_SHIPPING_PRIORITY = f"""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS revenue_micros,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = {_Q3_SEGMENT}
+  AND o.o_orderdate < {_Q3_CUTOFF}
+  AND l.l_shipdate > {_Q3_CUTOFF}
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_micros DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SHIPPING_PRIORITY)
+
+
+def shipping_priority_oracle() -> str:
+    return _SHIPPING_PRIORITY
+
+
+# ---------------------------------------------------------------------------
+# order_priority_check — TPC-H Q4 shape: per-priority count of orders in a
+# quarter having at least one late-shipped line (EXISTS decorrelates to a
+# LEFT SEMI join — the fixture lacks commit/receipt dates, so "late" =
+# shipped after order date + 60 days, same selectivity role). Shape value:
+# the semi-join + agg plan (Q4's signature) where the probe side is
+# pruned by the date range BEFORE the join.
+# ---------------------------------------------------------------------------
+
+_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ORDER_PRIORITY)
+
+
+def order_priority_check_oracle() -> str:
+    return _ORDER_PRIORITY.replace("INTERVAL 60 DAY", "INTERVAL 60 DAYS")

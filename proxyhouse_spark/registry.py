@@ -896,6 +896,12 @@ from .operators import cdc  # noqa: E402
 
 register("q_cdc_upsert", cdc.cdc_upsert_oracle())(cdc.cdc_upsert)
 register("q_stream_cdc", cdc.cdc_upsert_oracle())(cdc.stream_cdc_query)
+register("q_shipping_priority", relational.shipping_priority_oracle())(
+    relational.shipping_priority
+)
+register("q_order_priority", relational.order_priority_check_oracle())(
+    relational.order_priority_check
+)
 register("q_knn_pq", similarity.knn_pq_oracle())(similarity.knn_pq)
 register("q_stream_topk", cdc.stream_topk_oracle())(cdc.stream_topk_query)
 register("q_unigram_logprob", retrieval.unigram_logprob_oracle())(

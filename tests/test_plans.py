@@ -524,3 +524,22 @@ def test_knn_pq_codebook_broadcasts_corpus_streams(spark):
     assert "TakeOrderedAndProject" in tree
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_shipping_priority_broadcasts_dims_topk(spark):
+    """Q3 shape: both filtered dims broadcast, lineitem feeds the agg
+    without a pre-join shuffle, and the top-10 cut is TakeOrdered."""
+    tree = tree_of(plan_of(spark, "q_shipping_priority"))
+    assert tree.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in tree
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_order_priority_is_semi_join(spark):
+    """Q4 shape: EXISTS decorrelates to a LEFT SEMI join; the orders side
+    carries the date-range filter down to its scan."""
+    plan = plan_of(spark, "q_order_priority")
+    assert "LeftSemi" in plan
+    assert "o_orderdate" in next(
+        l for l in plan.splitlines() if "PushedFilters" in l and "orders" not in l
+    ) or "GreaterThanOrEqual(o_orderdate" in plan
