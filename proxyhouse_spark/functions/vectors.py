@@ -59,10 +59,11 @@ def lsh_bucket_duck(e: str) -> str:
     )
 
 
-# --- squared L2 distance over a sub-vector (PQ, SURVEY §2.11 N58) ----------
-# Same sequential-fold structure as cosine above; SUBDIM-length inputs.
-
-SUBDIM = 16
+# --- squared L2 distance (PQ, SURVEY §2.11 N58) -----------------------------
+# Same sequential-fold structure as cosine above. Both variants are total
+# over their inputs' actual length (the Duck range derives from len(a), it
+# is NOT fixed to a sub-dim) so the two dialects can never silently
+# diverge on a caller passing full-width vectors.
 
 
 def l2sq_spark(a: str, b: str) -> str:
@@ -74,6 +75,6 @@ def l2sq_spark(a: str, b: str) -> str:
 
 def l2sq_duck(a: str, b: str) -> str:
     return (
-        f"list_sum(list_transform(range(1, {SUBDIM + 1}), "
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
         f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
     )

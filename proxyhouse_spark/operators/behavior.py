@@ -217,30 +217,31 @@ _PSI_COUNTS = """
 SELECT event_type, slice, bin, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT event_type,
              CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END AS slice,
-             CAST(least(floor(value / 50), 9) AS BIGINT) AS bin
+             CAST(greatest(least(floor(value / 50), 9), 0) AS BIGINT) AS bin
       FROM events) e
 GROUP BY event_type, slice, bin
 """
 
 
-def _psi_sql(bin_gen: str) -> str:
+def _psi_sql(bin_gen: str, c: str = "c") -> str:
     """PSI tail over a ``c(event_type, slice, bin, n)`` counts relation —
     returned WITHOUT a leading WITH so each engine picks its own staging
-    for ``c`` (Spark: checkpointed temp view; DuckDB: plain CTE)."""
-    return f"""
+    for the counts relation ``c`` (Spark: checkpointed temp view under a
+    scoped name; DuckDB: plain CTE)."""
+    body = f"""
     t AS (SELECT event_type,
                  CAST(sum(CASE WHEN slice = 0 THEN n ELSE 0 END) AS BIGINT) AS ta,
                  CAST(sum(CASE WHEN slice = 1 THEN n ELSE 0 END) AS BIGINT) AS tb
-          FROM c GROUP BY event_type),
+          FROM {c} GROUP BY event_type),
     grid AS (SELECT ty.event_type, b.bin
-             FROM (SELECT DISTINCT event_type FROM c) ty
+             FROM (SELECT DISTINCT event_type FROM {c}) ty
              CROSS JOIN ({bin_gen}) b),
     f AS (SELECT g.event_type, g.bin,
                  coalesce(ca.n, 0) AS ca, coalesce(cb.n, 0) AS cb
           FROM grid g
-          LEFT JOIN c ca ON ca.event_type = g.event_type
+          LEFT JOIN {c} ca ON ca.event_type = g.event_type
                         AND ca.bin = g.bin AND ca.slice = 0
-          LEFT JOIN c cb ON cb.event_type = g.event_type
+          LEFT JOIN {c} cb ON cb.event_type = g.event_type
                         AND cb.bin = g.bin AND cb.slice = 1),
     p AS (SELECT f.event_type, t.ta, t.tb,
                  CAST(ca + 1 AS DOUBLE) / (ta + 10) AS pa,
@@ -251,6 +252,7 @@ def _psi_sql(bin_gen: str) -> str:
                                AS DECIMAL(18, 6))) AS DOUBLE), 6) AS psi
     FROM p GROUP BY event_type, ta, tb
     """
+    return body
 
 
 def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,9 +265,10 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _events(spark, sf_dir)
     counts = scoped_checkpoint(spark.sql(_PSI_COUNTS), "psi_counts")
-    counts.createOrReplaceTempView("c")
+    counts.createOrReplaceTempView("psi_counts")
     return spark.sql(
-        "WITH " + _psi_sql("SELECT explode(sequence(0, 9)) AS bin")
+        "WITH "
+        + _psi_sql("SELECT explode(sequence(0, 9)) AS bin", c="psi_counts")
     )
 
 

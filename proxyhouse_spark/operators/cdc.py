@@ -161,17 +161,68 @@ _CHANGELOG_SCHEMA = (
 )
 
 
-def _merge_snapshot(spark: SparkSession, batch_df: DataFrame, snap_dir: str) -> None:
+# --- crash-safe, retry-idempotent snapshot store ----------------------------
+# foreachBatch is AT-LEAST-ONCE: a crash after the merge but before the
+# streaming checkpoint commits re-delivers the same micro-batch. Latest-wins
+# merges absorb a replay for free; ADDITIVE merges (the leaderboard below)
+# would double-add — so every merge is fenced with a per-batch marker file
+# written INSIDE the new snapshot directory (an `_`-prefixed file, invisible
+# to parquet readers) so marker and data become visible in the same rename.
+# The swap itself is two renames with a recovery path instead of
+# rmtree-then-rename, whose crash window destroys the snapshot outright.
+
+
+def _snapshot_read(spark: SparkSession, snap_dir: str, schema: str) -> DataFrame:
+    """Read the snapshot, recovering a crash between the two swap renames
+    (snap missing or empty while snap.old is intact)."""
+    import os
+
+    old = snap_dir.rstrip("/") + ".old"
+    if not (os.path.isdir(snap_dir) and os.listdir(snap_dir)) and os.path.isdir(old):
+        os.rename(old, snap_dir)
+    if os.path.isdir(snap_dir) and os.listdir(snap_dir):
+        return spark.read.parquet(snap_dir)
+    return spark.createDataFrame([], schema)
+
+
+def _snapshot_applied(snap_dir: str, batch_id: int) -> bool:
+    import os
+
+    return os.path.isfile(os.path.join(snap_dir, f"_applied_{batch_id}"))
+
+
+def _snapshot_swap(snap_dir: str, tmp: str, batch_id: int) -> None:
+    """Publish ``tmp`` as the snapshot: carry prior batch markers forward,
+    stamp this batch's marker into tmp (atomic with the data), then
+    rename(snap → old), rename(tmp → snap), drop old. A crash at any
+    point leaves either the old or the new snapshot fully intact
+    (recovered by _snapshot_read)."""
     import os
     import shutil
 
+    if os.path.isdir(snap_dir):
+        for f in os.listdir(snap_dir):
+            if f.startswith("_applied_"):
+                open(os.path.join(tmp, f), "w").close()
+    open(os.path.join(tmp, f"_applied_{batch_id}"), "w").close()
+    old = snap_dir.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(snap_dir):
+        os.rename(snap_dir, old)
+    os.rename(tmp, snap_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _merge_snapshot(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    if os.path.isdir(snap_dir) and os.listdir(snap_dir):
-        current = spark.read.parquet(snap_dir)
-    else:
-        current = spark.createDataFrame([], _CHANGELOG_SCHEMA)
+    if _snapshot_applied(snap_dir, batch_id):
+        return  # at-least-once replay of a committed batch
+    current = _snapshot_read(spark, snap_dir, _CHANGELOG_SCHEMA)
     merged = current.unionByName(batch_df)
     w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
     latest = (
@@ -184,9 +235,7 @@ def _merge_snapshot(spark: SparkSession, batch_df: DataFrame, snap_dir: str) -> 
     # key if an older update replayed); readers filter op <> 'D'
     tmp = snap_dir.rstrip("/") + ".tmp"
     latest.repartition(4, "o_orderkey").write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(snap_dir):
-        shutil.rmtree(snap_dir)
-    os.rename(tmp, snap_dir)
+    _snapshot_swap(snap_dir, tmp, batch_id)
 
 
 def cdc_apply_stream(
@@ -200,7 +249,7 @@ def cdc_apply_stream(
     return (
         stream.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda df, _id: _merge_snapshot(spark, df, snap_dir))
+        .foreachBatch(lambda df, bid: _merge_snapshot(spark, df, snap_dir, bid))
         .start()
     )
 
@@ -268,19 +317,19 @@ _TOTALS_SCHEMA = "user_id bigint, total_cents bigint"
 TOPK_N = 10
 
 
-def _merge_totals(spark: SparkSession, batch_df: DataFrame, snap_dir: str) -> None:
-    import os
-    import shutil
-
+def _merge_totals(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
     from pyspark.sql import functions as F
 
+    # additive merges are NOT replay-idempotent (unlike latest-wins):
+    # the per-batch fence is what makes at-least-once delivery safe here
+    if _snapshot_applied(snap_dir, batch_id):
+        return
     batch_totals = batch_df.groupBy("user_id").agg(
         F.sum("cents").cast("bigint").alias("total_cents")
     )
-    if os.path.isdir(snap_dir) and os.listdir(snap_dir):
-        current = spark.read.parquet(snap_dir)
-    else:
-        current = spark.createDataFrame([], _TOTALS_SCHEMA)
+    current = _snapshot_read(spark, snap_dir, _TOTALS_SCHEMA)
     merged = (
         current.withColumnRenamed("total_cents", "prev")
         .join(batch_totals.withColumnRenamed("total_cents", "delta"),
@@ -294,9 +343,7 @@ def _merge_totals(spark: SparkSession, batch_df: DataFrame, snap_dir: str) -> No
     )
     tmp = snap_dir.rstrip("/") + ".tmp"
     merged.repartition(4, "user_id").write.mode("overwrite").parquet(tmp)
-    if os.path.isdir(snap_dir):
-        shutil.rmtree(snap_dir)
-    os.rename(tmp, snap_dir)
+    _snapshot_swap(snap_dir, tmp, batch_id)
 
 
 @_oracle_stream_conf
@@ -328,7 +375,7 @@ def stream_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             stream.writeStream.trigger(availableNow=True)
             .option("checkpointLocation", ckpt)
-            .foreachBatch(lambda df, _id: _merge_totals(spark, df, snap))
+            .foreachBatch(lambda df, bid: _merge_totals(spark, df, snap, bid))
             .start()
         )
 

@@ -58,13 +58,30 @@ def _docs(spark: SparkSession, sf_dir: str) -> None:
 
 
 def pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The tk frame feeds BOTH the bucket-totals branch and the join
+    # branch; Spark inlines CTEs, so without staging the corpus would be
+    # scanned and re-tokenized twice (PLANS.md showed the two parquet
+    # leaves). Stage the narrow (doc_id, ntoks, bucket) frame once —
+    # ~24 bytes/doc vs the text column — via scoped localCheckpoint (on
+    # a cluster: write the counts table, then run the tail over it).
+    from ..checkpoints import scoped_checkpoint
+
     _docs(spark, sf_dir)
+    tk = scoped_checkpoint(
+        spark.sql(
+            f"""
+            SELECT doc_id,
+                   CAST(size(split(text, ' ', -1)) AS BIGINT) AS ntoks,
+                   doc_id div {BUCKET} AS bucket
+            FROM documents
+            """
+        ),
+        "pack_global_tk",
+    )
+    tk.createOrReplaceTempView("pack_global_tk")
     return spark.sql(
         f"""
-        WITH tk AS (SELECT doc_id,
-                           CAST(size(split(text, ' ', -1)) AS BIGINT) AS ntoks,
-                           doc_id div {BUCKET} AS bucket
-                    FROM documents),
+        WITH tk AS (SELECT * FROM pack_global_tk),
         bt AS (SELECT bucket, sum(ntoks) AS btoks FROM tk GROUP BY bucket),
         bo AS (SELECT bucket,
                       coalesce(sum(btoks) OVER (ORDER BY bucket

@@ -772,9 +772,15 @@ def window_range_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 _ARGMM_BODY = """
-t AS (SELECT event_type, user_id,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
-      FROM events GROUP BY event_type, user_id)
+t0 AS (SELECT event_type, user_id,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+       FROM events GROUP BY event_type, user_id),
+t AS (SELECT event_type, user_id, total
+      FROM t0
+      WHERE CASE WHEN user_id < 100000 AND total < 92233720368000 THEN true
+                 ELSE {raise_fn}(
+                   'argminmax radix bound exceeded: widen the packing')
+                   IS NOT NULL END)
 SELECT event_type,
        {maxby}(user_id, total * 100000 + (99999 - user_id)) AS top_user,
        {maxby}(total, total * 100000 + (99999 - user_id)) AS top_cents,
@@ -787,12 +793,17 @@ FROM t GROUP BY event_type
 def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
-        "WITH " + _ARGMM_BODY.format(maxby="max_by", minby="min_by")
+        "WITH "
+        + _ARGMM_BODY.format(
+            maxby="max_by", minby="min_by", raise_fn="raise_error"
+        )
     )
 
 
 def agg_argminmax_oracle() -> str:
-    return "WITH " + _ARGMM_BODY.format(maxby="arg_max", minby="arg_min")
+    return "WITH " + _ARGMM_BODY.format(
+        maxby="arg_max", minby="arg_min", raise_fn="error"
+    )
 
 
 # ---------------------------------------------------------------------------

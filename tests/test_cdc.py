@@ -67,3 +67,48 @@ def test_stream_cdc_tombstones_survive_restarts(spark, tmp_path):
     assert q.awaitTermination(120)
     live = spark.read.parquet(snap).filter("op <> 'D'").collect()
     assert {r.o_orderkey for r in live} == {2}, "deleted key must not resurrect"
+
+
+def test_additive_merge_is_fenced_against_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the SAME batch id into the
+    additive totals merge must be a no-op (the per-batch marker fence),
+    while a new batch id folds in normally."""
+    from proxyhouse_spark.operators.cdc import _merge_totals
+
+    snap = str(tmp_path / "snap")
+    batch = spark.createDataFrame(
+        [(1, 100), (2, 50)], "user_id bigint, cents bigint"
+    )
+    _merge_totals(spark, batch, snap, 0)
+    _merge_totals(spark, batch, snap, 0)  # replay of a committed batch
+    totals = {
+        r.user_id: r.total_cents for r in spark.read.parquet(snap).collect()
+    }
+    assert totals == {1: 100, 2: 50}, "replayed batch must not double-add"
+    _merge_totals(spark, batch, snap, 1)  # genuinely new batch
+    totals = {
+        r.user_id: r.total_cents for r in spark.read.parquet(snap).collect()
+    }
+    assert totals == {1: 200, 2: 100}
+
+
+def test_snapshot_swap_crash_window_recovers(spark, tmp_path):
+    """A crash between the two swap renames leaves snap.old intact and
+    snap absent; the next read must recover the previous generation
+    instead of silently starting from empty."""
+    import os
+
+    from proxyhouse_spark.operators.cdc import (
+        _TOTALS_SCHEMA,
+        _merge_totals,
+        _snapshot_read,
+    )
+
+    snap = str(tmp_path / "snap")
+    batch = spark.createDataFrame([(7, 700)], "user_id bigint, cents bigint")
+    _merge_totals(spark, batch, snap, 0)
+    # simulate the crash window: snap renamed away, replacement not yet in
+    os.rename(snap, snap + ".old")
+    recovered = _snapshot_read(spark, snap, _TOTALS_SCHEMA).collect()
+    assert {(r.user_id, r.total_cents) for r in recovered} == {(7, 700)}
+    assert os.path.isdir(snap) and not os.path.isdir(snap + ".old")
