@@ -279,3 +279,99 @@ def drift_psi_oracle() -> str:
         f"WITH c AS ({_PSI_COUNTS}), "
         + _psi_sql("SELECT unnest(range(0, 10)) AS bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# attribution — last-touch conversion attribution (the marketing-
+# analytics face of the as-of join): each purchase is attributed to the
+# SAME user's latest click at-or-before it within a 7-day window;
+# purchases with no qualifying click are 'organic' (NULL attribution).
+# Spark side reuses q_join_asof's union-merge respelling — interleave
+# clicks and purchases sorted by (user, time), carry the last click
+# forward — ONE shuffle+sort of the event stream, no purchases × clicks
+# expansion (the naive equi-join is quadratic-in-history for hot users).
+# Tie discipline: at equal timestamps clicks sort before purchases
+# (inclusive same-instant contract) and by ascending click_id, so
+# "last carried" is the highest click_id — matching the oracle's
+# (ts DESC, click_id DESC) argmax exactly. Cents integer; the window
+# check nulls BOTH attribution columns past 7 days.
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_S = 7 * 24 * 3600
+
+
+def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(None).cast("bigint").alias("purchase_cents"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("purchase_cents"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "kind", F.coalesce("click_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # carry t only from click rows (ct is NULL on purchase rows)
+    carried = (
+        clicks.withColumn("ct", F.col("t"))
+        .unionByName(purchases.withColumn("ct", F.lit(None).cast(ev.schema["ts"].dataType)))
+        .withColumn("lck", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("lct", F.last("ct", ignorenulls=True).over(w))
+    )
+    # exact-microsecond diff, floored to seconds: Spark's timestampdiff
+    # SECOND is duration-based while DuckDB's date_diff('second') counts
+    # boundary crossings — they disagree on sub-second offsets. Micros
+    # are exact in both (parquet stores integral micros), so micros DIV
+    # 1e6 is engine-identical.
+    secs = F.expr(
+        "timestampdiff(MICROSECOND, lct, t) div 1000000"
+    ).cast("bigint")
+    in_window = F.col("lck").isNotNull() & (secs <= ATTRIBUTION_WINDOW_S)
+    return (
+        carried.filter(F.col("kind") == 1)
+        .select(
+            "purchase_id",
+            F.col("uid").alias("user_id"),
+            "purchase_cents",
+            F.when(in_window, F.col("lck")).alias("attributed_click_id"),
+            F.when(in_window, secs).cast("bigint").alias("secs_since_click"),
+        )
+    )
+
+
+def attribution_oracle() -> str:
+    return f"""
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts,
+                      CAST(round(value * 100) AS BIGINT) AS purchase_cents
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts
+          FROM events WHERE event_type = 'click'),
+    j AS (SELECT p.purchase_id, c.click_id,
+                 CAST(date_diff('microsecond', c.ts, p.ts) // 1000000
+                      AS BIGINT) AS secs,
+                 row_number() OVER (PARTITION BY p.purchase_id
+                                    ORDER BY c.ts DESC, c.click_id DESC) AS rn
+          FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+               AND date_diff('microsecond', c.ts, p.ts) // 1000000
+                 <= {ATTRIBUTION_WINDOW_S})
+    SELECT p.purchase_id, p.user_id, p.purchase_cents,
+           j.click_id AS attributed_click_id,
+           j.secs AS secs_since_click
+    FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+      ON p.purchase_id = j.purchase_id
+    """

@@ -543,3 +543,14 @@ def test_order_priority_is_semi_join(spark):
     assert "o_orderdate" in next(
         l for l in plan.splitlines() if "PushedFilters" in l and "orders" not in l
     ) or "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_attribution_is_union_merge_not_expansion(spark):
+    """Last-touch attribution reuses the as-of union-merge respelling:
+    NO join at all (the naive purchases x clicks equi-join is
+    quadratic-in-history for hot users), one shuffle of the interleaved
+    stream on user_id, one carry-forward window."""
+    tree = tree_of(plan_of(spark, "q_attribution"))
+    assert "Join" not in tree
+    assert "Window" in tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
