@@ -343,6 +343,11 @@ def replay_dlq(
 
     Returns counters {replayed, requeued, quarantined} (the reference's
     Graphite metrics analog)."""
+    # crash recovery: a kill between the two swap renames below leaves the
+    # previous queue generation at .old with dlq_dir absent — restore it
+    _old = dlq_dir.rstrip("/") + ".old"
+    if not (os.path.isdir(dlq_dir) and os.listdir(dlq_dir)) and os.path.isdir(_old):
+        os.rename(_old, dlq_dir)
     if not os.path.isdir(dlq_dir) or not os.listdir(dlq_dir):
         return {"replayed": 0, "requeued": 0, "quarantined": 0}
     dlq = spark.read.parquet(dlq_dir).cache()
@@ -389,7 +394,9 @@ def replay_dlq(
         "requeued": escalated.filter(F.col("level") < MAX_LEVEL).count(),
         "quarantined": new_dlq.filter(F.col("level") >= MAX_LEVEL).count(),
     }
-    # rewrite the queue: tmp-dir + atomic rename (the pudge-file delete analog).
+    # rewrite the queue: tmp-dir + two-rename swap (the pudge-file delete
+    # analog, crash-safe: rmtree-then-rename has a window that destroys
+    # the queue outright — the sinks/compact.py swap discipline instead).
     # repartition by level (not coalesce(1)) so a large queue rewrites in
     # parallel, one writer per retry level; layout stays flat so spill
     # appends and partition discovery keep working.
@@ -398,8 +405,12 @@ def replay_dlq(
     dlq.unpersist()
     import shutil
 
-    shutil.rmtree(dlq_dir)
+    old = dlq_dir.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(dlq_dir, old)
     os.rename(tmp, dlq_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return counts
 
 
