@@ -876,3 +876,69 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def order_priority_check_oracle() -> str:
     return _ORDER_PRIORITY.replace("INTERVAL 60 DAY", "INTERVAL 60 DAYS")
+
+
+# ---------------------------------------------------------------------------
+# skyline — 2-D Pareto frontier (skyline query, Börzsönyi et al. ICDE
+# 2001): the orders no other order beats on BOTH price and date (strict
+# dominance on at least one axis). The classic single-node answer is the
+# sort-scan — sort by (price, date), keep a point iff its date beats the
+# running minimum — whose global ORDER BY window would serialize the
+# table through one task. This spelling distributes it with the
+# pack_global two-phase prefix pattern generalized from sums to MINS:
+# per-bucket date minima (map-side-combinable) → exclusive cumulative
+# min over the tiny ordered-bucket frame → broadcast back → within-
+# bucket parallel window, combined with least(). Exact integers (cents,
+# epoch days); duplicate (cents, day) points are pre-folded (mutual
+# non-dominance — all copies survive, reported via n_orders).
+# ---------------------------------------------------------------------------
+
+SKYLINE_BUCKET_CENTS = 2000000  # $20k price bands — ordered bucket key
+
+
+def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        WITH pts AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                            CAST(datediff(CAST(o_orderdate AS DATE),
+                                          DATE '1992-01-01') AS BIGINT) AS day
+                     FROM orders),
+        d AS (SELECT cents, day, CAST(count(*) AS BIGINT) AS n_orders,
+                     cents div {SKYLINE_BUCKET_CENTS} AS bucket
+              FROM pts GROUP BY cents, day),
+        bm AS (SELECT bucket, min(day) AS bday FROM d GROUP BY bucket),
+        bo AS (SELECT bucket,
+                      min(bday) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prefix_min
+               FROM bm),
+        w AS (SELECT d.cents, d.day, d.n_orders,
+                     least(coalesce(bo.prefix_min, 9223372036854775807),
+                           coalesce(min(d.day) OVER (PARTITION BY d.bucket
+                             ORDER BY d.cents, d.day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             9223372036854775807)) AS prev_min
+              FROM d JOIN bo ON d.bucket = bo.bucket)
+        SELECT cents, day, n_orders FROM w WHERE day < prev_min
+        """
+    )
+
+
+def skyline_oracle() -> str:
+    # DuckDB states the semantics with the direct global sort-scan.
+    return """
+    WITH pts AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                        CAST(date_diff('day', DATE '1992-01-01',
+                                       CAST(o_orderdate AS DATE)) AS BIGINT)
+                          AS day
+                 FROM orders),
+    d AS (SELECT cents, day, CAST(count(*) AS BIGINT) AS n_orders
+          FROM pts GROUP BY cents, day),
+    w AS (SELECT cents, day, n_orders,
+                 coalesce(min(day) OVER (ORDER BY cents, day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   9223372036854775807) AS prev_min
+          FROM d)
+    SELECT cents, day, n_orders FROM w WHERE day < prev_min
+    """

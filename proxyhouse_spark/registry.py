@@ -957,6 +957,7 @@ register("q_window_range", relational.window_range_oracle())(
 register("q_argminmax", relational.agg_argminmax_oracle())(
     relational.agg_argminmax
 )
+register("q_skyline", relational.skyline_oracle())(relational.skyline)
 register("q_attribution", behavior.attribution_oracle())(behavior.attribution)
 register("q_drift_psi", behavior.drift_psi_oracle())(behavior.drift_psi)
 register("q_dedup_recall", dedup.dedup_recall_oracle())(dedup.dedup_recall)

@@ -554,3 +554,15 @@ def test_attribution_is_union_merge_not_expansion(spark):
     assert "Join" not in tree
     assert "Window" in tree
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_skyline_two_phase_prefix_min(spark):
+    """The distributed sort-scan: the only SinglePartition step is the
+    O(#buckets) prefix-min frame; the point-level window is partitioned
+    BY bucket and the bucket offsets come back via broadcast (the
+    pack_global pattern generalized from sums to mins)."""
+    plan = plan_of(spark, "q_skyline")
+    tree = tree_of(plan)
+    assert plan.count("Arguments: SinglePartition") == 1
+    assert "BroadcastHashJoin" in tree
+    assert "rangepartitioning" not in plan.lower()
