@@ -375,3 +375,125 @@ def attribution_oracle() -> str:
     FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
       ON p.purchase_id = j.purchase_id
     """
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments — RFM customer segmentation (the classic CRM/warehouse
+# pass): per customer Recency (days since last order), Frequency
+# (order count), Monetary (lifetime cents), each cut into quartiles,
+# customers rolled up per (r, f, m) segment code. The textbook spelling
+# ntile(4)s the customer list — a global sort of one row per ENTITY
+# (defensible, like unigram_logprob's terciles, but avoidable): here the
+# quartile BOUNDARIES come from one exact-percentile row (O(1),
+# broadcast back) and each customer classifies narrowly — no global
+# sort at any scale. Exact integers everywhere; percentile values are
+# bit-identical cross-engine (proven by q_percentiles), so boundary
+# comparisons cannot flip. Spark `percentile` ≡ DuckDB `quantile_cont`
+# is the only dialect difference.
+# ---------------------------------------------------------------------------
+
+_RFM_ASOF = "DATE '2002-01-01'"  # fixture orders end 2001-08-01
+
+
+def _rfm_sql(pct: str, arr: str) -> str:
+    # arr: Spark `array(...)` vs DuckDB `[...]`; element access is 0-based
+    # in Spark SQL brackets, 1-based in DuckDB — the i1/i2/i3 format slots
+    return f"""
+    cust AS (SELECT o_custkey,
+                    CAST(date_diff_days AS BIGINT) AS recency_days,
+                    n_orders, cents
+             FROM (SELECT o_custkey,
+                          {{recency}} AS date_diff_days,
+                          CAST(count(*) AS BIGINT) AS n_orders,
+                          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM orders GROUP BY o_custkey) g),
+    b AS (SELECT {pct}(recency_days, {arr}) AS rb,
+                 {pct}(n_orders, {arr}) AS fb,
+                 {pct}(cents, {arr}) AS mb
+          FROM cust),
+    coded AS (SELECT
+        CASE WHEN recency_days <= rb[{{i1}}] THEN 4
+             WHEN recency_days <= rb[{{i2}}] THEN 3
+             WHEN recency_days <= rb[{{i3}}] THEN 2 ELSE 1 END AS r,
+        CASE WHEN n_orders <= fb[{{i1}}] THEN 1
+             WHEN n_orders <= fb[{{i2}}] THEN 2
+             WHEN n_orders <= fb[{{i3}}] THEN 3 ELSE 4 END AS f,
+        CASE WHEN cents <= mb[{{i1}}] THEN 1
+             WHEN cents <= mb[{{i2}}] THEN 2
+             WHEN cents <= mb[{{i3}}] THEN 3 ELSE 4 END AS m,
+        cents
+      FROM cust CROSS JOIN b)
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS segment_cents
+    FROM coded GROUP BY r, f, m
+    """
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    recency = (
+        f"min(datediff({_RFM_ASOF}, CAST(o_orderdate AS DATE)))"
+    )
+    sql = _rfm_sql("percentile", "array(0.25, 0.5, 0.75)").format(
+        recency=recency, i1=0, i2=1, i3=2
+    )
+    return spark.sql("WITH " + sql)
+
+
+def rfm_segments_oracle() -> str:
+    recency = (
+        f"min(date_diff('day', CAST(o_orderdate AS DATE), {_RFM_ASOF}))"
+    )
+    return "WITH " + _rfm_sql("quantile_cont", "[0.25, 0.5, 0.75]").format(
+        recency=recency, i1=1, i2=2, i3=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# dau_mau — rolling engagement (DAU, 28-day MAU, stickiness): windowed
+# COUNT DISTINCT has no distributable window form, so the exact spelling
+# is cover-set expansion — dedup to (user, active-day), explode each
+# into the 28 rolling windows it covers, dedup (user, covered-day),
+# count per day. Cost: a bounded 28× expansion of the per-(user, day)
+# table (already ~1000× smaller than events) — the standard exact
+# answer; the approximate scale path is an HLL sketch per day merged
+# over the window (mergeable, O(sketch) per day — q_approx_distinct's
+# machinery). Stickiness reported in integer basis points (exact DIV).
+# ---------------------------------------------------------------------------
+
+
+def _dau_mau_sql(day_expr: str, gen_off: str, idiv: str, cross: str) -> str:
+    return f"""
+    ud AS (SELECT DISTINCT user_id, {day_expr} AS day FROM events),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    cov AS (SELECT DISTINCT user_id, day + off AS d FROM ud{cross}{gen_off}),
+    mau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS mau28
+            FROM cov GROUP BY d)
+    SELECT dau.day, dau.dau, mau.mau28,
+           CAST((dau.dau * 10000) {idiv} mau.mau28 AS BIGINT) AS stickiness_bp
+    FROM dau JOIN mau ON dau.day = mau.day
+    """
+
+
+def dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _dau_mau_sql(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01')",
+            "LATERAL VIEW explode(sequence(0, 27)) t AS off",
+            "div",
+            " ",
+        )
+    )
+
+
+def dau_mau_oracle() -> str:
+    return "WITH " + _dau_mau_sql(
+        "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))",
+        "(SELECT unnest(range(0, 28)) AS off) t",
+        "//",
+        ", ",
+    )

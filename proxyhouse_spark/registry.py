@@ -957,6 +957,10 @@ register("q_window_range", relational.window_range_oracle())(
 register("q_argminmax", relational.agg_argminmax_oracle())(
     relational.agg_argminmax
 )
+register("q_rfm_segments", behavior.rfm_segments_oracle())(
+    behavior.rfm_segments
+)
+register("q_dau_mau", behavior.dau_mau_oracle())(behavior.dau_mau)
 register("q_skyline", relational.skyline_oracle())(relational.skyline)
 register("q_attribution", behavior.attribution_oracle())(behavior.attribution)
 register("q_drift_psi", behavior.drift_psi_oracle())(behavior.drift_psi)
