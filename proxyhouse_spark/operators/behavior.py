@@ -497,3 +497,50 @@ def dau_mau_oracle() -> str:
         "//",
         ", ",
     )
+
+
+# ---------------------------------------------------------------------------
+# basket_pairs — market-basket co-occurrence (the Apriori/association-
+# rules first step): which part pairs appear together in the same order,
+# top-20 by support, with lift in integer basis points. Pair enumeration
+# is the within-group self-join on the ORDER key — expansion bounded by
+# basket_size² (~4² here), never corpus²; at 100 TB this is the standard
+# co-occurrence shape (the key is the basket id, baskets are small by
+# domain). Lift = co·N / (n_a·n_b) computed as one exact integer DIV
+# after the top-20 cut — the scalar N row and the per-part counts join
+# only 20 rows. Ties broken (co DESC, part_a, part_b).
+# ---------------------------------------------------------------------------
+
+BASKET_TOP = 20
+
+
+def _basket_sql(idiv: str, cross: str) -> str:
+    return f"""
+    items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+              FROM lineitem),
+    pc AS (SELECT part, CAST(count(*) AS BIGINT) AS n_part
+           FROM items GROUP BY part),
+    n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM items),
+    pairs AS (SELECT a.part AS part_a, b.part AS part_b,
+                     CAST(count(*) AS BIGINT) AS co
+              FROM items a JOIN items b
+                ON a.okey = b.okey AND a.part < b.part
+              GROUP BY a.part, b.part),
+    top AS (SELECT part_a, part_b, co FROM pairs
+            ORDER BY co DESC, part_a, part_b LIMIT {BASKET_TOP})
+    SELECT t.part_a, t.part_b, t.co,
+           CAST((t.co * n.n_orders * 10000) {idiv} (pa.n_part * pb.n_part)
+                AS BIGINT) AS lift_bp
+    FROM top t
+    JOIN pc pa ON pa.part = t.part_a
+    JOIN pc pb ON pb.part = t.part_b{cross}n
+    """
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("WITH " + _basket_sql("div", " CROSS JOIN "))
+
+
+def basket_pairs_oracle() -> str:
+    return "WITH " + _basket_sql("//", ", ")
