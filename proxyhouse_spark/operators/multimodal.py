@@ -205,3 +205,64 @@ def frame_sample_oracle() -> str:
            hex(encode(substr(text, {last_start}, {fb}))) AS last_frame_hex
     FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# Resize — the image-shaped transform: nearest-neighbor downsample as
+# byte-stream decimation (keep every RESIZE_STRIDE-th byte — exactly the
+# sampling a 4:1 nearest-neighbor image resize performs on a row-major
+# grayscale buffer). Real mapInPandas plumbing; a real pipeline swaps the
+# decimation for PIL/partial ffmpeg scale with identical schema/batching.
+# Outputs (sizes, md5 of the resized payload, byte sum) are chosen
+# SQL-expressible so the Arrow path gets a FULL differential oracle,
+# like frame_sample.
+# ---------------------------------------------------------------------------
+
+RESIZE_STRIDE = 4
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, n_bytes_in bigint, n_bytes_out bigint, "
+    "resized_md5 string, out_byte_sum bigint"
+)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal_frame(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_bytes_in", "n_bytes_out",
+                                   "resized_md5", "out_byte_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                r = p[::RESIZE_STRIDE]
+                out["doc_id"].append(doc_id)
+                out["n_bytes_in"].append(len(p))
+                out["n_bytes_out"].append(len(r))
+                out["resized_md5"].append(hashlib.md5(r).hexdigest())
+                out["out_byte_sum"].append(sum(r))
+            yield pd.DataFrame(out)
+
+    return mm.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def multimodal_resize_oracle() -> str:
+    st = RESIZE_STRIDE
+    # ASCII fixture: byte k of the payload == codepoint of char k+1, so
+    # decimation re-expresses as an every-st-th-char rebuild
+    resized = (
+        f"array_to_string(list_transform(range(1, length(text) + 1, {st}), "
+        "i -> substr(text, i, 1)), '')"
+    )
+    return f"""
+    WITH r AS (SELECT doc_id, text, {resized} AS rz FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes_in,
+           CAST(length(rz) AS BIGINT) AS n_bytes_out,
+           md5(rz) AS resized_md5,
+           CAST(coalesce(list_sum(list_transform(range(1, length(rz) + 1),
+                i -> unicode(substr(rz, i, 1)))), 0) AS BIGINT) AS out_byte_sum
+    FROM r
+    """

@@ -964,6 +964,9 @@ register("q_dau_mau", behavior.dau_mau_oracle())(behavior.dau_mau)
 register("q_basket_pairs", behavior.basket_pairs_oracle())(
     behavior.basket_pairs
 )
+register("q_multimodal_resize", multimodal.multimodal_resize_oracle())(
+    multimodal.multimodal_resize
+)
 register("q_skyline", relational.skyline_oracle())(relational.skyline)
 register("q_attribution", behavior.attribution_oracle())(behavior.attribution)
 register("q_drift_psi", behavior.drift_psi_oracle())(behavior.drift_psi)
