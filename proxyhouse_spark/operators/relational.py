@@ -942,3 +942,67 @@ def skyline_oracle() -> str:
           FROM d)
     SELECT cents, day, n_orders FROM w WHERE day < prev_min
     """
+
+
+# ---------------------------------------------------------------------------
+# promo_revenue — TPC-H Q14 shape: what share of a month's revenue came
+# from PROMO parts. lineitem ⋈ part on partkey (part broadcasts — the
+# dim is tiny at every SF), conditional revenue split, share as one
+# exact integer DIV in basis points. Revenue per row rounded to integer
+# MICROS before summing (deterministic per-row, exact order-independent
+# sum — the Q3 discipline; Q14's textbook 100*sum/sum of raw doubles is
+# summation-order-sensitive and would flap the oracle).
+# ---------------------------------------------------------------------------
+
+_PROMO_SQL = """
+WITH rev AS (
+  SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+              AS BIGINT) AS micros,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= '1997-09-01' AND l.l_shipdate < '1997-10-01')
+SELECT CAST(sum(is_promo * micros) AS BIGINT) AS promo_micros,
+       CAST(sum(micros) AS BIGINT) AS total_micros,
+       CAST((sum(is_promo * micros) * 10000) {idiv} sum(micros) AS BIGINT)
+         AS promo_bp
+FROM rev
+"""
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PROMO_SQL.format(idiv="div"))
+
+
+def promo_revenue_oracle() -> str:
+    return _PROMO_SQL.format(idiv="//")
+
+
+# ---------------------------------------------------------------------------
+# special_parts — TPC-H Q19 shape: the disjunctive multi-predicate join
+# (OR of brand/size/quantity conjunction groups). The shape's value is
+# what Catalyst does with it: the COMMON predicate parts (the partkey
+# equi-key; a derivable size/quantity envelope) push into the scans,
+# the disjunction stays as a join residual — never a Cartesian.
+# ---------------------------------------------------------------------------
+
+_SPECIAL_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
+                     AS BIGINT)) AS BIGINT) AS revenue_micros
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#7' AND p.p_size <= 25 AND l.l_quantity <= 35)
+   OR (p.p_brand = 'Brand#13' AND p.p_size <= 40 AND l.l_quantity <= 50)
+"""
+
+
+def special_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SPECIAL_SQL)
+
+
+def special_parts_oracle() -> str:
+    return _SPECIAL_SQL

@@ -902,6 +902,12 @@ register("q_shipping_priority", relational.shipping_priority_oracle())(
 register("q_order_priority", relational.order_priority_check_oracle())(
     relational.order_priority_check
 )
+register("q_promo_revenue", relational.promo_revenue_oracle())(
+    relational.promo_revenue
+)
+register("q_special_parts", relational.special_parts_oracle())(
+    relational.special_parts
+)
 register("q_knn_pq", similarity.knn_pq_oracle())(similarity.knn_pq)
 register("q_stream_topk", cdc.stream_topk_oracle())(cdc.stream_topk_query)
 register("q_unigram_logprob", retrieval.unigram_logprob_oracle())(

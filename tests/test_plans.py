@@ -568,3 +568,21 @@ def test_skyline_two_phase_prefix_min(spark):
     assert plan.count("Arguments: SinglePartition") == 1
     assert "BroadcastHashJoin" in tree
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_promo_revenue_broadcasts_part_prunes_dates(spark):
+    """Q14 shape: the part dim broadcasts, the ship-date month reaches the
+    lineitem parquet scan as a pushed filter."""
+    plan = plan_of(spark, "q_promo_revenue")
+    tree = tree_of(plan)
+    assert "BroadcastHashJoin" in tree and "SortMergeJoin" not in tree
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_special_parts_disjunction_stays_keyed(spark):
+    """Q19 shape: the OR-of-conjunctions must not defeat the equi-join —
+    the partkey key joins hash/broadcast with the disjunction as a
+    residual, and the common size/quantity envelope is free to push."""
+    tree = tree_of(plan_of(spark, "q_special_parts"))
+    assert "BroadcastHashJoin" in tree
+    assert "NestedLoop" not in tree and "Cartesian" not in tree
