@@ -127,3 +127,43 @@ def test_span_corruption_spans_are_valid_and_deterministic(spark):
     # deterministic: identical manifest on re-run (shard-retry contract)
     again = registry.QUERIES["q_span_corruption"](spark, SF_SMALL).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pack_global_manifest_partitions_the_token_stream(spark):
+    """The packing manifest must be a PARTITION of the global token
+    stream: per-sequence slot sums fill every sequence to SEQ_LEN except
+    the last, doc segments are contiguous (doc_off resumes where the
+    previous slice ended), and the total equals the corpus token count."""
+    from proxyhouse_spark.operators.packing import SEQ_LEN
+
+    rows = registry.QUERIES["q_pack_global"](spark, SF_SMALL).collect()
+    total_toks = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .selectExpr("sum(size(split(text, ' ', -1))) AS n")
+        .collect()[0]["n"]
+    )
+    assert sum(r.n_tok for r in rows) == total_toks
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    last_seq = max(by_seq)
+    for sid, seg in by_seq.items():
+        seg.sort(key=lambda r: r.seq_off)
+        # slots within a sequence are contiguous from 0
+        pos = 0
+        for r in seg:
+            assert r.seq_off == pos, (sid, r)
+            pos += r.n_tok
+        assert pos == (SEQ_LEN if sid != last_seq else pos)
+        if sid != last_seq:
+            assert pos == SEQ_LEN
+    # per-doc slices are contiguous too
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, seg in by_doc.items():
+        seg.sort(key=lambda r: r.doc_off)
+        pos = 0
+        for r in seg:
+            assert r.doc_off == pos, (doc, r)
+            pos += r.n_tok
