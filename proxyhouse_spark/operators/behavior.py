@@ -302,7 +302,6 @@ ATTRIBUTION_WINDOW_S = 7 * 24 * 3600
 
 def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     ev = table(spark, sf_dir, "events")
     clicks = ev.filter("event_type = 'click'").select(
@@ -321,17 +320,16 @@ def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_id"),
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("purchase_cents"),
     )
-    w = (
-        Window.partitionBy("uid")
-        .orderBy("t", "kind", F.coalesce("click_id", "purchase_id"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    # carry t only from click rows (ct is NULL on purchase rows)
-    carried = (
-        clicks.withColumn("ct", F.col("t"))
-        .unionByName(purchases.withColumn("ct", F.lit(None).cast(ev.schema["ts"].dataType)))
-        .withColumn("lck", F.last("click_id", ignorenulls=True).over(w))
-        .withColumn("lct", F.last("ct", ignorenulls=True).over(w))
+    from .relational import union_merge_asof
+
+    # carry t only from click rows (ct is NULL on purchase rows); the
+    # union-merge carry-forward core — window order, tie discipline,
+    # ignorenulls carry — is shared with join_asof
+    carried = union_merge_asof(
+        purchases.withColumn("ct", F.lit(None).cast(ev.schema["ts"].dataType)),
+        clicks.withColumn("ct", F.col("t")),
+        ["click_id", "ct"],
+        F.coalesce("click_id", "purchase_id"),
     )
     # exact-microsecond diff, floored to seconds: Spark's timestampdiff
     # SECOND is duration-based while DuckDB's date_diff('second') counts
@@ -339,18 +337,15 @@ def attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are exact in both (parquet stores integral micros), so micros DIV
     # 1e6 is engine-identical.
     secs = F.expr(
-        "timestampdiff(MICROSECOND, lct, t) div 1000000"
+        "timestampdiff(MICROSECOND, l_ct, t) div 1000000"
     ).cast("bigint")
-    in_window = F.col("lck").isNotNull() & (secs <= ATTRIBUTION_WINDOW_S)
-    return (
-        carried.filter(F.col("kind") == 1)
-        .select(
-            "purchase_id",
-            F.col("uid").alias("user_id"),
-            "purchase_cents",
-            F.when(in_window, F.col("lck")).alias("attributed_click_id"),
-            F.when(in_window, secs).cast("bigint").alias("secs_since_click"),
-        )
+    in_window = F.col("l_click_id").isNotNull() & (secs <= ATTRIBUTION_WINDOW_S)
+    return carried.select(
+        "purchase_id",
+        F.col("uid").alias("user_id"),
+        "purchase_cents",
+        F.when(in_window, F.col("l_click_id")).alias("attributed_click_id"),
+        F.when(in_window, secs).cast("bigint").alias("secs_since_click"),
     )
 
 
@@ -456,7 +451,9 @@ def rfm_segments_oracle() -> str:
 # COUNT DISTINCT has no distributable window form, so the exact spelling
 # is cover-set expansion — dedup to (user, active-day), explode each
 # into the 28 rolling windows it covers, dedup (user, covered-day),
-# count per day. Cost: a bounded 28× expansion of the per-(user, day)
+# count per day (cover rows past the last observed day are pruned with
+# a scalar max — they could never join a DAU row and would only inflate
+# the dedup shuffle). Cost: a bounded 28× expansion of the per-(user, day)
 # table (already ~1000× smaller than events) — the standard exact
 # answer; the approximate scale path is an HLL sketch per day merged
 # over the window (mergeable, O(sketch) per day — q_approx_distinct's
@@ -468,7 +465,8 @@ def _dau_mau_sql(day_expr: str, gen_off: str, idiv: str, cross: str) -> str:
     return f"""
     ud AS (SELECT DISTINCT user_id, {day_expr} AS day FROM events),
     dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
-    cov AS (SELECT DISTINCT user_id, day + off AS d FROM ud{cross}{gen_off}),
+    cov AS (SELECT DISTINCT user_id, day + off AS d FROM ud{cross}{gen_off}
+            WHERE day + off <= (SELECT max(day) FROM ud)),
     mau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS mau28
             FROM cov GROUP BY d)
     SELECT dau.day, dau.dau, mau.mau28,
@@ -529,7 +527,9 @@ def _basket_sql(idiv: str, cross: str) -> str:
     top AS (SELECT part_a, part_b, co FROM pairs
             ORDER BY co DESC, part_a, part_b LIMIT {BASKET_TOP})
     SELECT t.part_a, t.part_b, t.co,
-           CAST((t.co * n.n_orders * 10000) {idiv} (pa.n_part * pb.n_part)
+           CAST((t.co * 10000) {idiv}
+                greatest(CAST(1 AS BIGINT),
+                         (pa.n_part * pb.n_part) {idiv} n.n_orders)
                 AS BIGINT) AS lift_bp
     FROM top t
     JOIN pc pa ON pa.part = t.part_a

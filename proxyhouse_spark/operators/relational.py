@@ -61,11 +61,40 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def union_merge_asof(
+    probe: DataFrame,
+    carry: DataFrame,
+    carried: list[str],
+    tiebreak,
+) -> DataFrame:
+    """The shared core of every as-of-shaped operator (join_asof,
+    behavior.attribution): interleave the two sides sorted by
+    (uid, t, kind, tiebreak) and carry the last-seen carry-side values
+    forward with ignorenulls — ONE shuffle+sort, no probe × carry
+    expansion. Contract both callers must honor: frames share a schema
+    with ``uid``, ``t``, ``kind`` (carry = 0, probe = 1 — so same-instant
+    carry rows sort first, the inclusive contract) and the ``carried``
+    columns (NULL-typed padding on probe rows, real values on carry
+    rows); the carried values all come from the same physical last carry
+    row, so the output row is internally consistent. Returns the probe
+    rows with each carried column available as ``l_<name>``."""
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "kind", tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = probe.unionByName(carry)
+    for c in carried:
+        merged = merged.withColumn(f"l_{c}", F.last(c, ignorenulls=True).over(w))
+    return merged.filter(F.col("kind") == 1)
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: as-of join — each event matched to the user's latest order with
     o_orderdate <= ts. Spark has no native ASOF JOIN; this is the
     union-merge spelling: interleave both sides sorted by (user, time),
-    carry the last-seen order forward, keep the event rows.
+    carry the last-seen order forward, keep the event rows
+    (:func:`union_merge_asof` is the shared core).
 
     Scale note: ONE shuffle+sort of events ∪ orders on user_id — cost
     O((|E|+|O|) log), versus the equi-join + argmax spelling whose
@@ -88,7 +117,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events.select(
         F.col("user_id").alias("uid"),
         F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
+        F.lit(1).alias("kind"),
         "event_id",
         F.lit(None).cast("bigint").alias("o_orderkey"),
         F.lit(None).cast(events.schema["ts"].dataType).alias("o_orderdate"),
@@ -97,32 +126,23 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.select(
         F.col("o_custkey").alias("uid"),
         F.col("o_orderdate").alias("t"),
-        F.lit(0).alias("is_event"),
+        F.lit(0).alias("kind"),
         F.lit(None).cast("bigint").alias("event_id"),
         "o_orderkey",
         "o_orderdate",
         "o_totalprice",
     )
-    w = (
-        Window.partitionBy("uid")
-        .orderBy("t", "is_event", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = (
-        e.unionByName(o)
-        .withColumn("lk", F.last("o_orderkey", ignorenulls=True).over(w))
-        .withColumn("ld", F.last("o_orderdate", ignorenulls=True).over(w))
-        .withColumn("lp", F.last("o_totalprice", ignorenulls=True).over(w))
+    carried = union_merge_asof(
+        e, o, ["o_orderkey", "o_orderdate", "o_totalprice"], F.col("o_orderkey")
     )
     return (
-        carried.filter(F.col("is_event") == 1)
-        .filter(F.col("lk").isNotNull())
+        carried.filter(F.col("l_o_orderkey").isNotNull())
         .select(
             "event_id",
             F.col("uid").alias("user_id"),
-            F.col("lk").alias("o_orderkey"),
-            F.col("ld").alias("o_orderdate"),
-            F.col("lp").alias("o_totalprice"),
+            F.col("l_o_orderkey").alias("o_orderkey"),
+            F.col("l_o_orderdate").alias("o_orderdate"),
+            F.col("l_o_totalprice").alias("o_totalprice"),
         )
     )
 
@@ -949,21 +969,24 @@ def skyline_oracle() -> str:
 # from PROMO parts. lineitem ⋈ part on partkey (part broadcasts — the
 # dim is tiny at every SF), conditional revenue split, share as one
 # exact integer DIV in basis points. Revenue per row rounded to integer
-# MICROS before summing (deterministic per-row, exact order-independent
+# CENTS before summing (deterministic per-row, exact order-independent
 # sum — the Q3 discipline; Q14's textbook 100*sum/sum of raw doubles is
-# summation-order-sensitive and would flap the oracle).
+# summation-order-sensitive and would flap the oracle). Cents, not
+# micros, deliberately: the bp share multiplies the sum by 10⁴ first,
+# and cents keep that product inside BIGINT to ~$10¹² of monthly
+# revenue (micros would overflow Spark-4 ANSI arithmetic near sf1.5).
 # ---------------------------------------------------------------------------
 
 _PROMO_SQL = """
 WITH rev AS (
-  SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000)
-              AS BIGINT) AS micros,
+  SELECT CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS cents,
          CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   WHERE l.l_shipdate >= '1997-09-01' AND l.l_shipdate < '1997-10-01')
-SELECT CAST(sum(is_promo * micros) AS BIGINT) AS promo_micros,
-       CAST(sum(micros) AS BIGINT) AS total_micros,
-       CAST((sum(is_promo * micros) * 10000) {idiv} sum(micros) AS BIGINT)
+SELECT CAST(sum(is_promo * cents) AS BIGINT) AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST((sum(is_promo * cents) * 10000) {idiv} sum(cents) AS BIGINT)
          AS promo_bp
 FROM rev
 """

@@ -343,11 +343,29 @@ def replay_dlq(
 
     Returns counters {replayed, requeued, quarantined} (the reference's
     Graphite metrics analog)."""
-    # crash recovery: a kill between the two swap renames below leaves the
-    # previous queue generation at .old with dlq_dir absent — restore it
+    # Crash recovery: a kill between the two swap renames below leaves the
+    # previous queue generation at .old. MERGE it back rather than
+    # restore-if-empty: the flush pipeline's spill APPENDS can recreate
+    # dlq_dir with fresh packets before the next replay runs, and a
+    # rename-only recovery would then skip the restore and the swap's
+    # pre-clean would delete every pre-crash packet (data loss). Parquet
+    # part files carry UUID names, so moving .old's files in never
+    # collides; duplicates-on-replay are fine (at-least-once is the
+    # delivery contract, loss is not — batch_id dedupe is downstream's
+    # documented job).
     _old = dlq_dir.rstrip("/") + ".old"
-    if not (os.path.isdir(dlq_dir) and os.listdir(dlq_dir)) and os.path.isdir(_old):
-        os.rename(_old, dlq_dir)
+    if os.path.isdir(_old):
+        if not os.path.isdir(dlq_dir):
+            os.rename(_old, dlq_dir)
+        else:
+            import shutil as _shutil
+
+            for f in os.listdir(_old):
+                if not f.startswith("_"):
+                    os.rename(
+                        os.path.join(_old, f), os.path.join(dlq_dir, f)
+                    )
+            _shutil.rmtree(_old, ignore_errors=True)
     if not os.path.isdir(dlq_dir) or not os.listdir(dlq_dir):
         return {"replayed": 0, "requeued": 0, "quarantined": 0}
     dlq = spark.read.parquet(dlq_dir).cache()

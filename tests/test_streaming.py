@@ -632,3 +632,38 @@ def test_streaming_session_window_merges_across_batches(spark, tmp_path):
     got3 = run()
     assert (5, 45) in got3 and got3[(5, 45)]["count"] == 1  # kept-band row
     assert (4, 0) not in got3                               # window-end late
+
+
+def test_replay_crash_recovery_merges_old_with_new_spills(spark, tmp_path):
+    """The crash window between the queue-swap renames leaves the previous
+    generation at .old; if a flush spill recreates dlq_dir with fresh
+    packets BEFORE the next replay, recovery must MERGE (not skip) — a
+    restore-if-empty guard would let the swap's pre-clean delete every
+    pre-crash packet."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from proxyhouse_spark.streaming.pipeline import replay_dlq
+
+    dlq = str(tmp_path / "dlq")
+    sink = str(tmp_path / "sink")
+    cols = "event_id bigint, uri string, body string, level int, created_ns bigint"
+    # pre-crash generation, stranded at .old by a kill between the renames
+    spark.createDataFrame(
+        [(1, "/a", "b1", 2, 100)], cols
+    ).coalesce(1).write.parquet(dlq)
+    os.rename(dlq, dlq + ".old")
+    # a fresh spill recreates the queue dir before the next replay
+    spark.createDataFrame(
+        [(2, "/b", "b2", 4, 200)], cols
+    ).coalesce(1).write.parquet(dlq)
+
+    counts = replay_dlq(
+        spark, dlq, sink, fail_predicate=F.lit(True)  # everything fails
+    )
+    # both generations survived: both packets escalated one level
+    assert counts["requeued"] == 2
+    rows = {r.event_id: r.level for r in spark.read.parquet(dlq).collect()}
+    assert rows == {1: 3, 2: 5}
+    assert not os.path.isdir(dlq + ".old")
