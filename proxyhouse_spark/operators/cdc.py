@@ -400,3 +400,94 @@ def stream_topk_oracle() -> str:
     SELECT user_id, total_cents FROM t
     ORDER BY total_cents DESC, user_id LIMIT {TOPK_N}
     """
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor — the incremental face of q_drift_psi: the
+# (type, slice, bin) counts are mergeable partials (plain sums), so a
+# stream maintains them per micro-batch with the SAME fenced additive
+# snapshot merge as the leaderboard, and the PSI tail is re-derived per
+# read over the O(types × bins) snapshot. Two REAL availableNow passes
+# over parity-split events must hash-match the one-shot batch PSI —
+# proving the drift monitor's numbers never depend on batch boundaries
+# (the property an on-call engineer implicitly assumes when the alert
+# fires). State is O(types × bins) regardless of stream length.
+# ---------------------------------------------------------------------------
+
+_PSI_COUNTS_SCHEMA = "event_type string, slice int, bin bigint, n bigint"
+
+
+def _merge_psi_counts(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
+    from pyspark.sql import functions as F
+
+    if _snapshot_applied(snap_dir, batch_id):
+        return
+    batch_counts = batch_df.groupBy("event_type", "slice", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    current = _snapshot_read(spark, snap_dir, _PSI_COUNTS_SCHEMA)
+    merged = (
+        current.withColumnRenamed("n", "prev")
+        .join(
+            batch_counts.withColumnRenamed("n", "delta"),
+            ["event_type", "slice", "bin"],
+            "full_outer",
+        )
+        .select(
+            "event_type",
+            "slice",
+            "bin",
+            (F.coalesce(F.col("prev"), F.lit(0))
+             + F.coalesce(F.col("delta"), F.lit(0))).cast("bigint").alias("n"),
+        )
+    )
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    merged.repartition(2, "event_type").write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap_dir, tmp, batch_id)
+
+
+@_oracle_stream_conf
+def stream_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10, oracle-checked: two availableNow passes maintaining the PSI
+    count snapshot; the PSI over the merged counts must hash-match the
+    one-shot batch q_drift_psi."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+    from .behavior import _psi_sql
+
+    base = _scratch_dir("t10_drift_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    ev = table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "event_type",
+        "CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END AS slice",
+        "CAST(greatest(least(floor(value / 50), 9), 0) AS BIGINT) AS bin",
+    )
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "event_id bigint, event_type string, slice int, bin bigint"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: _merge_psi_counts(spark, df, snap, bid))
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+    spark.read.parquet(snap).createOrReplaceTempView("psi_counts_snap")
+    return spark.sql(
+        "WITH "
+        + _psi_sql("SELECT explode(sequence(0, 9)) AS bin", c="psi_counts_snap")
+    )
