@@ -491,3 +491,101 @@ def stream_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH "
         + _psi_sql("SELECT explode(sequence(0, 9)) AS bin", c="psi_counts_snap")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming skyline — the third merge algebra (after latest-wins CDC and
+# the additive leaderboard): DOMINANCE PRUNING. The 2-D skyline is a
+# mergeable summary — skyline(A ∪ B) = skyline(skyline(A) ∪ B) because
+# dominance is transitive, so a dominated point can never re-enter once
+# a better point exists. Each micro-batch folds its distinct points into
+# the frontier snapshot (counts add on surviving points; dominated
+# points drop with their counts); two real availableNow passes must
+# hash-match the one-shot batch q_skyline. State = the frontier itself —
+# tiny by nature — making this the cheapest continuously-maintained
+# summary in the engine.
+# ---------------------------------------------------------------------------
+
+_SKYLINE_SCHEMA = "cents bigint, day bigint, n_orders bigint"
+
+_SKYLINE_FILTER = """
+WITH w AS (SELECT cents, day, n_orders,
+                  coalesce(min(day) OVER (ORDER BY cents, day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    9223372036854775807) AS prev_min
+           FROM merged_pts)
+SELECT cents, day, n_orders FROM w WHERE day < prev_min
+"""
+
+
+def _merge_skyline(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
+    from pyspark.sql import functions as F
+
+    if _snapshot_applied(snap_dir, batch_id):
+        return
+    batch_pts = batch_df.groupBy("cents", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    current = _snapshot_read(spark, snap_dir, _SKYLINE_SCHEMA)
+    unioned = (
+        current.withColumnRenamed("n_orders", "prev")
+        .join(
+            batch_pts.withColumnRenamed("n_orders", "delta"),
+            ["cents", "day"],
+            "full_outer",
+        )
+        .select(
+            "cents",
+            "day",
+            (F.coalesce(F.col("prev"), F.lit(0))
+             + F.coalesce(F.col("delta"), F.lit(0))).cast("bigint")
+            .alias("n_orders"),
+        )
+    )
+    unioned.createOrReplaceTempView("merged_pts")
+    # the frontier + one batch's distinct points is small; the direct
+    # sort-scan here is the right local plan (the BATCH operator q_skyline
+    # is where the distributed two-phase spelling lives)
+    frontier = spark.sql(_SKYLINE_FILTER)
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    frontier.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap_dir, tmp, batch_id)
+
+
+@_oracle_stream_conf
+def stream_skyline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11, oracle-checked: two availableNow passes maintaining the
+    Pareto frontier; the final snapshot must hash-match the one-shot
+    batch skyline (dominance-pruning mergeability under the gate)."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t11_sky_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    pts = table(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS BIGINT) AS day",
+    )
+    pts.filter("o_orderkey % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "o_orderkey bigint, cents bigint, day bigint"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: _merge_skyline(spark, df, snap, bid))
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    pts.filter("o_orderkey % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+    return spark.read.parquet(snap).select("cents", "day", "n_orders")

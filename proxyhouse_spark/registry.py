@@ -912,6 +912,9 @@ register("q_knn_pq", similarity.knn_pq_oracle())(similarity.knn_pq)
 register("q_stream_drift", behavior.drift_psi_oracle())(
     cdc.stream_drift_query
 )
+register("q_stream_skyline", relational.skyline_oracle())(
+    cdc.stream_skyline_query
+)
 register("q_stream_topk", cdc.stream_topk_oracle())(cdc.stream_topk_query)
 register("q_unigram_logprob", retrieval.unigram_logprob_oracle())(
     retrieval.unigram_logprob
