@@ -985,3 +985,27 @@ register("q_drift_psi", behavior.drift_psi_oracle())(behavior.drift_psi)
 register("q_dedup_recall", dedup.dedup_recall_oracle())(dedup.dedup_recall)
 register("q_skew_report", layout.skew_report_oracle())(layout.skew_report)
 register("q_zorder_stats", layout.zorder_stats_oracle())(layout.zorder_stats)
+
+from .operators import decision_support as ds  # noqa: E402
+
+register("q_forecast_revenue", ds.forecast_revenue_oracle())(ds.forecast_revenue)
+register("q_volume_shipping", ds.volume_shipping_oracle())(ds.volume_shipping)
+register("q_market_share", ds.market_share_oracle())(ds.market_share)
+register("q_product_profit", ds.product_profit_oracle())(ds.product_profit)
+register("q_customer_distribution", ds.customer_distribution_oracle())(
+    ds.customer_distribution
+)
+register("q_top_supplier", ds.top_supplier_oracle())(ds.top_supplier)
+register("q_parts_supplier_count", ds.parts_supplier_count_oracle())(
+    ds.parts_supplier_count
+)
+register("q_small_qty_revenue", ds.small_qty_revenue_oracle())(
+    ds.small_qty_revenue
+)
+register("q_large_orders", ds.large_orders_oracle())(ds.large_orders)
+register("q_waiting_suppliers", ds.waiting_suppliers_oracle())(
+    ds.waiting_suppliers
+)
+register("q_sales_opportunity", ds.sales_opportunity_oracle())(
+    ds.sales_opportunity
+)
