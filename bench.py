@@ -46,6 +46,8 @@ HEADLINE = [
     "q_cdc_upsert",          # CDC latest-wins upsert/delete compaction
     "q_pack_global",         # global packing manifest (2-phase prefix sum)
     "q_drift_psi",           # PSI drift (staged counts + decimal-exact tail)
+    "q_market_share",        # TPC-H Q8 shape (widest join tree: 7-way)
+    "q_waiting_suppliers",   # TPC-H Q21 shape (EXISTS/NOT-EXISTS pair)
 ]
 
 

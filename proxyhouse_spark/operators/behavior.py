@@ -544,3 +544,109 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def basket_pairs_oracle() -> str:
     return "WITH " + _basket_sql("//", ", ")
+
+
+# ---------------------------------------------------------------------------
+# interval_coverage — gaps-and-islands interval union: each event opens
+# a 30-minute activity interval; overlapping/touching intervals per user
+# merge into islands, reported as per-user island count + total covered
+# seconds. The classic spelling for "how much wall-clock was this user
+# actually active" (billing meters, SLA uptime, ad-exposure dedup all
+# reduce to it). Algebra note: interval union is the third classic
+# windowed monoid in the repo after running sums (pack_global) and
+# running mins (skyline) — here the running MAX of interval ends decides
+# island starts.
+#
+# All arithmetic is exact BIGINT epoch-micros (parquet stores integral
+# micros; the epoch extraction is the only dialect-split expression —
+# tables.epoch_micros ≡ DuckDB epoch_us on naive timestamps), so no
+# float or timezone can flip an island boundary between engines.
+#
+# At 100 TB: ONE shuffle on user_id; both windows and both aggregations
+# are per-user-partition narrow operations on top of it (window order
+# within key, map-side-combinable island fold). Touching intervals
+# (prev_end == next_start) merge — `<=` not `<` — documented contract.
+# ---------------------------------------------------------------------------
+
+COVERAGE_WINDOW_S = 1800  # each event covers [ts, ts + 30 min)
+
+
+def _interval_coverage_sql(epoch_us: str) -> str:
+    span = COVERAGE_WINDOW_S * 1_000_000
+    return f"""
+    iv AS (SELECT user_id, {epoch_us} AS s, {epoch_us} + {span} AS e
+           FROM events),
+    flagged AS (SELECT user_id, s, e,
+                       CASE WHEN s <= coalesce(max(e) OVER (
+                                PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING),
+                              CAST(-1 AS BIGINT))
+                            THEN 0 ELSE 1 END AS is_start
+                FROM iv),
+    islands AS (SELECT user_id, s, e,
+                       sum(is_start) OVER (PARTITION BY user_id
+                                           ORDER BY s, e
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW) AS island
+                FROM flagged),
+    spans AS (SELECT user_id, island,
+                     min(s) AS island_s, max(e) AS island_e
+              FROM islands GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(island_e - island_s) AS BIGINT) / 1000000 AS covered_secs
+    FROM spans GROUP BY user_id
+    """
+
+
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import EPOCH_NTZ
+
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        "WITH "
+        + _interval_coverage_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)"
+        ).replace("AS BIGINT) / 1000000", "AS BIGINT) div 1000000")
+    )
+
+
+def interval_coverage_oracle() -> str:
+    return "WITH " + _interval_coverage_sql("epoch_us(ts)").replace(
+        "AS BIGINT) / 1000000", "AS BIGINT) // 1000000"
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_transitions — first-order Markov transition counts over each
+# user's event sequence: (event_type → next event_type) pairs ordered by
+# time, with terminal events transitioning to the sentinel '<end>'. The
+# sequence-mining complement of q_event_funnel (funnel checks ONE fixed
+# path; this surfaces ALL observed steps, the input to next-action
+# models and Sankey journey charts). Deterministic under timestamp ties
+# via the (ts, event_id) total order.
+#
+# At 100 TB: ONE shuffle on user_id for the lead() window, then a
+# map-side-combinable fold on the O(|types|²) transition key — the
+# canonical window-then-agg plan with no data-scaling join anywhere.
+# ---------------------------------------------------------------------------
+
+_EVENT_TRANSITIONS = """
+    seq AS (SELECT user_id, event_type AS src,
+                   coalesce(lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                     '<end>') AS dst
+            FROM events)
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq GROUP BY src, dst
+    """
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("WITH " + _EVENT_TRANSITIONS)
+
+
+def event_transitions_oracle() -> str:
+    return "WITH " + _EVENT_TRANSITIONS

@@ -1009,3 +1009,9 @@ register("q_waiting_suppliers", ds.waiting_suppliers_oracle())(
 register("q_sales_opportunity", ds.sales_opportunity_oracle())(
     ds.sales_opportunity
 )
+register("q_interval_coverage", behavior.interval_coverage_oracle())(
+    behavior.interval_coverage
+)
+register("q_event_transitions", behavior.event_transitions_oracle())(
+    behavior.event_transitions
+)

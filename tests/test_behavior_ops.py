@@ -1,0 +1,91 @@
+"""Behavioral-analytics semantics the differential oracle can't isolate:
+interval-union boundary rules and transition-order determinism, pinned on
+hand-built micro-frames."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from proxyhouse_spark import registry
+from tests.conftest import SF_SMALL
+from tests.test_plans import plan_of, tree_of
+
+
+def _ts(m: int) -> datetime.datetime:
+    return datetime.datetime(2001, 1, 1, 0, m, 0)
+
+
+def _coverage(spark, rows):
+    """Run the interval-coverage SQL over an in-memory events frame."""
+    from proxyhouse_spark.operators.behavior import _interval_coverage_sql
+    from proxyhouse_spark.tables import EPOCH_NTZ
+
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp_ntz")
+    df.createOrReplaceTempView("events")
+    return {
+        r.user_id: (r.n_islands, r.covered_secs)
+        for r in spark.sql(
+            "WITH "
+            + _interval_coverage_sql(
+                f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)"
+            ).replace("AS BIGINT) / 1000000", "AS BIGINT) div 1000000")
+        ).collect()
+    }
+
+
+def test_interval_coverage_merges_overlap_and_touch(spark):
+    res = _coverage(
+        spark,
+        [
+            # user 1: events at :00 and :10 overlap (30-min window) → one
+            # island [00:00, 00:40) = 2400 s
+            (1, _ts(0)),
+            (1, _ts(10)),
+            # user 2: events at :00 and :30 TOUCH (prev end == next start)
+            # → still one island [00:00, 01:00) = 3600 s
+            (2, _ts(0)),
+            (2, _ts(30)),
+            # user 3: events at :00 and :31 leave a 1-minute gap → two
+            # islands of 1800 s each
+            (3, _ts(0)),
+            (3, _ts(31)),
+        ],
+    )
+    assert res[1] == (1, 2400)
+    assert res[2] == (1, 3600)
+    assert res[3] == (2, 3600)
+
+
+def test_interval_coverage_duplicate_timestamps_are_idempotent(spark):
+    # two events at the identical instant add no coverage
+    res = _coverage(spark, [(1, _ts(0)), (1, _ts(0))])
+    assert res[1] == (1, 1800)
+
+
+def test_event_transitions_sentinel_and_tie_order(spark):
+    df = spark.createDataFrame(
+        [
+            # user 1: a → b → b; user 2: single event → only '<end>'
+            (1, 1, "a", _ts(0)),
+            (2, 1, "b", _ts(1)),
+            (3, 1, "b", _ts(2)),
+            (4, 2, "c", _ts(0)),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts timestamp_ntz",
+    )
+    df.createOrReplaceTempView("events")
+    from proxyhouse_spark.operators.behavior import _EVENT_TRANSITIONS
+
+    got = {
+        (r.src, r.dst): r.n_transitions
+        for r in spark.sql("WITH " + _EVENT_TRANSITIONS).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "<end>"): 1, ("c", "<end>"): 1}
+    # every user contributes exactly one terminal transition
+    assert sum(n for (_s, d), n in got.items() if d == "<end>") == 2
+
+
+def test_transitions_plan_is_window_then_fold(spark):
+    tree = tree_of(plan_of(spark, "q_event_transitions"))
+    assert "Window" in tree
+    assert "CartesianProduct" not in tree and "Join" not in tree
