@@ -571,11 +571,12 @@ def basket_pairs_oracle() -> str:
 COVERAGE_WINDOW_S = 1800  # each event covers [ts, ts + 30 min)
 
 
-def _interval_coverage_sql(epoch_us: str) -> str:
-    span = COVERAGE_WINDOW_S * 1_000_000
+def _islands_sql(iv: str) -> str:
+    """Portable SQL: intervals ``{iv}(user_id, s, e)`` → merged island
+    spans ``spans(user_id, island, island_s, island_e)``. Pure BIGINT;
+    identical text runs in Spark and DuckDB, and the streaming merge
+    (cdc.stream_coverage_query) folds batches through this same core."""
     return f"""
-    iv AS (SELECT user_id, {epoch_us} AS s, {epoch_us} + {span} AS e
-           FROM events),
     flagged AS (SELECT user_id, s, e,
                        CASE WHEN s <= coalesce(max(e) OVER (
                                 PARTITION BY user_id ORDER BY s, e
@@ -583,7 +584,7 @@ def _interval_coverage_sql(epoch_us: str) -> str:
                                          AND 1 PRECEDING),
                               CAST(-1 AS BIGINT))
                             THEN 0 ELSE 1 END AS is_start
-                FROM iv),
+                FROM {iv}),
     islands AS (SELECT user_id, s, e,
                        sum(is_start) OVER (PARTITION BY user_id
                                            ORDER BY s, e
@@ -593,11 +594,28 @@ def _interval_coverage_sql(epoch_us: str) -> str:
     spans AS (SELECT user_id, island,
                      min(s) AS island_s, max(e) AS island_e
               FROM islands GROUP BY user_id, island)
+    """
+
+
+def _coverage_rollup_sql() -> str:
+    return """
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_islands,
            CAST(sum(island_e - island_s) AS BIGINT) / 1000000 AS covered_secs
     FROM spans GROUP BY user_id
     """
+
+
+def _interval_coverage_sql(epoch_us: str) -> str:
+    span = COVERAGE_WINDOW_S * 1_000_000
+    return (
+        f"""
+    iv AS (SELECT user_id, {epoch_us} AS s, {epoch_us} + {span} AS e
+           FROM events),
+    """
+        + _islands_sql("iv")
+        + _coverage_rollup_sql()
+    )
 
 
 def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -589,3 +589,90 @@ def stream_skyline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts.filter("o_orderkey % 2 = 1").coalesce(1).write.mode("append").parquet(src)
     _await_or_raise(one_pass())
     return spark.read.parquet(snap).select("cents", "day", "n_orders")
+
+
+# ---------------------------------------------------------------------------
+# Streaming interval coverage — the FOURTH merge algebra (latest-wins →
+# additive → dominance-pruning → INTERVAL UNION): merged activity
+# islands are determined solely by the covered point set, so
+# islands(A ∪ B) = islands(islands(A) ∪ B) — each micro-batch unions
+# its raw event intervals with the island snapshot and re-merges
+# through the SAME _islands_sql core the batch operator uses. Union of
+# point sets is also IDEMPOTENT, making this the only snapshot in the
+# engine that is replay-safe even WITHOUT the batch-id fence (the fence
+# stays on anyway, for the write-skip). State is O(islands) per user —
+# bounded by activity pattern, not stream length. Two real availableNow
+# passes over parity-split events must hash-match the one-shot batch
+# q_interval_coverage.
+# ---------------------------------------------------------------------------
+
+_COVERAGE_SCHEMA = "user_id bigint, island_s bigint, island_e bigint"
+
+
+def _merge_coverage(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
+    if _snapshot_applied(snap_dir, batch_id):
+        return
+    from .behavior import _islands_sql
+
+    current = _snapshot_read(spark, snap_dir, _COVERAGE_SCHEMA)
+    merged_iv = current.selectExpr(
+        "user_id", "island_s AS s", "island_e AS e"
+    ).unionByName(batch_df.select("user_id", "s", "e"))
+    merged_iv.createOrReplaceTempView("merged_iv")
+    spans = spark.sql(
+        "WITH "
+        + _islands_sql("merged_iv")
+        + " SELECT user_id, island_s, island_e FROM spans"
+    )
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    spans.repartition(2, "user_id").write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap_dir, tmp, batch_id)
+
+
+@_oracle_stream_conf
+def stream_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12, oracle-checked: two availableNow passes maintaining the
+    per-user island snapshot; the rollup over the merged islands must
+    hash-match the one-shot batch q_interval_coverage."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+    from ..tables import EPOCH_NTZ
+    from .behavior import COVERAGE_WINDOW_S
+
+    base = _scratch_dir("t12_cov_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    span = COVERAGE_WINDOW_S * 1_000_000
+    iv = table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "user_id",
+        f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts) AS s",
+        f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts) + {span} AS e",
+    )
+    iv.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "event_id bigint, user_id bigint, s bigint, e bigint"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: _merge_coverage(spark, df, snap, bid))
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    iv.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+    spark.read.parquet(snap).createOrReplaceTempView("spans")
+    from .behavior import _coverage_rollup_sql
+
+    return spark.sql(
+        _coverage_rollup_sql().replace("AS BIGINT) / 1000000",
+                                       "AS BIGINT) div 1000000")
+    )

@@ -1029,3 +1029,49 @@ def special_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def special_parts_oracle() -> str:
     return _SPECIAL_SQL
+
+
+# ---------------------------------------------------------------------------
+# window_ntile — the distribution-ranking window triple completing §2.5:
+# ntile(4) quartile bucket, percent_rank, cume_dist per customer within
+# their market segment, ranked by lifetime order cents. percent_rank
+# ((rank-1)/(n-1)) and cume_dist (peers/n) are emitted in integer basis
+# points: both engines divide the SAME exact integers as doubles, and
+# round(x*10000) of an identical IEEE double is engine-identical (the
+# q_percentiles discipline). Ties broken by custkey so bucket edges are
+# deterministic.
+#
+# At 100 TB: pre-aggregate to one row per ENTITY first (customers, not
+# orders), then window over the segment partitions — the same
+# entity-grain discipline as rfm_segments; the window never sees the
+# fact table.
+# ---------------------------------------------------------------------------
+
+_WINDOW_NTILE = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT c.c_custkey, c.c_mktsegment, cust.cents
+  FROM customer c JOIN cust ON cust.o_custkey = c.c_custkey
+)
+SELECT c_custkey, c_mktsegment, cents,
+       CAST(ntile(4) OVER w AS INT) AS spend_quartile,
+       CAST(round(percent_rank() OVER w * 10000) AS BIGINT) AS pct_rank_bp,
+       CAST(round(cume_dist() OVER w * 10000) AS BIGINT) AS cume_dist_bp
+FROM seg
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey)
+"""
+
+
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_WINDOW_NTILE)
+
+
+def window_ntile_oracle() -> str:
+    return _WINDOW_NTILE

@@ -1015,3 +1015,9 @@ register("q_interval_coverage", behavior.interval_coverage_oracle())(
 register("q_event_transitions", behavior.event_transitions_oracle())(
     behavior.event_transitions
 )
+register("q_stream_coverage", behavior.interval_coverage_oracle())(
+    cdc.stream_coverage_query
+)
+register("q_window_ntile", relational.window_ntile_oracle())(
+    relational.window_ntile
+)

@@ -89,3 +89,28 @@ def test_transitions_plan_is_window_then_fold(spark):
     tree = tree_of(plan_of(spark, "q_event_transitions"))
     assert "Window" in tree
     assert "CartesianProduct" not in tree and "Join" not in tree
+
+
+def test_stream_coverage_merge_is_idempotent(spark, tmp_path):
+    """Interval union is idempotent on the covered point set, so
+    re-applying the SAME batch (fresh batch id, bypassing the fence)
+    must leave the island snapshot byte-identical — the one merge
+    algebra in the engine that is replay-safe even without fencing."""
+    from proxyhouse_spark.operators.cdc import _merge_coverage
+
+    snap = str(tmp_path / "snap")
+    batch = spark.createDataFrame(
+        [(1, 0, 100), (1, 50, 150), (2, 0, 10)],
+        "user_id bigint, s bigint, e bigint",
+    )
+    _merge_coverage(spark, batch, snap, 0)
+    first = {
+        (r.user_id, r.island_s, r.island_e)
+        for r in spark.read.parquet(snap).collect()
+    }
+    _merge_coverage(spark, batch, snap, 1)  # replay, new batch id
+    second = {
+        (r.user_id, r.island_s, r.island_e)
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert first == second == {(1, 0, 150), (2, 0, 10)}
