@@ -597,16 +597,19 @@ def _islands_sql(iv: str) -> str:
     """
 
 
-def _coverage_rollup_sql() -> str:
-    return """
+def _coverage_rollup_sql(idiv: str) -> str:
+    """idiv: the integer-division operator — Spark `div`, DuckDB `//`
+    (a bare `/` would yield DOUBLE covered_secs in Spark and break the
+    oracle hash far from the cause)."""
+    return f"""
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_islands,
-           CAST(sum(island_e - island_s) AS BIGINT) / 1000000 AS covered_secs
+           CAST(sum(island_e - island_s) AS BIGINT) {idiv} 1000000 AS covered_secs
     FROM spans GROUP BY user_id
     """
 
 
-def _interval_coverage_sql(epoch_us: str) -> str:
+def _interval_coverage_sql(epoch_us: str, idiv: str) -> str:
     span = COVERAGE_WINDOW_S * 1_000_000
     return (
         f"""
@@ -614,7 +617,7 @@ def _interval_coverage_sql(epoch_us: str) -> str:
            FROM events),
     """
         + _islands_sql("iv")
-        + _coverage_rollup_sql()
+        + _coverage_rollup_sql(idiv)
     )
 
 
@@ -625,15 +628,13 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH "
         + _interval_coverage_sql(
-            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)"
-        ).replace("AS BIGINT) / 1000000", "AS BIGINT) div 1000000")
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
     )
 
 
 def interval_coverage_oracle() -> str:
-    return "WITH " + _interval_coverage_sql("epoch_us(ts)").replace(
-        "AS BIGINT) / 1000000", "AS BIGINT) // 1000000"
-    )
+    return "WITH " + _interval_coverage_sql("epoch_us(ts)", "//")
 
 
 # ---------------------------------------------------------------------------

@@ -672,7 +672,4 @@ def stream_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(snap).createOrReplaceTempView("spans")
     from .behavior import _coverage_rollup_sql
 
-    return spark.sql(
-        _coverage_rollup_sql().replace("AS BIGINT) / 1000000",
-                                       "AS BIGINT) div 1000000")
-    )
+    return spark.sql(_coverage_rollup_sql("div"))

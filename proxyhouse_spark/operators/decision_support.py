@@ -389,14 +389,14 @@ FROM supplier s
 JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
 JOIN orders o ON o.o_orderkey = l1.l_orderkey
 WHERE o.o_orderstatus = 'F'
-  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
   AND EXISTS (SELECT 1 FROM lineitem l2
               WHERE l2.l_orderkey = l1.l_orderkey
                 AND l2.l_suppkey <> l1.l_suppkey)
   AND NOT EXISTS (SELECT 1 FROM lineitem l3
                   WHERE l3.l_orderkey = l1.l_orderkey
                     AND l3.l_suppkey <> l1.l_suppkey
-                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS)
 GROUP BY s.s_name
 ORDER BY numwait DESC, s.s_name
 LIMIT 20
@@ -419,7 +419,7 @@ LIMIT 20
 _WAITING_SUPPLIERS_FAST = """
 WITH per_supp AS (
   SELECT l.l_orderkey, l.l_suppkey,
-         CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+         CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_late_lines
   FROM lineitem l
   JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -449,7 +449,9 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def waiting_suppliers_oracle() -> str:
-    return _WAITING_SUPPLIERS.replace("INTERVAL 90 DAY", "INTERVAL 90 DAYS")
+    # DuckDB-only text (the Spark side runs _WAITING_SUPPLIERS_FAST);
+    # DAYS is spelled directly — no substitution surgery.
+    return _WAITING_SUPPLIERS
 
 
 # ---------------------------------------------------------------------------

@@ -4,10 +4,6 @@ hand-built micro-frames."""
 
 import datetime
 
-from pyspark.sql import functions as F
-
-from proxyhouse_spark import registry
-from tests.conftest import SF_SMALL
 from tests.test_plans import plan_of, tree_of
 
 
@@ -27,8 +23,8 @@ def _coverage(spark, rows):
         for r in spark.sql(
             "WITH "
             + _interval_coverage_sql(
-                f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)"
-            ).replace("AS BIGINT) / 1000000", "AS BIGINT) div 1000000")
+                f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+            )
         ).collect()
     }
 

@@ -25,7 +25,13 @@ def test_small_qty_threshold_matches_rational_boundary(spark):
     the rational l_quantity < 0.2*avg on boundary rows. A part whose avg
     is exactly 25 makes qty=5 the knife edge: 5*5*n == sum rejects it —
     strict inequality, no float fuzz deciding."""
-    rows = [(1, 5.0), (1, 45.0), (1, 4.0), (2, 10.0), (2, 10.0)]
+    rows = [
+        (1, 5.0), (1, 45.0), (1, 4.0),
+        (2, 10.0), (2, 10.0),
+        # part 4 is the actual knife edge: sum=50, n=2, avg=25 →
+        # 0.2*avg = 5 exactly; 5*5*2 == 50 — strict < must REJECT qty 5
+        (4, 5.0), (4, 45.0),
+    ]
     df = spark.createDataFrame(rows, "l_partkey int, l_quantity double")
     stats = df.groupBy("l_partkey").agg(
         F.sum(F.round("l_quantity").cast("bigint")).alias("sum_qty"),
