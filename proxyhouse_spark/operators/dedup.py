@@ -780,3 +780,141 @@ def dedup_recall_oracle() -> str:
         + ") mh), "
         + _RECALL_BODY
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash_incremental — the CONTINUOUS-dedup shape: a delta batch deduped
+# against an already-indexed corpus (plus within itself) WITHOUT
+# re-pairing the index against itself. Production incremental dedup
+# stores the narrow band index + shingle sketch as a table (~100 B/doc,
+# ~10,000x smaller than the corpus text); each arriving batch sketches
+# ONLY its own documents and band-joins against the stored index, so the
+# per-batch cost is O(delta) sketch work + an equi-join whose delta side
+# is batch-sized — never the O(corpus) re-sketch, and never the
+# index-vs-index pair explosion (those pairs were already emitted when
+# their docs arrived). Here the "stored" index is computed in-query
+# (fixtures persist nothing between driver runs) with scoped_checkpoint
+# staging standing in for the stored table; the candidate join is
+# restricted to delta-on-the-left, which IS the incremental contract:
+#   pairs emitted = (delta x index) ∪ (delta x delta), never
+#   (index x index).
+# Split: delta = doc_id % 3 == 0 (deterministic, ~1/3 of the corpus).
+# Same sketch parameters as minhash_neardup (8 minhashes, 2 bands of 4,
+# Jaccard >= 0.6 verify on exact int-shingle arrays).
+# ---------------------------------------------------------------------------
+
+
+def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = doc_corpus(spark, sf_dir)
+    tk = corpus.repartition(64, "doc_id").selectExpr(
+        "doc_id", "doc_id % 3 = 0 AS is_delta", "text", f"{T.TOKS_SPARK} AS toks"
+    )
+    th = tk.selectExpr("doc_id", "is_delta", "text", f"{T.token_ints_spark()} AS th")
+    sh = th.selectExpr("doc_id", "is_delta", f"{T.shingle_ints_spark()} AS sh")
+    sig = scoped_checkpoint(
+        sh.selectExpr(
+            "doc_id",
+            "is_delta",
+            "sh",
+            "size(sh) AS n_sh",
+            *[f"{T.minhash_spark(s)} AS m{s}" for s in range(T.N_HASHES)],
+        ),
+        "minc_sig",
+    )
+    # narrow band index (see minhash_neardup: checkpointed-RDD scans can't
+    # column-prune, so the band path gets its own shingle-free frame)
+    sig_narrow = scoped_checkpoint(
+        sig.select("doc_id", "is_delta", *[f"m{s}" for s in range(T.N_HASHES)]),
+        "minc_sig_narrow",
+    )
+    bands = sig_narrow.selectExpr(
+        "doc_id",
+        "is_delta",
+        f"explode(array(named_struct('band', 0, 'band_key', {T.band_key_spark(0)}), "
+        f"named_struct('band', 1, 'band_key', {T.band_key_spark(1)}))) AS bk",
+    ).select(
+        "doc_id", "is_delta",
+        F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"),
+    )
+    # the incremental candidate join: LEFT side is the delta only — at
+    # scale this is the batch-sized probe against the stored band index
+    delta_bands = bands.filter("is_delta")
+    a, b = delta_bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("is_delta").alias("delta_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("is_delta").alias("delta_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        pairs.hint("shuffle_hash")
+        .join(x, "doc_a")
+        .hint("shuffle_hash")
+        .join(y, "doc_b")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.6)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jac", 4).alias("jaccard"),
+            F.when(F.col("delta_a") & F.col("delta_b"), F.lit("in_delta"))
+            .otherwise(F.lit("vs_index"))
+            .alias("vs"),
+        )
+    )
+
+
+def minhash_incremental_oracle() -> str:
+    return f"""
+    WITH corpus AS ({DOC_CORPUS_SQL}),
+    tk AS (SELECT doc_id, doc_id % 3 = 0 AS is_delta, text,
+                  {T.TOKS_DUCK} AS toks FROM corpus),
+    thl AS (SELECT doc_id, is_delta, text, {T.token_ints_duck()} AS th FROM tk),
+    shl AS (SELECT doc_id, is_delta, {T.shingle_ints_duck()} AS sh FROM thl),
+    sig AS (SELECT doc_id, is_delta, sh, {_sig_cols('duck')} FROM shl),
+    bands AS (
+      SELECT doc_id, is_delta, {T.band_key_spark(0)} AS band_key, 0 AS band
+      FROM sig
+      UNION ALL
+      SELECT doc_id, is_delta, {T.band_key_spark(1)} AS band_key, 1 AS band
+      FROM sig),
+    pairs AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.band = b.band
+           AND a.doc_id <> b.doc_id
+      WHERE a.is_delta),
+    j AS (
+      SELECT p.doc_a, p.doc_b, x.is_delta AS delta_a, y.is_delta AS delta_b,
+             CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+      FROM pairs p JOIN sig x ON x.doc_id = p.doc_a
+                   JOIN sig y ON y.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, round(jac, 4) AS jaccard,
+           CASE WHEN delta_a AND delta_b THEN 'in_delta'
+                ELSE 'vs_index' END AS vs
+    FROM j WHERE jac >= 0.6
+    """

@@ -1021,3 +1021,6 @@ register("q_stream_coverage", behavior.interval_coverage_oracle())(
 register("q_window_ntile", relational.window_ntile_oracle())(
     relational.window_ntile
 )
+register("q_minhash_incremental", dedup.minhash_incremental_oracle())(
+    dedup.minhash_incremental
+)

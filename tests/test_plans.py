@@ -590,3 +590,16 @@ def test_special_parts_disjunction_stays_keyed(spark):
     tree = tree_of(plan_of(spark, "q_special_parts"))
     assert "BroadcastHashJoin" in tree
     assert "NestedLoop" not in tree and "Cartesian" not in tree
+
+
+def test_minhash_incremental_probes_with_the_delta_only(spark):
+    # the incremental contract in the plan: all three joins (candidate
+    # band join + two verify joins) are shuffled hash joins — the sketch
+    # and band frames scale with the corpus and must never broadcast —
+    # and the candidate join's left side carries the is_delta filter, so
+    # index-vs-index pairs are never generated.
+    tree = tree_of(plan_of(spark, "q_minhash_incremental"))
+    assert tree.count("ShuffledHashJoin") >= 3
+    assert "BroadcastExchange" not in tree
+    plan = plan_of(spark, "q_minhash_incremental")
+    assert "is_delta" in plan
