@@ -84,6 +84,76 @@ _TK_DUCK = f"tk AS (SELECT doc_id, text, {T.TOKS_DUCK} AS toks FROM corpus)"
 _SH_DUCK = f"sh AS (SELECT doc_id, {T.shingles_duck()} AS sh FROM tk)"
 
 
+
+def _sketch_frames(base, sig_extra, band_extra, scope):
+    """Shared shingle→minhash→band staging for the MinHash operators.
+    minhash_neardup and minhash_incremental MUST sketch identically —
+    one builder keeps the hash parameters, checkpoint strategy and band
+    layout in lockstep (a divergence would silently change one
+    operator's sketch).
+
+    ``base``: frame with doc_id, text + passthrough columns.
+    ``sig_extra``: passthrough carried on the WIDE sketch frame
+    (shingles + signatures); ``band_extra``: passthrough carried on the
+    NARROW band frame. Returns (sig, bands), both lineage-truncated via
+    scoped_checkpoint (see minhash_neardup's docstring for why .cache()
+    is not enough). The explicit repartition count keeps AQE from
+    coalescing the tiny-bytes/heavy-CPU sketch stage to one task; the
+    band path gets its own shingle-free checkpoint because a
+    checkpointed-RDD scan cannot column-prune (any broadcast of a
+    sig-derived frame would drag the shingle arrays through the driver).
+    """
+    tk = base.repartition(64, "doc_id").selectExpr(
+        "doc_id", *sig_extra, "text", f"{T.TOKS_SPARK} AS toks"
+    )
+    th = tk.selectExpr(
+        "doc_id", *sig_extra, "text", f"{T.token_ints_spark()} AS th"
+    )
+    sh = th.selectExpr("doc_id", *sig_extra, f"{T.shingle_ints_spark()} AS sh")
+    sig = scoped_checkpoint(
+        sh.selectExpr(
+            "doc_id",
+            *sig_extra,
+            "sh",
+            "size(sh) AS n_sh",
+            *[f"{T.minhash_spark(s)} AS m{s}" for s in range(T.N_HASHES)],
+        ),
+        f"{scope}_sig",
+    )
+    sig_narrow = scoped_checkpoint(
+        sig.select("doc_id", *band_extra, *[f"m{s}" for s in range(T.N_HASHES)]),
+        f"{scope}_sig_narrow",
+    )
+    # both band keys in ONE scan of the narrow signature columns
+    bands = sig_narrow.selectExpr(
+        "doc_id",
+        *band_extra,
+        f"explode(array(named_struct('band', 0, 'band_key', {T.band_key_spark(0)}), "
+        f"named_struct('band', 1, 'band_key', {T.band_key_spark(1)}))) AS bk",
+    ).select(
+        "doc_id",
+        *band_extra,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    return sig, bands
+
+
+def _sketch_ctes_duck(extra: str = "") -> str:
+    """DuckDB CTE stack mirroring _sketch_frames (tk must be defined by
+    the caller: doc_id[, extra], text, toks). ``extra``: passthrough
+    column name carried through every CTE, or ''."""
+    c = f", {extra}" if extra else ""
+    return f"""
+    thl AS (SELECT doc_id{c}, text, {T.token_ints_duck()} AS th FROM tk),
+    shl AS (SELECT doc_id{c}, {T.shingle_ints_duck()} AS sh FROM thl),
+    sig AS (SELECT doc_id{c}, sh, {_sig_cols('duck')} FROM shl),
+    bands AS (
+      SELECT doc_id{c}, {T.band_key_spark(0)} AS band_key, 0 AS band FROM sig
+      UNION ALL
+      SELECT doc_id{c}, {T.band_key_spark(1)} AS band_key, 1 AS band FROM sig)"""
+
+
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N4: MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -133,40 +203,7 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("doc_id", "text")).alias("r"))
         .select("gh", F.col("r.doc_id").alias("doc_id"), F.col("r.text").alias("text"))
     )
-    tk = reps.repartition(64, "doc_id").selectExpr(
-        "gh", "doc_id", "text", f"{T.TOKS_SPARK} AS toks"
-    )  # explicit partition count: AQE would coalesce this tiny-bytes /
-    # heavy-CPU stage to 1 task and serialize the sketch computation
-    th = tk.selectExpr("gh", "doc_id", "text", f"{T.token_ints_spark()} AS th")
-    sh = th.selectExpr("gh", "doc_id", f"{T.shingle_ints_spark()} AS sh")
-    sig = scoped_checkpoint(
-        sh.selectExpr(
-            "gh",
-            "doc_id",
-            "sh",
-            "size(sh) AS n_sh",
-            *[f"{T.minhash_spark(s)} AS m{s}" for s in range(T.N_HASHES)],
-        ),
-        "minhash_sig",
-    )
-    # Second, NARROW checkpoint for the band path: a checkpointed-RDD scan
-    # cannot column-prune, so any plan that broadcasts a frame derived from
-    # `sig` (AQE does, the band side is tiny by estimate) would collect the
-    # full rows INCLUDING the shingle arrays through the driver — measured
-    # as an intermittent +7 s at sf0.1 whenever AQE chose broadcast. The
-    # narrow frame is 8 BIGINTs/doc, safe to broadcast at any corpus size
-    # where the band join itself is sane.
-    sig_narrow = scoped_checkpoint(
-        sig.select("doc_id", *[f"m{s}" for s in range(T.N_HASHES)]),
-        "minhash_sig_narrow",
-    )
-    # both band keys in ONE scan of the narrow signature columns, exploded
-    # to (band, band_key) rows — half the map tasks of a two-branch union
-    bands = sig_narrow.selectExpr(
-        "doc_id",
-        f"explode(array(named_struct('band', 0, 'band_key', {T.band_key_spark(0)}), "
-        f"named_struct('band', 1, 'band_key', {T.band_key_spark(1)}))) AS bk",
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    sig, bands = _sketch_frames(reps, ["gh"], [], "minhash")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.hint("shuffle_hash").join(
@@ -239,14 +276,7 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_neardup_oracle() -> str:
     return f"""
     WITH corpus AS ({DOC_CORPUS_SQL}),
-    {_TK_DUCK},
-    thl AS (SELECT doc_id, text, {T.token_ints_duck()} AS th FROM tk),
-    shl AS (SELECT doc_id, {T.shingle_ints_duck()} AS sh FROM thl),
-    sig AS (SELECT doc_id, sh, {_sig_cols('duck')} FROM shl),
-    bands AS (
-      SELECT doc_id, {T.band_key_spark(0)} AS band_key, 0 AS band FROM sig
-      UNION ALL
-      SELECT doc_id, {T.band_key_spark(1)} AS band_key, 1 AS band FROM sig),
+    {_TK_DUCK},{_sketch_ctes_duck()},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -805,37 +835,10 @@ def dedup_recall_oracle() -> str:
 
 
 def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = doc_corpus(spark, sf_dir)
-    tk = corpus.repartition(64, "doc_id").selectExpr(
-        "doc_id", "doc_id % 3 = 0 AS is_delta", "text", f"{T.TOKS_SPARK} AS toks"
+    base = doc_corpus(spark, sf_dir).selectExpr(
+        "doc_id", "doc_id % 3 = 0 AS is_delta", "text"
     )
-    th = tk.selectExpr("doc_id", "is_delta", "text", f"{T.token_ints_spark()} AS th")
-    sh = th.selectExpr("doc_id", "is_delta", f"{T.shingle_ints_spark()} AS sh")
-    sig = scoped_checkpoint(
-        sh.selectExpr(
-            "doc_id",
-            "is_delta",
-            "sh",
-            "size(sh) AS n_sh",
-            *[f"{T.minhash_spark(s)} AS m{s}" for s in range(T.N_HASHES)],
-        ),
-        "minc_sig",
-    )
-    # narrow band index (see minhash_neardup: checkpointed-RDD scans can't
-    # column-prune, so the band path gets its own shingle-free frame)
-    sig_narrow = scoped_checkpoint(
-        sig.select("doc_id", "is_delta", *[f"m{s}" for s in range(T.N_HASHES)]),
-        "minc_sig_narrow",
-    )
-    bands = sig_narrow.selectExpr(
-        "doc_id",
-        "is_delta",
-        f"explode(array(named_struct('band', 0, 'band_key', {T.band_key_spark(0)}), "
-        f"named_struct('band', 1, 'band_key', {T.band_key_spark(1)}))) AS bk",
-    ).select(
-        "doc_id", "is_delta",
-        F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"),
-    )
+    sig, bands = _sketch_frames(base, ["is_delta"], ["is_delta"], "minc")
     # the incremental candidate join: LEFT side is the delta only — at
     # scale this is the batch-sized probe against the stored band index
     delta_bands = bands.filter("is_delta")
@@ -890,16 +893,7 @@ def minhash_incremental_oracle() -> str:
     return f"""
     WITH corpus AS ({DOC_CORPUS_SQL}),
     tk AS (SELECT doc_id, doc_id % 3 = 0 AS is_delta, text,
-                  {T.TOKS_DUCK} AS toks FROM corpus),
-    thl AS (SELECT doc_id, is_delta, text, {T.token_ints_duck()} AS th FROM tk),
-    shl AS (SELECT doc_id, is_delta, {T.shingle_ints_duck()} AS sh FROM thl),
-    sig AS (SELECT doc_id, is_delta, sh, {_sig_cols('duck')} FROM shl),
-    bands AS (
-      SELECT doc_id, is_delta, {T.band_key_spark(0)} AS band_key, 0 AS band
-      FROM sig
-      UNION ALL
-      SELECT doc_id, is_delta, {T.band_key_spark(1)} AS band_key, 1 AS band
-      FROM sig),
+                  {T.TOKS_DUCK} AS toks FROM corpus),{_sketch_ctes_duck("is_delta")},
     pairs AS (
       SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
                       greatest(a.doc_id, b.doc_id) AS doc_b

@@ -596,10 +596,17 @@ def test_minhash_incremental_probes_with_the_delta_only(spark):
     # the incremental contract in the plan: all three joins (candidate
     # band join + two verify joins) are shuffled hash joins — the sketch
     # and band frames scale with the corpus and must never broadcast —
-    # and the candidate join's left side carries the is_delta filter, so
-    # index-vs-index pairs are never generated.
-    tree = tree_of(plan_of(spark, "q_minhash_incremental"))
+    # and a FILTER node on is_delta guards the candidate join's probe
+    # side, so index-vs-index pairs are never generated. (The column
+    # name alone appears in projections regardless; only the Filter
+    # condition proves the probe side is restricted.)
+    import re
+
+    plan = plan_of(spark, "q_minhash_incremental")
+    tree = tree_of(plan)
     assert tree.count("ShuffledHashJoin") >= 3
     assert "BroadcastExchange" not in tree
-    plan = plan_of(spark, "q_minhash_incremental")
-    assert "is_delta" in plan
+    assert re.search(r"Condition\s*:.*is_delta", plan), (
+        "no Filter condition on is_delta — the candidate join no longer "
+        "restricts its probe side to the delta"
+    )
