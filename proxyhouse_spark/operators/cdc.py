@@ -673,3 +673,137 @@ def stream_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .behavior import _coverage_rollup_sql
 
     return spark.sql(_coverage_rollup_sql("div"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming MinHash dedup — the incremental band-index pattern
+# (dedup.minhash_incremental) as a REAL streaming operator, and the
+# engine's strongest batch-boundary-invisibility claim: each micro-batch
+# sketches ONLY its own documents, band-joins them against the stored
+# index snapshot (plus itself), emits the verified near-dup pairs, then
+# appends its sketches to the index. A pair (a, b) is emitted exactly
+# once — by whichever batch its later-arriving doc lands in (same batch:
+# the batch self-join; later batch: the batch-vs-index probe) — so the
+# ACCUMULATED pair set over any partition of the corpus into batches
+# must hash-match the one-shot batch q_minhash_neardup. That equality is
+# checked through the differential gate against the q_minhash_neardup
+# oracle VERBATIM. State = the sketch index (~100 B/doc — the production
+# reality: continuous dedup stores sketches, never corpus text). Pair
+# emission is append-only with a distinct on read, so at-least-once
+# replay of a batch is harmless; the index append is guarded by the
+# batch-id fence.
+# ---------------------------------------------------------------------------
+
+_MINHASH_JAC_THRESHOLD = 0.6
+
+
+def _merge_minhash(
+    spark: SparkSession, batch_df: DataFrame, base_dir: str, batch_id: int
+) -> None:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..functions import text as T
+    from .dedup import _sketch_frames
+
+    snap = os.path.join(base_dir, "index")
+    pairs_dir = os.path.join(base_dir, "pairs")
+    if _snapshot_applied(snap, batch_id):
+        return
+    sig_schema = (
+        "doc_id bigint, sh array<bigint>, n_sh int, "
+        + ", ".join(f"m{s} bigint" for s in range(T.N_HASHES))
+    )
+    # fixed scope: each batch's checkpoint frees the previous batch's
+    # generation (checkpoints.py contract — the prior sketch is dead
+    # once its pairs and index rows are persisted below)
+    batch_sig, batch_bands = _sketch_frames(
+        batch_df.select("doc_id", "text"), [], [], "strmh"
+    )
+    index_sig = _snapshot_read(spark, snap, sig_schema)
+    index_bands = index_sig.selectExpr(
+        "doc_id",
+        f"explode(array(named_struct('band', 0, 'band_key', {T.band_key_spark(0)}), "
+        f"named_struct('band', 1, 'band_key', {T.band_key_spark(1)}))) AS bk",
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    # batch on the probe side; the build side is index ∪ batch, so
+    # same-batch pairs and batch-vs-index pairs come out of ONE join
+    a = batch_bands.alias("a")
+    b = index_bands.unionByName(batch_bands).alias("b")
+    cands = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sketches = index_sig.unionByName(batch_sig.select(index_sig.columns))
+    x = sketches.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n_sh AS na")
+    y = sketches.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n_sh AS nb")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    verified = (
+        cands.hint("shuffle_hash")
+        .join(x, "doc_a")
+        .hint("shuffle_hash")
+        .join(y, "doc_b")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= _MINHASH_JAC_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+    )
+    verified.write.mode("append").parquet(pairs_dir)
+    tmp = snap.rstrip("/") + ".tmp"
+    sketches.repartition(4, "doc_id").write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap, tmp, batch_id)
+    from ..checkpoints import release_scope
+
+    release_scope(spark, "strmh_sig")
+    release_scope(spark, "strmh_sig_narrow")
+
+
+@_oracle_stream_conf
+def stream_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13, oracle-checked: two availableNow passes of continuous MinHash
+    dedup over the parity-split corpus; the accumulated pair set must
+    hash-match the one-shot batch q_minhash_neardup (checked against its
+    oracle verbatim)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources.corpus import doc_corpus
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t13_mh_")
+    src = os.path.join(base, "source")
+    ckpt = os.path.join(base, "ckpt")
+    corpus = doc_corpus(spark, sf_dir).select("doc_id", "text")
+    corpus.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: _merge_minhash(spark, df, base, bid))
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    corpus.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+    return (
+        spark.read.parquet(os.path.join(base, "pairs"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1024,3 +1024,6 @@ register("q_window_ntile", relational.window_ntile_oracle())(
 register("q_minhash_incremental", dedup.minhash_incremental_oracle())(
     dedup.minhash_incremental
 )
+register("q_stream_minhash", dedup.minhash_neardup_oracle())(
+    cdc.stream_minhash_query
+)

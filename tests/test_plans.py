@@ -229,6 +229,7 @@ _EXECUTING = {
     "q_stream_coverage",
     "q_stream_topk",     # foreachBatch passes run at plan time; final read
     "q_stream_skyline",  # is a trivial snapshot rollup in each case
+    "q_stream_minhash",  # continuous dedup: passes run at plan time too
 }
 
 
