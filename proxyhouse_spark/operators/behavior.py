@@ -669,3 +669,78 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def event_transitions_oracle() -> str:
     return "WITH " + _EVENT_TRANSITIONS
+
+
+# ---------------------------------------------------------------------------
+# pagerank — iterative graph analytics (the second fixpoint algorithm
+# after dedup_clusters' label propagation): PageRank over the product
+# co-purchase graph (directed edges both ways between every pair of
+# parts appearing in the same order — the q_basket_pairs relation as a
+# graph), 3 power iterations unrolled, damping 0.85.
+#
+# Exactness discipline: scores are BIGINT micro-units throughout.
+# Each iteration: contrib(node) = score div out_degree (INTEGER
+# division — deterministic truncation, identical in both engines),
+# score' = (150000 * SCALE_DIV_N) + (85 * sum(contribs)) div 100 — all
+# integer adds/divs, so the classic float-summation-order hazard of
+# distributed PageRank simply does not exist here. The deterministic
+# truncation loss (< out_degree micro-units per node per iteration)
+# is part of the operator's defined semantics, mirrored by the oracle.
+#
+# At 100 TB: each iteration is the standard distributed PageRank step —
+# one equi-join of the edge list against the O(nodes) score frame on
+# src, one map-side-combinable fold on dst. Edges partition by src and
+# re-shuffle on dst once per iteration; the score frame is broadcast-
+# sized relative to edges at any realistic graph density. Iterations
+# are unrolled (3) so the whole computation is one declarative plan —
+# the loop-until-convergence variant lives in dedup_clusters, which
+# already proves the distributed-fixpoint machinery.
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+
+
+def _pagerank_sql(idiv: str) -> str:
+    it = f"""
+    items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+              FROM lineitem),
+    edges AS (SELECT DISTINCT a.part AS src, b.part AS dst
+              FROM items a JOIN items b
+                ON a.okey = b.okey AND a.part <> b.part),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outd
+            FROM edges GROUP BY src),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    s0 AS (SELECT d.src AS part, CAST({PR_SCALE} {idiv} n.n_nodes AS BIGINT)
+                    AS score
+           FROM deg d CROSS JOIN n)
+    """
+    for k in range(PR_ITERS):
+        it += f""",
+    c{k} AS (SELECT e.dst AS part,
+                    CAST(sum(s.score {idiv} d.outd) AS BIGINT) AS contrib
+             FROM edges e
+             JOIN s{k} s ON s.part = e.src
+             JOIN deg d ON d.src = e.src
+             GROUP BY e.dst),
+    s{k + 1} AS (SELECT s.part,
+                    CAST((15 * {PR_SCALE}) {idiv} (100 * n.n_nodes) AS BIGINT)
+                    + CAST((85 * coalesce(c.contrib, 0)) {idiv} 100 AS BIGINT)
+                      AS score
+             FROM s0 s CROSS JOIN n
+             LEFT JOIN c{k} c ON c.part = s.part)
+    """
+    return it + f"""
+    SELECT part, score AS score_micros
+    FROM s{PR_ITERS}
+    ORDER BY score DESC, part
+    LIMIT 20
+    """
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("WITH " + _pagerank_sql("div"))
+
+
+def pagerank_oracle() -> str:
+    return "WITH " + _pagerank_sql("//")

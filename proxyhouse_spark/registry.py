@@ -1027,3 +1027,4 @@ register("q_minhash_incremental", dedup.minhash_incremental_oracle())(
 register("q_stream_minhash", dedup.minhash_neardup_oracle())(
     cdc.stream_minhash_query
 )
+register("q_pagerank", behavior.pagerank_oracle())(behavior.pagerank)
