@@ -763,7 +763,12 @@ def _merge_minhash(
     )
     verified.write.mode("append").parquet(pairs_dir)
     tmp = snap.rstrip("/") + ".tmp"
-    sketches.repartition(4, "doc_id").write.mode("overwrite").parquet(tmp)
+    # keyed by doc_id: a cross-restart re-delivery of a doc (new batch
+    # id, so the fence doesn't catch it) must not double its sketch —
+    # duplicate sketches are identical, so any winner is correct
+    sketches.dropDuplicates(["doc_id"]).repartition(4, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(tmp)
     _snapshot_swap(snap, tmp, batch_id)
     from ..checkpoints import release_scope
 

@@ -110,3 +110,41 @@ def test_stream_coverage_merge_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(snap).collect()
     }
     assert first == second == {(1, 0, 150), (2, 0, 10)}
+
+
+def test_stream_minhash_replay_is_harmless(spark, tmp_path):
+    """At-least-once replay of a minhash batch: the batch-id fence skips
+    the index append, and the pair sink's distinct-on-read absorbs the
+    duplicate emission — the accumulated result is unchanged."""
+    import os
+
+    from proxyhouse_spark.operators.cdc import _merge_minhash
+
+    base = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here now ok")],
+        "doc_id bigint, text string",
+    )
+    _merge_minhash(spark, docs, base, 0)
+    read = lambda: sorted(
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(os.path.join(base, "pairs"))
+        .dropDuplicates(["doc_a", "doc_b"]).collect()
+    )
+    first = read()
+    assert first == [(1, 2)]  # the identical pair; doc 3 matches nothing
+    # replay the same batch id: fence must skip the index append, and the
+    # deduped pair set must not change
+    _merge_minhash(spark, docs, base, 0)
+    assert read() == first
+    idx = spark.read.parquet(os.path.join(base, "index"))
+    assert idx.count() == 3  # one sketch per doc, not doubled
+    # a LATER batch re-delivering doc 2 (new batch id — DLQ-style replay
+    # across restarts): the keyed index append keeps one sketch per doc
+    # and the pair contract holds
+    _merge_minhash(spark, docs.filter("doc_id = 2"), base, 1)
+    assert read() == first
+    idx2 = spark.read.parquet(os.path.join(base, "index"))
+    assert idx2.count() == 3
