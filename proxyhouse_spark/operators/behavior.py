@@ -678,14 +678,20 @@ def event_transitions_oracle() -> str:
 # parts appearing in the same order — the q_basket_pairs relation as a
 # graph), 3 power iterations unrolled, damping 0.85.
 #
-# Exactness discipline: scores are BIGINT micro-units throughout.
-# Each iteration: contrib(node) = score div out_degree (INTEGER
-# division — deterministic truncation, identical in both engines),
-# score' = (150000 * SCALE_DIV_N) + (85 * sum(contribs)) div 100 — all
-# integer adds/divs, so the classic float-summation-order hazard of
-# distributed PageRank simply does not exist here. The deterministic
-# truncation loss (< out_degree micro-units per node per iteration)
-# is part of the operator's defined semantics, mirrored by the oracle.
+# Exactness discipline: scores are BIGINT micro-units PER NODE (init =
+# PR_SCALE each, total mass N·PR_SCALE) — per-node scaling keeps the
+# integer precision independent of graph size; the earlier fixed-total-
+# mass spelling (PR_SCALE split across N nodes) underflowed at sf0.1
+# (50 micro-units/node, every contribution div outd truncating to 0 —
+# pure tie-break output, invisible to the differential because the
+# oracle mirrored the same underflow). Each iteration:
+#   contrib(node) = score div out_degree     (INTEGER division)
+#   score' = (15·PR_SCALE) div 100  +  (85·sum(contribs)) div 100
+# — all integer adds/divs, so the float-summation-order hazard of
+# distributed PageRank does not exist, and the truncation loss is
+# ≤ out_degree micro-units per node per iteration against a ~PR_SCALE
+# score: ≤ 0.1%% at any realistic degree. Deterministic, mirrored by
+# the oracle.
 #
 # At 100 TB: each iteration is the standard distributed PageRank step —
 # one equi-join of the edge list against the O(nodes) score frame on
@@ -710,10 +716,7 @@ def _pagerank_sql(idiv: str) -> str:
                 ON a.okey = b.okey AND a.part <> b.part),
     deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outd
             FROM edges GROUP BY src),
-    n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
-    s0 AS (SELECT d.src AS part, CAST({PR_SCALE} {idiv} n.n_nodes AS BIGINT)
-                    AS score
-           FROM deg d CROSS JOIN n)
+    s0 AS (SELECT src AS part, CAST({PR_SCALE} AS BIGINT) AS score FROM deg)
     """
     for k in range(PR_ITERS):
         it += f""",
@@ -724,10 +727,10 @@ def _pagerank_sql(idiv: str) -> str:
              JOIN deg d ON d.src = e.src
              GROUP BY e.dst),
     s{k + 1} AS (SELECT s.part,
-                    CAST((15 * {PR_SCALE}) {idiv} (100 * n.n_nodes) AS BIGINT)
+                    CAST((15 * {PR_SCALE}) {idiv} 100 AS BIGINT)
                     + CAST((85 * coalesce(c.contrib, 0)) {idiv} 100 AS BIGINT)
                       AS score
-             FROM s0 s CROSS JOIN n
+             FROM s0 s
              LEFT JOIN c{k} c ON c.part = s.part)
     """
     return it + f"""

@@ -687,14 +687,19 @@ def stream_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ACCUMULATED pair set over any partition of the corpus into batches
 # must hash-match the one-shot batch q_minhash_neardup. That equality is
 # checked through the differential gate against the q_minhash_neardup
-# oracle VERBATIM. State = the sketch index (~100 B/doc — the production
-# reality: continuous dedup stores sketches, never corpus text). Pair
-# emission is append-only with a distinct on read, so at-least-once
-# replay of a batch is harmless; the index append is guarded by the
-# batch-id fence.
+# oracle VERBATIM. State = the sketch + shingle-hash index (8 minhash
+# BIGINTs + O(tokens) shingle ints per doc — ~10-100x smaller than the
+# corpus text it replaces; storing the shingles is what lets the verify
+# run without ever re-reading a document). Per-batch cost is genuinely
+# incremental: the index is APPEND-ONLY (each batch adds its own
+# sketches — no snapshot rewrite), and the verify join's sketch sides
+# are semi-join-restricted to the candidate doc ids first, so the wide
+# shingle arrays shuffled per batch are bounded by band collisions, not
+# index size. Pair emission is append-only with a distinct on read, so
+# at-least-once replay of a batch is harmless; the batch-id fence
+# skips exact same-batch replays, and cross-restart re-delivery of a
+# doc is deduped by doc_id on index read.
 # ---------------------------------------------------------------------------
-
-_MINHASH_JAC_THRESHOLD = 0.6
 
 
 def _merge_minhash(
@@ -705,7 +710,7 @@ def _merge_minhash(
     from pyspark.sql import functions as F
 
     from ..functions import text as T
-    from .dedup import _sketch_frames
+    from .dedup import JAC_THRESHOLD, _sketch_frames, band_explode
 
     snap = os.path.join(base_dir, "index")
     pairs_dir = os.path.join(base_dir, "pairs")
@@ -721,13 +726,15 @@ def _merge_minhash(
     batch_sig, batch_bands = _sketch_frames(
         batch_df.select("doc_id", "text"), [], [], "strmh"
     )
-    index_sig = _snapshot_read(spark, snap, sig_schema)
-    index_bands = index_sig.selectExpr(
-        "doc_id",
-        f"explode(array(named_struct('band', 0, 'band_key', {T.band_key_spark(0)}), "
-        f"named_struct('band', 1, 'band_key', {T.band_key_spark(1)}))) AS bk",
-    ).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    # keyed on read: a cross-restart re-delivery (new batch id, so the
+    # fence doesn't catch it) appended a duplicate sketch — identical by
+    # construction, so any winner is correct
+    index_sig = _snapshot_read(spark, snap, sig_schema).dropDuplicates(["doc_id"])
+    # the index probe goes through the SAME band_explode as the batch
+    # side — one copy of the band layout, so a band-count change can
+    # never desync the probe from the stored index
+    index_bands = band_explode(
+        index_sig.select("doc_id", *[f"m{s}" for s in range(T.N_HASHES)])
     )
     # batch on the probe side; the build side is index ∪ batch, so
     # same-batch pairs and batch-vs-index pairs come out of ONE join
@@ -747,9 +754,21 @@ def _merge_minhash(
         )
         .distinct()
     )
+    # verify sides restricted to candidate docs BEFORE the wide shingle
+    # arrays shuffle: without the semi-joins each batch would shuffle
+    # the ENTIRE index's shingles twice — O(corpus) per batch, exactly
+    # what the incremental pattern exists to avoid
     sketches = index_sig.unionByName(batch_sig.select(index_sig.columns))
-    x = sketches.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n_sh AS na")
-    y = sketches.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n_sh AS nb")
+    x = sketches.hint("shuffle_hash").join(
+        cands.select(F.col("doc_a").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    ).selectExpr("doc_id AS doc_a", "sh AS sh_a", "n_sh AS na")
+    y = sketches.hint("shuffle_hash").join(
+        cands.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    ).selectExpr("doc_id AS doc_b", "sh AS sh_b", "n_sh AS nb")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     verified = (
@@ -758,18 +777,17 @@ def _merge_minhash(
         .hint("shuffle_hash")
         .join(y, "doc_b")
         .withColumn("jac", jac)
-        .filter(F.col("jac") >= _MINHASH_JAC_THRESHOLD)
+        .filter(F.col("jac") >= JAC_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )
     verified.write.mode("append").parquet(pairs_dir)
-    tmp = snap.rstrip("/") + ".tmp"
-    # keyed by doc_id: a cross-restart re-delivery of a doc (new batch
-    # id, so the fence doesn't catch it) must not double its sketch —
-    # duplicate sketches are identical, so any winner is correct
-    sketches.dropDuplicates(["doc_id"]).repartition(4, "doc_id").write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    _snapshot_swap(snap, tmp, batch_id)
+    # APPEND-ONLY index: the batch writes only its own sketches — never
+    # a rewrite of the accumulated snapshot (O(batch), not O(corpus));
+    # the batch marker makes the append idempotent under same-batch-id
+    # replay. Underscore-prefixed marker files are invisible to the
+    # parquet reader.
+    batch_sig.select(index_sig.columns).write.mode("append").parquet(snap)
+    open(os.path.join(snap, f"_applied_{batch_id}"), "w").close()
     from ..checkpoints import release_scope
 
     release_scope(spark, "strmh_sig")

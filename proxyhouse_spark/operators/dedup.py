@@ -85,6 +85,33 @@ _SH_DUCK = f"sh AS (SELECT doc_id, {T.shingles_duck()} AS sh FROM tk)"
 
 
 
+#: the near-dup acceptance threshold shared by every MinHash operator
+#: (batch, incremental, streaming) — one constant, one contract.
+JAC_THRESHOLD = 0.6
+
+
+def band_explode(sig_df, extras=()):
+    """(doc_id[, extras], m0..m7) → (doc_id[, extras], band, band_key):
+    THE band layout, in one place. Every probe of a sketch index —
+    _sketch_frames' own band frame AND the streaming index probe
+    (cdc._merge_minhash) — must go through this helper; a second inline
+    copy of the explode would let a band-count change silently desync
+    the batch side from the stored index and drop cross-batch pairs.
+    Both band keys come out of ONE scan (half the map tasks of a
+    two-branch union)."""
+    return sig_df.selectExpr(
+        "doc_id",
+        *extras,
+        f"explode(array(named_struct('band', 0, 'band_key', {T.band_key_spark(0)}), "
+        f"named_struct('band', 1, 'band_key', {T.band_key_spark(1)}))) AS bk",
+    ).select(
+        "doc_id",
+        *extras,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def _sketch_frames(base, sig_extra, band_extra, scope):
     """Shared shingle→minhash→band staging for the MinHash operators.
     minhash_neardup and minhash_incremental MUST sketch identically —
@@ -124,19 +151,7 @@ def _sketch_frames(base, sig_extra, band_extra, scope):
         sig.select("doc_id", *band_extra, *[f"m{s}" for s in range(T.N_HASHES)]),
         f"{scope}_sig_narrow",
     )
-    # both band keys in ONE scan of the narrow signature columns
-    bands = sig_narrow.selectExpr(
-        "doc_id",
-        *band_extra,
-        f"explode(array(named_struct('band', 0, 'band_key', {T.band_key_spark(0)}), "
-        f"named_struct('band', 1, 'band_key', {T.band_key_spark(1)}))) AS bk",
-    ).select(
-        "doc_id",
-        *band_extra,
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
-    )
-    return sig, bands
+    return sig, band_explode(sig_narrow, band_extra)
 
 
 def _sketch_ctes_duck(extra: str = "") -> str:
@@ -235,7 +250,7 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .hint("shuffle_hash")
         .join(y, "doc_b")
         .withColumn("jac", jac)
-        .filter(F.col("jac") >= 0.6)
+        .filter(F.col("jac") >= JAC_THRESHOLD)
         .select("gh_a", "gh_b", F.round("jac", 4).alias("jaccard"))
     )
     # ---- expansion back to doc pairs -----------------------------------
@@ -287,7 +302,7 @@ def minhash_neardup_oracle() -> str:
              / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
       FROM pairs p JOIN sig x ON x.doc_id = p.doc_a
                    JOIN sig y ON y.doc_id = p.doc_b)
-    SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.6
+    SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM j WHERE jac >= {JAC_THRESHOLD}
     """
 
 
@@ -877,7 +892,7 @@ def minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .hint("shuffle_hash")
         .join(y, "doc_b")
         .withColumn("jac", jac)
-        .filter(F.col("jac") >= 0.6)
+        .filter(F.col("jac") >= JAC_THRESHOLD)
         .select(
             "doc_a",
             "doc_b",
@@ -910,5 +925,5 @@ def minhash_incremental_oracle() -> str:
     SELECT doc_a, doc_b, round(jac, 4) AS jaccard,
            CASE WHEN delta_a AND delta_b THEN 'in_delta'
                 ELSE 'vs_index' END AS vs
-    FROM j WHERE jac >= 0.6
+    FROM j WHERE jac >= {JAC_THRESHOLD}
     """

@@ -140,11 +140,13 @@ def test_stream_minhash_replay_is_harmless(spark, tmp_path):
     _merge_minhash(spark, docs, base, 0)
     assert read() == first
     idx = spark.read.parquet(os.path.join(base, "index"))
-    assert idx.count() == 3  # one sketch per doc, not doubled
+    assert idx.count() == 3  # same-batch-id replay fenced: no double append
     # a LATER batch re-delivering doc 2 (new batch id — DLQ-style replay
-    # across restarts): the keyed index append keeps one sketch per doc
-    # and the pair contract holds
+    # across restarts): the append-only index gains a duplicate sketch
+    # row, but reads dedup by doc_id (identical sketches — any winner is
+    # correct) and the pair contract holds
     _merge_minhash(spark, docs.filter("doc_id = 2"), base, 1)
     assert read() == first
     idx2 = spark.read.parquet(os.path.join(base, "index"))
-    assert idx2.count() == 3
+    assert idx2.count() == 4  # append-only: the dup row exists on disk...
+    assert idx2.dropDuplicates(["doc_id"]).count() == 3  # ...never in reads

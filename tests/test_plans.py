@@ -250,7 +250,6 @@ _SCALAR_BNLJ_OK = {
     "q_drift_psi",        # 10-row bin-grid frame crossed with O(#types) rows
     "q_stream_drift",     # same _psi_sql bin-grid over the O(types x bins) snapshot
     "q_rfm_segments",     # 1-row quartile-boundary frame (the percentile row)
-    "q_pagerank",         # 1-row node-count frame (the teleport normalizer)
     "q_basket_pairs",     # 1-row basket-count frame crossed with the top-20 cut
 }
 
