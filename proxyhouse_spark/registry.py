@@ -1028,3 +1028,9 @@ register("q_stream_minhash", dedup.minhash_neardup_oracle())(
     cdc.stream_minhash_query
 )
 register("q_pagerank", behavior.pagerank_oracle())(behavior.pagerank)
+
+from .operators import quality  # noqa: E402
+
+register("q_constraint_audit", quality.constraint_audit_oracle())(
+    quality.constraint_audit
+)

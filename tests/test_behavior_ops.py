@@ -150,3 +150,20 @@ def test_stream_minhash_replay_is_harmless(spark, tmp_path):
     idx2 = spark.read.parquet(os.path.join(base, "index"))
     assert idx2.count() == 4  # append-only: the dup row exists on disk...
     assert idx2.dropDuplicates(["doc_id"]).count() == 3  # ...never in reads
+
+
+def test_constraint_audit_reports_both_outcomes(spark):
+    """The audit must exercise BOTH report paths on the fixture: the
+    driver-generated lineitem violates the classic TPC-H primary key
+    (l_orderkey, l_linenumber) — a genuine data-quality finding the
+    audit exists to catch — while the remaining constraints hold."""
+    from proxyhouse_spark import registry
+    from tests.conftest import SF_SMALL
+
+    rows = {r.constraint_name: (r.n_violations, r.passed)
+            for r in registry.QUERIES["q_constraint_audit"](spark, SF_SMALL).collect()}
+    assert len(rows) == 10
+    pk = rows["lineitem.(l_orderkey, l_linenumber) is unique"]
+    assert pk[0] > 0 and pk[1] == 0  # the real violation, failed
+    assert rows["orders.o_orderkey is unique"] == (0, 1)
+    assert rows["lineitem.l_orderkey references orders"] == (0, 1)
