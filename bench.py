@@ -47,7 +47,9 @@ HEADLINE = [
     "q_pack_global",         # global packing manifest (2-phase prefix sum)
     "q_drift_psi",           # PSI drift (staged counts + decimal-exact tail)
     "q_market_share",        # TPC-H Q8 shape (widest join tree: 7-way)
-    "q_waiting_suppliers",   # TPC-H Q21 shape (EXISTS/NOT-EXISTS pair)
+    "q_waiting_suppliers",   # TPC-H Q21 shape (one-pass window rewrite)
+    "q_pagerank",            # iterative graph (3 unrolled power iterations)
+    "q_constraint_audit",    # data-quality audit (one scan per table + RI)
 ]
 
 
