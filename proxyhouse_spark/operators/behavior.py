@@ -747,3 +747,62 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank_oracle() -> str:
     return "WITH " + _pagerank_sql("//")
+
+
+# ---------------------------------------------------------------------------
+# sessionize — the numbered SESSION TABLE (the warehouse artifact behind
+# every funnel/retention/attribution pass): each user's events split
+# into sessions at >30-minute inactivity gaps, sessions numbered in
+# time order per user, reported with event count and exact duration.
+# Differs from q_session_window (Spark's session_window aggregate —
+# per-window counts) by materializing the per-user session ORDINAL,
+# which windowed aggregation cannot express: session_no is the running
+# sum of gap-starts — the same gaps-and-islands core as
+# interval_coverage, driven by point gaps instead of interval overlap.
+#
+# All arithmetic exact BIGINT epoch-micros; first event of a user
+# starts session 1 via a far-past sentinel (fixture timestamps are all
+# post-1995, the sentinel is pre-1970). ONE shuffle on user_id; both
+# windows and the session fold are per-key narrow.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def _sessionize_sql(epoch_us: str, idiv: str) -> str:
+    gap = SESSION_GAP_S * 1_000_000
+    return f"""
+    ev AS (SELECT user_id, event_id, {epoch_us} AS t FROM events),
+    flagged AS (SELECT user_id, event_id, t,
+                       CASE WHEN t - coalesce(lag(t) OVER (
+                                PARTITION BY user_id ORDER BY t, event_id),
+                              CAST(-4000000000000000 AS BIGINT)) > {gap}
+                            THEN 1 ELSE 0 END AS is_start
+                FROM ev),
+    sess AS (SELECT user_id, t,
+                    sum(is_start) OVER (PARTITION BY user_id
+                                        ORDER BY t, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS session_no
+             FROM flagged)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(t) - min(t) AS BIGINT) {idiv} 1000000 AS duration_secs
+    FROM sess GROUP BY user_id, session_no
+    """
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import EPOCH_NTZ
+
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        "WITH "
+        + _sessionize_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def sessionize_oracle() -> str:
+    return "WITH " + _sessionize_sql("epoch_us(ts)", "//")

@@ -1075,3 +1075,80 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_ntile_oracle() -> str:
     return _WINDOW_NTILE
+
+
+# ---------------------------------------------------------------------------
+# join_asof_forward — the FORWARD as-of direction: each event matched to
+# the user's EARLIEST order with o_orderdate >= ts ("what did this user
+# buy next"), completing the as-of family (backward join_asof = state
+# lookup; forward = next-action attribution, time-to-conversion, SLA
+# response measurement). Same union-merge zero-join core: negating the
+# time axis turns carry-FORWARD into carry-BACKWARD — sort by -t puts
+# later rows first, so "last seen carry row" at a probe row is exactly
+# the earliest order at-or-after it. Tie discipline mirrors the
+# backward operator: at equal instants orders sort before events
+# (inclusive >=), and same-date orders pick the LOWEST o_orderkey (the
+# negated tiebreak — backward picks the highest).
+# One shuffle+sort of events ∪ orders on user_id; no events × orders
+# expansion at any scale.
+# ---------------------------------------------------------------------------
+
+
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import epoch_micros
+
+    events = table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    e = events.select(
+        F.col("user_id").alias("uid"),
+        (-epoch_micros("ts")).alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        epoch_micros("ts").alias("pts_us"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("bigint").alias("odate_us"),
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("uid"),
+        (-epoch_micros("o_orderdate")).alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("bigint").alias("pts_us"),
+        "o_orderkey",
+        epoch_micros("o_orderdate").alias("odate_us"),
+    )
+    carried = union_merge_asof(
+        e,
+        o,
+        ["o_orderkey", "odate_us"],
+        F.coalesce(-F.col("o_orderkey"), F.col("event_id")),
+    )
+    wait = ((F.col("l_odate_us") - F.col("pts_us")) / F.lit(1_000_000)).cast(
+        "bigint"
+    )
+    return carried.select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.col("l_o_orderkey").alias("next_orderkey"),
+        F.when(F.col("l_o_orderkey").isNotNull(), wait).alias("wait_secs"),
+    )
+
+
+def join_asof_forward_oracle() -> str:
+    return """
+    WITH e AS (SELECT event_id, user_id, ts FROM events),
+    j AS (SELECT e.event_id, o.o_orderkey,
+                 (epoch_us(o.o_orderdate) - epoch_us(e.ts)) // 1000000
+                   AS wait_secs,
+                 row_number() OVER (PARTITION BY e.event_id
+                                    ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+          FROM e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+    SELECT e.event_id, e.user_id,
+           j.o_orderkey AS next_orderkey,
+           CAST(j.wait_secs AS BIGINT) AS wait_secs
+    FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+      ON j.event_id = e.event_id
+    """

@@ -1034,3 +1034,7 @@ from .operators import quality  # noqa: E402
 register("q_constraint_audit", quality.constraint_audit_oracle())(
     quality.constraint_audit
 )
+register("q_sessionize", behavior.sessionize_oracle())(behavior.sessionize)
+register("q_join_asof_forward", relational.join_asof_forward_oracle())(
+    relational.join_asof_forward
+)

@@ -611,3 +611,13 @@ def test_minhash_incremental_probes_with_the_delta_only(spark):
         "no Filter condition on is_delta — the candidate join no longer "
         "restricts its probe side to the delta"
     )
+
+
+def test_join_asof_forward_is_union_merge_not_expansion(spark):
+    # the forward direction must inherit the zero-join plan: negating the
+    # time axis cannot reintroduce an events×orders join
+    plan = plan_of(spark, "q_join_asof_forward")
+    tree = tree_of(plan)
+    assert "Join" not in tree
+    assert "Window" in tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
