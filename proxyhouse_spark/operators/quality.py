@@ -8,15 +8,24 @@ values, ranges, referential integrity) and ships the violation report,
 not a boolean — the Deequ/GreatExpectations/dbt-test shape. The engine
 registers it as a first-class operator over the fixture star schema.
 
-Scale design (100 TB): every non-join constraint on one table folds in
-the SAME single scan — conditional aggregates are map-side-combinable,
-so the audit costs one pass per audited table regardless of how many
-constraints it carries. Referential-integrity legs are anti-join counts
-on the foreign key: the dimension side broadcasts when small, shuffles
-on the key otherwise — never a Cartesian. Output is O(#constraints)
-rows; the report, not the data, moves.
+Scale design (100 TB): all NON-JOIN constraints on a table fold into ONE
+aggregate row per table (conditional aggregates share the scan,
+map-side-combinable), unpivoted into report rows via ``stack`` — so the
+Spark plan scans orders/lineitem once for their value checks no matter
+how many constraints they carry, plus one probe scan per
+referential-integrity leg (anti-join on the FK; the dimension side
+broadcasts when small). Scan count pinned in tests/test_plans.py.
+Output is O(#constraints) rows; the report, not the data, moves.
 
-Exactness: every violation count is an exact BIGINT; `pass` derives
+NULL semantics (Deequ's compliance convention): a NULL value is
+NON-COMPLIANT with an accepted-values/range constraint (the predicate is
+wrapped ``NOT coalesce(pred, FALSE)`` so NULL counts as a violation —
+without the wrapper SQL's three-valued logic silently PASSES NULLs),
+while referential-integrity legs EXEMPT NULL foreign keys (SQL FK
+semantics; nullity is its own constraint) — pinned on hand-built frames
+in tests/test_behavior_ops.py.
+
+Exactness: every violation count is an exact BIGINT; ``passed`` derives
 from the count — no sampling, no thresholds hidden in floats.
 """
 
@@ -26,82 +35,133 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..tables import table
 
-# One UNION ALL leg per constraint. The per-table legs are grouped into
-# one SELECT per table so each table is scanned ONCE (conditional
-# aggregates share the scan); the RI legs are anti-join counts.
-_CONSTRAINT_AUDIT = """
-WITH order_checks AS (
-  SELECT * FROM (
-    SELECT
-      CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS uniq_orderkey,
-      CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_custkey,
-      CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
-           AS BIGINT) AS bad_status,
-      CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS bad_price,
-      CAST(count(*) FILTER (WHERE o_orderdate < '1990-01-01'
-                               OR o_orderdate >= '2010-01-01')
-           AS BIGINT) AS bad_date
-    FROM orders
-  )
-),
-lineitem_checks AS (
-  SELECT * FROM (
-    SELECT
-      CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
-        AS uniq_lineid,
-      CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
-           AS BIGINT) AS bad_qty,
-      CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
-           AS BIGINT) AS bad_discount
-    FROM lineitem
-  )
-),
+# A violation = NOT coalesce(<compliance predicate>, FALSE): rows where
+# the predicate is NULL (NULL operand) count as violations.
+_ORDER_AGGS = """
+  SELECT
+    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS uniq_orderkey,
+    CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS null_custkey,
+    CAST(count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('F', 'O', 'P'),
+                                             FALSE))
+         AS BIGINT) AS bad_status,
+    CAST(count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE))
+         AS BIGINT) AS bad_price,
+    CAST(count(*) FILTER (WHERE NOT coalesce(o_orderdate >= '1990-01-01'
+                                         AND o_orderdate < '2010-01-01',
+                                             FALSE))
+         AS BIGINT) AS bad_date
+  FROM orders
+"""
+
+_LINEITEM_AGGS = """
+  SELECT
+    CAST(count(*) - count(DISTINCT {lineid}) AS BIGINT) AS uniq_lineid,
+    CAST(count(*) FILTER (WHERE NOT coalesce(l_quantity >= 1
+                                         AND l_quantity <= 50, FALSE))
+         AS BIGINT) AS bad_qty,
+    CAST(count(*) FILTER (WHERE NOT coalesce(l_discount >= 0
+                                         AND l_discount <= 0.1, FALSE))
+         AS BIGINT) AS bad_discount
+  FROM lineitem
+"""
+
+# NULL FKs are exempt (SQL FK semantics — nullity is its own constraint)
+_RI_LEGS = """
 ri_orders_customer AS (
   SELECT CAST(count(*) AS BIGINT) AS n FROM orders o
-  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
 ),
 ri_lineitem_orders AS (
   SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem l
-  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
-),
-report AS (
-  SELECT 'orders.o_orderkey is unique' AS constraint_name,
-         uniq_orderkey AS n_violations FROM order_checks
-  UNION ALL
-  SELECT 'orders.o_custkey is not null', null_custkey FROM order_checks
-  UNION ALL
-  SELECT 'orders.o_orderstatus in (F, O, P)', bad_status FROM order_checks
-  UNION ALL
-  SELECT 'orders.o_totalprice > 0', bad_price FROM order_checks
-  UNION ALL
-  SELECT 'orders.o_orderdate in [1990, 2010)', bad_date FROM order_checks
-  UNION ALL
-  SELECT 'lineitem.(l_orderkey, l_linenumber) is unique', uniq_lineid
-  FROM lineitem_checks
-  UNION ALL
-  SELECT 'lineitem.l_quantity in [1, 50]', bad_qty FROM lineitem_checks
-  UNION ALL
-  SELECT 'lineitem.l_discount in [0, 0.1]', bad_discount FROM lineitem_checks
-  UNION ALL
-  SELECT 'orders.o_custkey references customer', n FROM ri_orders_customer
-  UNION ALL
-  SELECT 'lineitem.l_orderkey references orders', n FROM ri_lineitem_orders
-)
+  WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+)"""
+
+_ORDER_NAMES = [
+    ("orders.o_orderkey is unique", "uniq_orderkey"),
+    ("orders.o_custkey is not null", "null_custkey"),
+    ("orders.o_orderstatus in (F, O, P)", "bad_status"),
+    ("orders.o_totalprice > 0", "bad_price"),
+    ("orders.o_orderdate in [1990, 2010)", "bad_date"),
+]
+_LINEITEM_NAMES = [
+    ("lineitem.(l_orderkey, l_linenumber) is unique", "uniq_lineid"),
+    ("lineitem.l_quantity in [1, 50]", "bad_qty"),
+    ("lineitem.l_discount in [0, 0.1]", "bad_discount"),
+]
+
+_TAIL = """
 SELECT constraint_name, n_violations,
        CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
 FROM report
 """
 
 
+def _stack(names: list[tuple[str, str]]) -> str:
+    args = ", ".join(f"'{label}', {col}" for label, col in names)
+    return (
+        f"SELECT stack({len(names)}, {args}) AS (constraint_name, n_violations)"
+    )
+
+
+def _union(names: list[tuple[str, str]], src: str) -> str:
+    return "\n  UNION ALL\n".join(
+        f"  SELECT '{label}' AS constraint_name, {col} AS n_violations FROM {src}"
+        for label, col in names
+    )
+
+
+# Spark: each table's checks aggregate ONCE (one scan), then stack()
+# unpivots the single row into report rows. (A UNION ALL over a
+# multi-referenced CTE does NOT do this: Spark inlines each reference
+# and the plan scans the table once per constraint — measured 7 scans
+# of orders for 5 checks before this spelling.)
+_AUDIT_SPARK = f"""
+WITH order_checks AS ({_ORDER_AGGS}),
+lineitem_checks AS (
+  {_LINEITEM_AGGS.format(lineid="(l_orderkey, l_linenumber)")}
+),
+{_RI_LEGS},
+report AS (
+  {_stack(_ORDER_NAMES)} FROM order_checks
+  UNION ALL
+  {_stack(_LINEITEM_NAMES)} FROM lineitem_checks
+  UNION ALL
+  SELECT 'orders.o_custkey references customer', n FROM ri_orders_customer
+  UNION ALL
+  SELECT 'lineitem.l_orderkey references orders', n FROM ri_lineitem_orders
+)
+{_TAIL}
+"""
+
+# DuckDB has no stack(); the oracle unpivots via UNION ALL over the
+# 1-row CTEs (DuckDB materializes multi-referenced CTEs, and oracle-side
+# plan cost is irrelevant — it is the correctness mirror).
+_AUDIT_DUCK = f"""
+WITH order_checks AS ({_ORDER_AGGS}),
+lineitem_checks AS (
+  {_LINEITEM_AGGS.format(lineid="ROW(l_orderkey, l_linenumber)")}
+),
+{_RI_LEGS},
+report AS (
+{_union(_ORDER_NAMES, "order_checks")}
+  UNION ALL
+{_union(_LINEITEM_NAMES, "lineitem_checks")}
+  UNION ALL
+  SELECT 'orders.o_custkey references customer', n FROM ri_orders_customer
+  UNION ALL
+  SELECT 'lineitem.l_orderkey references orders', n FROM ri_lineitem_orders
+)
+{_TAIL}
+"""
+
+
 def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "lineitem", "customer"):
         table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_CONSTRAINT_AUDIT)
+    return spark.sql(_AUDIT_SPARK)
 
 
 def constraint_audit_oracle() -> str:
-    # DuckDB spells the composite-key distinct as a ROW(...) constructor
-    return _CONSTRAINT_AUDIT.replace(
-        "count(DISTINCT (l_orderkey, l_linenumber))",
-        "count(DISTINCT ROW(l_orderkey, l_linenumber))",
-    )
+    return _AUDIT_DUCK

@@ -1125,9 +1125,10 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderkey", "odate_us"],
         F.coalesce(-F.col("o_orderkey"), F.col("event_id")),
     )
-    wait = ((F.col("l_odate_us") - F.col("pts_us")) / F.lit(1_000_000)).cast(
-        "bigint"
-    )
+    # integer division (the repo's exactness discipline — a bare `/`
+    # would detour through DOUBLE; fine for non-negative micro diffs
+    # under 2^53 but an invariant better not relied on implicitly)
+    wait = F.expr("(l_odate_us - pts_us) div 1000000")
     return carried.select(
         "event_id",
         F.col("uid").alias("user_id"),

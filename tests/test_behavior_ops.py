@@ -167,3 +167,41 @@ def test_constraint_audit_reports_both_outcomes(spark):
     assert pk[0] > 0 and pk[1] == 0  # the real violation, failed
     assert rows["orders.o_orderkey is unique"] == (0, 1)
     assert rows["lineitem.l_orderkey references orders"] == (0, 1)
+
+
+def test_constraint_audit_null_semantics(spark):
+    """NULLs are NON-compliant with value constraints (Deequ compliance
+    convention — SQL three-valued logic would silently pass them) but
+    EXEMPT from referential-integrity legs (SQL FK semantics)."""
+    from proxyhouse_spark.operators.quality import _AUDIT_SPARK
+
+    spark.createDataFrame(
+        [(1, 10, "F", 5.0, "1999-01-01"), (2, None, None, None, None)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP_NTZ) AS o_orderdate",
+    ).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        [(1, 1, 5.0, 0.05), (None, 2, 5.0, 0.05)],
+        "l_orderkey bigint, l_linenumber int, l_quantity double, "
+        "l_discount double",
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame([(10,)], "c_custkey bigint").createOrReplaceTempView(
+        "customer"
+    )
+    rows = {r.constraint_name: r.n_violations
+            for r in spark.sql(_AUDIT_SPARK).collect()}
+    # order 2's NULL status/price/date each violate their value constraint
+    assert rows["orders.o_orderstatus in (F, O, P)"] == 1
+    assert rows["orders.o_totalprice > 0"] == 1
+    assert rows["orders.o_orderdate in [1990, 2010)"] == 1
+    assert rows["orders.o_custkey is not null"] == 1
+    # ...but the NULL FK is EXEMPT from the RI leg (order 1's custkey 10
+    # resolves; order 2's NULL does not count as dangling)
+    assert rows["orders.o_custkey references customer"] == 0
+    # same split on lineitem: NULL l_orderkey exempt from RI...
+    assert rows["lineitem.l_orderkey references orders"] == 0
+    # ...and the NULL-keyed row still participates in the PK distinct
+    assert rows["lineitem.(l_orderkey, l_linenumber) is unique"] == 0

@@ -621,3 +621,14 @@ def test_join_asof_forward_is_union_merge_not_expansion(spark):
     assert "Join" not in tree
     assert "Window" in tree
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_constraint_audit_scans_once_per_value_check_table(spark):
+    # the stack() unpivot computes ALL of a table's value checks in one
+    # aggregate row — one scan per table — plus one probe scan per RI
+    # leg: orders x3 (checks + RI probe + RI build), lineitem x2
+    # (checks + RI probe), customer x1. The naive UNION-ALL-over-CTE
+    # spelling inlined each reference: 7 scans of orders for 5 checks.
+    tree = tree_of(plan_of(spark, "q_constraint_audit"))
+    assert tree.count("Scan parquet") == 6
+    assert "CartesianProduct" not in tree
