@@ -165,3 +165,56 @@ def constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def constraint_audit_oracle() -> str:
     return _AUDIT_DUCK
+
+
+# ---------------------------------------------------------------------------
+# freshness_audit — the TIMELINESS half of the data-quality story
+# (constraint_audit = validity): per event-bearing table, last event
+# time, staleness against a fixed as-of instant, total rows, and rows
+# in the trailing 30 days — the numbers a warehouse SLA monitor pages
+# on. The as-of instant is a constant (2002-01-01, past the fixture's
+# horizon) so the report is deterministic and oracle-checkable; a
+# deployment substitutes current_timestamp() at the call site.
+#
+# At 100 TB: one map-side-combinable aggregate per table — max/count
+# fold in a single scan each; with date-partitioned storage the max
+# resolves from partition metadata alone. Exact BIGINT seconds.
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_ASOF_US = 1009843200000000  # epoch micros of 2002-01-01 00:00:00
+
+
+def _freshness_sql(epoch_us_events: str, epoch_us_orders: str, idiv: str) -> str:
+    return f"""
+SELECT 'events' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(({_FRESHNESS_ASOF_US} - max({epoch_us_events})) {idiv} 1000000
+            AS BIGINT) AS staleness_secs,
+       CAST(count(*) FILTER (WHERE {epoch_us_events}
+                               >= {_FRESHNESS_ASOF_US} - 2592000000000)
+            AS BIGINT) AS n_last_30d
+FROM events
+UNION ALL
+SELECT 'orders' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(({_FRESHNESS_ASOF_US} - max({epoch_us_orders})) {idiv} 1000000
+            AS BIGINT) AS staleness_secs,
+       CAST(count(*) FILTER (WHERE {epoch_us_orders}
+                               >= {_FRESHNESS_ASOF_US} - 2592000000000)
+            AS BIGINT) AS n_last_30d
+FROM orders
+"""
+
+
+def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import EPOCH_NTZ
+
+    for t in ("events", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    e = f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)"
+    o = f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, o_orderdate)"
+    return spark.sql(_freshness_sql(e, o, "div"))
+
+
+def freshness_audit_oracle() -> str:
+    return _freshness_sql("epoch_us(ts)", "epoch_us(o_orderdate)", "//")

@@ -1038,3 +1038,6 @@ register("q_sessionize", behavior.sessionize_oracle())(behavior.sessionize)
 register("q_join_asof_forward", relational.join_asof_forward_oracle())(
     relational.join_asof_forward
 )
+register("q_freshness_audit", quality.freshness_audit_oracle())(
+    quality.freshness_audit
+)
