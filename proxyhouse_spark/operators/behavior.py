@@ -806,3 +806,83 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sessionize_oracle() -> str:
     return "WITH " + _sessionize_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# top_paths — frequent 3-step user journeys (the Sankey-diagram query):
+# each user's time-ordered event sequence windowed into (e1, e2, e3)
+# trigrams, top-20 paths by count. Adds sequence DEPTH to N67's 1-step
+# transition matrix — the path trigram is what journey analyses and
+# next-2-action models consume. Deterministic under ts ties via the
+# (ts, event_id) total order; truncated sequences (fewer than 3
+# remaining events) drop out via the NULL lead.
+#
+# At 100 TB: ONE shuffle on user_id for the two leads, then a
+# map-side-combinable fold on the O(|types|³) path key and a
+# TakeOrdered top-20 — no data-scaling join.
+# ---------------------------------------------------------------------------
+
+_TOP_PATHS = """
+    seq AS (SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 20
+    """
+
+
+def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("WITH " + _TOP_PATHS)
+
+
+def top_paths_oracle() -> str:
+    return "WITH " + _TOP_PATHS
+
+
+# ---------------------------------------------------------------------------
+# mom_growth — month-over-month revenue growth (the reporting-layer
+# staple): monthly revenue in exact cents, previous month via lag over
+# the tiny ordered month series, growth in exact integer basis points
+# (cross-multiplied div — no float ratio in the hash; negative-growth
+# months are safe: Spark `div` and DuckDB integer `//` BOTH truncate
+# toward zero — DuckDB floors only for floats — verified empirically
+# and exercised by the fixture's 41 down months). The month fold
+# is the only data-scale aggregation; the lag window runs over
+# O(#months) rows.
+# ---------------------------------------------------------------------------
+
+
+def _mom_growth_sql(idiv: str) -> str:
+    return f"""
+    m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+          FROM orders GROUP BY 1),
+    g AS (SELECT month, rev_cents,
+                 lag(rev_cents) OVER (ORDER BY month) AS prev_cents
+          FROM m)
+    SELECT month, rev_cents, prev_cents,
+           CAST(((rev_cents - prev_cents) * 10000) {idiv} prev_cents
+                AS BIGINT) AS growth_bp
+    FROM g
+    """
+
+
+def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "WITH "
+        + _mom_growth_sql("div").replace(
+            "AS TIMESTAMP)", "AS TIMESTAMP_NTZ)"
+        )
+    )
+
+
+def mom_growth_oracle() -> str:
+    return "WITH " + _mom_growth_sql("//")

@@ -1041,3 +1041,5 @@ register("q_join_asof_forward", relational.join_asof_forward_oracle())(
 register("q_freshness_audit", quality.freshness_audit_oracle())(
     quality.freshness_audit
 )
+register("q_top_paths", behavior.top_paths_oracle())(behavior.top_paths)
+register("q_mom_growth", behavior.mom_growth_oracle())(behavior.mom_growth)
