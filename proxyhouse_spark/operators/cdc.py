@@ -830,3 +830,118 @@ def stream_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization — the capstone of the interval-union algebra:
+# SESSIONS ARE MERGEABLE. A gap-G session split over points is exactly
+# interval-union islanding of the points widened to [t, t+G] (touching
+# merge ⟺ gap <= G), and islands are determined solely by the covered
+# point set — so the snapshot stores per-user session SPANS
+# (island_s, island_e, n_events) and each micro-batch unions its
+# widened points in and re-islands, summing n_events per island
+# (additive under merge: a bridging point can fuse two sessions, and
+# their event counts add). Session ordinals are re-derived at read
+# (row_number over island_s per user) because numbering is not
+# mergeable — the same top-k-vs-totals split as the leaderboard. Two
+# real availableNow passes over parity-split events must hash-match
+# the one-shot batch q_sessionize. State = O(sessions) per user.
+# ---------------------------------------------------------------------------
+
+_SESSION_SPANS_SCHEMA = "user_id bigint, s bigint, e bigint, n bigint"
+
+_SESSION_MERGE = """
+flagged AS (SELECT user_id, s, e, n,
+                   CASE WHEN s <= coalesce(max(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING),
+                          CAST(-9000000000000000000 AS BIGINT))
+                        THEN 0 ELSE 1 END AS is_start
+            FROM merged_spans),
+islands AS (SELECT user_id, s, e, n,
+                   sum(is_start) OVER (PARTITION BY user_id
+                                       ORDER BY s, e
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS island
+            FROM flagged)
+SELECT user_id, min(s) AS s, max(e) AS e,
+       CAST(sum(n) AS BIGINT) AS n
+FROM islands GROUP BY user_id, island
+"""
+
+
+def _merge_sessions(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
+    from pyspark.sql import functions as F
+
+    from .behavior import SESSION_GAP_S
+
+    if _snapshot_applied(snap_dir, batch_id):
+        return
+    gap = SESSION_GAP_S * 1_000_000
+    batch_spans = batch_df.select(
+        "user_id",
+        F.col("t").alias("s"),
+        (F.col("t") + gap).alias("e"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    current = _snapshot_read(spark, snap_dir, _SESSION_SPANS_SCHEMA)
+    current.unionByName(batch_spans).createOrReplaceTempView("merged_spans")
+    spans = spark.sql("WITH " + _SESSION_MERGE)
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    spans.repartition(2, "user_id").write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap_dir, tmp, batch_id)
+
+
+@_oracle_stream_conf
+def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14, oracle-checked: two availableNow passes maintaining per-user
+    session spans; ordinals + durations re-derived from the snapshot
+    must hash-match the one-shot batch q_sessionize."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+    from ..tables import EPOCH_NTZ
+    from .behavior import SESSION_GAP_S
+
+    base = _scratch_dir("t14_sess_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    ev = table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "user_id",
+        f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts) AS t",
+    )
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "event_id bigint, user_id bigint, t bigint"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: _merge_sessions(spark, df, snap, bid))
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+    gap = SESSION_GAP_S * 1_000_000
+    spark.read.parquet(snap).createOrReplaceTempView("session_spans")
+    # ordinal + duration re-derived at read: e carries the +gap widening,
+    # so the true last-event time is e - gap
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY s)
+                    AS BIGINT) AS session_no,
+               n AS n_events,
+               CAST((e - {gap}) - s AS BIGINT) div 1000000 AS duration_secs
+        FROM session_spans
+        """
+    )

@@ -1043,3 +1043,6 @@ register("q_freshness_audit", quality.freshness_audit_oracle())(
 )
 register("q_top_paths", behavior.top_paths_oracle())(behavior.top_paths)
 register("q_mom_growth", behavior.mom_growth_oracle())(behavior.mom_growth)
+register("q_stream_sessionize", behavior.sessionize_oracle())(
+    cdc.stream_sessionize_query
+)
