@@ -1046,3 +1046,78 @@ register("q_mom_growth", behavior.mom_growth_oracle())(behavior.mom_growth)
 register("q_stream_sessionize", behavior.sessionize_oracle())(
     cdc.stream_sessionize_query
 )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visibility rotation (VERDICT r3 item #1)
+# ---------------------------------------------------------------------------
+# The round driver's CORRECTNESS_r*.json provably samples the FIRST 50 keys of
+# ``queries()`` in dict-insertion order.  Rounds 1-3 burned that window on the
+# same long-green ingest/relational core, leaving 125 of 175 queries never
+# driver-confirmed.  We therefore re-key QUERIES so that queries the driver
+# has NOT yet confirmed come first — leading with the streaming oracles, the
+# decision-support tail, and the flagship N-family — and the already-confirmed
+# 50 trail.  Rotate ``_DRIVER_CONFIRMED`` forward each round as new
+# CORRECTNESS files land.  Pure reordering: the key set, implementations, and
+# oracles are untouched (pinned by tests/test_registry_docs.py).
+
+# Union of CORRECTNESS_r01/r02/r03 key sets (historical fact, frozen).
+_DRIVER_CONFIRMED = {
+    "q_approx_distinct", "q_batch_sink", "q_count_distinct", "q_cube",
+    "q_dedup_exact", "q_distinct", "q_dlq_replay_order", "q_dlq_retry_policy",
+    "q_dlq_scan", "q_dlq_spill", "q_except", "q_extract_table",
+    "q_filter_body", "q_filter_method", "q_filter_path", "q_format_dispatch",
+    "q_groupby_concat", "q_grouping_sets", "q_health_status",
+    "q_hide_password", "q_histogram", "q_ingest_source", "q_inout_stats",
+    "q_intersect", "q_join_anti", "q_join_asof", "q_join_inner",
+    "q_join_semi", "q_json_props", "q_metric_counters", "q_metric_ratio",
+    "q_minhash_neardup", "q_ngram_jaccard", "q_percentiles", "q_pivot",
+    "q_pricing_summary", "q_project_key", "q_revenue_by_region", "q_rollup",
+    "q_rowcount", "q_session_window", "q_sliding_window", "q_top_customers",
+    "q_topk", "q_tumbling_window", "q_union", "q_url_rewrite",
+    "q_window_lag", "q_window_rank", "q_window_running_sum",
+}
+
+# Hand-picked first window: every streaming oracle, the full decision-support
+# tail, the bench TPC-H adds, and the flagship N-family — exactly the groups
+# the r3 verdict called out as never driver-confirmed.
+_LEAD = [
+    # streaming merge-algebra + trigger/replay oracles
+    "q_stream_minhash", "q_stream_cdc", "q_stream_windowed",
+    "q_stream_sessionize", "q_stream_coverage", "q_stream_cumulative",
+    "q_stream_dedup", "q_stream_session_window", "q_stream_interval_join",
+    "q_stream_enrich", "q_stream_drift", "q_stream_skyline", "q_stream_topk",
+    "q_flush_trigger", "q_dlq_replay",
+    # decision-support tail
+    "q_forecast_revenue", "q_volume_shipping", "q_market_share",
+    "q_product_profit", "q_customer_distribution", "q_top_supplier",
+    "q_parts_supplier_count", "q_small_qty_revenue", "q_large_orders",
+    "q_waiting_suppliers", "q_sales_opportunity",
+    # bench TPC-H adds
+    "q_shipping_priority", "q_order_priority", "q_promo_revenue",
+    "q_special_parts",
+    # flagship N-family / CDC / quality
+    "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
+    "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
+    "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",
+    "q_tfidf", "q_corpus_pipeline", "q_sequence_pack", "q_scd2",
+    "q_cdc_upsert", "q_sessionize", "q_mom_growth", "q_freshness_audit",
+    "q_unigram_logprob", "q_skew_report",
+]
+
+
+def _rotated(keys: list[str]) -> list[str]:
+    lead = [k for k in _LEAD if k in QUERIES]
+    lead_set = set(lead)
+    rest_unseen = [
+        k for k in keys
+        if k not in _DRIVER_CONFIRMED and k not in lead_set
+    ]
+    seen = [k for k in keys if k in _DRIVER_CONFIRMED]
+    return lead + rest_unseen + seen
+
+
+_order = _rotated(list(QUERIES))
+assert sorted(_order) == sorted(QUERIES), "rotation must be a permutation"
+QUERIES = {k: QUERIES[k] for k in _order}
+ORACLES = {k: ORACLES[k] for k in _order if k in ORACLES}
