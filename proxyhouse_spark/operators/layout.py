@@ -28,24 +28,42 @@ from ..tables import table
 # ---------------------------------------------------------------------------
 # skew_report — one map-side-combinable fold to (key, n) — the shuffle
 # under diagnosis is the one being sized, so this costs exactly one run
-# of it — then an ntile over GROUPS (O(#keys) rows, not O(rows)). Ties
-# broken (n, key) so the decile cut is engine-identical. At extreme key
-# cardinality swap ntile for approx_percentile boundary buckets — the
-# decile schema is unchanged.
+# of it — then a decile cut over GROUP SIZES by value against exact
+# decile boundaries (the q_rfm_segments boundary-broadcast pattern,
+# VERDICT r3 #3): `percentile`/`quantile_cont` collapse the (key, n)
+# frame to ONE 9-boundary row (Spark's Percentile partial-aggregates
+# value-count buffers map-side — no executor holds the key list), and
+# each key classifies narrowly as 1 + #(boundaries < n). The previous
+# spelling — `ntile(10) OVER (ORDER BY n, user_id)` — was an
+# unpartitioned WindowExec over O(#keys) rows: #keys ≈ #users scales
+# with data, so at 100 TB that is a whole-keyspace sort on one executor.
+# Value cuts put size-ties in the same decile (the honest histogram for
+# a skew report — heavily-tied small sizes no longer straddle bins);
+# boundary values are interpolated doubles, bit-identical cross-engine
+# (q_percentiles precedent), and integer n vs double boundary compares
+# exactly. Oracle moves in lockstep.
 # ---------------------------------------------------------------------------
 
-_SKEW_REPORT = """
-WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
-           FROM events GROUP BY user_id),
-d AS (SELECT n, CAST(ntile(10) OVER (ORDER BY n, user_id) AS BIGINT) AS decile
-      FROM g)
-SELECT decile,
-       CAST(count(*) AS BIGINT) AS n_groups,
-       min(n) AS min_size,
-       max(n) AS max_size,
-       CAST(sum(n) AS BIGINT) AS sum_rows
-FROM d GROUP BY decile
-"""
+
+def _skew_report_sql(pct: str, arr: str, idx) -> str:
+    ladder = " + ".join(
+        f"CAST(n > db[{idx(k)}] AS BIGINT)" for k in range(9)
+    )
+    return f"""
+    WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY user_id),
+    b AS (SELECT {pct}(n, {arr}) AS db FROM g),
+    d AS (SELECT n, 1 + {ladder} AS decile FROM g CROSS JOIN b)
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           min(n) AS min_size,
+           max(n) AS max_size,
+           CAST(sum(n) AS BIGINT) AS sum_rows
+    FROM d GROUP BY decile
+    """
+
+
+_DECILES = ", ".join(f"0.{k}" for k in range(1, 10))
 
 
 def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,11 +71,15 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-key health report (max_size/avg in the top decile is the
     skew factor that picks plain hash vs salting vs AQE skew split)."""
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_SKEW_REPORT)
+    return spark.sql(
+        _skew_report_sql("percentile", f"array({_DECILES})", lambda k: k)
+    )
 
 
 def skew_report_oracle() -> str:
-    return _SKEW_REPORT
+    return _skew_report_sql(
+        "quantile_cont", f"[{_DECILES}]", lambda k: k + 1
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -321,8 +321,9 @@ def bm25_rank_oracle() -> str:
 #
 # score(doc) = mean over token occurrences of log10 P(tok), with
 # P(tok) = corpus_tf(tok) / corpus_tokens. Docs are then bucketed into
-# head/middle/tail terciles by ntile(3) over (score DESC, doc_id) — the
-# CCNet partition that decides what a training run keeps.
+# head/middle/tail terciles by VALUE against exact tercile boundaries of
+# the score distribution — the CCNet partition that decides what a
+# training run keeps.
 #
 # Float discipline: each token's log10 is rounded to 6 dp and cast to
 # DECIMAL(18,6); the per-doc sum is then EXACT decimal addition —
@@ -332,14 +333,22 @@ def bm25_rank_oracle() -> str:
 # Scale: the unigram model is the vocab-sized frame — a trained LM is
 # fixed-size, so at 100 TB it broadcasts (or shuffle-hash joins on tok if
 # a raw-corpus vocab outgrows broadcast); the doc side shuffles once on
-# doc_id for the per-doc fold. ntile needs a global sort of DOC SCORES
-# (one row per doc, not per token) — at extreme scale the tercile
-# boundary would come from approx_percentile instead; the fixture-exact
-# spelling keeps the oracle bit-exact.
+# doc_id for the per-doc fold. The tercile cut is the q_rfm_segments
+# boundary-broadcast pattern (VERDICT r3 #2): exact interpolated
+# percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, bit-identical
+# — proven by q_percentiles) collapse to ONE row — Spark's Percentile is
+# partially aggregatable (map-side value-count buffers), so no executor
+# ever holds the doc-score list — and every doc classifies narrowly
+# against the broadcast boundaries. The previous spelling was
+# `ntile(3) OVER (ORDER BY mean_lp DESC, doc_id)`: an unpartitioned
+# WindowExec = whole-corpus sort on ONE executor at 100 TB. Semantics
+# shift from equal-COUNT tiles (ties split by doc_id) to equal-VALUE
+# cuts (score ties always share a bucket — the better CCNet semantics);
+# the oracle moves in lockstep so the differential stays exact.
 # ---------------------------------------------------------------------------
 
 
-def _unigram_sql(dt: str, cross: str) -> str:
+def _unigram_sql(dt: str, cross: str, pct: str, arr: str, ihi: int, ilo: int) -> str:
     return f"""
     WITH {dt},
     freq AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS ctf FROM dt GROUP BY tok),
@@ -356,19 +365,33 @@ def _unigram_sql(dt: str, cross: str) -> str:
     scored AS (
       SELECT doc_id, n_tokens,
              round(CAST(sum_lp AS DOUBLE) / n_tokens, 4) AS mean_lp
-      FROM doc)
+      FROM doc),
+    b AS (SELECT {pct}(mean_lp, {arr}) AS tb FROM scored)
     SELECT doc_id, n_tokens, mean_lp,
-           CASE ntile(3) OVER (ORDER BY mean_lp DESC, doc_id)
-                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-             AS bucket
-    FROM scored
+           CASE WHEN mean_lp >= tb[{ihi}] THEN 'head'
+                WHEN mean_lp >= tb[{ilo}] THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN b
     """
+
+
+# Tercile boundary positions: identical double literals on both engines so
+# the interpolated boundary values are bit-identical.
+_TERCILES = "0.3333333333333333, 0.6666666666666666"
 
 
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     _docs(spark, sf_dir)
-    return spark.sql(_unigram_sql(_DT_SPARK, "CROSS JOIN"))
+    return spark.sql(
+        _unigram_sql(
+            _DT_SPARK, "CROSS JOIN", "percentile",
+            f"array({_TERCILES})", ihi=1, ilo=0,
+        )
+    )
 
 
 def unigram_logprob_oracle() -> str:
-    return _unigram_sql(_DT_DUCK, "CROSS JOIN")
+    return _unigram_sql(
+        _DT_DUCK, "CROSS JOIN", "quantile_cont",
+        f"[{_TERCILES}]", ihi=2, ilo=1,
+    )

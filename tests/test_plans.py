@@ -252,6 +252,7 @@ _SCALAR_BNLJ_OK = {
     "q_stream_drift",     # same _psi_sql bin-grid over the O(types x bins) snapshot
     "q_rfm_segments",     # 1-row quartile-boundary frame (the percentile row)
     "q_basket_pairs",     # 1-row basket-count frame crossed with the top-20 cut
+    "q_skew_report",      # 1-row decile-boundary frame (the percentile row)
 }
 
 
@@ -267,6 +268,51 @@ def test_no_query_plans_cartesian_or_nested_loop(spark):
             continue
         tree = tree_of(plan_of(spark, name))
         if "CartesianProduct" in tree or "BroadcastNestedLoopJoin" in tree:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+# Reviewed exceptions for the unpartitioned-window sweep: an empty window
+# partition spec is harmless iff the frame it sorts is BOUNDED BY
+# CONSTRUCTION — O(1) or O(small-k) rows, never O(data). Each entry names
+# the bounded frame that justifies it.
+_UNPARTITIONED_WINDOW_OK = {
+    "q_dlq_replay_order",  # DLQ packets: bounded by failure volume, and the
+                           # reference replay contract is SEQUENTIAL anyway
+                           # (main.go resend loop — a global order is the op)
+    "q_knn_pq",       # row_number over the LIMIT-N_CODES codebook seed (O(1))
+    "q_mom_growth",   # lag over the O(#months) monthly-revenue frame
+    "q_pack_global",  # prefix sum over the O(#buckets) bucket-total frame —
+                      # phase 1 of the documented two-phase distributed scan
+    "q_skyline",      # min over the O(#buckets) bucket-minima frame (phase 2
+                      # of the same two-phase pattern)
+    "q_vocab_coverage",  # row_number over the vocab frame cut to its top-V
+                         # head — vocab grows sublinearly (Heaps) and the cut
+                         # is the op's own output bound
+}
+
+# windowspecdefinition whose FIRST argument is already an order spec
+# (`col ASC|DESC ...`) has an empty partition spec — i.e. a single-partition
+# WindowExec.
+_UNPARTITIONED_SPEC = __import__("re").compile(
+    r"windowspecdefinition\([\w#.]+ (?:ASC|DESC)"
+)
+
+
+def test_no_query_plans_unpartitioned_window_over_data(spark):
+    """Global safety net, sibling of the Cartesian sweep (VERDICT r3 #4):
+    a WindowExec with an empty partition spec is a whole-input sort on ONE
+    executor — fine for a bounded frame, fatal for anything that scales
+    with data (the r3 `q_unigram_logprob` / `q_skew_report` findings, both
+    since respelled as broadcast percentile boundaries). Sweep every batch
+    query's physical plan; the reviewed bounded frames above are the only
+    exceptions."""
+    offenders = []
+    for name in sorted(registry.QUERIES):
+        if name in _EXECUTING or name in _UNPARTITIONED_WINDOW_OK:
+            continue
+        plan = plan_of(spark, name)
+        if _UNPARTITIONED_SPEC.search(plan):
             offenders.append(name)
     assert not offenders, offenders
 
@@ -430,18 +476,28 @@ def test_snapshot_diff_single_colocatable_join(spark):
     assert plan.count("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>") == 2
 
 
-def test_skew_report_windows_groups_not_rows(spark):
-    """The ntile runs over the already-folded (key, n) frame — O(#keys)
-    rows through the single-partition window, never the raw events. Pin:
-    the SinglePartition exchange sits ABOVE the first hash aggregation."""
+def test_skew_report_is_boundary_broadcast_not_window(spark):
+    """The decile cut must be the boundary-broadcast shape (r3 #3): the
+    (key, n) fold feeds a partially-aggregated exact percentile that
+    collapses to ONE boundary row, broadcast back for a narrow classify —
+    no WindowExec anywhere (the old ntile spelling was a whole-keyspace
+    single-partition sort: #keys ≈ #users scales with data)."""
     plan = plan_of(spark, "q_skew_report")
     tree = tree_of(plan)
-    assert plan.count("Arguments: SinglePartition") == 1
-    assert tree.count("Window") == 1
-    # leaf-to-root operator order in the formatted tree is bottom=last:
-    # the events fold (hashpartitioning on user_id) must be planned BELOW
-    # (i.e. after, in tree text) the single-partition window exchange
+    assert "Window" not in tree
+    assert "partial_percentile" in plan  # map-side value-count buffers
+    # the keyed fold still shuffles on the diagnosed key exactly once
     assert "hashpartitioning(user_id" in plan
+
+
+def test_unigram_tercile_is_boundary_broadcast_not_window(spark):
+    """Same pattern for the CCNet tercile cut (r3 #2): percentile
+    boundaries in a broadcast 1-row frame, zero WindowExec — the old
+    ntile(3) was a whole-corpus doc-score sort on one executor."""
+    plan = plan_of(spark, "q_unigram_logprob")
+    tree = tree_of(plan)
+    assert "Window" not in tree
+    assert "partial_percentile" in plan
 
 
 def test_zorder_ladder_stays_narrow(spark):
