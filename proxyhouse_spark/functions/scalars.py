@@ -128,23 +128,32 @@ def url_rewrite_sql(uri: str, fwd: str, repl: str) -> str:
 # ---------------------------------------------------------------------------
 # Format dispatch — reference main.go:189-197. The decoded query param's
 # suffix selects (delimiter, separator, addrows):
-#   FORMAT TSV / FORMAT CSV → ("",  "\n", 0)
-#   otherwise (Values)      → (",", "),", 1)
+#   FORMAT TSV / FORMAT CSV → ("",    "\n", 0)
+#   otherwise (Values)      → (delim, "),", 1)
+# The Values delimiter is the operator-configurable `-delim` flag
+# (main.go:38, default ","); TSV/CSV always concatenate with "" and the
+# row-counting separator is NOT affected by -delim (main.go:190 fixes
+# separator = "),").
 # ---------------------------------------------------------------------------
 
 
-def format_dispatch(query: Column) -> tuple[Column, Column, Column]:
+def format_dispatch(query: Column, delim: str = ",") -> tuple[Column, Column, Column]:
     is_lines = query.endswith("FORMAT TSV") | query.endswith("FORMAT CSV")
-    delimiter = F.when(is_lines, F.lit("")).otherwise(F.lit(","))
+    delimiter = F.when(is_lines, F.lit("")).otherwise(F.lit(delim))
     separator = F.when(is_lines, F.lit("\n")).otherwise(F.lit("),"))
     addrows = F.when(is_lines, F.lit(0)).otherwise(F.lit(1))
     return delimiter, separator, addrows
 
 
-def format_dispatch_sql(query: str) -> dict[str, str]:
+def sql_quote(s: str) -> str:
+    """Single-quoted SQL string literal (portable Spark/DuckDB escaping)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def format_dispatch_sql(query: str, delim: str = ",") -> dict[str, str]:
     is_lines = f"({query} LIKE '%FORMAT TSV' OR {query} LIKE '%FORMAT CSV')"
     return {
-        "delimiter": f"CASE WHEN {is_lines} THEN '' ELSE ',' END",
+        "delimiter": f"CASE WHEN {is_lines} THEN '' ELSE {sql_quote(delim)} END",
         "separator": f"CASE WHEN {is_lines} THEN chr(10) ELSE '),' END",
         "addrows": f"CASE WHEN {is_lines} THEN 0 ELSE 1 END",
     }

@@ -25,10 +25,18 @@ oracle-comparable without changing the multiset of rows delivered.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.scalars import extract_table, format_dispatch, row_count, url_rewrite
+from ..functions.scalars import (
+    extract_table,
+    format_dispatch,
+    row_count,
+    sql_quote,
+    url_rewrite,
+)
 
 FWD_HOST = "http://clickhouse:8123"
 REPL_HOST = "http://localhost:8123"
@@ -61,9 +69,12 @@ def with_fmt(df: DataFrame) -> DataFrame:
     return df.withColumn("fmt", fmt)
 
 
-def with_format(df: DataFrame) -> DataFrame:
-    """P5: derive (delimiter, separator, addrows) from the decoded query."""
-    delimiter, separator, addrows = format_dispatch(F.col("query"))
+def with_format(df: DataFrame, delim: str = ",") -> DataFrame:
+    """P5: derive (delimiter, separator, addrows) from the decoded query.
+    ``delim`` is the operator-configurable Values delimiter — the
+    reference's ``-delim`` flag (main.go:38); TSV/CSV and the row-count
+    separator are unaffected by it (main.go:189-197)."""
+    delimiter, separator, addrows = format_dispatch(F.col("query"), delim)
     return (
         df.withColumn("delimiter", delimiter)
         .withColumn("separator", separator)
@@ -78,13 +89,14 @@ def with_row_count(df: DataFrame) -> DataFrame:
     )
 
 
-def buffer_aggregate(df: DataFrame) -> DataFrame:
+def buffer_aggregate(df: DataFrame, delim: str = ",") -> DataFrame:
     """A1+A2 — THE core operator: per-key body concat + row count.
 
     Reference Buffer semantics (main.go:198-208): Values bodies joined by
-    ','; TSV/CSV bodies joined by '' (their rows carry their own trailing
-    newlines). First body gets no leading delimiter — exactly what
-    concat_ws / array_join produce.
+    the configured ``-delim`` (main.go:38, default ','); TSV/CSV bodies
+    joined by '' (their rows carry their own trailing newlines). First
+    body gets no leading delimiter — exactly what concat_ws / array_join
+    produce.
 
     Scale: map-side partial aggregation collapses each input partition to one
     row per distinct uri before the shuffle; the post-shuffle state is
@@ -98,10 +110,10 @@ def buffer_aggregate(df: DataFrame) -> DataFrame:
     spellings and the CASE (on the ``fmt`` group key) picks one — the
     wasted twin concat still beats the array materialization.
     """
-    prepared = with_row_count(with_format(with_fmt(validate_requests(df))))
+    prepared = with_row_count(with_format(with_fmt(validate_requests(df)), delim))
     buffer = F.expr(
         "CASE WHEN fmt = 'Values'"
-        " THEN listagg(body, ',') WITHIN GROUP (ORDER BY body)"
+        f" THEN listagg(body, {sql_quote(delim)}) WITHIN GROUP (ORDER BY body)"
         " ELSE listagg(body, '') WITHIN GROUP (ORDER BY body) END"
     )
     return prepared.groupBy("uri", "fmt").agg(
@@ -111,11 +123,16 @@ def buffer_aggregate(df: DataFrame) -> DataFrame:
     )
 
 
-def sink_frame(df: DataFrame, fwd: str = FWD_HOST, repl: str = REPL_HOST) -> DataFrame:
+def sink_frame(
+    df: DataFrame,
+    fwd: str = FWD_HOST,
+    repl: str = REPL_HOST,
+    delim: str = ",",
+) -> DataFrame:
     """S2+S3: the outbound batch — one row per distinct key per flush with the
     rewritten target URL and extracted table (reference send(), main.go:376-445).
     """
-    agg = buffer_aggregate(df)
+    agg = buffer_aggregate(df, delim)
     return agg.select(
         "uri",
         url_rewrite(F.col("uri"), fwd, repl).alias("target_url"),
@@ -126,19 +143,24 @@ def sink_frame(df: DataFrame, fwd: str = FWD_HOST, repl: str = REPL_HOST) -> Dat
     )
 
 
-def values_parse(df: DataFrame) -> DataFrame:
+def values_parse(df: DataFrame, delim: str = ",") -> DataFrame:
     """Round-trip parse of FORMAT Values buffers back into row counts.
 
     The inverse of :func:`buffer_aggregate` for Values keys: split the
-    flushed buffer on the ``),(`` row boundary and check the parsed row
-    count against the reference's rowcount arithmetic (main.go:206 counts
+    flushed buffer on the row boundaries and check the parsed row count
+    against the reference's rowcount arithmetic (main.go:206 counts
     ``),`` occurrences + 1 per request — the two agree exactly for
     well-formed tuples; a value containing ``),`` would diverge in the
-    reference too, SURVEY §5.2). Narrow projection over the already-
-    aggregated frame — no extra shuffle.
+    reference too, SURVEY §5.2). Under a non-default ``-delim`` the
+    boundary between REQUESTS is ``)<delim>(`` while the boundary between
+    a request's own rows stays ``),(`` — both split. Narrow projection
+    over the already-aggregated frame — no extra shuffle.
     """
-    agg = buffer_aggregate(df).filter(F.col("fmt") == "Values")
-    n_parsed = F.size(F.split(F.col("buffer"), r"\),\(")).cast("bigint")
+    agg = buffer_aggregate(df, delim).filter(F.col("fmt") == "Values")
+    boundary = r"\),\("
+    if delim != ",":
+        boundary += r"|\)" + re.escape(delim) + r"\("
+    n_parsed = F.size(F.split(F.col("buffer"), boundary)).cast("bigint")
     return agg.select(
         "uri",
         n_parsed.alias("n_parsed"),
@@ -174,7 +196,9 @@ def lines_parse(df: DataFrame) -> DataFrame:
     )
 
 
-def buffer_aggregate_salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
+def buffer_aggregate_salted(
+    df: DataFrame, n_salts: int = 16, delim: str = ","
+) -> DataFrame:
     """A1+A2 under heavy key skew: the two-stage salted spelling.
 
     When one URI dominates the stream (the reference's real workload IS
@@ -189,7 +213,7 @@ def buffer_aggregate_salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
     (skewed AGGREGATION, not join: AQE splits skewed join partitions, but
     a skewed groupBy partition is irreducible without salting).
     """
-    prepared = with_row_count(with_format(with_fmt(validate_requests(df))))
+    prepared = with_row_count(with_format(with_fmt(validate_requests(df)), delim))
     salted = prepared.withColumn("salt", (F.col("event_id") % n_salts).cast("int"))
     partial = salted.groupBy("uri", "fmt", "salt").agg(
         F.collect_list("body").alias("bodies_part"),
@@ -202,7 +226,7 @@ def buffer_aggregate_salted(df: DataFrame, n_salts: int = 16) -> DataFrame:
         F.sum("n_requests_part").alias("n_requests"),
     )
     buffer = F.when(
-        F.col("fmt") == "Values", F.array_join(F.col("bodies"), ",")
+        F.col("fmt") == "Values", F.array_join(F.col("bodies"), delim)
     ).otherwise(F.array_join(F.col("bodies"), ""))
     return merged.select(
         "uri",

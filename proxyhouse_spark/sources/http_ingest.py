@@ -84,12 +84,25 @@ class IngestShim:
         errcount_fn: Callable[[], int] | None = None,
         warnlevel: int = 400,
         critlevel: int = 500,
+        keepalive: float = 10.0,
+        readtimeout: float = 5.0,
+        delim: str = ",",
     ) -> None:
         self.spool_dir = spool_dir
         self.flush_seconds = flush_seconds
         self.errcount_fn = errcount_fn or (lambda: 0)
         self.warnlevel = warnlevel
         self.critlevel = critlevel
+        # transport tunables (reference main.go:34-35): `readtimeout` bounds
+        # the header read of a connection's FIRST request (Go's
+        # ReadHeaderTimeout); `keepalive` bounds the idle wait for a
+        # FOLLOW-UP request on a kept-alive connection (Go's IdleTimeout).
+        # `delim` is the -delim flag (main.go:38) — recorded here so the
+        # aggregation reading this shim's spool uses the same Values
+        # delimiter (buffer_aggregate(df, delim=shim.delim)).
+        self.keepalive = keepalive
+        self.readtimeout = readtimeout
+        self.delim = delim
         self._lock = threading.Lock()
         self._records: list[tuple] = []
         self.in_requests = 0
@@ -182,12 +195,22 @@ class IngestShim:
 
             def setup(self):  # http.StateNew (main.go:259-262)
                 super().setup()
+                self._nreq = 0
                 with shim._lock:
                     shim.total_connections += 1
                     shim.curr_connections += 1
                     shim.idle_connections += 1
 
             def handle_one_request(self):  # StateActive / StateIdle
+                # readtimeout gates the first request's header read;
+                # keepalive gates the idle wait between kept-alive
+                # requests (main.go:34-35 → Go Server timeouts). On
+                # expiry the stdlib handler sets close_connection, which
+                # is exactly the Go server's idle-close.
+                self.connection.settimeout(
+                    shim.readtimeout if self._nreq == 0 else shim.keepalive
+                )
+                self._nreq += 1
                 with shim._lock:
                     shim.idle_connections -= 1
                 try:

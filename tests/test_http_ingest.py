@@ -152,3 +152,55 @@ def test_connection_state_counters(shim):
     assert s3["current_connections"] <= s2["current_connections"] - 1
     # gauge stays balanced: idle never drifts negative
     assert s3["idle_connections"] >= 0
+
+
+def test_transport_tunables(tmp_path):
+    """keepalive / readtimeout (main.go:34-35): the first request's
+    header read is bounded by readtimeout; the idle wait for a follow-up
+    on a kept-alive connection is bounded by keepalive — on expiry the
+    server closes, exactly Go's ReadHeaderTimeout / IdleTimeout split."""
+    import socket
+    import time
+
+    s = IngestShim(
+        str(tmp_path / "spool"),
+        flush_seconds=30,
+        keepalive=0.4,
+        readtimeout=1.5,
+    ).start()
+    try:
+        host, port = s.address
+        # one keep-alive connection, two requests with a too-long idle gap
+        conn = socket.create_connection((host, port), timeout=5)
+        req = (
+            b"POST /?query=q HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: 3\r\n\r\n(1)"
+        )
+        conn.sendall(req)
+        time.sleep(0.1)
+        first = conn.recv(65536)
+        assert first.startswith(b"HTTP/1.1 200")
+        time.sleep(1.0)  # exceed keepalive=0.4 → server closes the socket
+        conn.sendall(req)
+        tail = b""
+        try:
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                tail += chunk
+        except (ConnectionResetError, BrokenPipeError, TimeoutError):
+            pass
+        assert b"200" not in tail  # idle-expired: no second response served
+        conn.close()
+
+        # a fresh connection that never sends: closed after readtimeout
+        silent = socket.create_connection((host, port), timeout=5)
+        t0 = time.time()
+        assert silent.recv(65536) == b""  # server-side close
+        assert time.time() - t0 < 5  # bounded by readtimeout=1.5, not forever
+        silent.close()
+
+        assert s.delim == ","  # -delim default, recorded for the aggregation
+    finally:
+        s.stop()

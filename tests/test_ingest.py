@@ -80,3 +80,24 @@ def test_sink_frame_rewrites_and_extracts(spark):
     row = sink_frame(df, fwd="http://ch:8123", repl="http://old").collect()[0]
     assert row.target_url.startswith("http://ch:8123/?query=")
     assert row.table_name == "t"
+
+
+def test_custom_delim_round_trip(spark):
+    """The -delim flag (main.go:38): Values bodies join with the
+    configured delimiter; the row-count separator stays '),' so counts
+    are delim-independent; values_parse reconciles across BOTH the
+    intra-body '),(' and the inter-body ')<delim>(' boundaries."""
+    from proxyhouse_spark.operators.ingest import values_parse
+
+    df = spark.createDataFrame([_req(1, "(1)"), _req(2, "(2),(3)")], COLS)
+    out = buffer_aggregate(df, delim=";").collect()[0]
+    assert out.buffer == "(1);(2),(3)"
+    assert out.rowcount == 3
+    parsed = values_parse(df, delim=";").collect()[0]
+    assert parsed.n_parsed == 3 and parsed.matched
+
+    # TSV concat ignores -delim entirely (main.go:194 resets it to "")
+    tsv = spark.createDataFrame(
+        [_req(1, "a\n", fmt="TSV"), _req(2, "b\n", fmt="TSV")], COLS
+    )
+    assert buffer_aggregate(tsv, delim=";").collect()[0].buffer == "a\nb\n"
