@@ -858,9 +858,15 @@ def top_paths_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _mom_growth_sql(idiv: str) -> str:
+def _mom_growth_sql(idiv: str, ts_type: str = "TIMESTAMP") -> str:
+    # ts_type: the month-bucket cast target — Spark needs TIMESTAMP_NTZ
+    # (fixture timestamps are wall-clock naive), DuckDB's TIMESTAMP is
+    # already naive. An explicit dialect parameter, like the epoch
+    # extraction in interval_coverage/sessionize (ADVICE r3: the old
+    # .replace() surgery would silently rewrite any future TIMESTAMP
+    # cast added to this shared SQL).
     return f"""
-    m AS (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+    m AS (SELECT CAST(date_trunc('month', o_orderdate) AS {ts_type}) AS month,
                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                    AS rev_cents
           FROM orders GROUP BY 1),
@@ -876,12 +882,7 @@ def _mom_growth_sql(idiv: str) -> str:
 
 def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        "WITH "
-        + _mom_growth_sql("div").replace(
-            "AS TIMESTAMP)", "AS TIMESTAMP_NTZ)"
-        )
-    )
+    return spark.sql("WITH " + _mom_growth_sql("div", ts_type="TIMESTAMP_NTZ"))
 
 
 def mom_growth_oracle() -> str:

@@ -846,6 +846,20 @@ def stream_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mergeable — the same top-k-vs-totals split as the leaderboard. Two
 # real availableNow passes over parity-split events must hash-match
 # the one-shot batch q_sessionize. State = O(sessions) per user.
+#
+# Delivery contract (ADVICE r3, documented deliberately): the span
+# GEOMETRY (s, e — hence session boundaries, ordinals, durations) is
+# fully idempotent — re-unioning an already-covered widened point
+# changes nothing. The additive n_events counter is exactly-once only:
+# same-batch-id replay is absorbed by the _applied marker, and
+# duplicate rows within one delivery are dropped by event_id below, but
+# a cross-restart RE-delivery under a NEW batch id would double-count n
+# (unlike _merge_minhash, which dedups by doc_id, and stream_coverage,
+# which is idempotent outright). Carrying event identity in the
+# snapshot to close that window would turn O(sessions) state into
+# O(events) — the exact blow-up span compression exists to avoid; a
+# deployment needing at-least-once-safe counts should source from an
+# exactly-once log (the file source + checkpoint used here IS one).
 # ---------------------------------------------------------------------------
 
 _SESSION_SPANS_SCHEMA = "user_id bigint, s bigint, e bigint, n bigint"
@@ -881,6 +895,8 @@ def _merge_sessions(
     if _snapshot_applied(snap_dir, batch_id):
         return
     gap = SESSION_GAP_S * 1_000_000
+    if "event_id" in batch_df.columns:  # in-delivery duplicate guard
+        batch_df = batch_df.dropDuplicates(["event_id"])
     batch_spans = batch_df.select(
         "user_id",
         F.col("t").alias("s"),

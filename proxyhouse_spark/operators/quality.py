@@ -25,6 +25,15 @@ while referential-integrity legs EXEMPT NULL foreign keys (SQL FK
 semantics; nullity is its own constraint) — pinned on hand-built frames
 in tests/test_behavior_ops.py.
 
+Uniqueness checks are PRIMARY-KEY checks (Deequ isPrimaryKey): a NULL
+key — single-column, or ANY NULL field of a composite key — is a
+violation, uniformly. Mechanically, ``count(*) - count(DISTINCT key)``
+already excludes single-column NULLs from the distinct count; the
+composite key is wrapped ``CASE WHEN <all fields> IS NOT NULL THEN
+(fields) END`` so NULL-field tuples are excluded the same way (a bare
+row-constructor is never NULL, which would have silently PASSED them —
+the r3 ADVICE inconsistency).
+
 Exactness: every violation count is an exact BIGINT; ``passed`` derives
 from the count — no sampling, no thresholds hidden in floats.
 """
@@ -55,7 +64,9 @@ _ORDER_AGGS = """
 
 _LINEITEM_AGGS = """
   SELECT
-    CAST(count(*) - count(DISTINCT {lineid}) AS BIGINT) AS uniq_lineid,
+    CAST(count(*) - count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                                    AND l_linenumber IS NOT NULL
+                                    THEN {lineid} END) AS BIGINT) AS uniq_lineid,
     CAST(count(*) FILTER (WHERE NOT coalesce(l_quantity >= 1
                                          AND l_quantity <= 50, FALSE))
          AS BIGINT) AS bad_qty,
@@ -172,35 +183,42 @@ def constraint_audit_oracle() -> str:
 # (constraint_audit = validity): per event-bearing table, last event
 # time, staleness against a fixed as-of instant, total rows, and rows
 # in the trailing 30 days — the numbers a warehouse SLA monitor pages
-# on. The as-of instant is a constant (2002-01-01, past the fixture's
-# horizon) so the report is deterministic and oracle-checkable; a
-# deployment substitutes current_timestamp() at the call site.
+# on. Each table gets its OWN as-of constant, placed shortly past that
+# table's fixture horizon (events end 2024-01-30 → as-of 2024-02-15;
+# orders end 2001-08-01 → as-of 2001-08-15), so staleness is positive
+# and the trailing-30-day window splits each table's rows non-trivially
+# — both semantics are actually exercised by the differential (ADVICE
+# r3; the old shared 2002-01-01 made events staleness negative and both
+# 30d counts degenerate). Deterministic and oracle-checkable; a
+# deployment substitutes current_timestamp() per table at the call site.
 #
 # At 100 TB: one map-side-combinable aggregate per table — max/count
 # fold in a single scan each; with date-partitioned storage the max
 # resolves from partition metadata alone. Exact BIGINT seconds.
 # ---------------------------------------------------------------------------
 
-_FRESHNESS_ASOF_US = 1009843200000000  # epoch micros of 2002-01-01 00:00:00
+_ASOF_EVENTS_US = 1707955200000000  # epoch micros of 2024-02-15 00:00:00
+_ASOF_ORDERS_US = 997833600000000   # epoch micros of 2001-08-15 00:00:00
+_30D_US = 2592000000000
 
 
 def _freshness_sql(epoch_us_events: str, epoch_us_orders: str, idiv: str) -> str:
     return f"""
 SELECT 'events' AS table_name,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(({_FRESHNESS_ASOF_US} - max({epoch_us_events})) {idiv} 1000000
+       CAST(({_ASOF_EVENTS_US} - max({epoch_us_events})) {idiv} 1000000
             AS BIGINT) AS staleness_secs,
        CAST(count(*) FILTER (WHERE {epoch_us_events}
-                               >= {_FRESHNESS_ASOF_US} - 2592000000000)
+                               >= {_ASOF_EVENTS_US} - {_30D_US})
             AS BIGINT) AS n_last_30d
 FROM events
 UNION ALL
 SELECT 'orders' AS table_name,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(({_FRESHNESS_ASOF_US} - max({epoch_us_orders})) {idiv} 1000000
+       CAST(({_ASOF_ORDERS_US} - max({epoch_us_orders})) {idiv} 1000000
             AS BIGINT) AS staleness_secs,
        CAST(count(*) FILTER (WHERE {epoch_us_orders}
-                               >= {_FRESHNESS_ASOF_US} - 2592000000000)
+                               >= {_ASOF_ORDERS_US} - {_30D_US})
             AS BIGINT) AS n_last_30d
 FROM orders
 """

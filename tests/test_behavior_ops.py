@@ -203,5 +203,7 @@ def test_constraint_audit_null_semantics(spark):
     assert rows["orders.o_custkey references customer"] == 0
     # same split on lineitem: NULL l_orderkey exempt from RI...
     assert rows["lineitem.l_orderkey references orders"] == 0
-    # ...and the NULL-keyed row still participates in the PK distinct
-    assert rows["lineitem.(l_orderkey, l_linenumber) is unique"] == 0
+    # ...but uniqueness is a PRIMARY-KEY check: a composite key with any
+    # NULL field is a violation, same as a single-column NULL key (one
+    # uniform convention — ADVICE r3)
+    assert rows["lineitem.(l_orderkey, l_linenumber) is unique"] == 1
