@@ -50,6 +50,9 @@ HEADLINE = [
     "q_waiting_suppliers",   # TPC-H Q21 shape (one-pass window rewrite)
     "q_pagerank",            # iterative graph (3 unrolled power iterations)
     "q_constraint_audit",    # data-quality audit (one scan per table + RI)
+    "q_dedup_clusters",      # connected components (label-propagation fixpoint)
+    "q_stream_minhash",      # continuous dedup: 2 real availableNow passes
+    "q_fuzzy_match",         # edit-distance blocking join
 ]
 
 
