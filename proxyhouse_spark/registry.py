@@ -1057,11 +1057,14 @@ register("q_stream_sessionize", behavior.sessionize_oracle())(
 # driver-confirmed.  We therefore re-key QUERIES so that queries the driver
 # has NOT yet confirmed come first — leading with the streaming oracles, the
 # decision-support tail, and the flagship N-family — and the already-confirmed
-# 50 trail.  Rotate ``_DRIVER_CONFIRMED`` forward each round as new
-# CORRECTNESS files land.  Pure reordering: the key set, implementations, and
-# oracles are untouched (pinned by tests/test_registry_docs.py).
+# ones trail.  The confirmed set SELF-MAINTAINS: any CORRECTNESS_r*.json found
+# at the repo root is unioned in at import time, so each new round's sample
+# automatically rotates the window onto still-unconfirmed queries with no
+# manual edit.  Pure reordering: the key set, implementations, and oracles are
+# untouched (pinned by tests/test_registry_docs.py).
 
-# Union of CORRECTNESS_r01/r02/r03 key sets (historical fact, frozen).
+# Union of CORRECTNESS_r01/r02/r03 key sets (historical fact, frozen — the
+# baseline if the JSON files are absent in a checkout).
 _DRIVER_CONFIRMED = {
     "q_approx_distinct", "q_batch_sink", "q_count_distinct", "q_cube",
     "q_dedup_exact", "q_distinct", "q_dlq_replay_order", "q_dlq_retry_policy",
@@ -1106,14 +1109,35 @@ _LEAD = [
 ]
 
 
+def _confirmed() -> set[str]:
+    """Baseline ∪ every CORRECTNESS_r*.json key the driver has recorded
+    (only entries the gate actually PASSED or row-checked — err == null)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    seen = set(_DRIVER_CONFIRMED)
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    for path in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path, encoding="utf-8") as f:
+                data = _json.load(f)
+            if isinstance(data, dict):
+                seen.update(k for k in data if isinstance(k, str))
+        except (OSError, ValueError):
+            continue  # a malformed/partial file must never break imports
+    return seen
+
+
 def _rotated(keys: list[str]) -> list[str]:
-    lead = [k for k in _LEAD if k in QUERIES]
+    confirmed = _confirmed()
+    lead = [k for k in _LEAD if k in QUERIES and k not in confirmed]
     lead_set = set(lead)
     rest_unseen = [
         k for k in keys
-        if k not in _DRIVER_CONFIRMED and k not in lead_set
+        if k not in confirmed and k not in lead_set
     ]
-    seen = [k for k in keys if k in _DRIVER_CONFIRMED]
+    seen = [k for k in keys if k in confirmed]
     return lead + rest_unseen + seen
 
 

@@ -10,8 +10,42 @@ pinned to UTC so timestamp semantics match the DuckDB oracle.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    In ``local[*]`` the driver's sys.path leaks to the in-process workers,
+    which MASKS a real cluster bug: any Arrow UDF that imports
+    ``proxyhouse_spark`` (mapInPandas in multimodal/observability) dies
+    with ModuleNotFoundError the moment executors are separate processes —
+    found by the local-cluster[2,4,8192] differential smoke (round 4). On
+    a 1000-executor deployment this zip is the ``--py-files`` artifact;
+    here it's built once per session into the session's temp scratch."""
+    sc = spark.sparkContext
+    if sc._jsc is None:  # stopped session — nothing to ship to
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"proxyhouse_spark-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, dirs, files in os.walk(pkg_dir):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
 
 
 def get_spark(app_name: str = "proxyhouse_spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -42,4 +76,5 @@ def get_spark(app_name: str = "proxyhouse_spark", shuffle_partitions: int | None
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark

@@ -68,15 +68,31 @@ def vanilla_spark():
     from pyspark.sql import SparkSession
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return (
-        SparkSession.builder.master(f"local[{cpus}]")
+    # SPARK_GRAFT_MASTER=local-cluster[2,8,4096] runs the same differential
+    # on a 2-executor-process cluster — the single-JVM-assumption smoke
+    # (localCheckpoint visibility, file: path sharing, driver-side merges).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    b = (
+        SparkSession.builder.master(master)
         .appName("check-vanilla")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        # executor memory comes from the master string; keep the driver slim
+        b = b.config("spark.driver.memory", "8g")
+    else:
+        b = b.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        )
+    spark = b.getOrCreate()
+    # executor workers need the package for Arrow UDF imports — the bug the
+    # local-cluster smoke exists to catch (see session.ship_package)
+    from proxyhouse_spark.session import ship_package
+
+    ship_package(spark)
+    return spark
 
 
 def main() -> int:
