@@ -564,6 +564,80 @@ def dedup_clusters_oracle() -> str:
     """
 
 
+# Shared tail of keep_best: cluster assignment (cc) + per-doc quality (q)
+# → one keep/drop decision row per multi-member cluster. `row_number`
+# runs PARTITIONED by cluster — the frame is one near-dup cluster, tiny
+# by construction, so the argmax distributes like any keyed window.
+_KEEP_BEST_TAIL = """
+    a AS (SELECT cc.cluster_id, cc.doc_id, q.quality
+          FROM cc JOIN q ON q.doc_id = cc.doc_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY quality DESC, doc_id) AS rk
+          FROM a)
+    SELECT cluster_id,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+             AS keeper_doc_id,
+           CAST(max(CASE WHEN rk = 1 THEN quality END) AS BIGINT)
+             AS keeper_quality,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM r GROUP BY cluster_id
+"""
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical KEEPER selection — the step that turns near-dup clusters
+    into an actionable keep/drop list: per cluster, retain the member with
+    the best quality score (ties → min doc_id), drop the rest. This is the
+    decision a training-data dedup pass actually ships (dedup_clusters
+    labels; THIS op decides) — e.g. the RefinedWeb/FineWeb recipe keeps the
+    highest-quality representative rather than an arbitrary min-id.
+
+    Composition: minhash pair graph → connected components
+    (dedup_clusters' fixpoint) → join per-doc quality (the q_quality_score
+    blend — exact BIGINT, so argmax is engine-deterministic) → per-cluster
+    argmax via a cluster-partitioned row_number (cluster frames are tiny
+    by construction; no unpartitioned window). Output is O(#multi-member
+    clusters) — the decisions, not the corpus.
+
+    Scale: inherits dedup_clusters' O(log d) fixpoint; the quality join is
+    an equi-join on doc_id between the component labels (small — only docs
+    that HAVE a near-dup) and the quality frame, so the corpus-sized side
+    shuffles once on doc_id and AQE usually broadcasts the label side.
+    """
+    dedup_clusters(spark, sf_dir).createOrReplaceTempView("cc")
+    doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
+    return spark.sql(
+        f"""
+        WITH tk AS (SELECT doc_id, text, {T.TOKS_SPARK} AS toks FROM corpus),
+        q AS (SELECT doc_id, {T.quality_spark('toks')} AS quality FROM tk),
+        {_KEEP_BEST_TAIL}
+        """
+    )
+
+
+def dedup_keep_best_oracle() -> str:
+    neardup = minhash_neardup_oracle()
+    return f"""
+    WITH RECURSIVE pairs_all AS ({neardup}),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs_all
+      UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs_all),
+    nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM nodes
+      UNION
+      SELECT reach.doc_id, edges.doc_b AS r
+      FROM reach JOIN edges ON edges.doc_a = reach.r),
+    cc AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+           FROM reach GROUP BY doc_id),
+    kb_corpus AS ({DOC_CORPUS_SQL}),
+    kb_tk AS (SELECT doc_id, text, {T.TOKS_DUCK} AS toks FROM kb_corpus),
+    q AS (SELECT doc_id, {T.quality_duck('toks')} AS quality FROM kb_tk),
+    {_KEEP_BEST_TAIL}
+    """
+
+
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: block by (label, sign-LSH bucket)
     instead of label alone.

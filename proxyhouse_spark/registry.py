@@ -543,6 +543,9 @@ register("q_embedding_neardup_lsh", dedup.embedding_neardup_lsh_oracle())(
     dedup.embedding_neardup_lsh
 )
 register("q_dedup_clusters", dedup.dedup_clusters_oracle())(dedup.dedup_clusters)
+register("q_dedup_keep_best", dedup.dedup_keep_best_oracle())(
+    dedup.dedup_keep_best
+)
 
 register("q_knn_cosine", similarity.knn_cosine_oracle())(similarity.knn_cosine)
 register("q_knn_lsh", similarity.knn_lsh_oracle())(similarity.knn_lsh)
@@ -1100,7 +1103,7 @@ _LEAD = [
     "q_shipping_priority", "q_order_priority", "q_promo_revenue",
     "q_special_parts",
     # flagship N-family / CDC / quality
-    "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
+    "q_dedup_keep_best", "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",
     "q_tfidf", "q_corpus_pipeline", "q_sequence_pack", "q_scd2",

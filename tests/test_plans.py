@@ -226,6 +226,7 @@ _EXECUTING = {
     "q_stream_session_window",
     "q_stream_cdc",
     "q_dedup_clusters",
+    "q_dedup_keep_best",  # runs the CC fixpoint when invoked
     "q_stream_coverage",
     "q_stream_topk",     # foreachBatch passes run at plan time; final read
     "q_stream_skyline",  # is a trivial snapshot rollup in each case
