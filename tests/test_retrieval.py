@@ -89,8 +89,12 @@ def test_unigram_logprob_buckets_and_bounds(spark):
     from collections import Counter
 
     buckets = Counter(r.bucket for r in rows)
-    # ntile(3) over 500 docs → 167/167/166
-    assert buckets == {"head": 167, "middle": 167, "tail": 166}
+    # value cuts at exact tercile boundaries (the boundary-broadcast
+    # respell, r4): score ties share a bucket, so counts are near — not
+    # exactly — a third each
+    assert set(buckets) == {"head", "middle", "tail"}
+    assert sum(buckets.values()) == 500
+    assert all(140 <= n <= 195 for n in buckets.values()), buckets
     for r in rows:
         assert r.mean_lp < 0  # log10 of a probability < 1
         assert r.n_tokens > 0
