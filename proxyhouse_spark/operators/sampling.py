@@ -459,3 +459,101 @@ def incremental_rollup_oracle() -> str:
            round(total / n, 4) AS avg_value
     FROM full_agg
     """
+
+
+# ---------------------------------------------------------------------------
+# mix_materialize — turn the temperature-mix PLAN (mix_temperature's
+# epochs-per-doc) into the per-doc MANIFEST a dataloader consumes:
+# n_copies = floor(epochs) + one stochastic extra copy with probability
+# frac(epochs), drawn DETERMINISTICALLY from a 24-bit md5 slice (the
+# stratified_sample discipline — stable across runs, engines, and
+# repartitioning; df.sample() is none of those). The per-lang epochs are
+# the exact doubles the oracle-green mix_temperature computes, so the
+# threshold compare `hash24 < frac * 2^24` cannot diverge cross-engine.
+#
+# Scale: the plan frame is O(#strata) — broadcast; the manifest is a
+# narrow per-doc projection. Zero corpus shuffle. The expected
+# materialized total equals MIX_BUDGET by construction.
+# ---------------------------------------------------------------------------
+
+
+def _mix_mat_sql(md5int24: str) -> str:
+    return f"""
+    WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT sum(sqrt(n_docs)) AS tot FROM s),
+    plan AS (SELECT lang,
+                    sqrt(n_docs) / tot * {MIX_BUDGET} / n_docs AS epochs
+             FROM s CROSS JOIN t),
+    m AS (SELECT d.doc_id, d.lang, plan.epochs, ({md5int24}) AS h24
+          FROM documents d JOIN plan ON d.lang = plan.lang)
+    SELECT doc_id, lang,
+           CAST(floor(epochs) +
+                CASE WHEN h24 < (epochs - floor(epochs)) * 16777216.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+    FROM m
+    """
+
+
+def mix_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    md5int24 = (
+        "CAST(conv(substr(md5(CAST(d.doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT)"
+    )
+    return spark.sql(_mix_mat_sql(md5int24))
+
+
+def mix_materialize_oracle() -> str:
+    md5int24 = (
+        "CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)"
+    )
+    return _mix_mat_sql(md5int24)
+
+
+# ---------------------------------------------------------------------------
+# corpus_shuffle — the deterministic GLOBAL SHUFFLE a training run reads:
+# every doc gets a pseudo-random 48-bit md5 rank, a shard (top byte of an
+# INDEPENDENT md5 slice, mod N_SHARDS — shard choice and within-shard
+# order must not correlate), and its ordinal within the shard. This is
+# the classic two-level dataloader order (shuffle shards, then stream
+# each shard in stored order) made reproducible: same seed text → same
+# order on any engine, any partitioning.
+#
+# Scale: assignment is a narrow projection; the only heavy step is the
+# within-shard ordinal — a row_number PARTITIONED by shard, i.e. a
+# parallel per-shard sort of corpus/N_SHARDS rows (exactly the sort a
+# shard writer pays anyway). N_SHARDS is the scale knob: at 100 TB you
+# size shards to executor memory and the window never sees more than one
+# shard. No unpartitioned window, no global sort.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+SHUFFLE_SEED = "ep0"  # bump per epoch for a fresh order
+
+
+def _shuffle_sql(md5int: str, md5shard: str) -> str:
+    return f"""
+    WITH k AS (SELECT doc_id,
+                      ({md5int}) AS rank_key,
+                      CAST(({md5shard}) % {N_SHARDS} AS BIGINT) AS shard
+               FROM documents)
+    SELECT doc_id, shard, rank_key,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY rank_key, doc_id) AS BIGINT)
+             AS ordinal
+    FROM k
+    """
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    seed_doc = f"concat('{SHUFFLE_SEED}', CAST(doc_id AS STRING))"
+    md5int = f"CAST(conv(substr(md5({seed_doc}), 1, 12), 16, 10) AS BIGINT)"
+    md5shard = f"CAST(conv(substr(md5({seed_doc}), 13, 2), 16, 10) AS BIGINT)"
+    return spark.sql(_shuffle_sql(md5int, md5shard))
+
+
+def corpus_shuffle_oracle() -> str:
+    seed_doc = f"concat('{SHUFFLE_SEED}', CAST(doc_id AS VARCHAR))"
+    md5int = f"CAST(concat('0x', substr(md5({seed_doc}), 1, 12)) AS BIGINT)"
+    md5shard = f"CAST(concat('0x', substr(md5({seed_doc}), 13, 2)) AS BIGINT)"
+    return _shuffle_sql(md5int, md5shard)

@@ -608,6 +608,12 @@ register("q_stratified_sample", sampling.stratified_sample_oracle())(
 register("q_mix_temperature", sampling.mix_temperature_oracle())(
     sampling.mix_temperature
 )
+register("q_mix_materialize", sampling.mix_materialize_oracle())(
+    sampling.mix_materialize
+)
+register("q_corpus_shuffle", sampling.corpus_shuffle_oracle())(
+    sampling.corpus_shuffle
+)
 register("q_repetition_filter", sampling.repetition_filter_oracle())(
     sampling.repetition_filter
 )
@@ -1103,7 +1109,8 @@ _LEAD = [
     "q_shipping_priority", "q_order_priority", "q_promo_revenue",
     "q_special_parts",
     # flagship N-family / CDC / quality
-    "q_dedup_keep_best", "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
+    "q_dedup_keep_best", "q_mix_materialize", "q_corpus_shuffle",
+    "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",
     "q_tfidf", "q_corpus_pipeline", "q_sequence_pack", "q_scd2",

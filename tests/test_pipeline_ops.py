@@ -166,3 +166,32 @@ def test_pack_global_manifest_partitions_the_token_stream(spark):
         for r in seg:
             assert r.doc_off == pos, (doc, r)
             pos += r.n_tok
+
+
+def test_mix_materialize_expected_total_near_budget(spark):
+    """The deterministic fractional draw must land the materialized total
+    near MIX_BUDGET (exactly MIX_BUDGET in expectation; 24-bit hash noise
+    over 500 docs stays well inside 10%)."""
+    from proxyhouse_spark.operators.sampling import MIX_BUDGET
+
+    rows = registry.QUERIES["q_mix_materialize"](spark, SF_SMALL).collect()
+    total = sum(r.n_copies for r in rows)
+    assert abs(total - MIX_BUDGET) < MIX_BUDGET * 0.1
+    assert all(r.n_copies >= 0 for r in rows)
+
+
+def test_corpus_shuffle_is_a_permutation_per_shard(spark):
+    """Every shard's ordinals are exactly 1..len(shard) (a real order, no
+    gaps/dups), shards partition the corpus, and the order is
+    deterministic across invocations."""
+    from collections import defaultdict
+
+    rows = registry.QUERIES["q_corpus_shuffle"](spark, SF_SMALL).collect()
+    shards = defaultdict(list)
+    for r in rows:
+        shards[r.shard].append(r.ordinal)
+    assert sum(len(v) for v in shards.values()) == 500
+    for s, ords in shards.items():
+        assert sorted(ords) == list(range(1, len(ords) + 1)), s
+    again = registry.QUERIES["q_corpus_shuffle"](spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -254,6 +254,7 @@ _SCALAR_BNLJ_OK = {
     "q_rfm_segments",     # 1-row quartile-boundary frame (the percentile row)
     "q_basket_pairs",     # 1-row basket-count frame crossed with the top-20 cut
     "q_skew_report",      # 1-row decile-boundary frame (the percentile row)
+    "q_mix_materialize",  # 1-row sqrt-total frame (the mix normalizer)
 }
 
 
