@@ -156,3 +156,60 @@ def test_minhash_signature_parity_spark_vs_duckdb(spark):
         assert sorted(srow.sh) == sorted(drow[1]), f"shingles diverge doc {srow.doc_id}"
         for s in range(T.N_HASHES):
             assert srow[f"m{s}"] == drow[2 + s], f"m{s} diverges doc {srow.doc_id}"
+
+
+# --- buffer append parity under arbitrary -delim ----------------------------
+
+
+def _go_buffer(bodies: list[str], fmt: str, delim: str) -> tuple[str, int]:
+    """Line-faithful port of the Buffer append loop (main.go:189-206) over
+    a request sequence, with bodies pre-sorted to the engine's canonical
+    order (the reference's arrival order is nondeterministic under
+    concurrency — README.md:69-75 — so order-insensitive comparison is
+    the documented contract)."""
+    delimiter = delim if fmt == "Values" else ""
+    sep, addrows = ("\n", 0) if fmt in ("TSV", "CSV") else ("),", 1)
+    buf, rc = "", 0
+    for body in sorted(bodies):
+        if buf:
+            buf += delimiter
+        buf += body
+        rc += addrows + body.count(sep)
+    return buf, rc
+
+
+def test_buffer_aggregate_matches_go_for_any_delim(spark):
+    """The -delim flag (main.go:38) across adversarial bodies — including
+    bodies CONTAINING the active delimiter — must reproduce the Go append
+    byte-for-byte and the rowcount arithmetic exactly."""
+    from proxyhouse_spark.operators.ingest import buffer_aggregate
+
+    rng = random.Random(0xDE117)
+    for delim in (",", ";", "||", "\t", "-,-"):
+        reqs = []
+        expected = {}
+        for key in range(12):
+            fmt = rng.choice(["Values", "TSV", "CSV"])
+            uri = f"/?query=INSERT%20INTO%20t{key}%20FORMAT%20{fmt}"
+            bodies = [
+                _rand_body(rng) + rng.choice(["", delim])
+                for _ in range(rng.randint(1, 5))
+            ]
+            bodies = [b or "(0)" for b in bodies]  # empty body = rejected
+            expected[uri] = _go_buffer(bodies, fmt, delim)
+            query = f"INSERT INTO t{key} FORMAT {fmt}"
+            for j, b in enumerate(bodies):
+                reqs.append(
+                    (key * 100 + j, "POST", "/", uri, query, fmt, b)
+                )
+        df = spark.createDataFrame(
+            reqs,
+            "event_id bigint, method string, path string, uri string, "
+            "query string, fmt string, body string",
+        )
+        out = {r.uri: (r.buffer, r.rowcount)
+               for r in buffer_aggregate(df, delim=delim).collect()}
+        assert out == expected, (delim, {
+            k: (out.get(k), expected[k]) for k in expected
+            if out.get(k) != expected[k]
+        })
