@@ -367,3 +367,46 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_entropy_oracle() -> str:
     return _entropy_sql(_DT_TOK_DUCK)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility — the tokenizer-efficiency audit a multilingual
+# training run checks before committing token budgets: per language,
+# BPE-ish tokens per whitespace word (fertility — a tokenizer trained on
+# English typically shows fertility ≫ 1 on other scripts, inflating
+# their effective cost) and characters per BPE token (compression).
+# Ratios are exact integer basis points (cross-multiplied BIGINT
+# division — the q_mom_growth discipline) so the oracle is bit-exact.
+# One map-side-combinable fold on the O(#langs) key; token counts are
+# the same engine-parity expressions q_token_count pins.
+# ---------------------------------------------------------------------------
+
+
+def _fertility_sql(toks_len: str, bpe: str, idiv: str) -> str:
+    return f"""
+    WITH c AS (SELECT lang,
+                      CAST({toks_len} AS BIGINT) AS n_ws,
+                      CAST({bpe} AS BIGINT) AS n_bpe,
+                      CAST(length(text) AS BIGINT) AS n_chr
+               FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST((sum(n_bpe) * 10000) {idiv} sum(n_ws) AS BIGINT)
+             AS fertility_bp,
+           CAST((sum(n_chr) * 10000) {idiv} sum(n_bpe) AS BIGINT)
+             AS chars_per_token_bp
+    FROM c GROUP BY lang
+    """
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir)
+    return spark.sql(
+        _fertility_sql(f"size({T.TOKS_SPARK})", T.TOKEN_BPE_SPARK, "DIV")
+    )
+
+
+def tokenizer_fertility_oracle() -> str:
+    return _fertility_sql(f"len({T.TOKS_DUCK})", T.TOKEN_BPE_DUCK, "//")

@@ -554,6 +554,9 @@ register("q_text_stats", textops.text_stats_oracle())(textops.text_stats)
 register("q_lang_id", textops.lang_id_oracle())(textops.lang_id)
 register("q_quality_score", textops.quality_score_oracle())(textops.quality_score)
 register("q_token_count", textops.token_count_oracle())(textops.token_count)
+register("q_tokenizer_fertility", textops.tokenizer_fertility_oracle())(
+    textops.tokenizer_fertility
+)
 register("q_doc_fingerprint", textops.doc_fingerprint_oracle())(textops.doc_fingerprint)
 register("q_pii_scan", textops.pii_scan_oracle())(textops.pii_scan)
 register("q_text_normalize", textops.text_normalize_oracle())(textops.text_normalize)
@@ -1110,6 +1113,7 @@ _LEAD = [
     "q_special_parts",
     # flagship N-family / CDC / quality
     "q_dedup_keep_best", "q_mix_materialize", "q_corpus_shuffle",
+    "q_tokenizer_fertility",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",
