@@ -236,3 +236,198 @@ def freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def freshness_audit_oracle() -> str:
     return _freshness_sql("epoch_us(ts)", "epoch_us(o_orderdate)", "//")
+
+
+# ---------------------------------------------------------------------------
+# Streaming constraint audit — Deequ's INCREMENTAL metrics computation:
+# the audit state is mergeable, so a stream maintains it per micro-batch
+# and the report is re-derived at read. Three distinct merge classes in
+# one operator (the most algebraically mixed member of the merge-algebra
+# family):
+#
+#   - value/RI-vs-static-dim checks → ADDITIVE counters (each batch's
+#     violations sum; the q_stream_topk class),
+#   - PK uniqueness → KEYED COUNTS: per-key row counts merge additively,
+#     and violations = total rows − distinct non-null keys is re-derived
+#     at read (uniqueness itself is NOT additive — the keyed-count table
+#     is the mergeable carrier, exactly Deequ's exact-uniqueness state;
+#     the documented approximate scale path swaps it for an HLL sketch),
+#   - FK-vs-STREAMED-table (lineitem references orders) → read-time
+#     RESOLUTION: pending violations are an anti-join of the static child
+#     table against the accumulated key snapshot — they monotonically
+#     SHRINK as referenced parents arrive, so no violation state is ever
+#     stored for them at all.
+#
+# Two REAL availableNow passes over parity-split orders must hash-match
+# the one-shot batch q_constraint_audit (its oracle verbatim): the audit
+# numbers cannot depend on batch boundaries. State is O(counters +
+# distinct orders keys), independent of stream length. Additive counters
+# are fenced per batch id (at-least-once safe); NULL join keys are
+# sentinel-encoded because a full-outer merge would drop them.
+# ---------------------------------------------------------------------------
+
+_AUDIT_SNAP_SCHEMA = (
+    "kind string, name string, k bigint, k_null boolean, n bigint"
+)
+_NULL_K = -(2**63)  # sentinel: counters carry k=-1; NULL keys carry k_null
+
+
+def _merge_audit(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    snap_dir: str,
+    batch_id: int,
+    sf_dir: str,
+) -> None:
+    from pyspark.sql import functions as F
+
+    from .cdc import _snapshot_applied, _snapshot_read, _snapshot_swap
+
+    if _snapshot_applied(snap_dir, batch_id):
+        return
+    # DataFrame API throughout — a foreachBatch frame lives in a CLONED
+    # micro-batch session, so temp views registered on it are invisible
+    # to the outer session's spark.sql (and vice versa)
+    customer = table(spark, sf_dir, "customer")
+    # per-batch violation counters: same predicates as _ORDER_AGGS, same
+    # NULL-is-noncompliant wrapping; all five names emitted even at 0
+    agg = batch_df.agg(
+        F.expr("CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)")
+        .alias("null_custkey"),
+        F.expr(
+            "CAST(count(*) FILTER (WHERE NOT coalesce("
+            "o_orderstatus IN ('F', 'O', 'P'), FALSE)) AS BIGINT)"
+        ).alias("bad_status"),
+        F.expr(
+            "CAST(count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0,"
+            " FALSE)) AS BIGINT)"
+        ).alias("bad_price"),
+        F.expr(
+            "CAST(count(*) FILTER (WHERE NOT coalesce("
+            "o_orderdate >= '1990-01-01' AND o_orderdate < '2010-01-01',"
+            " FALSE)) AS BIGINT)"
+        ).alias("bad_date"),
+    )
+    ri = (
+        batch_df.filter("o_custkey IS NOT NULL")
+        .join(customer, batch_df.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ri_cust"))
+    )
+    counters = agg.crossJoin(ri).selectExpr(
+        "stack(5, "
+        "'orders.o_custkey is not null', null_custkey, "
+        "'orders.o_orderstatus in (F, O, P)', bad_status, "
+        "'orders.o_totalprice > 0', bad_price, "
+        "'orders.o_orderdate in [1990, 2010)', bad_date, "
+        "'orders.o_custkey references customer', ri_cust) AS (name, n)"
+    ).selectExpr(
+        "'C' AS kind", "name", "CAST(-1 AS BIGINT) AS k",
+        "FALSE AS k_null", "n",
+    )
+    keys = batch_df.selectExpr(
+        "'K' AS kind", "'' AS name",
+        f"coalesce(o_orderkey, {_NULL_K}) AS k",
+        "o_orderkey IS NULL AS k_null",
+    ).groupBy("kind", "name", "k", "k_null").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    current = _snapshot_read(spark, snap_dir, _AUDIT_SNAP_SCHEMA)
+    merged = (
+        current.withColumnRenamed("n", "prev")
+        .join(
+            counters.unionByName(keys).withColumnRenamed("n", "delta"),
+            ["kind", "name", "k", "k_null"],
+            "full_outer",
+        )
+        .select(
+            "kind", "name", "k", "k_null",
+            (F.coalesce(F.col("prev"), F.lit(0))
+             + F.coalesce(F.col("delta"), F.lit(0))).cast("bigint").alias("n"),
+        )
+    )
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    merged.repartition(2, "kind", "k").write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap_dir, tmp, batch_id)
+
+
+def stream_constraint_audit_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T15, oracle-checked: two availableNow passes over parity-split
+    orders maintaining the audit-metrics snapshot; the assembled report
+    must hash-match the one-shot batch q_constraint_audit."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t15_audit_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    for t in ("orders", "lineitem", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    ords = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    ords.filter("o_orderkey % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp_ntz"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: _merge_audit(spark, df, snap, bid, sf_dir)
+            )
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    ords.filter("o_orderkey % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+
+    spark.read.parquet(snap).createOrReplaceTempView("audit_snap")
+    # read-time assembly: counters verbatim; uniqueness re-derived from the
+    # keyed counts; the static lineitem checks computed directly; the
+    # lineitem→orders RI leg RESOLVED against the accumulated key snapshot
+    li_checks = _LINEITEM_AGGS.format(lineid="(l_orderkey, l_linenumber)")
+    return spark.sql(
+        f"""
+        WITH kk AS (SELECT k, k_null, n FROM audit_snap WHERE kind = 'K'),
+        uniq AS (SELECT CAST(coalesce(sum(n), 0)
+                             - count_if(NOT k_null) AS BIGINT) AS n FROM kk),
+        li AS ({li_checks}),
+        ri_li AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM kk
+                            WHERE kk.k = l.l_orderkey AND NOT kk.k_null)),
+        report AS (
+          SELECT 'orders.o_orderkey is unique' AS constraint_name,
+                 n AS n_violations FROM uniq
+          UNION ALL
+          SELECT name, n FROM audit_snap WHERE kind = 'C'
+          UNION ALL
+          SELECT stack(3,
+            'lineitem.(l_orderkey, l_linenumber) is unique', uniq_lineid,
+            'lineitem.l_quantity in [1, 50]', bad_qty,
+            'lineitem.l_discount in [0, 0.1]', bad_discount)
+            AS (constraint_name, n_violations) FROM li
+          UNION ALL
+          SELECT 'lineitem.l_orderkey references orders', n FROM ri_li
+        )
+        {_TAIL}
+        """
+    )
+
+
+# applied post-def to keep this module's top-level imports light (the
+# streaming passes run eagerly inside, so the scoped conf is correct here
+# exactly as for the cdc.py stream queries)
+from ..streaming.pipeline import _oracle_stream_conf  # noqa: E402
+
+stream_constraint_audit_query = _oracle_stream_conf(stream_constraint_audit_query)

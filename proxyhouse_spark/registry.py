@@ -1046,6 +1046,9 @@ from .operators import quality  # noqa: E402
 register("q_constraint_audit", quality.constraint_audit_oracle())(
     quality.constraint_audit
 )
+register("q_stream_constraint_audit", quality.constraint_audit_oracle())(
+    quality.stream_constraint_audit_query
+)
 register("q_sessionize", behavior.sessionize_oracle())(behavior.sessionize)
 register("q_join_asof_forward", relational.join_asof_forward_oracle())(
     relational.join_asof_forward
@@ -1113,7 +1116,7 @@ _LEAD = [
     "q_special_parts",
     # flagship N-family / CDC / quality
     "q_dedup_keep_best", "q_mix_materialize", "q_corpus_shuffle",
-    "q_tokenizer_fertility",
+    "q_tokenizer_fertility", "q_stream_constraint_audit",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -232,6 +232,7 @@ _EXECUTING = {
     "q_stream_skyline",  # is a trivial snapshot rollup in each case
     "q_stream_minhash",  # continuous dedup: passes run at plan time too
     "q_stream_sessionize",
+    "q_stream_constraint_audit",
 }
 
 
