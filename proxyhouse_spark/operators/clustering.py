@@ -283,3 +283,66 @@ def kmeans_loop(
     release_scope(spark, "kmeans_loop_cents_0")
     release_scope(spark, "kmeans_loop_cents_1")
     return final, rounds
+
+
+# ---------------------------------------------------------------------------
+# Silhouette audit — the clustering-quality number that decides whether
+# kmeans_embed's K was right before SemDeDup trusts its blocks: per
+# cluster, the mean SIMPLIFIED silhouette (centroid-based: a(i) = distance
+# to own centroid, b(i) = distance to the nearest OTHER centroid,
+# s(i) = (b − a) / max(a, b) — the O(N·K) variant used at scale instead
+# of the O(N²) pairwise original, e.g. Pampalk et al.'s simplified
+# silhouette; identical ranking behavior for compact clusters).
+#
+# Plan: reuses the exact _kmeans_chain CTEs (same broadcastable K-row
+# centroid frames), then ONE corpus × K cross join scores every
+# (vector, centroid) distance — the same shape as the assignment step —
+# followed by a vec_id-grain conditional-min fold and a K-key groupBy.
+# Nothing new shuffles: the only corpus-scaled exchange is the final
+# O(K)-group aggregation's partial combine.
+#
+# Float discipline: distances rounded to 6 dp (the chain's own
+# convention) so own/other argmins agree across engines; per-vector
+# silhouettes are converted to exact integer MICRO-UNITS and summed as
+# BIGINT, so the per-cluster mean never depends on float summation order
+# (parallel Spark vs serial DuckDB).
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_sql(embc: str, duck: bool) -> str:
+    vn = _norm2("v.e", duck)
+    cn = _norm2("c.ce", duck)
+    dt = _dot("v.e", "c.ce", duck)
+    return f"""
+    WITH embc AS ({embc}),
+    {_kmeans_chain(duck)},
+    d AS (
+      SELECT v.vec_id, v.c AS own, c.c,
+             round(sqrt(greatest({vn} - 2 * {dt} + {cn}, 0)), 6) AS dist
+      FROM a{ITERS} v CROSS JOIN cents{ITERS} c),
+    ab AS (
+      SELECT vec_id, own,
+             min(CASE WHEN c = own THEN dist END) AS a_dist,
+             min(CASE WHEN c <> own THEN dist END) AS b_dist
+      FROM d GROUP BY vec_id, own),
+    s AS (
+      SELECT vec_id, own,
+             CAST(round(CASE WHEN greatest(a_dist, b_dist) = 0 THEN 0
+                         ELSE (b_dist - a_dist) / greatest(a_dist, b_dist)
+                         END * 1000000) AS BIGINT) AS sil_u
+      FROM ab)
+    SELECT own AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+           round(sum(sil_u) / count(*) / 1000000.0, 6) AS avg_silhouette,
+           round(min(sil_u) / 1000000.0, 6) AS min_silhouette
+    FROM s GROUP BY own
+    """
+
+
+def silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N86: per-cluster simplified-silhouette audit of kmeans_embed."""
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(_silhouette_sql(_EMB_PLAIN_SPARK, duck=False))
+
+
+def silhouette_oracle() -> str:
+    return _silhouette_sql(_EMB_PLAIN_DUCK, duck=True)

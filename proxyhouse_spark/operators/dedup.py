@@ -1001,3 +1001,205 @@ def minhash_incremental_oracle() -> str:
                 ELSE 'vs_index' END AS vs
     FROM j WHERE jac >= {JAC_THRESHOLD}
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact substring deduplication (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr method): find every
+# MAXIMAL token span of length >= K that occurs more than once anywhere in
+# the corpus (cross-doc or within-doc). The paper removes these spans from
+# training data; this operator emits the removal manifest.
+#
+# The paper builds a suffix array over the concatenated corpus — a global,
+# memory-resident structure that does not distribute. The Spark-first
+# respelling keeps the same answer with two keyed shuffles:
+#
+#   1. every K-gram position becomes a row (explode — O(total tokens)),
+#      fingerprinted by md5 of the gram text (engine-independent; a
+#      Rabin-Karp rolling hash would cut the O(K) slice per position to
+#      O(1) amortized but is not portable to the DuckDB oracle, and md5
+#      here is one call per position — the same cost class as the MinHash
+#      sketch the pipeline already pays);
+#   2. duplicated positions = windowed count over the fingerprint
+#      partition (> 1 means the gram text occurs elsewhere) — ONE shuffle
+#      on the 32-hex fingerprint, no self-join, no candidate explosion:
+#      selectivity comes from exactness, so there is no verify stage;
+#   3. maximal spans = the classic island merge (p − row_number per doc),
+#      a doc_id-PARTITIONED window — per-partition state is O(dup
+#      positions per doc), bounded by doc length.
+#
+# At 100 TB: step 1's explode is the token stream (the fingerprint row is
+# ~40 bytes — smaller than the token it covers in real corpora); step 2's
+# shuffle keys are uniform md5 so no skew (a pathological gram repeated
+# millions of times — boilerplate headers — hot-keys ONE partition and is
+# exactly the content this operator exists to delete; cap with a count
+# pre-agg per (g, doc) if observed). K=8 over the fixture's ~40-word vocab
+# keeps the random-collision expectation < 1e-2 pairs corpus-wide, so
+# every emitted span is a genuine copy; production uses K=50 BPE tokens.
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N84: maximal duplicated token spans (>= K tokens) across the corpus."""
+    k = SUBSTR_K
+    doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
+    return spark.sql(
+        f"""
+        WITH tk AS (SELECT doc_id, {T.TOKS_SPARK} AS toks FROM corpus),
+        pos AS (
+          SELECT doc_id, p, md5(concat_ws(' ', slice(toks, p, {k}))) AS g
+          FROM tk LATERAL VIEW explode(
+            slice(sequence(1, size(toks)), 1, greatest(size(toks) - {k - 1}, 0))
+          ) t AS p),
+        hit AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS cnt FROM pos)
+          WHERE cnt > 1),
+        isl AS (
+          SELECT doc_id, p,
+                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+          FROM hit)
+        SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+               CAST(max(p) + {k - 1} AS BIGINT) AS span_end,
+               CAST(max(p) - min(p) + {k} AS BIGINT) AS n_dup_tokens
+        FROM isl GROUP BY doc_id, island
+        """
+    )
+
+
+def substring_dedup_oracle() -> str:
+    k = SUBSTR_K
+    return f"""
+    WITH corpus AS ({DOC_CORPUS_SQL}),
+    tk AS (SELECT doc_id, {T.TOKS_DUCK} AS toks FROM corpus),
+    pos AS (
+      SELECT doc_id, CAST(i AS INT) AS p,
+             md5(array_to_string(toks[i:i + {k - 1}], ' ')) AS g
+      FROM tk, unnest(range(1, len(toks) - {k - 2})) AS t(i)),
+    hit AS (
+      SELECT doc_id, p FROM (
+        SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS cnt FROM pos)
+      WHERE cnt > 1),
+    isl AS (
+      SELECT doc_id, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+      FROM hit)
+    SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + {k - 1} AS BIGINT) AS span_end,
+           CAST(max(p) - min(p) + {k} AS BIGINT) AS n_dup_tokens
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup — the asymmetric case Jaccard near-dup structurally
+# misses: a short document CONTAINED in a long one (an excerpt, a quoted
+# paragraph, a boilerplate block) has |A∩B|/|A| ≈ 1 but Jaccard
+# |A∩B|/|A∪B| ≈ |A|/|B|, far below any near-dup threshold — and MinHash
+# estimates Jaccard, so LSH banding rarely even surfaces the pair. The
+# production framing is Broder's containment coefficient; candidate
+# generation here is GRAM-ANCHORED instead of minhash-banded: two docs
+# become a candidate pair iff they share at least one exact 8-token gram
+# (the substring_dedup fingerprint — selective enough on real text that
+# candidate count is linear in true shared content, where the 3-gram
+# shingle inverted index would blow up on common shingles).
+#
+# The fixture corpus has no excerpt relationships, so — exactly like
+# sources/corpus.py injects exact/near copies for the Jaccard family —
+# this operator injects deterministic EXCERPTS (tokens 11-30 of every
+# doc_id % 10 == 7 with >= 31 tokens, as doc_id + 3_000_000) and must
+# (a) find each excerpt with containment ≈ 1.0 while
+# (b) its Jaccard ≈ |A|/|B| ≈ 0.35 documents WHY the Jaccard operators
+#     leave these pairs alone.
+#
+# Scale: gram explode is O(total tokens); the candidate self-join is an
+# equi-join on the 32-hex gram key with per-key cost df² — df is the
+# copy count of that exact 8-gram, i.e. cost linear in genuinely shared
+# content (same argument as minhash band keys, sharper selectivity). The
+# verify join attaches the two distinct-shingle arrays SHUFFLE_HASH on
+# doc id (the minhash verify contract: both sides corpus-scaled, no
+# broadcast). One array_intersect per candidate pair.
+# ---------------------------------------------------------------------------
+
+CONTAIN_TAU = 0.9
+_EXC_LO, _EXC_LEN = 11, 20  # excerpt = tokens 11..30 (1-based)
+
+
+def _contain_corpus(duck: bool) -> str:
+    """Corpus ∪ injected excerpt docs (doc_id + 3e6), dialect-split."""
+    if duck:
+        toks = "string_split(text, ' ')"
+        exc = f"array_to_string(({toks})[{_EXC_LO}:{_EXC_LO + _EXC_LEN - 1}], ' ')"
+        n = f"len({toks})"
+    else:
+        toks = "split(text, ' ', -1)"
+        exc = f"concat_ws(' ', slice({toks}, {_EXC_LO}, {_EXC_LEN}))"
+        n = f"size({toks})"
+    return f"""
+    SELECT doc_id, text FROM corpus
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id, {exc} AS text
+    FROM corpus WHERE doc_id % 10 = 7 AND {n} >= {_EXC_LO + _EXC_LEN}
+    """
+
+
+def _containment_sql(duck: bool) -> str:
+    k = SUBSTR_K
+    if duck:
+        toks, tlen = T.TOKS_DUCK, "len(toks)"
+        ti = T.token_ints_duck("toks")
+        sh = T.shingle_ints_duck("th", "text")
+        gram = f"md5(array_to_string(toks[i:i + {k - 1}], ' '))"
+        posrange = f"unnest(range(1, len(toks) - {k - 2})) AS t(i)"
+        inter = "len(list_intersect(a.sh, b.sh))"
+        hint = ""
+    else:
+        toks, tlen = T.TOKS_SPARK, "size(toks)"
+        ti = T.token_ints_spark("toks")
+        sh = T.shingle_ints_spark("th", "text")
+        gram = f"md5(concat_ws(' ', slice(toks, i, {k})))"
+        posrange = (
+            f"LATERAL VIEW explode(slice(sequence(1, size(toks)), 1, "
+            f"greatest(size(toks) - {k - 1}, 0))) t AS i"
+        )
+        inter = "size(array_intersect(a.sh, b.sh))"
+        hint = "/*+ SHUFFLE_HASH(a, b) */ "
+    join_kw = "," if duck else ""
+    return f"""
+    ccorp AS ({_contain_corpus(duck)}),
+    tk AS (SELECT doc_id, text, {toks} AS toks FROM ccorp),
+    shf AS (SELECT doc_id, sh, {"len(sh)" if duck else "size(sh)"} AS n_sh
+            FROM (SELECT doc_id, text, {sh} AS sh
+                  FROM (SELECT doc_id, text, {ti} AS th, toks FROM tk) h)),
+    grams AS (SELECT DISTINCT doc_id, {gram} AS g
+              FROM tk {join_kw} {posrange}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM grams a JOIN grams b
+               ON a.g = b.g AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT {hint}c.doc_a, c.doc_b, {inter} AS n_int, a.n_sh AS n_a,
+             b.n_sh AS n_b
+      FROM cand c JOIN shf a ON a.doc_id = c.doc_a
+                  JOIN shf b ON b.doc_id = c.doc_b)
+    SELECT doc_a, doc_b,
+           round(n_int / CAST(n_a AS DOUBLE), 4) AS containment_a_in_b,
+           round(n_int / CAST(n_b AS DOUBLE), 4) AS containment_b_in_a,
+           round(n_int / CAST(n_a + n_b - n_int AS DOUBLE), 4) AS jaccard
+    FROM scored
+    WHERE greatest(n_int / CAST(n_a AS DOUBLE),
+                   n_int / CAST(n_b AS DOUBLE)) >= {CONTAIN_TAU}
+    """
+
+
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N87: containment-coefficient near-dup (excerpt-in-document)."""
+    doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
+    return spark.sql("WITH " + _containment_sql(duck=False))
+
+
+def containment_dedup_oracle() -> str:
+    return (
+        f"WITH corpus AS ({DOC_CORPUS_SQL}), " + _containment_sql(duck=True)
+    )

@@ -354,3 +354,88 @@ def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_pq_oracle() -> str:
     return f"WITH embc AS ({EMB_CORPUS_DUCK}), " + _pq_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit — the eval harness every approximate index needs before
+# it replaces the exact scan in a pipeline: per probe, recall@K of the
+# sign-LSH bucketed search (knn_lsh's shape, generalized to a probe SET)
+# against the exact brute-force top-K ground truth. This is the similarity
+# sibling of q_dedup_recall (dedup.py audits MinHash against exact
+# Jaccard); the number it emits is the one that decides how many
+# hyperplanes / multi-probe neighbors the production index gets.
+#
+# Plan: corpus norms and buckets are folded ONCE (knn_batch pattern, same
+# fold order so scores are bit-identical across engines); the probe frame
+# (N_PROBES rows) broadcasts into both scoring branches; exact ranking is
+# one probe-partitioned WindowGroupLimit over the corpus×probes scores,
+# approx ranking the same over only same-bucket candidates (an equi-join
+# that partition-prunes when the corpus is stored bucket-partitioned, per
+# knn_lsh). The recall join matches two ≤ N_PROBES×K frames on
+# (probe_id, vec_id). At 100 TB the exact branch costs one corpus pass —
+# which is the point: this audit RUNS once offline to calibrate, while
+# the approx branch is what serves.
+# ---------------------------------------------------------------------------
+
+RECALL_K = 10
+
+
+def _ann_recall_sql(duck: bool) -> str:
+    nrm_s = (
+        "sqrt(aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v))"
+    )
+    nrm_d = "sqrt(list_sum(list_transform(e, x -> x * x)))"
+    dot_s = (
+        "aggregate(zip_with(c.e, p.e, (x, y) -> x * y), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    )
+    dot_d = (
+        f"list_sum(list_transform(range(1, {V.DIM + 1}), "
+        "i -> c.e[i] * p.e[i]))"
+    )
+    nrm = nrm_d if duck else nrm_s
+    dot = dot_d if duck else dot_s
+    bucket = V.lsh_bucket_duck("e") if duck else V.lsh_bucket_spark("e")
+    return f"""
+    n AS (SELECT vec_id, e, {nrm} AS nrm, {bucket} AS bucket FROM embc),
+    p AS (SELECT vec_id AS probe_id, e, nrm, bucket FROM n
+          WHERE vec_id < {N_PROBES}),
+    exact AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, c.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                 round(({dot}) / (c.nrm * p.nrm), 6) DESC, c.vec_id) AS rnk
+        FROM n c CROSS JOIN p WHERE c.vec_id <> p.probe_id)
+      WHERE rnk <= {RECALL_K}),
+    approx AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT p.probe_id, c.vec_id,
+               row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                 round(({dot}) / (c.nrm * p.nrm), 6) DESC, c.vec_id) AS rnk
+        FROM n c JOIN p ON c.bucket = p.bucket
+        WHERE c.vec_id <> p.probe_id)
+      WHERE rnk <= {RECALL_K}),
+    hits AS (
+      SELECT e.probe_id,
+             CAST(count(a.vec_id) AS BIGINT) AS n_hit
+      FROM exact e LEFT JOIN approx a
+        ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+      GROUP BY e.probe_id),
+    retr AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_retrieved
+             FROM approx GROUP BY probe_id)
+    SELECT h.probe_id, CAST({RECALL_K} AS BIGINT) AS n_exact,
+           coalesce(r.n_retrieved, 0) AS n_retrieved, h.n_hit,
+           round(h.n_hit / {RECALL_K}.0, 4) AS recall_at_k
+    FROM hits h LEFT JOIN retr r ON r.probe_id = h.probe_id
+    """
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N85: recall@K of the LSH index vs the exact top-K, per probe."""
+    emb_corpus(spark, sf_dir).createOrReplaceTempView("embc")
+    return spark.sql("WITH " + _ann_recall_sql(duck=False))
+
+
+def ann_recall_oracle() -> str:
+    return f"WITH embc AS ({EMB_CORPUS_DUCK}), " + _ann_recall_sql(duck=True)

@@ -546,6 +546,12 @@ register("q_dedup_clusters", dedup.dedup_clusters_oracle())(dedup.dedup_clusters
 register("q_dedup_keep_best", dedup.dedup_keep_best_oracle())(
     dedup.dedup_keep_best
 )
+register("q_substring_dedup", dedup.substring_dedup_oracle())(
+    dedup.substring_dedup
+)
+register("q_containment_dedup", dedup.containment_dedup_oracle())(
+    dedup.containment_dedup
+)
 
 register("q_knn_cosine", similarity.knn_cosine_oracle())(similarity.knn_cosine)
 register("q_knn_lsh", similarity.knn_lsh_oracle())(similarity.knn_lsh)
@@ -596,6 +602,7 @@ register("q_sequence_pack", pipeline_ops.sequence_pack_oracle())(
 
 register("q_knn_ivf", similarity.knn_ivf_oracle())(similarity.knn_ivf)
 register("q_knn_batch", similarity.knn_batch_oracle())(similarity.knn_batch)
+register("q_ann_recall", similarity.ann_recall_oracle())(similarity.ann_recall)
 register("q_ts_similarity", similarity.ts_similarity_oracle())(
     similarity.ts_similarity
 )
@@ -940,6 +947,7 @@ register("q_kmeans_embed", clustering.kmeans_embed_oracle())(
 register("q_semantic_dedup", clustering.semantic_dedup_oracle())(
     clustering.semantic_dedup
 )
+register("q_silhouette", clustering.silhouette_oracle())(clustering.silhouette)
 register("q_join_salted", relational.join_salted_oracle())(relational.join_salted)
 register("q_join_full_outer", relational.join_full_outer_oracle())(
     relational.join_full_outer
@@ -1117,6 +1125,8 @@ _LEAD = [
     # flagship N-family / CDC / quality
     "q_dedup_keep_best", "q_mix_materialize", "q_corpus_shuffle",
     "q_tokenizer_fertility", "q_stream_constraint_audit",
+    "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
+    "q_silhouette",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

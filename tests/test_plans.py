@@ -256,6 +256,8 @@ _SCALAR_BNLJ_OK = {
     "q_basket_pairs",     # 1-row basket-count frame crossed with the top-20 cut
     "q_skew_report",      # 1-row decile-boundary frame (the percentile row)
     "q_mix_materialize",  # 1-row sqrt-total frame (the mix normalizer)
+    "q_ann_recall",       # 5-row probe set crossed into both scoring branches
+    "q_silhouette",       # K-row centroid frame (same chain as q_kmeans_embed)
 }
 
 
