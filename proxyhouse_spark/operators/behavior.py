@@ -887,3 +887,71 @@ def mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mom_growth_oracle() -> str:
     return "WITH " + _mom_growth_sql("//")
+
+
+# ---------------------------------------------------------------------------
+# triangles — the third graph-analytics member (after dedup_clusters'
+# label-propagation CC and pagerank's power iteration): triangle count +
+# global clustering coefficient over the same part co-purchase graph.
+#
+# The naive 3-way self-join counts every triangle 6× and its wedge
+# enumeration is Σ d² over RAW degrees — the hub nodes blow it up. The
+# scalable spelling is degree ORIENTATION (Cohen's MapReduce algorithm /
+# Suri & Vassilvitskii's MR triangle counting): orient every undirected
+# edge from the (degree, id)-smaller endpoint to the larger, so each
+# triangle has exactly ONE source corner (counted once, no /6
+# correction) and per-node out-degree is bounded by O(√m) — wedge
+# enumeration drops from Σ d(hub)² to Σ d_out², the classic √m bound.
+#
+# Plan shape: wedges = oriented ⋈ oriented on src (equi-join); closure =
+# wedge ⋈ oriented on BOTH endpoints (equi-join on the composite key).
+# The π-order comparison (deg, id) rides as plain predicates on the
+# equi-joins — deliberately NOT a global rank window, which would be a
+# whole-graph single-partition sort; degrees attach by equi-join
+# instead. Output is the one-row graph summary (nodes, edges, wedges,
+# triangles, clustering coefficient) — count state, not the graph.
+# ---------------------------------------------------------------------------
+
+_TRIANGLES = """
+    items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+              FROM lineitem),
+    pairs AS (SELECT DISTINCT a.part AS u, b.part AS v
+              FROM items a JOIN items b
+                ON a.okey = b.okey AND a.part < b.part),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS n FROM pairs
+              UNION ALL SELECT v AS n FROM pairs) e GROUP BY n),
+    oriented AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+                  THEN p.u ELSE p.v END AS src,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+                  THEN p.v ELSE p.u END AS dst,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND p.u < p.v)
+                  THEN dv.d ELSE du.d END AS dd
+      FROM pairs p JOIN deg du ON du.n = p.u JOIN deg dv ON dv.n = p.v),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM oriented o1
+      JOIN oriented o2
+        ON o2.src = o1.src
+           AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+      JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+    gstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1)) AS BIGINT) AS wedges2 FROM deg),
+    estats AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+    SELECT g.n_nodes, e.n_edges, CAST(g.wedges2 / 2 AS BIGINT) AS n_wedges,
+           t.n_triangles,
+           round(6.0 * t.n_triangles / g.wedges2, 6) AS clustering_coeff
+    FROM gstats g, estats e, tri t
+    """
+
+
+def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N88: degree-oriented distributed triangle count + clustering coeff."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("WITH " + _TRIANGLES)
+
+
+def triangles_oracle() -> str:
+    return "WITH " + _TRIANGLES

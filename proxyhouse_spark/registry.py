@@ -1048,6 +1048,7 @@ register("q_stream_minhash", dedup.minhash_neardup_oracle())(
     cdc.stream_minhash_query
 )
 register("q_pagerank", behavior.pagerank_oracle())(behavior.pagerank)
+register("q_triangles", behavior.triangles_oracle())(behavior.triangles)
 
 from .operators import quality  # noqa: E402
 
@@ -1126,7 +1127,7 @@ _LEAD = [
     "q_dedup_keep_best", "q_mix_materialize", "q_corpus_shuffle",
     "q_tokenizer_fertility", "q_stream_constraint_audit",
     "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
-    "q_silhouette",
+    "q_silhouette", "q_triangles",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -258,6 +258,7 @@ _SCALAR_BNLJ_OK = {
     "q_mix_materialize",  # 1-row sqrt-total frame (the mix normalizer)
     "q_ann_recall",       # 5-row probe set crossed into both scoring branches
     "q_silhouette",       # K-row centroid frame (same chain as q_kmeans_embed)
+    "q_triangles",        # three 1-row count frames crossed for the summary row
 }
 
 
