@@ -1203,3 +1203,112 @@ def containment_dedup_oracle() -> str:
     return (
         f"WITH corpus AS ({DOC_CORPUS_SQL}), " + _containment_sql(duck=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ExactSubstr — the substring_dedup index as a stream, and a
+# counterexample worth stating: duplicated SPANS are NOT append-only
+# emittable. A later batch can extend or merge a span an earlier batch
+# would have emitted (its doc duplicates the adjacent grams), so
+# per-batch span emission would need retractions. The mergeable carrier
+# is therefore the GRAM-POSITION INDEX — (doc_id, p, fingerprint) rows,
+# append-only, O(total tokens) state (the distributed analog of the
+# suffix array the batch paper builds; ~40 bytes/token) — and the
+# duplication report is re-derived at read, exactly the keyed-counts /
+# re-derive split of q_stream_constraint_audit's uniqueness leg.
+# Because gram duplication is a corpus-global property of the
+# accumulated position set, the read-time report over ANY partition of
+# the corpus into batches equals the one-shot answer: checked through
+# the gate against the batch q_substring_dedup oracle VERBATIM.
+#
+# Per-batch cost: the batch's own explode + one parquet append — no
+# snapshot rewrite, no join against the index at ingest time (contrast
+# _merge_minhash, which must probe at ingest because it EMITS pairs
+# incrementally; here emission is deferred to read). At-least-once
+# safety: same-batch-id replay is fenced by the marker; cross-restart
+# re-delivery under a new batch id appends duplicate position rows,
+# absorbed by the (doc_id, p) dedup on read (identical by
+# construction, any winner correct — the _merge_minhash doc_id
+# pattern, keyed one level finer).
+# ---------------------------------------------------------------------------
+
+
+def _merge_substr(batch_df: DataFrame, snap: str, batch_id: int) -> None:
+    import os
+
+    from .cdc import _snapshot_applied
+
+    if _snapshot_applied(snap, batch_id):
+        return
+    k = SUBSTR_K
+    grams = (
+        batch_df.selectExpr("doc_id", f"{T.TOKS_SPARK} AS toks")
+        .selectExpr(
+            "doc_id", "toks",
+            f"explode(slice(sequence(1, size(toks)), 1, "
+            f"greatest(size(toks) - {k - 1}, 0))) AS p",
+        )
+        .selectExpr(
+            "doc_id", "p", f"md5(concat_ws(' ', slice(toks, p, {k}))) AS g"
+        )
+    )
+    grams.write.mode("append").parquet(snap)
+    open(os.path.join(snap, f"_applied_{batch_id}"), "w").close()
+
+
+def stream_substring_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16, oracle-checked: two availableNow passes maintain the
+    gram-position index over the parity-split corpus; the read-time span
+    report must hash-match the one-shot batch q_substring_dedup."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    k = SUBSTR_K
+    base = _scratch_dir("t16_substr_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    corpus = doc_corpus(spark, sf_dir).select("doc_id", "text")
+    corpus.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: _merge_substr(df, snap, bid))
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    corpus.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+
+    spark.read.parquet(snap).dropDuplicates(["doc_id", "p"]).createOrReplaceTempView(
+        "substr_index"
+    )
+    return spark.sql(
+        f"""
+        WITH hit AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS cnt
+            FROM substr_index)
+          WHERE cnt > 1),
+        isl AS (
+          SELECT doc_id, p,
+                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS island
+          FROM hit)
+        SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+               CAST(max(p) + {k - 1} AS BIGINT) AS span_end,
+               CAST(max(p) - min(p) + {k} AS BIGINT) AS n_dup_tokens
+        FROM isl GROUP BY doc_id, island
+        """
+    )
+
+
+# the scoped-conf decorator is applied post-def like quality.py's stream
+# audit (the streaming passes run eagerly inside)
+from ..streaming.pipeline import _oracle_stream_conf as _osc  # noqa: E402
+
+stream_substring_query = _osc(stream_substring_query)

@@ -552,6 +552,9 @@ register("q_substring_dedup", dedup.substring_dedup_oracle())(
 register("q_containment_dedup", dedup.containment_dedup_oracle())(
     dedup.containment_dedup
 )
+register("q_stream_substring", dedup.substring_dedup_oracle())(
+    dedup.stream_substring_query
+)
 
 register("q_knn_cosine", similarity.knn_cosine_oracle())(similarity.knn_cosine)
 register("q_knn_lsh", similarity.knn_lsh_oracle())(similarity.knn_lsh)
@@ -1127,7 +1130,7 @@ _LEAD = [
     "q_dedup_keep_best", "q_mix_materialize", "q_corpus_shuffle",
     "q_tokenizer_fertility", "q_stream_constraint_audit",
     "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
-    "q_silhouette", "q_triangles",
+    "q_silhouette", "q_triangles", "q_stream_substring",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

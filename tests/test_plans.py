@@ -233,6 +233,7 @@ _EXECUTING = {
     "q_stream_minhash",  # continuous dedup: passes run at plan time too
     "q_stream_sessionize",
     "q_stream_constraint_audit",
+    "q_stream_substring",
 }
 
 
