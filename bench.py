@@ -53,6 +53,9 @@ HEADLINE = [
     "q_dedup_clusters",      # connected components (label-propagation fixpoint)
     "q_stream_minhash",      # continuous dedup: 2 real availableNow passes
     "q_fuzzy_match",         # edit-distance blocking join
+    "q_substring_dedup",     # ExactSubstr spans (gram-fingerprint shuffle)
+    "q_containment_dedup",   # excerpt-in-doc containment (gram-anchored)
+    "q_triangles",           # degree-oriented triangle count
 ]
 
 

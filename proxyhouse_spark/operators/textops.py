@@ -410,3 +410,81 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tokenizer_fertility_oracle() -> str:
     return _fertility_sql(f"len({T.TOKS_DUCK})", T.TOKEN_BPE_DUCK, "//")
+
+
+# ---------------------------------------------------------------------------
+# winnow — positional winnowing (Schleimer, Wilkerson & Aiken, SIGMOD
+# 2003): the fingerprint-SELECTION algorithm behind MOSS. Differs from
+# doc_fingerprint (a global min-4 sketch of the whole shingle set) by
+# being POSITIONAL: slide a w-window over the k-gram hash sequence and
+# keep the window's minimum (rightmost on ties) — the selected (pos,
+# hash) set carries the guarantee that any shared run of >= w + k − 1
+# tokens between two documents shares at least one fingerprint, which a
+# global sketch cannot promise. Expected density 2/(w+1).
+#
+# The rightmost-min tie rule rides in ONE orderable integer: key =
+# h·1024 + (1023 − p) (docs are << 1024 grams; h < 2³¹ so key < 2⁴¹ —
+# no overflow). min(key) then decodes to (min h, max p) — no struct
+# comparison, identical semantics in both engines.
+#
+# Plan: gram explode is O(total tokens); the min is a doc-PARTITIONED
+# running window (ROWS w−1 PRECEDING — per-partition state O(w));
+# summary is a map-side-combinable fold on doc_id. One shuffle total
+# (the doc_id window/agg partition). k=4, w=4 here; MOSS production
+# uses k≈5 char-grams, w tuned to the noise threshold.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def _winnow_sql(duck: bool) -> str:
+    k, w = WINNOW_K, WINNOW_W
+    if duck:
+        toks = T.TOKS_DUCK
+        gram = f"array_to_string(toks[i:i + {k - 1}], ' ')"
+        posrange = f", unnest(range(1, len(toks) - {k - 2})) AS t(i)"
+        h = f"CAST(concat('0x', substr(md5({gram}), 1, 14)) AS BIGINT) % {T.MINHASH_P}"
+        idiv = "//"
+    else:
+        toks = T.TOKS_SPARK
+        gram = f"concat_ws(' ', slice(toks, i, {k}))"
+        posrange = (
+            f" LATERAL VIEW explode(slice(sequence(1, size(toks)), 1, "
+            f"greatest(size(toks) - {k - 1}, 0))) t AS i"
+        )
+        h = f"CAST(conv(substr(md5({gram}), 1, 14), 16, 10) AS BIGINT) % {T.MINHASH_P}"
+        idiv = "div"
+    return f"""
+    tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    g AS (SELECT doc_id, CAST(i AS INT) AS p, {h} AS h
+          FROM tk{posrange}),
+    win AS (
+      SELECT doc_id, p AS wend,
+             min(h * 1024 + (1023 - p)) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS key
+      FROM g),
+    sel AS (
+      SELECT DISTINCT doc_id, CAST(key {idiv} 1024 AS BIGINT) AS fp_hash,
+             CAST(1023 - (key % 1024) AS INT) AS fp_pos
+      FROM win WHERE wend >= {w}),
+    grams AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+              FROM g GROUP BY doc_id),
+    fps AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+            FROM sel GROUP BY doc_id)
+    SELECT g.doc_id, g.n_grams, coalesce(f.n_fp, 0) AS n_fp,
+           CAST((10000 * coalesce(f.n_fp, 0)) {idiv} g.n_grams AS BIGINT)
+             AS density_bp
+    FROM grams g LEFT JOIN fps f ON f.doc_id = g.doc_id
+    """
+
+
+def winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N90: positional winnowing fingerprint selection + density audit."""
+    _docs(spark, sf_dir)
+    return spark.sql("WITH " + _winnow_sql(duck=False))
+
+
+def winnow_oracle() -> str:
+    return "WITH " + _winnow_sql(duck=True)

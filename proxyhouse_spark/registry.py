@@ -567,6 +567,7 @@ register("q_tokenizer_fertility", textops.tokenizer_fertility_oracle())(
     textops.tokenizer_fertility
 )
 register("q_doc_fingerprint", textops.doc_fingerprint_oracle())(textops.doc_fingerprint)
+register("q_winnow", textops.winnow_oracle())(textops.winnow)
 register("q_pii_scan", textops.pii_scan_oracle())(textops.pii_scan)
 register("q_text_normalize", textops.text_normalize_oracle())(textops.text_normalize)
 
@@ -1130,7 +1131,7 @@ _LEAD = [
     "q_dedup_keep_best", "q_mix_materialize", "q_corpus_shuffle",
     "q_tokenizer_fertility", "q_stream_constraint_audit",
     "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
-    "q_silhouette", "q_triangles", "q_stream_substring",
+    "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

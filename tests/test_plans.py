@@ -696,3 +696,18 @@ def test_constraint_audit_scans_once_per_value_check_table(spark):
     tree = tree_of(plan_of(spark, "q_constraint_audit"))
     assert tree.count("Scan parquet") == 6
     assert "CartesianProduct" not in tree
+
+
+def test_triangles_stages_oriented_and_never_broadcasts(spark):
+    # the oriented edge list feeds four branches: it must be staged (a
+    # checkpoint scan, not four re-executions of the items self-join) and
+    # the wedge/closure joins must shuffle-hash — every frame scales with
+    # the graph, so a BroadcastExchange would collect the edge list
+    # through the driver (the minhash staging lesson)
+    tree = tree_of(plan_of(spark, "q_triangles"))
+    assert "Scan ExistingRDD" in tree  # the staged oriented frame
+    assert tree.count("ShuffledHashJoin") >= 2
+    # the only broadcasts allowed are the 1-row summary frames feeding the
+    # final BNLJ cross; the edge-list joins themselves must never be a
+    # BroadcastHASHJoin (that broadcast side would be the oriented frame)
+    assert "BroadcastHashJoin" not in tree
