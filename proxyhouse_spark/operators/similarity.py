@@ -426,7 +426,7 @@ def _ann_recall_sql(duck: bool) -> str:
              FROM approx GROUP BY probe_id)
     SELECT h.probe_id, CAST({RECALL_K} AS BIGINT) AS n_exact,
            coalesce(r.n_retrieved, 0) AS n_retrieved, h.n_hit,
-           round(h.n_hit / {RECALL_K}.0, 4) AS recall_at_k
+           round(h.n_hit / CAST({RECALL_K} AS DOUBLE), 4) AS recall_at_k
     FROM hits h LEFT JOIN retr r ON r.probe_id = h.probe_id
     """
 

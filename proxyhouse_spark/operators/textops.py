@@ -438,7 +438,10 @@ WINNOW_K = 4
 WINNOW_W = 4
 
 
-def _winnow_sql(duck: bool) -> str:
+def _winnow_body(duck: bool) -> str:
+    """The CTE chain through ``sel`` (the selected fingerprint set) —
+    exposed separately so tests can query the positional selection
+    directly instead of string-slicing the summary SQL."""
     k, w = WINNOW_K, WINNOW_W
     if duck:
         toks = T.TOKS_DUCK
@@ -468,7 +471,13 @@ def _winnow_sql(duck: bool) -> str:
     sel AS (
       SELECT DISTINCT doc_id, CAST(key {idiv} 1024 AS BIGINT) AS fp_hash,
              CAST(1023 - (key % 1024) AS INT) AS fp_pos
-      FROM win WHERE wend >= {w}),
+      FROM win WHERE wend >= {w})
+    """
+
+
+def _winnow_sql(duck: bool) -> str:
+    idiv = "//" if duck else "div"
+    return f"""{_winnow_body(duck)},
     grams AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
               FROM g GROUP BY doc_id),
     fps AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp

@@ -1,0 +1,147 @@
+"""Semantic pins for the round-4 operators at sf0.001 — the differential
+harness is the primary gate; these pin the *claims* each op is built on:
+ExactSubstr spans are position-maximal and cover the planted copies,
+containment catches the excerpt case Jaccard misses, ANN recall is a
+true subset ratio, silhouette is bounded, the triangle count matches an
+independent brute-force spelling, and winnowing honors its density and
+every-window-has-a-selection guarantees."""
+
+from proxyhouse_spark import registry
+from tests.conftest import SF_SMALL
+
+
+def test_substring_spans_cover_exact_copies_and_are_maximal(spark):
+    from proxyhouse_spark.operators.dedup import SUBSTR_K
+
+    rows = registry.QUERIES["q_substring_dedup"](spark, SF_SMALL).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        # span arithmetic: width == n_dup_tokens, never below K
+        assert r.span_end - r.span_start + 1 == r.n_dup_tokens
+        assert r.n_dup_tokens >= SUBSTR_K
+    # every injected exact copy (doc_id % 10 == 0 → +1e6) duplicates its
+    # ENTIRE token stream, so both members carry a span starting at token 1
+    for d in range(0, 500, 10):
+        for member in (d, d + 1_000_000):
+            spans = by_doc.get(member, [])
+            assert spans, f"no span for exact-copy member {member}"
+            assert any(s.span_start == 1 for s in spans), member
+    # position-maximality: islands merge CONSECUTIVE duplicated gram
+    # positions, so two spans of one doc are separated by at least one
+    # non-duplicated position (spans may still overlap in TOKEN space —
+    # a span's last K-1 tokens extend past its last gram position)
+    for doc, spans in by_doc.items():
+        spans = sorted(spans, key=lambda s: s.span_start)
+        for a, b in zip(spans, spans[1:]):
+            a_last_pos = a.span_end - SUBSTR_K + 1
+            assert b.span_start > a_last_pos + 1, (doc, a, b)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    rows = registry.QUERIES["q_containment_dedup"](spark, SF_SMALL).collect()
+    exc = [r for r in rows if max(r.doc_a, r.doc_b) >= 3_000_000
+           and min(r.doc_a, r.doc_b) < 1_000_000]
+    assert exc, "no excerpt pairs found"
+    # the excerpt's shingles are a subset of its source doc's → the
+    # containment of the smaller side is exactly 1.0, while plain Jaccard
+    # sits far below every near-dup threshold used by the minhash family
+    low_jac = [r for r in exc if r.jaccard < 0.5]
+    assert low_jac, "excerpt pairs unexpectedly all Jaccard-high"
+    for r in low_jac:
+        assert max(r.containment_a_in_b, r.containment_b_in_a) == 1.0
+
+
+def test_ann_recall_is_a_valid_ratio_and_never_all_zero(spark):
+    from proxyhouse_spark.operators.similarity import RECALL_K
+
+    rows = registry.QUERIES["q_ann_recall"](spark, SF_SMALL).collect()
+    assert len(rows) == 5  # N_PROBES
+    for r in rows:
+        assert r.n_exact == RECALL_K
+        assert 0 <= r.n_hit <= min(r.n_retrieved, RECALL_K)
+        assert abs(r.recall_at_k - r.n_hit / RECALL_K) < 1e-9
+    # probe 0's planted twin (cos ≈ 0.999) agrees with it on every
+    # hyperplane sign, so bucket-restricted search keeps SOME of the true
+    # top-k — recall is never zero across the board
+    assert any(r.n_hit > 0 for r in rows)
+
+
+def test_silhouette_bounded_and_members_total(spark):
+    rows = registry.QUERIES["q_silhouette"](spark, SF_SMALL).collect()
+    assert len(rows) == 16  # K clusters
+    total = sum(r.n_members for r in rows)
+    n_corpus = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
+    assert total == n_corpus  # every vector assigned exactly once
+    for r in rows:
+        assert -1.0 <= r.min_silhouette <= r.avg_silhouette <= 1.0
+
+
+def test_triangles_matches_brute_force_on_fixture(spark):
+    """Degree orientation must count each triangle exactly once: check
+    against an independent brute-force spelling (each triangle appears as
+    6 ordered closed walks over the symmetric edge relation)."""
+    r = registry.QUERIES["q_triangles"](spark, SF_SMALL).collect()[0]
+    from proxyhouse_spark.tables import table
+
+    table(spark, SF_SMALL, "lineitem").createOrReplaceTempView("lineitem")
+    brute = spark.sql(
+        """
+        WITH items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+                       FROM lineitem),
+        und AS (SELECT DISTINCT a.part AS u, b.part AS v
+                FROM items a JOIN items b
+                  ON a.okey = b.okey AND a.part <> b.part),
+        t AS (SELECT count(*) AS n6
+              FROM und e1 JOIN und e2 ON e2.u = e1.v
+              JOIN und e3 ON e3.u = e2.v AND e3.v = e1.u
+              WHERE e1.u < e1.v AND e2.v <> e1.u)
+        SELECT CAST(n6 / 3 AS BIGINT) AS n FROM t
+        """
+    ).collect()[0].n
+    assert r.n_triangles == brute
+    assert 0.0 <= r.clustering_coeff <= 1.0
+    assert r.n_wedges >= 3 * r.n_triangles  # closed wedges ⊆ wedges
+
+
+def test_winnow_density_and_window_coverage_guarantee(spark):
+    from proxyhouse_spark.operators.textops import (
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_body,
+    )
+
+    rows = registry.QUERIES["q_winnow"](spark, SF_SMALL).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 < r.n_fp <= r.n_grams
+    # expected density 2/(w+1) = 40% at w=4; generous slack for the
+    # fixture's tiny vocabulary (repeated grams collapse under DISTINCT)
+    mean_bp = sum(r.density_bp for r in rows) / len(rows)
+    assert 2500 <= mean_bp <= 5500, mean_bp
+    # the winnowing guarantee reduced to its local form: EVERY window of w
+    # consecutive gram positions contains at least one selected position —
+    # which is what makes any shared run of >= w + k − 1 tokens between two
+    # documents share a fingerprint. Checked exhaustively on 20 docs via
+    # the op's own selection CTE (exposed as _winnow_body, no string
+    # surgery over the summary SQL).
+    spark.sql(
+        "WITH " + _winnow_body(duck=False) + " SELECT doc_id, fp_pos FROM sel"
+    ).createOrReplaceTempView("winnow_sel")
+    selected = {}
+    for r in spark.table("winnow_sel").filter("doc_id < 20").collect():
+        selected.setdefault(r.doc_id, set()).add(r.fp_pos)
+    windows = spark.sql(
+        f"""
+        WITH tk AS (SELECT doc_id, split(text, ' ', -1) AS toks
+                    FROM documents WHERE doc_id < 20),
+        g AS (SELECT doc_id, i AS p
+              FROM tk LATERAL VIEW explode(
+                sequence(1, size(toks) - {WINNOW_K - 1})) t AS i)
+        SELECT doc_id, p AS wend FROM g WHERE p >= {WINNOW_W}
+        """
+    ).collect()
+    assert windows
+    for r in windows:
+        win = set(range(r.wend - WINNOW_W + 1, r.wend + 1))
+        assert selected.get(r.doc_id, set()) & win, (r.doc_id, r.wend)
