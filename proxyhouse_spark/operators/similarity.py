@@ -439,3 +439,91 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_recall_oracle() -> str:
     return f"WITH embc AS ({EMB_CORPUS_DUCK}), " + _ann_recall_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN index — IVF maintenance as a stream, with the design
+# observation that makes it valid: cell assignment under a FROZEN coarse
+# quantizer is ROW-LOCAL (each vector's cell depends only on its own
+# components and the fixed hyperplanes), so the inverted-list index is
+# trivially mergeable — append-only, order-independent, no ingest-time
+# cross-vector work at all. The thing that does NOT stream is quantizer
+# (re)training: k-means cells drift as data arrives, and re-assigning the
+# accumulated corpus is a full rebuild — which is why production IVF
+# systems freeze the quantizer between periodic re-trainings (the exact
+# contrast documented on kmeans_embed's driver loop). State = the coded
+# corpus (vec, label, cell) — at 100 TB the cell is the STORAGE partition
+# key, so each append lands in its inverted list and the read-side probe
+# partition-prunes (the knn_ivf demonstration, now maintained online).
+#
+# Two availableNow passes over the parity-split corpus, then the standard
+# multi-probe query over the accumulated index must hash-match the
+# one-shot batch q_knn_ivf (its oracle verbatim). Re-delivery under a new
+# batch id appends duplicate rows, absorbed by vec_id-keyed dedup on
+# read (identical by construction).
+# ---------------------------------------------------------------------------
+
+
+def _merge_ann(batch_df: DataFrame, snap: str, batch_id: int) -> None:
+    import os
+
+    from ..operators.cdc import _snapshot_applied
+
+    if _snapshot_applied(snap, batch_id):
+        return
+    cell = f"substr({V.lsh_bucket_spark('e')}, 1, {N_CELL_BITS})"
+    coded = batch_df.selectExpr("vec_id", "label", "e", f"{cell} AS cell")
+    coded.write.mode("append").parquet(snap)
+    open(os.path.join(snap, f"_applied_{batch_id}"), "w").close()
+
+
+def stream_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17, oracle-checked: two availableNow passes maintain the IVF coded
+    index; the multi-probe query over the accumulated index must
+    hash-match the one-shot batch q_knn_ivf."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t17_ann_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    corpus = emb_corpus(spark, sf_dir).select("vec_id", "label", "e")
+    corpus.filter("vec_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "vec_id bigint, label int, e array<double>"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: _merge_ann(df, snap, bid))
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    corpus.filter("vec_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+
+    spark.read.parquet(snap).dropDuplicates(["vec_id"]).createOrReplaceTempView(
+        "ann_index"
+    )
+    cos = V.cosine_spark("c.e", "p.e")
+    return spark.sql(
+        f"""
+        WITH p AS (SELECT e, explode(array({_probe_cells('cell')})) AS cell
+                   FROM ann_index WHERE vec_id = {PROBE_VEC_ID})
+        SELECT c.vec_id, c.label, c.cell, round({cos}, 6) AS cos_sim
+        FROM ann_index c JOIN p ON c.cell = p.cell
+        WHERE c.vec_id <> {PROBE_VEC_ID}
+        ORDER BY cos_sim DESC, c.vec_id
+        LIMIT {K}
+        """
+    )
+
+
+from ..streaming.pipeline import _oracle_stream_conf as _osc  # noqa: E402
+
+stream_ann_query = _osc(stream_ann_query)

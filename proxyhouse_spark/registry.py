@@ -605,6 +605,7 @@ register("q_sequence_pack", pipeline_ops.sequence_pack_oracle())(
 )
 
 register("q_knn_ivf", similarity.knn_ivf_oracle())(similarity.knn_ivf)
+register("q_stream_ann", similarity.knn_ivf_oracle())(similarity.stream_ann_query)
 register("q_knn_batch", similarity.knn_batch_oracle())(similarity.knn_batch)
 register("q_ann_recall", similarity.ann_recall_oracle())(similarity.ann_recall)
 register("q_ts_similarity", similarity.ts_similarity_oracle())(
@@ -1132,6 +1133,7 @@ _LEAD = [
     "q_tokenizer_fertility", "q_stream_constraint_audit",
     "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
     "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
+    "q_stream_ann",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -234,6 +234,7 @@ _EXECUTING = {
     "q_stream_sessionize",
     "q_stream_constraint_audit",
     "q_stream_substring",
+    "q_stream_ann",
 }
 
 
