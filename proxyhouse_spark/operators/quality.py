@@ -431,3 +431,59 @@ def stream_constraint_audit_query(
 from ..streaming.pipeline import _oracle_stream_conf  # noqa: E402
 
 stream_constraint_audit_query = _oracle_stream_conf(stream_constraint_audit_query)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (Sweeney 2002) — the privacy leg of the quality
+# family, next to pii_scan's content scan: how re-identifiable is a
+# record from its quasi-identifiers alone? QI here = (lang, source,
+# n_chars bucketed to 100) over the documents table; the dataset's
+# k-anonymity is the SMALLEST QI-group size, and every record in a group
+# below the policy threshold K is suppressible. The report also carries
+# the l-diversity of the worst group (distinct exact n_chars values —
+# the stand-in sensitive attribute): a group can be k-anonymous yet
+# value-homogeneous, which is l-diversity's point.
+#
+# Scale: one map-side-combinable groupBy on the QI tuple (state =
+# O(distinct QI tuples), not rows), then an O(groups) summary fold —
+# the report rows move, never the data. Integer arithmetic throughout
+# (suppression rate in exact basis points, integer division).
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+
+
+def _kanon_sql(idiv: str) -> str:
+    return f"""
+    g AS (SELECT lang, source, CAST(n_chars {idiv} 100 AS BIGINT) AS cb,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT n_chars) AS BIGINT) AS l_div
+          FROM documents GROUP BY lang, source, cb),
+    s AS (SELECT CAST(sum(n) AS BIGINT) AS n_records,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(min(n) AS BIGINT) AS k_anonymity,
+                 CAST(coalesce(sum(CASE WHEN n < {KANON_K} THEN n END), 0)
+                      AS BIGINT) AS below_k,
+                 CAST(min(CASE WHEN n = (SELECT min(n) FROM g) THEN l_div END)
+                      AS BIGINT) AS worst_l
+          FROM g)
+    SELECT metric, value FROM (
+      SELECT 1 AS ord, 'records' AS metric, n_records AS value FROM s
+      UNION ALL SELECT 2, 'qi_groups', n_groups FROM s
+      UNION ALL SELECT 3, 'k_anonymity', k_anonymity FROM s
+      UNION ALL SELECT 4, 'records_below_k{KANON_K}', below_k FROM s
+      UNION ALL SELECT 5, 'suppression_bp',
+        CAST((10000 * below_k) {idiv} n_records AS BIGINT) FROM s
+      UNION ALL SELECT 6, 'worst_group_l_diversity', worst_l FROM s
+    ) r
+    """
+
+
+def kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N92: k-anonymity + worst-group l-diversity over document QIs."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _kanon_sql("div"))
+
+
+def kanon_audit_oracle() -> str:
+    return "WITH " + _kanon_sql("//")

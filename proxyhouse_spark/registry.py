@@ -1063,6 +1063,7 @@ register("q_constraint_audit", quality.constraint_audit_oracle())(
 register("q_stream_constraint_audit", quality.constraint_audit_oracle())(
     quality.stream_constraint_audit_query
 )
+register("q_kanon_audit", quality.kanon_audit_oracle())(quality.kanon_audit)
 register("q_sessionize", behavior.sessionize_oracle())(behavior.sessionize)
 register("q_join_asof_forward", relational.join_asof_forward_oracle())(
     relational.join_asof_forward
@@ -1133,7 +1134,7 @@ _LEAD = [
     "q_tokenizer_fertility", "q_stream_constraint_audit",
     "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
     "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
-    "q_stream_ann",
+    "q_stream_ann", "q_kanon_audit",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",
