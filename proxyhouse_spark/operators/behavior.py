@@ -1013,3 +1013,72 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def triangles_oracle() -> str:
     return "WITH " + _TRIANGLES
+
+
+# ---------------------------------------------------------------------------
+# hits — Kleinberg's HITS (hubs & authorities), completing the graph
+# family's third classic next to PageRank (importance diffuses along
+# edges) and label propagation (labels contract): mutual reinforcement
+# on a BIPARTITE graph. The purchase relation customer → part is the
+# textbook instance: a hub is a customer whose basket concentrates on
+# authoritative parts, an authority is a part bought by strong hubs —
+# the shape recommender bootstraps use. On a symmetric graph hubs ≡
+# authorities, so the bipartite edge set is also what makes the two
+# scores informative.
+#
+# Exactness discipline (the pagerank contract): scores are BIGINT
+# micro-units, init h = HITS_SCALE per customer; each half-iteration is
+# one equi-join + map-side-combinable fold, then L1 re-normalization to
+# mean HITS_SCALE per node — spelled as integer multiply-then-divide by
+# the 1-row global total (broadcast scalar frame, the whitelisted
+# pattern). HITS_SCALE = 10⁴ keeps the worst intermediate
+# (raw · n_nodes · SCALE ≈ 2×10¹⁵) far inside BIGINT while truncation
+# loss stays ≤ degree micro-units per node. Two full h→a→h rounds
+# unrolled; the convergence-loop machinery lives in dedup_clusters.
+#
+# At 100 TB: edges partition by the join key per half-step (src for
+# a-updates, dst for h-updates); score frames are O(nodes); the only
+# global object is the 1-row L1 total. Same plan algebra as pagerank.
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 10_000
+
+
+def _hits_sql(idiv: str) -> str:
+    s = HITS_SCALE
+    return f"""
+    ed AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_custkey IS NOT NULL),
+    cn AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n FROM ed),
+    pn AS (SELECT CAST(count(DISTINCT p) AS BIGINT) AS n FROM ed),
+    h0 AS (SELECT DISTINCT c, CAST({s} AS BIGINT) AS h FROM ed),
+    a1r AS (SELECT e.p, CAST(sum(h.h) AS BIGINT) AS r
+            FROM ed e JOIN h0 h ON h.c = e.c GROUP BY e.p),
+    a1t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM a1r),
+    a1 AS (SELECT p, CAST((r * pn.n * {s}) {idiv} a1t.t AS BIGINT) AS a
+           FROM a1r, pn, a1t),
+    h1r AS (SELECT e.c, CAST(sum(a.a) AS BIGINT) AS r
+            FROM ed e JOIN a1 a ON a.p = e.p GROUP BY e.c),
+    h1t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM h1r),
+    h1 AS (SELECT c, CAST((r * cn.n * {s}) {idiv} h1t.t AS BIGINT) AS h
+           FROM h1r, cn, h1t),
+    a2r AS (SELECT e.p, CAST(sum(h.h) AS BIGINT) AS r
+            FROM ed e JOIN h1 h ON h.c = e.c GROUP BY e.p),
+    a2t AS (SELECT CAST(sum(r) AS BIGINT) AS t FROM a2r),
+    a2 AS (SELECT p, CAST((r * pn.n * {s}) {idiv} a2t.t AS BIGINT) AS a
+           FROM a2r, pn, a2t)
+    SELECT p AS part, a AS authority_micros
+    FROM a2 ORDER BY a DESC, p LIMIT 20
+    """
+
+
+def hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N93: bipartite HITS hubs/authorities, exact integer arithmetic."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("WITH " + _hits_sql("div"))
+
+
+def hits_oracle() -> str:
+    return "WITH " + _hits_sql("//")

@@ -261,6 +261,7 @@ _SCALAR_BNLJ_OK = {
     "q_ann_recall",       # 5-row probe set crossed into both scoring branches
     "q_silhouette",       # K-row centroid frame (same chain as q_kmeans_embed)
     "q_triangles",        # three 1-row count frames crossed for the summary row
+    "q_hits",             # 1-row L1-total / node-count normalizer frames
 }
 
 
