@@ -527,3 +527,79 @@ def stream_ann_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..streaming.pipeline import _oracle_stream_conf as _osc  # noqa: E402
 
 stream_ann_query = _osc(stream_ann_query)
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss projection — the dimensionality-reduction member
+# of the vector family: project 64-dim embeddings to 16 dims with an
+# Achlioptas sparse random matrix (entries {+1, −1, 0} with density 1/3,
+# scaled √(3/k) — "Database-friendly random projections", PODS 2001) and
+# AUDIT the JL promise on known pairs: squared distances are preserved
+# in expectation, so the reported distortion ratio is the number that
+# decides whether 16 dims is enough before a pipeline swaps the full
+# vectors for projected ones in its ANN/clustering stages.
+#
+# The matrix is deterministic pseudo-random rational (the LSH-plane
+# trick: entry sign from (j·101 + i·53) mod 6), so both engines compute
+# bit-identical projections — no RNG state, reproducible under any
+# partitioning. The projection is a narrow per-row expression fold
+# (ascending-i sequential sum in BOTH dialects → bit-identical doubles);
+# the audited pair set is the planted twins (the near-zero-distance
+# stress case) plus consecutive-id pairs (typical distances).
+#
+# At 100 TB the projection is the map stage that shrinks every
+# downstream shuffle 4×; the audit joins two O(pairs) frames.
+# ---------------------------------------------------------------------------
+
+JL_K = 16
+
+
+def _jl_proj(e: str, duck: bool) -> str:
+    k, d = JL_K, V.DIM
+    if duck:
+        return (
+            f"list_transform(range(0, {k}), j -> "
+            f"list_sum(list_transform(range(0, {d}), i -> "
+            f"CASE (j * 101 + i * 53) % 6 WHEN 0 THEN {e}[i + 1] "
+            f"WHEN 1 THEN -{e}[i + 1] ELSE CAST(0 AS DOUBLE) END)))"
+        )
+    return (
+        f"transform(sequence(0, {k - 1}), j -> "
+        f"aggregate(transform(sequence(0, {d - 1}), i -> "
+        f"CASE (j * 101 + i * 53) % 6 WHEN 0 THEN element_at({e}, i + 1) "
+        f"WHEN 1 THEN -element_at({e}, i + 1) "
+        f"ELSE CAST(0 AS DOUBLE) END), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
+def _jl_sql(duck: bool) -> str:
+    l2 = V.l2sq_duck if duck else V.l2sq_spark
+    return f"""
+    pr AS (SELECT vec_id, e, {_jl_proj('e', duck)} AS f FROM embc),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, 'twin' AS pair_kind,
+             a.e AS ea, b.e AS eb, a.f AS fa, b.f AS fb
+      FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1000000
+      WHERE a.vec_id % 25 = 0
+      UNION ALL
+      SELECT a.vec_id, b.vec_id, 'neighbor',
+             a.e, b.e, a.f, b.f
+      FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 10)
+    SELECT vec_a, vec_b, pair_kind,
+           round({l2('ea', 'eb')}, 6) AS orig_d2,
+           round({l2('fa', 'fb')} * 3 / {JL_K}, 6) AS proj_d2,
+           round(({l2('fa', 'fb')} * 3 / {JL_K})
+                 / ({l2('ea', 'eb')} + 1e-12), 4) AS distortion
+    FROM pairs
+    """
+
+
+def jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N94: Achlioptas sparse JL projection + distance-preservation audit."""
+    emb_corpus(spark, sf_dir).createOrReplaceTempView("embc")
+    return spark.sql("WITH " + _jl_sql(duck=False))
+
+
+def jl_project_oracle() -> str:
+    return f"WITH embc AS ({EMB_CORPUS_DUCK}), " + _jl_sql(duck=True)

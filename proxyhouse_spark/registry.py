@@ -933,6 +933,7 @@ register("q_special_parts", relational.special_parts_oracle())(
     relational.special_parts
 )
 register("q_knn_pq", similarity.knn_pq_oracle())(similarity.knn_pq)
+register("q_jl_project", similarity.jl_project_oracle())(similarity.jl_project)
 register("q_stream_drift", behavior.drift_psi_oracle())(
     cdc.stream_drift_query
 )
@@ -1135,7 +1136,7 @@ _LEAD = [
     "q_tokenizer_fertility", "q_stream_constraint_audit",
     "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
     "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
-    "q_stream_ann", "q_kanon_audit", "q_hits",
+    "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",
