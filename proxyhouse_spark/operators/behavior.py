@@ -1082,3 +1082,148 @@ def hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hits_oracle() -> str:
     return "WITH " + _hits_sql("//")
+
+
+# ---------------------------------------------------------------------------
+# Streaming triangle count — incremental graph analytics, and the
+# 3-clique generalization of the stream-minhash emission rule: a
+# triangle is counted EXACTLY ONCE, by the batch in which its
+# last-arriving edge lands. Per batch: new edges = the batch's
+# co-purchase pairs anti-joined against the stored edge index (so
+# re-delivery and cross-batch duplicate pairs count nothing); the batch
+# delta = DISTINCT canonical triangles (a < b < c) closed by at least
+# one new edge, enumerated with the new-edge leg ALWAYS the small side
+# (new-edge ⋈ adjacency on u, then the closing-edge membership probe) —
+# per-batch cost O(batch wedges), never O(graph wedges). A triangle
+# whose edges all predate the batch is never enumerated; one closed by
+# several same-batch edges collapses under the canonical-triple
+# DISTINCT. Accumulated Σ deltas must equal the one-shot count, and the
+# read-time summary (nodes/edges/wedges re-derived from the edge index,
+# triangles = Σ deltas) hash-matches the batch q_triangles oracle
+# VERBATIM — delta-correctness proven through the differential gate.
+#
+# Deliberate contrast with the batch op: degree ORIENTATION is not
+# stable under streaming (arrivals change degrees, which would flip
+# stored orientations), so the index stores undirected canonical edges
+# (u < v) and enumeration canonicalizes triples instead — orientation
+# affects COST bounds only, never the count; a production deployment
+# re-orients periodically at compaction, exactly like the IVF
+# quantizer's freeze/retrain contract (similarity.stream_ann_query).
+#
+# This graph arrives ORDER-LOCAL (each order contributes its own part
+# pairs), so parity-splitting ORDERS streams the exact full edge set —
+# the co-purchase analog of document batches.
+# ---------------------------------------------------------------------------
+
+
+def _merge_triangles(
+    spark: SparkSession, batch_df: DataFrame, base: str, batch_id: int
+) -> None:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .cdc import _snapshot_applied, _snapshot_read
+
+    snap = os.path.join(base, "edges")
+    deltas = os.path.join(base, "deltas")
+    if _snapshot_applied(snap, batch_id):
+        return
+    pairs = (
+        batch_df.alias("a")
+        .join(batch_df.alias("b"), "okey")
+        .where("a.part < b.part")
+        .selectExpr("a.part AS u", "b.part AS v")
+        .distinct()
+    )
+    index = _snapshot_read(spark, snap, "u bigint, v bigint").distinct()
+    new = pairs.join(index, ["u", "v"], "left_anti").localCheckpoint()
+    # adjacency = accumulated ∪ new, both directions; the new-edge leg is
+    # the small side of every join below
+    und = index.unionByName(new)
+    adj = und.unionByName(und.selectExpr("v AS u", "u AS v"))
+    n = new.alias("n")
+    w = n.join(adj.alias("x"), F.col("x.u") == F.col("n.u")).where(
+        "x.v <> n.v"
+    ).selectExpr("n.u AS eu", "n.v AS ev", "x.v AS w")
+    closed = w.join(
+        adj.alias("c"),
+        (F.col("c.u") == F.col("ev")) & (F.col("c.v") == F.col("w")),
+        "left_semi",
+    )
+    tri = closed.selectExpr(
+        "least(eu, ev, w) AS a",
+        "CAST(eu + ev + w - least(eu, ev, w) - greatest(eu, ev, w) AS BIGINT) AS b",
+        "greatest(eu, ev, w) AS c",
+    ).distinct()
+    delta = tri.count()
+    spark.createDataFrame(
+        [(batch_id, delta)], "bid bigint, delta bigint"
+    ).write.mode("append").parquet(deltas)
+    new.write.mode("append").parquet(snap)
+    open(os.path.join(snap, f"_applied_{batch_id}"), "w").close()
+
+
+def stream_triangles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18, oracle-checked: two availableNow passes over parity-split
+    orders maintain the edge index and per-batch triangle deltas; the
+    assembled summary must hash-match the one-shot batch q_triangles."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t18_tri_")
+    src = os.path.join(base, "source")
+    ckpt = os.path.join(base, "ckpt")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    items = spark.sql(
+        "SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem"
+    )
+    items.filter("okey % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema("okey bigint, part bigint").parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: _merge_triangles(spark, df, base, bid)
+            )
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    items.filter("okey % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+
+    spark.read.parquet(os.path.join(base, "edges")).dropDuplicates(
+        ["u", "v"]
+    ).createOrReplaceTempView("tri_edges")
+    # a crash between the delta append and the marker re-appends an
+    # IDENTICAL (bid, delta) row on replay (the compute is deterministic):
+    # bid-keyed dedup on read absorbs it — the any-winner-correct pattern
+    spark.read.parquet(os.path.join(base, "deltas")).dropDuplicates(
+        ["bid"]
+    ).createOrReplaceTempView("tri_deltas")
+    return spark.sql(
+        """
+        WITH deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                       SELECT u AS n FROM tri_edges
+                       UNION ALL SELECT v AS n FROM tri_edges) e GROUP BY n),
+        gstats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(d * (d - 1)) AS BIGINT) AS wedges2 FROM deg),
+        estats AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM tri_edges),
+        tri AS (SELECT CAST(sum(delta) AS BIGINT) AS n_triangles
+                FROM tri_deltas)
+        SELECT g.n_nodes, e.n_edges, CAST(g.wedges2 / 2 AS BIGINT) AS n_wedges,
+               t.n_triangles,
+               round(6.0 * t.n_triangles / g.wedges2, 6) AS clustering_coeff
+        FROM gstats g, estats e, tri t
+        """
+    )
+
+
+from ..streaming.pipeline import _oracle_stream_conf as _osc_tri  # noqa: E402
+
+stream_triangles_query = _osc_tri(stream_triangles_query)

@@ -235,6 +235,7 @@ _EXECUTING = {
     "q_stream_constraint_audit",
     "q_stream_substring",
     "q_stream_ann",
+    "q_stream_triangles",
 }
 
 
@@ -262,6 +263,7 @@ _SCALAR_BNLJ_OK = {
     "q_silhouette",       # K-row centroid frame (same chain as q_kmeans_embed)
     "q_triangles",        # three 1-row count frames crossed for the summary row
     "q_hits",             # 1-row L1-total / node-count normalizer frames
+    "q_stream_triangles", # same three 1-row count frames as q_triangles
 }
 
 
