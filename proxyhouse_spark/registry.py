@@ -1056,6 +1056,7 @@ register("q_stream_minhash", dedup.minhash_neardup_oracle())(
 register("q_pagerank", behavior.pagerank_oracle())(behavior.pagerank)
 register("q_triangles", behavior.triangles_oracle())(behavior.triangles)
 register("q_hits", behavior.hits_oracle())(behavior.hits)
+register("q_kcore", behavior.kcore_oracle())(behavior.kcore)
 register("q_stream_triangles", behavior.triangles_oracle())(
     behavior.stream_triangles_query
 )
@@ -1140,7 +1141,7 @@ _LEAD = [
     "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
     "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
     "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
-    "q_stream_triangles",
+    "q_stream_triangles", "q_kcore",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -145,3 +145,44 @@ def test_winnow_density_and_window_coverage_guarantee(spark):
     for r in windows:
         win = set(range(r.wend - WINNOW_W + 1, r.wend + 1))
         assert selected.get(r.doc_id, set()) & win, (r.doc_id, r.wend)
+
+
+def test_kcore_matches_brute_force_peel(spark):
+    rows = registry.QUERIES["q_kcore"](spark, SF_SMALL).collect()
+    assert [r.round for r in rows] == [0, 1, 2, 3]
+    # peeling is monotone: nothing ever comes back
+    for a, b in zip(rows, rows[1:]):
+        assert b.nodes_kept <= a.nodes_kept
+        assert b.edges_kept <= a.edges_kept
+        assert b.k == a.k
+    assert rows[0].k >= 1
+    # independent brute-force peel in plain Python over the same graph
+    edges = {
+        (r.u, r.v)
+        for r in spark.sql(
+            """
+            WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+                                  l_partkey AS part FROM lineitem)
+            SELECT DISTINCT a.part AS u, b.part AS v
+            FROM items a JOIN items b
+              ON a.okey = b.okey AND a.part < b.part
+            """
+        ).collect()
+    }
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    k = (sum(deg.values()) * 4) // (len(deg) * 5)
+    assert rows[0].k == k
+    assert rows[0].nodes_kept == len(deg)
+    assert rows[0].edges_kept == len(edges)
+    for rnd in (1, 2, 3):
+        keep = {n for n, d in deg.items() if d >= k}
+        edges = {(u, v) for u, v in edges if u in keep and v in keep}
+        deg = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        assert rows[rnd].nodes_kept == len(deg), rnd
+        assert rows[rnd].edges_kept == len(edges), rnd
