@@ -497,3 +497,76 @@ def winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def winnow_oracle() -> str:
     return "WITH " + _winnow_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# cooccur_pmi — token co-occurrence pointwise mutual information, the
+# association-mining member of the text family: tf-idf ranks a token
+# within ONE document, PMI ranks a token PAIR against the independence
+# baseline across the corpus — the standard collocation/phrase-mining
+# signal (and the unit NCE/word2vec-style objectives approximate).
+# pmi(a,b) = log10(n_ab · N / (n_a · n_b)) over document-level presence.
+#
+# The scale knob is the vocabulary: pairs are formed ONLY over the
+# top-V tokens by document frequency (V = 24; rank df DESC, tok — a
+# total order). That bounds the per-document pair stage at V² however
+# large the corpus grows, and the vocab frame is an O(V)-row broadcast
+# — the same frame algebra as the unigram model and k-means centroids.
+# Rare-token collocations are a different op (they need minimum-support
+# pruning before pairing, the a-priori trick); this one is the dense
+# head where PMI is statistically meaningful.
+#
+# Exactness: all counts BIGINT; the only float is the final log10 of a
+# ratio of exact integers, rounded to 6 dp then DECIMAL-cast — the
+# unigram_logprob discipline that holds bit-identical across engines.
+#
+# At 100 TB: presence explode is a narrow scan; the per-doc pair join
+# shuffles on doc_id once; pair counts are map-side combinable into an
+# O(V²) frame. Nothing scales faster than the corpus.
+# ---------------------------------------------------------------------------
+
+PMI_VOCAB = 24
+
+
+def _pmi_sql(presence: str) -> str:
+    return f"""
+    {presence},
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ex),
+    dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY tok),
+    vocab AS (SELECT tok, df FROM dfr
+              ORDER BY df DESC, tok LIMIT {PMI_VOCAB}),
+    oc AS (SELECT e.doc_id, e.tok, v.df
+           FROM ex e JOIN vocab v ON v.tok = e.tok),
+    pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+                     CAST(count(*) AS BIGINT) AS n_ab,
+                     max(a.df) AS n_a, max(b.df) AS n_b
+              FROM oc a JOIN oc b
+                ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY a.tok, b.tok)
+    SELECT tok_a, tok_b, n_ab, n_a, n_b,
+           CAST(round(log10(CAST(n_ab AS DOUBLE) * (SELECT n_docs FROM n)
+                            / (n_a * n_b)),
+                      6) AS DECIMAL(18, 6)) AS pmi
+    FROM pairs
+    ORDER BY pmi DESC, tok_a, tok_b LIMIT 20
+    """
+
+
+_PRESENCE_SPARK = f"""ex AS (
+    SELECT DISTINCT doc_id, tok
+    FROM (SELECT doc_id, {T.TOKS_SPARK} AS toks FROM documents) tk
+    LATERAL VIEW explode(toks) t AS tok)"""
+
+_PRESENCE_DUCK = f"""ex AS (
+    SELECT DISTINCT doc_id, unnest(toks) AS tok
+    FROM (SELECT doc_id, {T.TOKS_DUCK} AS toks FROM documents) tk)"""
+
+
+def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N97: top-vocab token co-occurrence PMI (collocation mining)."""
+    _docs(spark, sf_dir)
+    return spark.sql("WITH " + _pmi_sql(_PRESENCE_SPARK))
+
+
+def cooccur_pmi_oracle() -> str:
+    return "WITH " + _pmi_sql(_PRESENCE_DUCK)

@@ -568,6 +568,7 @@ register("q_tokenizer_fertility", textops.tokenizer_fertility_oracle())(
 )
 register("q_doc_fingerprint", textops.doc_fingerprint_oracle())(textops.doc_fingerprint)
 register("q_winnow", textops.winnow_oracle())(textops.winnow)
+register("q_cooccur_pmi", textops.cooccur_pmi_oracle())(textops.cooccur_pmi)
 register("q_pii_scan", textops.pii_scan_oracle())(textops.pii_scan)
 register("q_text_normalize", textops.text_normalize_oracle())(textops.text_normalize)
 
@@ -1141,7 +1142,7 @@ _LEAD = [
     "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
     "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
     "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
-    "q_stream_triangles", "q_kcore",
+    "q_stream_triangles", "q_kcore", "q_cooccur_pmi",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

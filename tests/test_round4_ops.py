@@ -186,3 +186,30 @@ def test_kcore_matches_brute_force_peel(spark):
             deg[v] = deg.get(v, 0) + 1
         assert rows[rnd].nodes_kept == len(deg), rnd
         assert rows[rnd].edges_kept == len(edges), rnd
+
+
+def test_cooccur_pmi_counts_and_independence_baseline(spark):
+    rows = registry.QUERIES["q_cooccur_pmi"](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    import math
+
+    n_docs = spark.sql(
+        "SELECT count(DISTINCT doc_id) AS n FROM documents"
+    ).collect()[0].n
+    # brute-force presence sets for the pair members
+    toks = {}
+    for r in spark.sql(
+        "SELECT doc_id, split(text, ' ', -1) AS t FROM documents"
+    ).collect():
+        for tok in set(r.t):
+            toks.setdefault(tok, set()).add(r.doc_id)
+    for r in rows:
+        a, b = toks[r.tok_a], toks[r.tok_b]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.n_ab == len(a & b)
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        expect = round(math.log10(r.n_ab * n_docs / (r.n_a * r.n_b)), 6)
+        assert float(r.pmi) == expect, (r, expect)
+    # output is sorted by the deterministic (pmi DESC, tok_a, tok_b) key
+    keys = [(-float(r.pmi), r.tok_a, r.tok_b) for r in rows]
+    assert keys == sorted(keys)
