@@ -487,3 +487,96 @@ def kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kanon_audit_oracle() -> str:
     return "WITH " + _kanon_sql("//")
+
+
+# ---------------------------------------------------------------------------
+# label_leakage — chi-square token ↔ label association audit, the
+# feature-leakage sibling of pii_scan (what must not leave) and
+# decontaminate (what must not leak ACROSS splits): here the question is
+# what leaks INTO a label — tokens whose document-level presence
+# predicts `lang` far above chance. The same statistic doubles as
+# classic chi-square feature selection, so the top of the report is
+# both "your 'label' is encoded in surface tokens" and "these are the
+# features a classifier would key on".
+#
+# chi² per token over the full 2×L presence/label contingency table:
+# observed o = docs containing the token per label, expected under
+# independence e = n_tok · n_label / N (present row) and its complement
+# (absent row). Zero-expected cells (a token present in EVERY doc makes
+# the absent row empty) contribute 0, the standard convention.
+#
+# Exactness: every count is BIGINT; each cell's (o−e)²/e is one double
+# expression over exact integers rounded to 6 dp and DECIMAL-cast, and
+# chi² is a sum of DECIMALS — order-independent, so the distributed
+# fold cannot produce run-to-run drift (the unigram_logprob
+# discipline applied to a statistic instead of a logprob).
+#
+# At 100 TB: presence explode is narrow; obs is one map-side-combinable
+# groupBy on (tok, label); the grid is vocab × labels — vocab grows
+# sublinearly (Heaps) and labels are policy-bounded, the same
+# O(types×bins) frame contract as drift_psi. Report rows move, never
+# the corpus.
+# ---------------------------------------------------------------------------
+
+LEAKAGE_TOP = 15
+
+
+def _leakage_sql(presence: str) -> str:
+    return f"""
+    {presence},
+    doc AS (SELECT doc_id, lang FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM doc),
+    lg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+           FROM doc GROUP BY lang),
+    tkc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+            FROM ex GROUP BY tok),
+    obs AS (SELECT e.tok, d.lang, CAST(count(*) AS BIGINT) AS o
+            FROM ex e JOIN doc d ON d.doc_id = e.doc_id
+            GROUP BY e.tok, d.lang),
+    cell AS (SELECT g.tok, g.n_tok, g.n_lang,
+                    coalesce(o.o, CAST(0 AS BIGINT)) AS o1
+             FROM (SELECT t.tok, t.n_tok, l.lang, l.n_lang
+                   FROM tkc t CROSS JOIN lg l) g
+             LEFT JOIN obs o ON o.tok = g.tok AND o.lang = g.lang),
+    term AS (SELECT tok, n_tok,
+      CAST(round(
+        (o1 - CAST(n_tok * n_lang AS DOUBLE) / (SELECT n_docs FROM n))
+        * (o1 - CAST(n_tok * n_lang AS DOUBLE) / (SELECT n_docs FROM n))
+        / (CAST(n_tok * n_lang AS DOUBLE) / (SELECT n_docs FROM n))
+        + CASE WHEN n_tok = (SELECT n_docs FROM n) THEN 0.0 ELSE
+          ((n_lang - o1)
+           - CAST(((SELECT n_docs FROM n) - n_tok) * n_lang AS DOUBLE)
+             / (SELECT n_docs FROM n))
+          * ((n_lang - o1)
+             - CAST(((SELECT n_docs FROM n) - n_tok) * n_lang AS DOUBLE)
+               / (SELECT n_docs FROM n))
+          / (CAST(((SELECT n_docs FROM n) - n_tok) * n_lang AS DOUBLE)
+             / (SELECT n_docs FROM n)) END,
+        6) AS DECIMAL(18, 6)) AS t
+      FROM cell),
+    chi AS (SELECT tok, max(n_tok) AS n_tok, sum(t) AS chi2
+            FROM term GROUP BY tok)
+    SELECT tok, n_tok, CAST(chi2 AS DECIMAL(18, 6)) AS chi2
+    FROM chi ORDER BY chi2 DESC, tok LIMIT {LEAKAGE_TOP}
+    """
+
+
+_LEAK_EX_SPARK = """ex AS (
+    SELECT DISTINCT doc_id, tok
+    FROM (SELECT doc_id, split(text, ' ', -1) AS toks FROM documents) tk
+    LATERAL VIEW explode(toks) t AS tok)"""
+
+_LEAK_EX_DUCK = """ex AS (
+    SELECT DISTINCT doc_id, unnest(toks) AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents) tk)"""
+
+
+def label_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N98: chi-square token/label association (leakage + feature audit)."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _leakage_sql(_LEAK_EX_SPARK))
+
+
+def label_leakage_oracle() -> str:
+    return "WITH " + _leakage_sql(_LEAK_EX_DUCK)

@@ -1071,6 +1071,9 @@ register("q_stream_constraint_audit", quality.constraint_audit_oracle())(
     quality.stream_constraint_audit_query
 )
 register("q_kanon_audit", quality.kanon_audit_oracle())(quality.kanon_audit)
+register("q_label_leakage", quality.label_leakage_oracle())(
+    quality.label_leakage
+)
 register("q_sessionize", behavior.sessionize_oracle())(behavior.sessionize)
 register("q_join_asof_forward", relational.join_asof_forward_oracle())(
     relational.join_asof_forward
@@ -1142,7 +1145,7 @@ _LEAD = [
     "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
     "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
     "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
-    "q_stream_triangles", "q_kcore", "q_cooccur_pmi",
+    "q_stream_triangles", "q_kcore", "q_cooccur_pmi", "q_label_leakage",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -254,6 +254,9 @@ _SCALAR_BNLJ_OK = {
     "q_vocab_coverage",   # 1-row vocabulary-set frame (V tokens by construction)
     "q_zorder_stats",     # 1-row dimension-extent frame (min-max normalizer)
     "q_drift_psi",        # 10-row bin-grid frame crossed with O(#types) rows
+    "q_label_leakage",    # vocab x labels contingency grid: vocab is
+                          # Heaps-sublinear, labels policy-bounded — the
+                          # same O(types x bins) frame contract as drift_psi
     "q_stream_drift",     # same _psi_sql bin-grid over the O(types x bins) snapshot
     "q_rfm_segments",     # 1-row quartile-boundary frame (the percentile row)
     "q_basket_pairs",     # 1-row basket-count frame crossed with the top-20 cut

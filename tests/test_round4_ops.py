@@ -213,3 +213,35 @@ def test_cooccur_pmi_counts_and_independence_baseline(spark):
     # output is sorted by the deterministic (pmi DESC, tok_a, tok_b) key
     keys = [(-float(r.pmi), r.tok_a, r.tok_b) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_label_leakage_matches_scipy_free_chi_square(spark):
+    rows = registry.QUERIES["q_label_leakage"](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 15
+    docs = spark.sql("SELECT doc_id, lang, split(text, ' ', -1) AS t "
+                     "FROM documents").collect()
+    n_docs = len(docs)
+    langs = {}
+    present = {}
+    n_tok = {}
+    for d in docs:
+        langs[d.lang] = langs.get(d.lang, 0) + 1
+        for tok in set(d.t):
+            n_tok[tok] = n_tok.get(tok, 0) + 1
+            key = (tok, d.lang)
+            present[key] = present.get(key, 0) + 1
+    for r in rows:
+        assert r.n_tok == n_tok[r.tok]
+        chi2 = 0.0
+        for lang, n_lang in langs.items():
+            o1 = present.get((r.tok, lang), 0)
+            e1 = r.n_tok * n_lang / n_docs
+            cell = (o1 - e1) ** 2 / e1
+            if r.n_tok != n_docs:
+                e0 = (n_docs - r.n_tok) * n_lang / n_docs
+                cell += ((n_lang - o1) - e0) ** 2 / e0
+            chi2 += round(cell, 6)
+        assert abs(float(r.chi2) - chi2) < 1e-6, (r.tok, r.chi2, chi2)
+    # the report is a true top-k: sorted by (chi2 DESC, tok)
+    keys = [(-float(r.chi2), r.tok) for r in rows]
+    assert keys == sorted(keys)
