@@ -346,3 +346,191 @@ def silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def silhouette_oracle() -> str:
     return _silhouette_sql(_EMB_PLAIN_DUCK, duck=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming k-means — mini-batch sufficient statistics under a FROZEN
+# quantizer, adding the missing algebra class to the streaming-index
+# family: stream_ann's carrier is row-local CODES (no cross-row state at
+# all), stream_topk/skyline merge ADDITIVE SCALARS, stream_minhash
+# appends an INDEX — this one merges ADDITIVE INTEGER VECTOR SUMS.
+# Each micro-batch assigns its vectors to the nearest frozen centroid
+# (row-local argmin against the K-row quantizer artifact, broadcast)
+# and emits per-(cluster, dim) partials (count, Σ component·10⁶ as
+# BIGINT). Addition of integers is exactly associative, so snapshot
+# merge order, batch boundaries, and partition scheduling are all
+# invisible — which is precisely what the differential gate proves by
+# hash-matching the accumulated stream against a ONE-SHOT assignment of
+# the whole corpus in DuckDB.
+#
+# What deliberately does NOT stream: centroid (re)training. A Lloyd
+# iteration re-assigns the accumulated corpus under MOVED centroids —
+# a full-pass rebuild, the same freeze/recompact contrast documented on
+# stream_ann's quantizer and stream_substring's spans. The read-side
+# report IS the refinement evidence: merged means are the next-iteration
+# centroids, and `drift` (distance from the frozen centroid to the
+# merged mean) is the number an operator watches to decide when to
+# retrain.
+#
+# Exactness: components enter the carrier as micro-unit BIGINT
+# (CAST(round(x·10⁶) AS BIGINT) — the silhouette/PQ discipline); means
+# return to double only at read, rounded 6 dp; norm and drift are
+# sequential array folds (deterministic in both engines).
+#
+# At 100 TB: per-batch cost O(batch·K) narrow work + one shuffle of
+# O(K·dim) partial rows; the snapshot grows O(K·dim) per batch and the
+# read-side merge touches O(K·dim·batches) tiny rows regardless of
+# corpus size. The quantizer artifact is a K-row broadcast.
+# ---------------------------------------------------------------------------
+
+
+def _merge_kmeans(batch_df: DataFrame, cent_path: str, snap: str,
+                  batch_id: int) -> None:
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.cdc import _snapshot_applied
+
+    if _snapshot_applied(snap, batch_id):
+        return
+    sess = batch_df.sparkSession
+    cents = sess.read.parquet(cent_path)
+    dist = (
+        "round(aggregate(transform(ce, x -> x * x), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v) - 2 * aggregate(zip_with(e, ce, "
+        "(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+    )
+    assigned = (
+        batch_df.crossJoin(F.broadcast(cents))
+        .withColumn("dist", F.expr(dist))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "c")
+            ),
+        )
+        .filter("rn = 1")
+        .select("c", "e")
+    )
+    partial = (
+        assigned.select("c", F.posexplode("e").alias("pos", "v"))
+        .withColumn("s_i", F.expr("CAST(round(v * 1000000) AS BIGINT)"))
+        .groupBy("c", "pos")
+        .agg(F.count("*").alias("n"), F.sum("s_i").alias("s"))
+    )
+    partial.write.mode("append").parquet(snap)
+    open(os.path.join(snap, f"_applied_{batch_id}"), "w").close()
+
+
+_KM_REPORT = """
+    mm AS (SELECT c, pos, n,
+                  round(CAST(s AS DOUBLE) / n / 1000000.0, 6) AS m
+           FROM merged),
+    cent AS ({cent}),
+    init AS (SELECT CAST(vec_id AS INT) AS c, e AS ce FROM embc
+             WHERE vec_id < {k})
+    SELECT t.c AS cluster_id, t.n_members,
+           round(sqrt({norm}), 6) AS centroid_norm,
+           round(sqrt({driftsq}), 6) AS drift
+    FROM cent t JOIN init i ON i.c = t.c
+    ORDER BY cluster_id
+"""
+
+
+def stream_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18, oracle-checked: mini-batch sufficient-stats k-means under a
+    frozen quantizer; the merged snapshot's per-cluster counts, refined
+    centroid norms, and drift must hash-match a one-shot assignment of
+    the full corpus."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t18_kmeans_")
+    src = os.path.join(base, "source")
+    cent = os.path.join(base, "quantizer")
+    snap = os.path.join(base, "partials")
+    ckpt = os.path.join(base, "ckpt")
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    corpus = spark.sql(_EMB_PLAIN_SPARK)
+    corpus.filter(f"vec_id < {K}").selectExpr(
+        "CAST(vec_id AS INT) AS c", "e AS ce"
+    ).coalesce(1).write.parquet(cent)
+    corpus.filter("vec_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "vec_id bigint, e array<double>"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: _merge_kmeans(df, cent, snap, bid))
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    corpus.filter("vec_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        src
+    )
+    _await_or_raise(one_pass())
+
+    spark.read.parquet(snap).createOrReplaceTempView("km_partials")
+    corpus.createOrReplaceTempView("embc")
+    norm = _norm2("me", duck=False)
+    driftsq = (
+        "aggregate(zip_with(me, ce, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    report = _KM_REPORT.format(
+        cent=(
+            "SELECT c, transform(array_sort(collect_list(struct(pos, m))), "
+            "s -> s.m) AS me, CAST(max(n) AS BIGINT) AS n_members "
+            "FROM mm GROUP BY c"
+        ),
+        k=K, norm=norm, driftsq=driftsq,
+    )
+    return spark.sql(
+        """
+        WITH merged AS (SELECT c, pos, CAST(sum(n) AS BIGINT) AS n,
+                               CAST(sum(s) AS BIGINT) AS s
+                        FROM km_partials GROUP BY c, pos),
+        """
+        + report
+    )
+
+
+def stream_kmeans_oracle() -> str:
+    driftsq = (
+        f"list_sum(list_transform(range(1, {DIM + 1}), "
+        "i -> (me[i] - ce[i]) * (me[i] - ce[i])))"
+    )
+    report = _KM_REPORT.format(
+        cent=(
+            "SELECT c, list(m ORDER BY pos) AS me, "
+            "CAST(max(n) AS BIGINT) AS n_members FROM mm GROUP BY c"
+        ),
+        k=K, norm=_norm2("me", duck=True), driftsq=driftsq,
+    )
+    return (
+        f"""
+        WITH embc AS ({_EMB_PLAIN_DUCK}),
+        cents0 AS (SELECT CAST(vec_id AS INT) AS c, e AS ce FROM embc
+                   WHERE vec_id < {K}),
+        a AS {_assign("embc", "cents0", duck=True)},
+        exd AS (SELECT c, i - 1 AS pos,
+                       CAST(round(e[i] * 1000000) AS BIGINT) AS s_i
+                FROM a CROSS JOIN range(1, {DIM + 1}) t(i)),
+        merged AS (SELECT c, pos, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(s_i) AS BIGINT) AS s
+                   FROM exd GROUP BY c, pos),
+        """
+        + report
+    )
+
+
+from ..streaming.pipeline import _oracle_stream_conf as _osc_km  # noqa: E402
+
+stream_kmeans_query = _osc_km(stream_kmeans_query)

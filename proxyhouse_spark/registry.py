@@ -951,6 +951,9 @@ from .operators import clustering  # noqa: E402
 register("q_kmeans_embed", clustering.kmeans_embed_oracle())(
     clustering.kmeans_embed
 )
+register("q_stream_kmeans", clustering.stream_kmeans_oracle())(
+    clustering.stream_kmeans_query
+)
 register("q_semantic_dedup", clustering.semantic_dedup_oracle())(
     clustering.semantic_dedup
 )
@@ -1146,6 +1149,7 @@ _LEAD = [
     "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
     "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
     "q_stream_triangles", "q_kcore", "q_cooccur_pmi", "q_label_leakage",
+    "q_stream_kmeans",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

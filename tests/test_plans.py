@@ -236,6 +236,7 @@ _EXECUTING = {
     "q_stream_substring",
     "q_stream_ann",
     "q_stream_triangles",
+    "q_stream_kmeans",
 }
 
 

@@ -245,3 +245,51 @@ def test_label_leakage_matches_scipy_free_chi_square(spark):
     # the report is a true top-k: sorted by (chi2 DESC, tok)
     keys = [(-float(r.chi2), r.tok) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_stream_kmeans_fence_and_additive_carrier(spark, tmp_path):
+    """The sufficient-stats carrier is additive integer vector sums:
+    same-batch-id replay must be fenced to a no-op, a new batch id must
+    fold in exactly, and the merged stats must equal a one-shot
+    assignment of the union (batch boundaries invisible)."""
+    from proxyhouse_spark.operators.clustering import K, _merge_kmeans
+    from proxyhouse_spark.tables import table
+
+    table(spark, SF_SMALL, "embeddings").createOrReplaceTempView("embeddings")
+    corpus = spark.sql(
+        "SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS e FROM embeddings"
+    )
+    cent = str(tmp_path / "quantizer")
+    snap = str(tmp_path / "partials")
+    corpus.filter(f"vec_id < {K}").selectExpr(
+        "CAST(vec_id AS INT) AS c", "e AS ce"
+    ).write.parquet(cent)
+    half_a = corpus.filter("vec_id % 2 = 0")
+    half_b = corpus.filter("vec_id % 2 = 1")
+    _merge_kmeans(half_a, cent, snap, 0)
+    n_after_first = (
+        spark.read.parquet(snap).groupBy().sum("n").collect()[0][0]
+    )
+    _merge_kmeans(half_a, cent, snap, 0)  # replay of a committed batch
+    assert (
+        spark.read.parquet(snap).groupBy().sum("n").collect()[0][0]
+        == n_after_first
+    ), "fenced replay must not append partials"
+    _merge_kmeans(half_b, cent, snap, 1)
+    merged = {
+        (r.c, r.pos): (r.n, r.s)
+        for r in spark.read.parquet(snap)
+        .groupBy("c", "pos")
+        .agg({"n": "sum", "s": "sum"})
+        .withColumnRenamed("sum(n)", "n")
+        .withColumnRenamed("sum(s)", "s")
+        .collect()
+    }
+    # one-shot assignment of the union must equal the merged carrier
+    oneshot_dir = str(tmp_path / "oneshot")
+    _merge_kmeans(corpus, cent, oneshot_dir, 0)
+    oneshot = {
+        (r.c, r.pos): (r.n, r.s)
+        for r in spark.read.parquet(oneshot_dir).collect()
+    }
+    assert merged == oneshot
