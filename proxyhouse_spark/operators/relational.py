@@ -1153,3 +1153,95 @@ def join_asof_forward_oracle() -> str:
     FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
       ON j.event_id = e.event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# join_asof_tolerance — the third member of the as-of family: backward
+# as-of (J3) answers "latest prior", forward as-of answers "earliest
+# next", this one answers "latest prior IF RECENT ENOUGH" — the
+# attribution-window join (pandas merge_asof's `tolerance=`): each
+# purchase event matched to the same user's latest preceding click,
+# but only when that click falls inside the 2-day attribution window;
+# stale clicks yield an explicit NULL (LEFT semantics), because "no
+# recent touchpoint" is the signal attribution pipelines act on.
+#
+# Same union-merge core as J3 — ONE shuffle+sort of clicks ∪ purchases
+# on user_id, carry the last click forward, and the tolerance is a
+# POST-FILTER on the carried row: the carry is oblivious to the window,
+# so no second scan, no per-tolerance re-join, and the plan is
+# byte-identical to J3's zero-join shape. The equi-join + argmax
+# spelling would put the tolerance in the ON clause and still expand
+# O(purchases × clicks-per-user); here it is one comparison per
+# purchase row. Tie discipline inherited from the core: same-instant
+# clicks sort before purchases (inclusive contract), equal-ts clicks
+# resolve to the highest click_id — exactly the oracle's
+# (ts DESC, click_id DESC) argmax.
+#
+# At 100 TB: identical scale story to J3 (cost O((|C|+|P|) log) in one
+# partitioned sort); the 2-day window additionally BOUNDS streaming
+# state if this is run continuously (it is the watermark horizon).
+# ---------------------------------------------------------------------------
+
+ASOF_TOL_SECS = 2 * 86400
+
+
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3b: attribution-window as-of — latest prior click within 2 days."""
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ts_type = events.schema["ts"].dataType
+    p = events.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(None).cast(ts_type).alias("click_ts"),
+    )
+    c = events.filter("event_type = 'click'").select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    carried = union_merge_asof(p, c, ["click_id", "click_ts"], F.col("click_id"))
+    gap_us = F.expr("timestampdiff(MICROSECOND, l_click_ts, t)")
+    within = F.col("l_click_id").isNotNull() & (
+        gap_us <= F.lit(ASOF_TOL_SECS * 1_000_000)
+    )
+    return carried.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("uid").alias("user_id"),
+        F.when(within, F.col("l_click_id")).alias("click_id"),
+        F.when(
+            within,
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND, l_click_ts, t) "
+                "div 1000000 AS BIGINT)"
+            ),
+        ).alias("gap_secs"),
+    )
+
+
+def join_asof_tolerance_oracle() -> str:
+    return f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    j AS (SELECT p.event_id, c.click_id,
+                 (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_secs,
+                 row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.ts DESC, c.click_id DESC)
+                   AS rn
+          FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+            AND epoch_us(p.ts) - epoch_us(c.ts)
+                <= CAST({ASOF_TOL_SECS} AS BIGINT) * 1000000)
+    SELECT p.event_id AS purchase_id, p.user_id,
+           j.click_id, CAST(j.gap_secs AS BIGINT) AS gap_secs
+    FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+      ON j.event_id = p.event_id
+    """

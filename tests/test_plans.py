@@ -65,6 +65,17 @@ def test_join_asof_is_union_merge_not_expansion(spark):
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
 
 
+def test_join_asof_tolerance_keeps_the_zero_join_plan(spark):
+    # the tolerance is a POST-FILTER on the carried row, so the plan must
+    # stay byte-for-byte J3-shaped: no join node, one data exchange, the
+    # carry-forward window — a tolerance that crept into an ON clause
+    # would resurrect the purchases×clicks expansion
+    tree = tree_of(plan_of(spark, "q_join_asof_tolerance"))
+    assert "Join" not in tree
+    assert "Window" in tree
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
 def test_core_concat_is_single_shuffle(spark):
     # map-side partial agg + exactly one exchange on the grouping key
     tree = tree_of(plan_of(spark, "q_groupby_concat"))

@@ -293,3 +293,41 @@ def test_stream_kmeans_fence_and_additive_carrier(spark, tmp_path):
         for r in spark.read.parquet(oneshot_dir).collect()
     }
     assert merged == oneshot
+
+
+def test_asof_tolerance_window_semantics(spark):
+    from proxyhouse_spark.operators.relational import ASOF_TOL_SECS
+
+    from proxyhouse_spark.tables import table
+
+    rows = registry.QUERIES["q_join_asof_tolerance"](spark, SF_SMALL).collect()
+    events = table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    clicks = {}
+    purchases = {}
+    for e in events:
+        if e.event_type == "click":
+            clicks.setdefault(e.user_id, []).append(e)
+        elif e.event_type == "purchase":
+            purchases[e.event_id] = e
+    assert len(rows) == len(purchases)  # LEFT semantics: every purchase
+    matched = unmatched = 0
+    for r in rows:
+        p = purchases[r.purchase_id]
+        eligible = [
+            c for c in clicks.get(p.user_id, [])
+            if c.ts <= p.ts
+            and (p.ts - c.ts).total_seconds() <= ASOF_TOL_SECS
+        ]
+        if r.click_id is None:
+            unmatched += 1
+            assert not eligible, (r.purchase_id, "should have matched")
+        else:
+            matched += 1
+            best = max(eligible, key=lambda c: (c.ts, c.event_id))
+            assert r.click_id == best.event_id
+            assert r.gap_secs == int(
+                (p.ts - best.ts).total_seconds()
+            ), r
+    assert matched and unmatched, "tolerance must split the fixture"
