@@ -580,3 +580,74 @@ def label_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def label_leakage_oracle() -> str:
     return "WITH " + _leakage_sql(_LEAK_EX_DUCK)
+
+
+# ---------------------------------------------------------------------------
+# dp_counts — ε-differentially-private count release (Dwork et al. 2006:
+# Laplace mechanism), completing the privacy family's second half:
+# kanon_audit DIAGNOSES re-identification risk in data you keep,
+# dp_counts is the mechanism for the numbers you RELEASE. Per-
+# (lang, source) document counts with sensitivity 1 (one document moves
+# one cell by one), Laplace(1/ε) noise, non-negativity clamp and
+# integer rounding as post-processing (both privacy-free under the
+# post-processing theorem).
+#
+# Determinism caveat, stated loudly: the noise here is SEEDED — a
+# md5-hash uniform pushed through the Laplace inverse CDF — because the
+# differential gate must reproduce the release bit-for-bit on two
+# engines. Seeded noise is NOT private (an adversary who knows the seed
+# subtracts it); a production release swaps ONE expression — the
+# hash-uniform for a secure RNG draw — and every other part (the
+# sensitivity analysis, the ε accounting, the clamp, the rounding, the
+# never-materialize-true-counts discipline) is exactly what ships. The
+# op therefore demonstrates and tests the MECHANICS of a DP release
+# pipeline, which is the part a data platform owns; entropy is the
+# deployment's job.
+#
+# Exactness: true counts BIGINT; u = (md5-derived integer + 0.5)/10⁶ is
+# an exact rational in (0,1); the only float work is one ln() and one
+# multiply, rounded 6 dp before the add — the established discipline.
+#
+# At 100 TB: one map-side-combinable groupBy; noise is a per-group
+# narrow expression; the release is O(groups) rows. Nothing else moves.
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  # Laplace scale b = sensitivity / epsilon = 1
+
+
+def _dp_sql(md5int: str) -> str:
+    u = f"(({md5int} % 1000000) + 0.5) / 1000000.0"
+    noise = (
+        f"round(CASE WHEN {u} < 0.5 THEN ln(2.0 * ({u})) "
+        f"ELSE -ln(2.0 * (1.0 - ({u}))) END, 6)"
+    )
+    return f"""
+    g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS true_n
+          FROM documents GROUP BY lang, source),
+    noisy AS (SELECT lang, source,
+                     CAST(round(true_n + {noise}) AS BIGINT) AS released
+              FROM g)
+    SELECT lang, source,
+           CASE WHEN released < 0 THEN CAST(0 AS BIGINT) ELSE released END
+             AS released_n,
+           CAST({DP_EPSILON} AS DOUBLE) AS epsilon
+    FROM noisy
+    ORDER BY lang, source
+    """
+
+
+_DP_SEED_S = "concat('dp1:', lang, ':', source)"
+
+
+def dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N100: Laplace-mechanism DP count release (seeded for the gate)."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    md5int = f"CAST(conv(substr(md5({_DP_SEED_S}), 1, 12), 16, 10) AS BIGINT)"
+    return spark.sql("WITH " + _dp_sql(md5int))
+
+
+def dp_counts_oracle() -> str:
+    md5int = (
+        f"CAST(concat('0x', substr(md5({_DP_SEED_S}), 1, 12)) AS BIGINT)"
+    )
+    return "WITH " + _dp_sql(md5int)

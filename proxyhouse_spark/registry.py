@@ -1077,6 +1077,7 @@ register("q_kanon_audit", quality.kanon_audit_oracle())(quality.kanon_audit)
 register("q_label_leakage", quality.label_leakage_oracle())(
     quality.label_leakage
 )
+register("q_dp_counts", quality.dp_counts_oracle())(quality.dp_counts)
 register("q_sessionize", behavior.sessionize_oracle())(behavior.sessionize)
 register("q_join_asof_tolerance", relational.join_asof_tolerance_oracle())(
     relational.join_asof_tolerance
@@ -1152,7 +1153,7 @@ _LEAD = [
     "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
     "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
     "q_stream_triangles", "q_kcore", "q_cooccur_pmi", "q_label_leakage",
-    "q_stream_kmeans", "q_join_asof_tolerance",
+    "q_stream_kmeans", "q_join_asof_tolerance", "q_dp_counts",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

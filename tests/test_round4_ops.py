@@ -331,3 +331,27 @@ def test_asof_tolerance_window_semantics(spark):
                 (p.ts - best.ts).total_seconds()
             ), r
     assert matched and unmatched, "tolerance must split the fixture"
+
+
+def test_dp_counts_noise_bound_and_utility(spark):
+    """The seeded Laplace release: |released - true| is bounded by the
+    mechanism's worst draw (|noise| <= ln(10^6) ~ 13.8 at b=1), the
+    clamp keeps the release non-negative, and at least one cell is
+    actually perturbed (the mechanism is not the identity)."""
+    rows = registry.QUERIES["q_dp_counts"](spark, SF_SMALL).collect()
+    true = {
+        (r.lang, r.source): r.n
+        for r in spark.sql(
+            "SELECT lang, source, count(*) AS n FROM documents "
+            "GROUP BY lang, source"
+        ).collect()
+    }
+    assert {(r.lang, r.source) for r in rows} == set(true)
+    perturbed = 0
+    for r in rows:
+        assert r.released_n >= 0
+        assert r.epsilon == 1.0
+        err = abs(r.released_n - true[(r.lang, r.source)])
+        assert err <= 15, (r, true[(r.lang, r.source)])
+        perturbed += err > 0
+    assert perturbed > 0
