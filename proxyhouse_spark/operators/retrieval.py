@@ -395,3 +395,84 @@ def unigram_logprob_oracle() -> str:
         _DT_DUCK, "CROSS JOIN", "quantile_cont",
         f"[{_TERCILES}]", ihi=2, ilo=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob — conditional bigram LM scoring with add-one smoothing,
+# the second rung of the LM-quality ladder: unigram_logprob scores
+# documents by marginal token frequency (good for gibberish/boilerplate
+# cuts), the bigram model scores SEQUENCE plausibility — the signal that
+# separates shuffled-word salad from fluent text, which the unigram
+# model cannot see by construction. Train/eval discipline borrowed from
+# decontaminate: the model trains on doc_id % EVAL_MOD != 0 and scores
+# the held-out slice, so the score is a true out-of-fold perplexity (a
+# document never smooths its own bigrams into the model).
+#
+# p(w2|w1) = (c12 + 1) / (c1 + V): Laplace smoothing keeps unseen
+# bigrams (and eval-only tokens, c1 = 0) finite and identically valued
+# on both engines. log10 rounded 6 dp → DECIMAL before the per-doc sum
+# (order-independent, the unigram discipline); mean and perplexity
+# derived at the end, rounded 4.
+#
+# At 100 TB: the trained model is O(observed bigrams) ≤ min(corpus
+# tokens, V²) rows keyed by (w1, w2) — bigger than the unigram model's
+# broadcastable O(V), so scoring is spelled as EQUI-JOINS on the bigram
+# key (shuffle-hash; the eval side is small by the held-out definition,
+# the model side shuffles once). V itself rides a 1-row scalar frame.
+# ---------------------------------------------------------------------------
+
+
+def _bigram_sql(toks: str, w1: str, w2: str, posrange: str) -> str:
+    return f"""
+    tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+    bg AS (SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM tk{posrange}),
+    tr AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM bg WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY w1, w2),
+    un AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+           FROM bg WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY w1),
+    vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+             SELECT w1 AS w FROM bg WHERE doc_id % {EVAL_MOD} <> 0
+             UNION ALL
+             SELECT w2 AS w FROM bg WHERE doc_id % {EVAL_MOD} <> 0) x),
+    sc AS (SELECT e.doc_id,
+             CAST(round(log10((coalesce(t.c12, 0) + 1.0)
+                              / (coalesce(u.c1, 0) + (SELECT v FROM vv))),
+                        6) AS DECIMAL(18, 6)) AS lp
+           FROM bg e
+           LEFT JOIN tr t ON t.w1 = e.w1 AND t.w2 = e.w2
+           LEFT JOIN un u ON u.w1 = e.w1
+           WHERE e.doc_id % {EVAL_MOD} = 0),
+    doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   sum(lp) AS sum_lp
+            FROM sc GROUP BY doc_id)
+    SELECT doc_id, n_bigrams,
+           round(CAST(sum_lp AS DOUBLE) / n_bigrams, 4) AS mean_lp,
+           round(pow(10.0, -(round(CAST(sum_lp AS DOUBLE) / n_bigrams, 4))),
+                 4) AS perplexity
+    FROM doc ORDER BY doc_id
+    """
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N101: held-out bigram LM scoring (add-one smoothed, out-of-fold)."""
+    _docs(spark, sf_dir)
+    posrange = (
+        " LATERAL VIEW explode(slice(sequence(1, size(toks)), 1, "
+        "greatest(size(toks) - 1, 0))) t AS i"
+    )
+    return spark.sql(
+        "WITH "
+        + _bigram_sql(
+            "split(text, ' ', -1)",
+            "element_at(toks, i)",
+            "element_at(toks, i + 1)",
+            posrange,
+        )
+    )
+
+
+def bigram_logprob_oracle() -> str:
+    posrange = ", unnest(range(1, len(toks))) AS t(i)"
+    return "WITH " + _bigram_sql(
+        "string_split(text, ' ')", "toks[i]", "toks[i + 1]", posrange
+    )

@@ -942,6 +942,9 @@ register("q_stream_skyline", relational.skyline_oracle())(
     cdc.stream_skyline_query
 )
 register("q_stream_topk", cdc.stream_topk_oracle())(cdc.stream_topk_query)
+register("q_bigram_logprob", retrieval.bigram_logprob_oracle())(
+    retrieval.bigram_logprob
+)
 register("q_unigram_logprob", retrieval.unigram_logprob_oracle())(
     retrieval.unigram_logprob
 )
@@ -1154,6 +1157,7 @@ _LEAD = [
     "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
     "q_stream_triangles", "q_kcore", "q_cooccur_pmi", "q_label_leakage",
     "q_stream_kmeans", "q_join_asof_tolerance", "q_dp_counts",
+    "q_bigram_logprob",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -355,3 +355,43 @@ def test_dp_counts_noise_bound_and_utility(spark):
         assert err <= 15, (r, true[(r.lang, r.source)])
         perturbed += err > 0
     assert perturbed > 0
+
+
+def test_bigram_logprob_is_out_of_fold_add_one(spark):
+    import math
+
+    from proxyhouse_spark.operators.retrieval import EVAL_MOD
+
+    rows = registry.QUERIES["q_bigram_logprob"](spark, SF_SMALL).collect()
+    docs = spark.sql(
+        "SELECT doc_id, split(text, ' ', -1) AS t FROM documents"
+    ).collect()
+    tr12, tr1, vocab = {}, {}, set()
+    eval_docs = {}
+    for d in docs:
+        bgs = list(zip(d.t, d.t[1:]))
+        if d.doc_id % EVAL_MOD == 0:
+            eval_docs[d.doc_id] = bgs
+        else:
+            vocab.update(d.t)
+            for a, b in bgs:
+                tr12[(a, b)] = tr12.get((a, b), 0) + 1
+                tr1[a] = tr1.get(a, 0) + 1
+    # vocab as the op counts it: distinct tokens PARTICIPATING in train
+    # bigrams (w1 ∪ w2) — for multi-token docs that is every token
+    v = len(vocab)
+    assert {r.doc_id for r in rows} == set(eval_docs)
+    for r in rows:
+        bgs = eval_docs[r.doc_id]
+        assert r.n_bigrams == len(bgs)
+        sum_lp = sum(
+            round(
+                math.log10((tr12.get(bg, 0) + 1.0) / (tr1.get(bg[0], 0) + v)),
+                6,
+            )
+            for bg in bgs
+        )
+        mean = round(sum_lp / len(bgs), 4)
+        assert abs(r.mean_lp - mean) < 1e-9, (r.doc_id, r.mean_lp, mean)
+        assert r.mean_lp < 0
+        assert abs(r.perplexity - round(10.0 ** -mean, 4)) < 1e-9
