@@ -1357,3 +1357,72 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kcore_oracle() -> str:
     return "WITH " + _kcore_sql("//")
+
+
+# ---------------------------------------------------------------------------
+# assortativity — degree-mixing coefficient (Newman 2002), the summary
+# statistic that closes the graph-structure trio: triangles measure
+# local closure, k-core measures density layering, assortativity
+# measures WHO connects to whom — hubs-to-hubs (r > 0, social-network
+# shape) vs hubs-to-leaves (r < 0, internet/protein shape). It decides
+# which skew strategy a pipeline needs: disassortative graphs
+# concentrate join fan-out on hub keys (salt them), assortative ones
+# spread it.
+#
+# r = Pearson correlation of endpoint degrees over the DIRECTED view of
+# the symmetric edge set (each undirected edge contributes both
+# orientations — Newman's definition; it also makes the x and y moment
+# sums symmetric by construction, a free consistency check). All five
+# moments are BIGINT sums of exact integers — with max degree d and m
+# edges the largest (Σxy ≤ 2m·d²) fits BIGINT through d ≈ 10⁶ at
+# billion-edge scale; past that the sums widen to DECIMAL(38,0), same
+# plan. The single double appears in the final 1-row Pearson ratio,
+# rounded 6 dp.
+#
+# At 100 TB: degree fold is map-side combinable; the two degree
+# attachments are equi-joins on the node key (shuffle-hash, nothing
+# quadratic); the moment fold collapses everything to ONE row before
+# any float exists.
+# ---------------------------------------------------------------------------
+
+_ASSORT = """
+    items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+              FROM lineitem),
+    pairs AS (SELECT DISTINCT a.part AS u, b.part AS v
+              FROM items a JOIN items b
+                ON a.okey = b.okey AND a.part < b.part),
+    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs) x
+            GROUP BY n),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    j AS (SELECT du.d AS x, dv.d AS y FROM sym s
+          JOIN deg du ON du.n = s.u JOIN deg dv ON dv.n = s.v),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy FROM j),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(min(d) AS BIGINT) AS min_degree,
+                 CAST(max(d) AS BIGINT) AS max_degree FROM deg),
+    e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+    SELECT g.n_nodes, e.n_edges, g.min_degree, g.max_degree,
+           round((CAST(m.n AS DOUBLE) * m.sxy
+                  - CAST(m.sx AS DOUBLE) * m.sy)
+                 / sqrt((CAST(m.n AS DOUBLE) * m.sxx
+                         - CAST(m.sx AS DOUBLE) * m.sx)
+                        * (CAST(m.n AS DOUBLE) * m.syy
+                           - CAST(m.sy AS DOUBLE) * m.sy)),
+                 6) AS assortativity
+    FROM m, g, e
+"""
+
+
+def assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N102: Newman degree-assortativity over the co-purchase graph."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("WITH " + _ASSORT)
+
+
+def assortativity_oracle() -> str:
+    return "WITH " + _ASSORT

@@ -1064,6 +1064,9 @@ register("q_pagerank", behavior.pagerank_oracle())(behavior.pagerank)
 register("q_triangles", behavior.triangles_oracle())(behavior.triangles)
 register("q_hits", behavior.hits_oracle())(behavior.hits)
 register("q_kcore", behavior.kcore_oracle())(behavior.kcore)
+register("q_assortativity", behavior.assortativity_oracle())(
+    behavior.assortativity
+)
 register("q_stream_triangles", behavior.triangles_oracle())(
     behavior.stream_triangles_query
 )
@@ -1157,7 +1160,7 @@ _LEAD = [
     "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
     "q_stream_triangles", "q_kcore", "q_cooccur_pmi", "q_label_leakage",
     "q_stream_kmeans", "q_join_asof_tolerance", "q_dp_counts",
-    "q_bigram_logprob",
+    "q_bigram_logprob", "q_assortativity",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

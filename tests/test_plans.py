@@ -277,6 +277,8 @@ _SCALAR_BNLJ_OK = {
     "q_ann_recall",       # 5-row probe set crossed into both scoring branches
     "q_silhouette",       # K-row centroid frame (same chain as q_kmeans_embed)
     "q_triangles",        # three 1-row count frames crossed for the summary row
+    "q_assortativity",    # three 1-row frames (moments, degree extrema, edge
+                          # count) crossed for the single summary row
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
 }

@@ -395,3 +395,40 @@ def test_bigram_logprob_is_out_of_fold_add_one(spark):
         assert abs(r.mean_lp - mean) < 1e-9, (r.doc_id, r.mean_lp, mean)
         assert r.mean_lp < 0
         assert abs(r.perplexity - round(10.0 ** -mean, 4)) < 1e-9
+
+
+def test_assortativity_matches_numpy_free_pearson(spark):
+    r = registry.QUERIES["q_assortativity"](spark, SF_SMALL).collect()[0]
+    edges = {
+        (e.u, e.v)
+        for e in spark.sql(
+            """
+            WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+                                  l_partkey AS part FROM lineitem)
+            SELECT DISTINCT a.part AS u, b.part AS v
+            FROM items a JOIN items b
+              ON a.okey = b.okey AND a.part < b.part
+            """
+        ).collect()
+    }
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert r.n_nodes == len(deg) and r.n_edges == len(edges)
+    assert r.min_degree == min(deg.values())
+    assert r.max_degree == max(deg.values())
+    xs = [deg[u] for u, v in edges] + [deg[v] for u, v in edges]
+    ys = [deg[v] for u, v in edges] + [deg[u] for u, v in edges]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    expect = round(
+        (n * sxy - sx * sy)
+        / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5,
+        6,
+    )
+    assert abs(r.assortativity - expect) < 1e-9
+    assert -1.0 <= r.assortativity <= 1.0
