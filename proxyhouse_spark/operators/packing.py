@@ -174,3 +174,91 @@ def bpe_pairs_oracle() -> str:
     FROM p GROUP BY pair
     ORDER BY n_occ DESC, pair LIMIT {TOP_PAIRS}
     """
+
+
+# ---------------------------------------------------------------------------
+# bpe_apply — the APPLY half of BPE, closing the tokenizer loop:
+# bpe_pairs learns merge candidates, tokenizer_fertility audits the
+# result, this op actually segments the vocabulary with the top-4
+# learned merges (Sennrich et al. 2016's encode step). One GENERATION:
+# all four merges come from the initial character-pair statistics and
+# apply in rank order — full BPE re-counts pairs after every merge,
+# which is a learn→apply driver loop over exactly this plan (the
+# kmeans_embed iteration contract; one generation keeps the op a single
+# differentially-checkable query).
+#
+# Mechanics: each word type becomes a space-separated symbol string
+# (" s p a r k "), and a rank-r merge rewrites " a b " → " ab ".
+# String replace scans the SOURCE left-to-right, so one pass merges
+# alternating occurrences of a run ("a a a a" → "aa a a"); each merge
+# is therefore applied in FOUR passes — enough to reach the fixpoint
+# for any word up to 16 symbols (runs halve per pass), pinned by an
+# idempotence test (a fifth pass changes nothing). Both engines share
+# the same greedy non-overlapping replace semantics, which the
+# differential proves.
+#
+# At 100 TB: the merge table is a 1-row frame (the whitelisted scalar
+# cross); segmentation is narrow codegen over word TYPES (the
+# bpe_pairs vocabulary trick — cost O(|vocab| · word_len), independent
+# of corpus size); the top-k cut plans TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+N_MERGES = 4
+MERGE_PASSES = 4
+
+
+def _bpe_apply_sql(wsplit: str, spaced: str, nsyms: str) -> str:
+    s = "rep"
+    for r in range(1, N_MERGES + 1):
+        pat = f"concat(' ', substr(p{r}, 1, 1), ' ', substr(p{r}, 2, 1), ' ')"
+        sub = f"concat(' ', p{r}, ' ')"
+        for _ in range(MERGE_PASSES):
+            s = f"replace({s}, {pat}, {sub})"
+    ranked = ", ".join(
+        f"max(CASE WHEN rnk = {r} THEN pair END) AS p{r}"
+        for r in range(1, N_MERGES + 1)
+    )
+    return f"""
+    w AS (SELECT {wsplit} AS word FROM documents),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wcount
+           FROM w GROUP BY word),
+    pr AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, wcount
+           FROM wc{{posrange}}
+           WHERE length(word) >= 2),
+    pc AS (SELECT pair, CAST(sum(wcount) AS BIGINT) AS n_occ
+           FROM pr GROUP BY pair
+           ORDER BY n_occ DESC, pair LIMIT {N_MERGES}),
+    m AS (SELECT {ranked} FROM (
+            SELECT pair, row_number() OVER (ORDER BY n_occ DESC, pair)
+              AS rnk FROM pc) x),
+    seg AS (SELECT word, wcount, trim({s}) AS segmented
+            FROM (SELECT word, wcount, {spaced} AS rep FROM wc)
+            CROSS JOIN m)
+    SELECT word, wcount, segmented,
+           CAST(length(word) AS BIGINT) AS n_chars,
+           CAST({nsyms} AS BIGINT) AS n_syms
+    FROM seg
+    ORDER BY wcount DESC, word LIMIT 20
+    """
+
+
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N103: one-generation BPE encode with the top-4 learned merges."""
+    _docs(spark, sf_dir)
+    sql = _bpe_apply_sql(
+        "explode(split(text, ' ', -1))",
+        "concat(' ', regexp_replace(word, '(.)', '$1 '))",
+        "size(split(segmented, ' ', -1))",
+    ).format(
+        posrange=" LATERAL VIEW explode(sequence(1, length(word) - 1)) t AS i"
+    )
+    return spark.sql("WITH " + sql)
+
+
+def bpe_apply_oracle() -> str:
+    sql = _bpe_apply_sql(
+        "unnest(string_split(text, ' '))",
+        r"concat(' ', regexp_replace(word, '(.)', '\1 ', 'g'))",
+        "len(string_split(segmented, ' '))",
+    ).format(posrange=", unnest(range(1, length(word))) AS t(i)")
+    return "WITH " + sql

@@ -979,6 +979,7 @@ register("q_pack_global", packing.pack_global_oracle())(
     packing.pack_global
 )
 register("q_bpe_pairs", packing.bpe_pairs_oracle())(packing.bpe_pairs)
+register("q_bpe_apply", packing.bpe_apply_oracle())(packing.bpe_apply)
 register("q_snapshot_diff", cdc.snapshot_diff_oracle())(cdc.snapshot_diff)
 
 from .operators import layout  # noqa: E402
@@ -1160,7 +1161,7 @@ _LEAD = [
     "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
     "q_stream_triangles", "q_kcore", "q_cooccur_pmi", "q_label_leakage",
     "q_stream_kmeans", "q_join_asof_tolerance", "q_dp_counts",
-    "q_bigram_logprob", "q_assortativity",
+    "q_bigram_logprob", "q_assortativity", "q_bpe_apply",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

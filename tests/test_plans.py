@@ -279,6 +279,8 @@ _SCALAR_BNLJ_OK = {
     "q_triangles",        # three 1-row count frames crossed for the summary row
     "q_assortativity",    # three 1-row frames (moments, degree extrema, edge
                           # count) crossed for the single summary row
+    "q_bpe_apply",        # 1-row pivoted merge-table frame (top-4 pairs)
+                          # crossed into the vocabulary segmentation
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
 }
@@ -317,6 +319,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "q_vocab_coverage",  # row_number over the vocab frame cut to its top-V
                          # head — vocab grows sublinearly (Heaps) and the cut
                          # is the op's own output bound
+    "q_bpe_apply",    # row_number over the LIMIT-4 merge-candidate frame
+                      # (O(N_MERGES) rows by construction)
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec

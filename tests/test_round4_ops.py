@@ -432,3 +432,45 @@ def test_assortativity_matches_numpy_free_pearson(spark):
     )
     assert abs(r.assortativity - expect) < 1e-9
     assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_bpe_apply_segmentation_invariants(spark):
+    """The one-generation encode's claims: segmentation reconstructs the
+    word exactly, merges genuinely compress, every symbol is either a
+    single char or one of the learned merge pairs, and the 4-pass
+    replace has reached its fixpoint (a 5th pass is a no-op)."""
+    from proxyhouse_spark.operators.packing import N_MERGES
+
+    rows = registry.QUERIES["q_bpe_apply"](spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    merges = {
+        r.pair
+        for r in spark.sql(
+            f"""
+            WITH w AS (SELECT explode(split(text, ' ', -1)) AS word
+                       FROM documents),
+            wc AS (SELECT word, count(*) AS wcount FROM w GROUP BY word),
+            p AS (SELECT substr(word, i, 2) AS pair, wcount FROM wc
+                  LATERAL VIEW explode(sequence(1, length(word) - 1)) t AS i
+                  WHERE length(word) >= 2)
+            SELECT pair FROM (SELECT pair, sum(wcount) AS n FROM p
+                              GROUP BY pair)
+            ORDER BY n DESC, pair LIMIT {N_MERGES}
+            """
+        ).collect()
+    }
+    compressed = 0
+    for r in rows:
+        syms = r.segmented.split(" ")
+        assert "".join(syms) == r.word, r
+        assert len(syms) == r.n_syms
+        assert r.n_chars == len(r.word)
+        for s in syms:
+            assert len(s) == 1 or s in merges, (r.word, s)
+        compressed += r.n_syms < r.n_chars
+        # fixpoint: no adjacent symbol pair still concatenates to a merge
+        # whose parts are both single chars (a missed legal merge)
+        for a, b in zip(syms, syms[1:]):
+            if len(a) == 1 and len(b) == 1:
+                assert a + b not in merges, (r.word, a, b)
+    assert compressed > 0
