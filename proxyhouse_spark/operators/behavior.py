@@ -1426,3 +1426,113 @@ def assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def assortativity_oracle() -> str:
     return "WITH " + _ASSORT
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops — breadth-first hop-expansion profile, the TRAVERSAL member
+# completing the graph family (diffusion = pagerank, contraction =
+# label-prop CC, closure = triangles, layering = k-core, bipartite =
+# HITS, mixing = assortativity): from a deterministic source (the
+# max-degree node, ties to the smallest id — the "where would an
+# outbreak start" convention), how much of the graph does each hop
+# reach? The per-hop frontier/visited counts are the expansion profile
+# that sizes iterative graph workloads (a frontier that saturates by
+# hop 2 means 2 join rounds, not a 30-round budget) and estimates the
+# effective diameter.
+#
+# Three hops unrolled (saturation on the dense co-purchase graph is
+# hop-2; the loop-until-empty-frontier machinery lives in
+# q_dedup_clusters). Each hop = one equi-join frontier⋈edges on the
+# node key + an anti-join against visited — both keyed, nothing
+# quadratic. Spark stages each hop's frontier/visited frames through
+# scoped_checkpoint (the kcore lesson: Catalyst inlines CTEs and each
+# hop references its predecessors multiply). All counts BIGINT;
+# bit-exact differential by construction.
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 3
+
+
+def _bfs_oracle_sql() -> str:
+    hops = []
+    for h in range(1, BFS_HOPS + 1):
+        hops.append(f"""
+    f{h} AS (SELECT DISTINCT s.v AS n FROM sym s
+             JOIN f{h - 1} f ON f.n = s.u
+             WHERE s.v NOT IN (SELECT n FROM vis{h - 1})),
+    vis{h} AS (SELECT n FROM vis{h - 1} UNION SELECT n FROM f{h})""")
+    rounds = " UNION ALL ".join(
+        f"""SELECT {h} AS hop, (SELECT count(*) FROM f{h}) AS frontier,
+            (SELECT count(*) FROM vis{h}) AS visited"""
+        for h in range(0, BFS_HOPS + 1)
+    )
+    return f"""
+    items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+              FROM lineitem),
+    pairs AS (SELECT DISTINCT a.part AS u, b.part AS v
+              FROM items a JOIN items b
+                ON a.okey = b.okey AND a.part < b.part),
+    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v
+            FROM pairs),
+    deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM sym
+            GROUP BY u),
+    src AS (SELECT n FROM deg ORDER BY d DESC, n LIMIT 1),
+    f0 AS (SELECT n FROM src),
+    vis0 AS (SELECT n FROM src),{",".join(hops)}
+    {rounds}
+    ORDER BY hop
+    """
+
+
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N104: BFS hop-expansion profile from the max-degree source."""
+    from ..checkpoints import scoped_checkpoint
+
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    sym = spark.sql(
+        """
+        WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+                              l_partkey AS part FROM lineitem),
+        pairs AS (SELECT DISTINCT a.part AS u, b.part AS v
+                  FROM items a JOIN items b
+                    ON a.okey = b.okey AND a.part < b.part)
+        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        """
+    )
+    sym = scoped_checkpoint(sym, "bfs_sym")
+    sym.createOrReplaceTempView("bfs_sym")
+    src = spark.sql(
+        """
+        SELECT u AS n FROM bfs_sym GROUP BY u
+        ORDER BY CAST(count(*) AS BIGINT) DESC, u LIMIT 1
+        """
+    )
+    src = scoped_checkpoint(src, "bfs_f0")
+    src.createOrReplaceTempView("bfs_f0")
+    src.createOrReplaceTempView("bfs_vis0")
+    for h in range(1, BFS_HOPS + 1):
+        f = spark.sql(
+            f"""
+            SELECT DISTINCT s.v AS n FROM bfs_sym s
+            JOIN bfs_f{h - 1} f ON f.n = s.u
+            WHERE s.v NOT IN (SELECT n FROM bfs_vis{h - 1})
+            """
+        )
+        f = scoped_checkpoint(f, f"bfs_f{h}")
+        f.createOrReplaceTempView(f"bfs_f{h}")
+        vis = spark.sql(
+            f"SELECT n FROM bfs_vis{h - 1} UNION SELECT n FROM bfs_f{h}"
+        )
+        vis = scoped_checkpoint(vis, f"bfs_vis{h}")
+        vis.createOrReplaceTempView(f"bfs_vis{h}")
+    rounds = " UNION ALL ".join(
+        f"""SELECT {h} AS hop,
+            (SELECT count(*) FROM bfs_f{h}) AS frontier,
+            (SELECT count(*) FROM bfs_vis{h}) AS visited"""
+        for h in range(0, BFS_HOPS + 1)
+    )
+    return spark.sql(rounds + " ORDER BY hop")
+
+
+def bfs_hops_oracle() -> str:
+    return "WITH " + _bfs_oracle_sql()

@@ -474,3 +474,32 @@ def test_bpe_apply_segmentation_invariants(spark):
             if len(a) == 1 and len(b) == 1:
                 assert a + b not in merges, (r.word, a, b)
     assert compressed > 0
+
+
+def test_bfs_hops_matches_brute_force_traversal(spark):
+    rows = registry.QUERIES["q_bfs_hops"](spark, SF_SMALL).collect()
+    assert [r.hop for r in rows] == [0, 1, 2, 3]
+    assert rows[0].frontier == 1 and rows[0].visited == 1
+    # visited is the cumulative union of frontiers
+    for a, b in zip(rows, rows[1:]):
+        assert b.visited == a.visited + b.frontier
+    # brute-force BFS from the same deterministic source
+    adj = {}
+    for e in spark.sql(
+        """
+        WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+                              l_partkey AS part FROM lineitem)
+        SELECT DISTINCT a.part AS u, b.part AS v
+        FROM items a JOIN items b
+          ON a.okey = b.okey AND a.part < b.part
+        """
+    ).collect():
+        adj.setdefault(e.u, set()).add(e.v)
+        adj.setdefault(e.v, set()).add(e.u)
+    src = min(adj, key=lambda n: (-len(adj[n]), n))
+    frontier, visited = {src}, {src}
+    for r in rows[1:]:
+        frontier = {m for n in frontier for m in adj[n]} - visited
+        visited |= frontier
+        assert r.frontier == len(frontier), r.hop
+        assert r.visited == len(visited), r.hop
