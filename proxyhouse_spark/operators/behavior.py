@@ -1269,17 +1269,22 @@ def _kcore_sql(idiv: str) -> str:
     # nodes_kept at round r = distinct endpoints of the surviving edge
     # frame (a kept node whose every neighbor peeled carries no edge and
     # drops out) — the same quantity the Spark side derives, so the
-    # differential compares one definition, not two.
+    # differential compares one definition, not two. This SQL is the
+    # DuckDB ORACLE only (the Spark side stages rounds imperatively);
+    # AS MATERIALIZED forces DuckDB to evaluate each multiply-referenced
+    # peel frame once — the planner's default inlining re-derives the
+    # base self-join 3^round times (measured 48.7 s → 0.09 s at sf0.01).
     peel = []
     for r in range(3):
         p, n = f"e{r + 1}", f"e{r}"
         keep, d = f"k{r}", f"d{r}"
         peel.append(f"""
-    {keep} AS (SELECT n FROM {d}, kk WHERE d >= kk.k),
-    {p} AS (SELECT u, v FROM {n}
+    {keep} AS MATERIALIZED (SELECT n FROM {d}, kk WHERE d >= kk.k),
+    {p} AS MATERIALIZED (SELECT u, v FROM {n}
             WHERE u IN (SELECT n FROM {keep})
               AND v IN (SELECT n FROM {keep})),
-    d{r + 1} AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    d{r + 1} AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d
+            FROM (
               SELECT u AS n FROM {p} UNION ALL SELECT v AS n FROM {p}) x
             GROUP BY n)""")
     rounds = " UNION ALL ".join(
@@ -1289,15 +1294,17 @@ def _kcore_sql(idiv: str) -> str:
         for r in range(4)
     )
     return f"""
-    items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+    items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
+                                  l_partkey AS part
               FROM lineitem),
-    e0 AS (SELECT DISTINCT a.part AS u, b.part AS v
+    e0 AS MATERIALIZED (SELECT DISTINCT a.part AS u, b.part AS v
            FROM items a JOIN items b
              ON a.okey = b.okey AND a.part < b.part),
-    d0 AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    d0 AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
              SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) x
            GROUP BY n),
-    kk AS (SELECT CAST((sum(d) * 4) {idiv} (count(*) * 5) AS BIGINT) AS k
+    kk AS MATERIALIZED (SELECT CAST((sum(d) * 4) {idiv} (count(*) * 5)
+                                    AS BIGINT) AS k
            FROM d0),{",".join(peel)}
     {rounds}
     ORDER BY round
@@ -1319,14 +1326,19 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = scoped_checkpoint(edges, "kcore_e0")
     edges.createOrReplaceTempView("kcore_edges_0")
-    spark.sql(
+    # the 1-row threshold frame is referenced by every round's filter AND
+    # every summary row (~7 plan references); checkpointing it once turns
+    # those into constant-frame reads instead of repeated degree folds
+    kk = spark.sql(
         """
         SELECT CAST((sum(d) * 4) div (count(*) * 5) AS BIGINT) AS k
         FROM (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
                 SELECT u AS n FROM kcore_edges_0
                 UNION ALL SELECT v AS n FROM kcore_edges_0) x GROUP BY n)
         """
-    ).createOrReplaceTempView("kcore_kk")
+    )
+    kk = scoped_checkpoint(kk, "kcore_kk")
+    kk.createOrReplaceTempView("kcore_kk")
     for r in range(3):
         nxt = spark.sql(
             f"""
@@ -1454,31 +1466,36 @@ BFS_HOPS = 3
 
 
 def _bfs_oracle_sql() -> str:
+    # DuckDB oracle only (the Spark side stages hops imperatively);
+    # AS MATERIALIZED stops the planner from re-inlining the multiply-
+    # referenced frontier/visited chain — the kcore oracle lesson.
     hops = []
     for h in range(1, BFS_HOPS + 1):
         hops.append(f"""
-    f{h} AS (SELECT DISTINCT s.v AS n FROM sym s
+    f{h} AS MATERIALIZED (SELECT DISTINCT s.v AS n FROM sym s
              JOIN f{h - 1} f ON f.n = s.u
              WHERE s.v NOT IN (SELECT n FROM vis{h - 1})),
-    vis{h} AS (SELECT n FROM vis{h - 1} UNION SELECT n FROM f{h})""")
+    vis{h} AS MATERIALIZED (SELECT n FROM vis{h - 1}
+             UNION SELECT n FROM f{h})""")
     rounds = " UNION ALL ".join(
         f"""SELECT {h} AS hop, (SELECT count(*) FROM f{h}) AS frontier,
             (SELECT count(*) FROM vis{h}) AS visited"""
         for h in range(0, BFS_HOPS + 1)
     )
     return f"""
-    items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+    items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
+                                  l_partkey AS part
               FROM lineitem),
-    pairs AS (SELECT DISTINCT a.part AS u, b.part AS v
+    pairs AS MATERIALIZED (SELECT DISTINCT a.part AS u, b.part AS v
               FROM items a JOIN items b
                 ON a.okey = b.okey AND a.part < b.part),
-    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v
-            FROM pairs),
+    sym AS MATERIALIZED (SELECT u, v FROM pairs
+            UNION ALL SELECT v AS u, u AS v FROM pairs),
     deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM sym
             GROUP BY u),
-    src AS (SELECT n FROM deg ORDER BY d DESC, n LIMIT 1),
-    f0 AS (SELECT n FROM src),
-    vis0 AS (SELECT n FROM src),{",".join(hops)}
+    src AS MATERIALIZED (SELECT n FROM deg ORDER BY d DESC, n LIMIT 1),
+    f0 AS MATERIALIZED (SELECT n FROM src),
+    vis0 AS MATERIALIZED (SELECT n FROM src),{",".join(hops)}
     {rounds}
     ORDER BY hop
     """
