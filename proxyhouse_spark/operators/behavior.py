@@ -1553,3 +1553,88 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bfs_hops_oracle() -> str:
     return "WITH " + _bfs_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# ab_test — two-proportion experiment readout, opening the
+# experimentation-analytics verb the behavioral family was missing:
+# funnels/retention/attribution DESCRIBE behavior, an A/B readout
+# DECIDES between treatments. Users are deterministically hashed into
+# variants (md5 parity — the hash_split discipline: reproducible under
+# any repartitioning, no RNG state, and the real-world assignment
+# mechanism), the success metric is "above-mean purchaser" (np · n_users
+# > Σnp — an exact integer comparison, so the split is non-degenerate at
+# every scale factor without a fixture-tuned constant), and the readout
+# is the standard two-proportion pooled z-score plus the SRM guard
+# (sample-ratio-mismatch chi² against the expected 50/50 — the check
+# every experiment platform runs FIRST, because a biased assignment
+# invalidates the z-score before it is read).
+#
+# Exactness: counts BIGINT; rates and both statistics are single double
+# expressions over exact integers, rounded 6 dp (no distributed float
+# folds — everything collapses to one row of counts first).
+#
+# At 100 TB: two map-side-combinable aggregations (user grain, then
+# variant grain) and a 1-row readout. The user-grain fold shuffles on
+# user_id once; nothing else moves.
+# ---------------------------------------------------------------------------
+
+
+def _ab_sql(md5pick: str) -> str:
+    return f"""
+    e AS (SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS np
+          FROM events GROUP BY user_id),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                 CAST(sum(np) AS BIGINT) AS tp FROM e),
+    u AS (SELECT user_id,
+                 CASE WHEN {md5pick} THEN 'A' ELSE 'B' END AS variant,
+                 CASE WHEN np * (SELECT nu FROM t) > (SELECT tp FROM t)
+                      THEN 1 ELSE 0 END AS converted
+          FROM e),
+    v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(converted) AS BIGINT) AS conv
+          FROM u GROUP BY variant),
+    w AS (SELECT
+            max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+            max(CASE WHEN variant = 'A' THEN conv END) AS conv_a,
+            max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+            max(CASE WHEN variant = 'B' THEN conv END) AS conv_b
+          FROM v)
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS cr_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS cr_b,
+           round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)),
+                 6) AS z_score,
+           round((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+                 * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+                 / (CAST(n_a + n_b AS DOUBLE) / 2)
+                 + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+                 * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+                 / (CAST(n_a + n_b AS DOUBLE) / 2),
+                 6) AS srm_chi2
+    FROM w
+    """
+
+
+def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N105: deterministic-assignment A/B readout with SRM guard."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    pick = (
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) "
+        "AS BIGINT) % 2 = 0"
+    )
+    return spark.sql("WITH " + _ab_sql(pick))
+
+
+def ab_test_oracle() -> str:
+    pick = (
+        "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) "
+        "AS BIGINT) % 2 = 0"
+    )
+    return "WITH " + _ab_sql(pick)

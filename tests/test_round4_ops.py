@@ -503,3 +503,40 @@ def test_bfs_hops_matches_brute_force_traversal(spark):
         visited |= frontier
         assert r.frontier == len(frontier), r.hop
         assert r.visited == len(visited), r.hop
+
+
+def test_ab_test_statistics_match_textbook_formulas(spark):
+    import hashlib
+    import math
+
+    from proxyhouse_spark.tables import table
+
+    r = registry.QUERIES["q_ab_test"](spark, SF_SMALL).collect()[0]
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    np_by_user = {}
+    for e in events:
+        np_by_user.setdefault(e.user_id, 0)
+        if e.event_type == "purchase":
+            np_by_user[e.user_id] += 1
+    nu, tp = len(np_by_user), sum(np_by_user.values())
+    counts = {"A": [0, 0], "B": [0, 0]}
+    for uid, np_ in np_by_user.items():
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        v = "A" if h % 2 == 0 else "B"
+        counts[v][0] += 1
+        counts[v][1] += np_ * nu > tp
+    (n_a, conv_a), (n_b, conv_b) = counts["A"], counts["B"]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (n_a, conv_a, n_b, conv_b)
+    assert n_a + n_b == nu and 0 < conv_a + conv_b < nu
+    p = (conv_a + conv_b) / (n_a + n_b)
+    z = (conv_a / n_a - conv_b / n_b) / math.sqrt(
+        p * (1 - p) * (1 / n_a + 1 / n_b)
+    )
+    assert abs(r.z_score - round(z, 6)) < 1e-9
+    half = (n_a + n_b) / 2
+    chi2 = (n_a - half) ** 2 / half + (n_b - half) ** 2 / half
+    assert abs(r.srm_chi2 - round(chi2, 6)) < 1e-9
+    # md5-parity assignment should be far from SRM alarm (chi2 < 3.84)
+    assert r.srm_chi2 < 3.84
