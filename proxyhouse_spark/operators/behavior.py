@@ -1638,3 +1638,127 @@ def ab_test_oracle() -> str:
         "AS BIGINT) % 2 = 0"
     )
     return "WITH " + _ab_sql(pick)
+
+
+# ---------------------------------------------------------------------------
+# cuped — variance-reduced experiment readout (Deng, Xu, Kohavi &
+# Walker, WSDM 2013: "Improving the sensitivity of online controlled
+# experiments"), the power half of the experimentation pair: ab_test is
+# the plain readout, CUPED subtracts the part of the outcome each
+# user's PRE-EXPERIMENT behavior already predicted — Y_adj = Y −
+# θ(X − x̄), θ = cov(X,Y)/var(X) — shrinking variance by corr²(X,Y) and
+# making the same z-threshold detect smaller effects with the same
+# traffic. This is the single most-used sensitivity trick in industry
+# experimentation.
+#
+# Periods: the pre/experiment boundary is the DATA-DERIVED midpoint of
+# the event time span ((min+max)/2 in exact epoch micros — no
+# fixture-tuned date), X = pre-period purchases, Y = experiment-period
+# purchases per user; assignment is the same md5-parity as ab_test.
+#
+# Exactness: every moment (n, Σx, Σy, Σxx, Σxy, Σyy per variant) is a
+# BIGINT sum of exact integers folded map-side to a 2-row frame; θ,
+# variances, both z-scores and the variance-reduction ratio are single
+# double expressions over those 1-row/2-row frames, rounded 6 dp — no
+# distributed float folds anywhere.
+#
+# At 100 TB: one user-grain fold (shuffles on user_id once), one
+# variant-grain fold to 2 rows, a 1-row readout. The same shape as
+# ab_test with five extra integer sums.
+# ---------------------------------------------------------------------------
+
+
+def _cuped_sql(epoch_us: str, md5pick: str, idiv: str) -> str:
+    return f"""
+    ev AS (SELECT user_id, {epoch_us} AS t,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+           FROM events),
+    s AS (SELECT CAST((min(t) + max(t)) {idiv} 2 AS BIGINT) AS mid
+          FROM ev),
+    u AS (SELECT user_id,
+                 CASE WHEN {md5pick} THEN 'A' ELSE 'B' END AS variant,
+                 CAST(sum(CASE WHEN t <= (SELECT mid FROM s)
+                          THEN p ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN t > (SELECT mid FROM s)
+                          THEN p ELSE 0 END) AS BIGINT) AS y
+          FROM ev GROUP BY user_id),
+    m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM u GROUP BY variant),
+    g AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+                 CAST(sum(sy) AS BIGINT) AS sy,
+                 CAST(sum(sxx) AS BIGINT) AS sxx,
+                 CAST(sum(sxy) AS BIGINT) AS sxy,
+                 CAST(sum(syy) AS BIGINT) AS syy FROM m),
+    th AS (SELECT
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               AS theta,
+             CAST(sx AS DOUBLE) / n AS mx,
+             (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * n) AS var_y,
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               / (CAST(n AS DOUBLE) * n) AS var_x,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * n) AS cov_xy
+           FROM g),
+    w AS (SELECT
+            max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+            max(CASE WHEN variant = 'A' THEN sx END) AS sx_a,
+            max(CASE WHEN variant = 'A' THEN sy END) AS sy_a,
+            max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+            max(CASE WHEN variant = 'B' THEN sx END) AS sx_b,
+            max(CASE WHEN variant = 'B' THEN sy END) AS sy_b
+          FROM m)
+    SELECT w.n_a, w.n_b,
+           round(th.theta, 6) AS theta,
+           round(CAST(w.sy_a AS DOUBLE) / w.n_a
+                 - CAST(w.sy_b AS DOUBLE) / w.n_b, 6) AS diff_raw,
+           round((CAST(w.sy_a AS DOUBLE) / w.n_a
+                  - th.theta * (CAST(w.sx_a AS DOUBLE) / w.n_a - th.mx))
+                 - (CAST(w.sy_b AS DOUBLE) / w.n_b
+                    - th.theta * (CAST(w.sx_b AS DOUBLE) / w.n_b - th.mx)),
+                 6) AS diff_cuped,
+           round((CAST(w.sy_a AS DOUBLE) / w.n_a
+                  - CAST(w.sy_b AS DOUBLE) / w.n_b)
+                 / sqrt(th.var_y * (1.0 / w.n_a + 1.0 / w.n_b)),
+                 6) AS z_raw,
+           round(((CAST(w.sy_a AS DOUBLE) / w.n_a
+                   - th.theta * (CAST(w.sx_a AS DOUBLE) / w.n_a - th.mx))
+                  - (CAST(w.sy_b AS DOUBLE) / w.n_b
+                     - th.theta * (CAST(w.sx_b AS DOUBLE) / w.n_b - th.mx)))
+                 / sqrt((th.var_y - th.theta * th.cov_xy)
+                        * (1.0 / w.n_a + 1.0 / w.n_b)),
+                 6) AS z_cuped,
+           round(1.0 - (th.var_y - th.theta * th.cov_xy) / th.var_y, 6)
+             AS var_reduction
+    FROM w, th
+    """
+
+
+def cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N106: CUPED variance-reduced A/B readout (WSDM 2013)."""
+    from ..tables import EPOCH_NTZ
+
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    pick = (
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) "
+        "AS BIGINT) % 2 = 0"
+    )
+    return spark.sql(
+        "WITH "
+        + _cuped_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", pick, "div"
+        )
+    )
+
+
+def cuped_oracle() -> str:
+    pick = (
+        "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) "
+        "AS BIGINT) % 2 = 0"
+    )
+    return "WITH " + _cuped_sql("epoch_us(ts)", pick, "//")

@@ -281,6 +281,8 @@ _SCALAR_BNLJ_OK = {
                           # count) crossed for the single summary row
     "q_bpe_apply",        # 1-row pivoted merge-table frame (top-4 pairs)
                           # crossed into the vocabulary segmentation
+    "q_cuped",            # two 1-row frames (pivoted variant sums, pooled
+                          # theta/variance moments) crossed for the readout
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
 }

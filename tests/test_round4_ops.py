@@ -540,3 +540,49 @@ def test_ab_test_statistics_match_textbook_formulas(spark):
     assert abs(r.srm_chi2 - round(chi2, 6)) < 1e-9
     # md5-parity assignment should be far from SRM alarm (chi2 < 3.84)
     assert r.srm_chi2 < 3.84
+
+
+def test_cuped_reduces_variance_and_matches_formulas(spark):
+    import hashlib
+
+    from proxyhouse_spark.tables import table
+
+    r = registry.QUERIES["q_cuped"](spark, SF_SMALL).collect()[0]
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    ts_all = [e.ts for e in events]
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1)
+    micros = [int((t - epoch).total_seconds() * 1_000_000) for t in ts_all]
+    mid = (min(micros) + max(micros)) // 2
+    per_user = {}
+    for e, m in zip(events, micros):
+        x, y = per_user.setdefault(e.user_id, [0, 0])
+        if e.event_type == "purchase":
+            if m <= mid:
+                per_user[e.user_id][0] += 1
+            else:
+                per_user[e.user_id][1] += 1
+    n = len(per_user)
+    xs = [v[0] for v in per_user.values()]
+    ys = [v[1] for v in per_user.values()]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    syy = sum(y * y for y in ys)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    var_y = (n * syy - sy * sy) / (n * n)
+    cov = (n * sxy - sx * sy) / (n * n)
+    assert abs(r.theta - round(theta, 6)) < 1e-9
+    assert abs(r.var_reduction - round(1 - (var_y - theta * cov) / var_y, 6)) < 1e-9
+    # CUPED's whole point: adjusted variance is never larger, and with a
+    # real pre/post correlation it is strictly smaller here
+    assert 0 < r.var_reduction < 1
+    # |z| should not shrink: same diff scale, smaller variance
+    groups = {}
+    for uid, (x, y) in per_user.items():
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        groups.setdefault("A" if h % 2 == 0 else "B", []).append(uid)
+    assert r.n_a == len(groups["A"]) and r.n_b == len(groups["B"])
