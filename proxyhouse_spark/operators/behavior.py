@@ -1762,3 +1762,78 @@ def cuped_oracle() -> str:
         "AS BIGINT) % 2 = 0"
     )
     return "WITH " + _cuped_sql("epoch_us(ts)", pick, "//")
+
+
+# ---------------------------------------------------------------------------
+# seasonal_anomaly — seasonal-baseline residual detection, the
+# decomposition verb next to anomaly_p99's global percentile cut: a
+# value that is normal at Friday 20:00 can be a 5σ outlier at Tuesday
+# 04:00, and a global threshold cannot see the difference. The baseline
+# is the (day-of-week, hour) slot profile — the classic weekly
+# seasonality grid — and the report is the top-20 events by |z| against
+# their OWN slot's mean and deviation.
+#
+# Calendar discipline: dow/hour are derived from epoch microseconds by
+# integer arithmetic (epoch_days % 7, epoch_hours % 24) — NOT from
+# dayofweek()/hour(), whose numbering conventions differ between
+# engines (Spark 1=Sunday, DuckDB 0=Sunday; the classic cross-dialect
+# trap). Exactness: event values enter as milli-unit DECIMAL(18,0), and
+# the slot moments (n, Σv, Σv²) are exact DECIMAL folds — BIGINT would
+# overflow on Σv² (value ≤ ~10³ → v² in milli-units ≈ 3·10¹¹ per row;
+# ~10⁷ rows breaches 2⁶³, observed at the 10× probe), while DECIMAL
+# sums stay exact and order-independent with 10³⁸ headroom. Mean, σ,
+# and z are single double expressions over those, rounded 6 dp (z is
+# unit-invariant, so milli vs micro only defines the value-rounding
+# contract).
+#
+# At 100 TB: slot moments are one map-side-combinable groupBy into a
+# 168-row frame (broadcast); the residual pass is a narrow scan joined
+# against that frame; the top-k cut plans TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+SEASONAL_TOP = 20
+
+
+def _seasonal_sql(epoch_us: str, idiv: str) -> str:
+    return f"""
+    ev AS (SELECT event_id, user_id, event_type, value,
+                  CAST(({epoch_us}) {idiv} 86400000000 AS BIGINT) % 7 AS dow,
+                  CAST(({epoch_us}) {idiv} 3600000000 AS BIGINT) % 24 AS hod,
+                  CAST(round(value * 1000) AS DECIMAL(18, 0)) AS vu
+           FROM events),
+    slot AS (SELECT dow, hod, CAST(count(*) AS BIGINT) AS n,
+                    sum(vu) AS sv,
+                    sum(vu * vu) AS svv
+             FROM ev GROUP BY dow, hod),
+    z AS (SELECT e.event_id, e.user_id, e.event_type, e.dow, e.hod,
+                 round(e.value, 6) AS value,
+                 round(CAST(s.sv AS DOUBLE) / s.n / 1000.0, 6)
+                   AS slot_mean,
+                 round((e.vu - CAST(s.sv AS DOUBLE) / s.n)
+                       / sqrt((CAST(s.svv AS DOUBLE)
+                               - CAST(s.sv AS DOUBLE) * s.sv / s.n)
+                              / (s.n - 1)),
+                       6) AS z_score
+          FROM ev e JOIN slot s ON s.dow = e.dow AND s.hod = e.hod
+          WHERE s.n >= 2)
+    SELECT event_id, user_id, event_type,
+           CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+           value, slot_mean, z_score
+    FROM z
+    ORDER BY abs(z_score) DESC, event_id LIMIT {SEASONAL_TOP}
+    """
+
+
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N107: weekly-seasonality residual outliers (top-|z| per slot grid)."""
+    from ..tables import EPOCH_NTZ
+
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        "WITH "
+        + _seasonal_sql(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div")
+    )
+
+
+def seasonal_anomaly_oracle() -> str:
+    return "WITH " + _seasonal_sql("epoch_us(ts)", "//")

@@ -586,3 +586,38 @@ def test_cuped_reduces_variance_and_matches_formulas(spark):
         h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
         groups.setdefault("A" if h % 2 == 0 else "B", []).append(uid)
     assert r.n_a == len(groups["A"]) and r.n_b == len(groups["B"])
+
+
+def test_seasonal_anomaly_z_is_against_own_slot(spark):
+    import datetime as _dt
+    import math
+
+    from proxyhouse_spark.tables import table
+
+    rows = registry.QUERIES["q_seasonal_anomaly"](spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 20
+    events = table(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "value"
+    ).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    slots = {}
+    by_id = {}
+    for e in events:
+        us = int((e.ts - epoch).total_seconds() * 1_000_000)
+        key = ((us // 86400000000) % 7, (us // 3600000000) % 24)
+        vu = round(e.value * 1_000)
+        slots.setdefault(key, []).append(vu)
+        by_id[e.event_id] = (key, vu)
+    for r in rows:
+        key, vu = by_id[r.event_id]
+        assert key == (r.dow, r.hod)
+        vs = slots[key]
+        n, sv = len(vs), sum(vs)
+        svv = sum(v * v for v in vs)
+        mean = sv / n
+        sd = math.sqrt((svv - sv * sv / n) / (n - 1))
+        assert abs(r.z_score - round((vu - mean) / sd, 6)) < 1e-9
+        assert abs(r.slot_mean - round(mean / 1e3, 6)) < 1e-9
+    # the report is a true top-k by |z|
+    zs = [abs(r.z_score) for r in rows]
+    assert zs == sorted(zs, reverse=True)
