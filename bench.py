@@ -56,6 +56,8 @@ HEADLINE = [
     "q_substring_dedup",     # ExactSubstr spans (gram-fingerprint shuffle)
     "q_containment_dedup",   # excerpt-in-doc containment (gram-anchored)
     "q_triangles",           # degree-oriented triangle count
+    "q_kcore",               # staged peel rounds (checkpoint-per-round cost)
+    "q_stream_kmeans",       # streaming sufficient-stats merge (2 real passes)
 ]
 
 
