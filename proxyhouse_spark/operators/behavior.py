@@ -1230,6 +1230,26 @@ stream_triangles_query = _osc_tri(stream_triangles_query)
 
 
 # ---------------------------------------------------------------------------
+# The co-purchase part graph (parts sharing an order, undirected, u < v)
+# is the shared substrate of the whole graph family — ONE definition so
+# a change to the graph (say, excluding cancelled orders) cannot
+# silently put two graph ops on different graphs. `mat` emits DuckDB's
+# AS MATERIALIZED for the oracles (the planner inlines multiply-
+# referenced CTEs; Spark callers stage the frame via scoped_checkpoint
+# instead).
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_cte(mat: bool) -> str:
+    m = "MATERIALIZED " if mat else ""
+    return f"""items AS {m}(SELECT DISTINCT l_orderkey AS okey,
+                     l_partkey AS part FROM lineitem),
+    pairs AS {m}(SELECT DISTINCT a.part AS u, b.part AS v
+           FROM items a JOIN items b
+             ON a.okey = b.okey AND a.part < b.part)"""
+
+
+# ---------------------------------------------------------------------------
 # kcore — k-core peeling, the graph family's density-decomposition
 # member: PageRank ranks nodes, label propagation groups them,
 # triangles measure local closure; the k-core answers "what survives
@@ -1294,12 +1314,8 @@ def _kcore_sql(idiv: str) -> str:
         for r in range(4)
     )
     return f"""
-    items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
-                                  l_partkey AS part
-              FROM lineitem),
-    e0 AS MATERIALIZED (SELECT DISTINCT a.part AS u, b.part AS v
-           FROM items a JOIN items b
-             ON a.okey = b.okey AND a.part < b.part),
+    {_copurchase_cte(mat=True)},
+    e0 AS MATERIALIZED (SELECT u, v FROM pairs),
     d0 AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
              SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0) x
            GROUP BY n),
@@ -1317,12 +1333,7 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     edges = spark.sql(
-        """
-        WITH items AS (SELECT DISTINCT l_orderkey AS okey,
-                              l_partkey AS part FROM lineitem)
-        SELECT DISTINCT a.part AS u, b.part AS v
-        FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
-        """
+        f"WITH {_copurchase_cte(mat=False)} SELECT u, v FROM pairs"
     )
     edges = scoped_checkpoint(edges, "kcore_e0")
     edges.createOrReplaceTempView("kcore_edges_0")
@@ -1397,18 +1408,18 @@ def kcore_oracle() -> str:
 # any float exists.
 # ---------------------------------------------------------------------------
 
-_ASSORT = """
-    items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
-              FROM lineitem),
-    pairs AS (SELECT DISTINCT a.part AS u, b.part AS v
-              FROM items a JOIN items b
-                ON a.okey = b.okey AND a.part < b.part),
-    deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
-              SELECT u AS n FROM pairs UNION ALL SELECT v AS n FROM pairs) x
-            GROUP BY n),
-    sym AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+_DEG_SQL = """SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS n FROM {pairs}
+              UNION ALL SELECT v AS n FROM {pairs}) x
+            GROUP BY n"""
+
+
+def _assort_body(pairs: str, deg: str) -> str:
+    return f"""
+    sym AS (SELECT u, v FROM {pairs}
+            UNION ALL SELECT v AS u, u AS v FROM {pairs}),
     j AS (SELECT du.d AS x, dv.d AS y FROM sym s
-          JOIN deg du ON du.n = s.u JOIN deg dv ON dv.n = s.v),
+          JOIN {deg} du ON du.n = s.u JOIN {deg} dv ON dv.n = s.v),
     m AS (SELECT CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
                  CAST(sum(x * y) AS BIGINT) AS sxy,
@@ -1416,8 +1427,8 @@ _ASSORT = """
                  CAST(sum(y * y) AS BIGINT) AS syy FROM j),
     g AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
                  CAST(min(d) AS BIGINT) AS min_degree,
-                 CAST(max(d) AS BIGINT) AS max_degree FROM deg),
-    e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+                 CAST(max(d) AS BIGINT) AS max_degree FROM {deg}),
+    e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM {pairs})
     SELECT g.n_nodes, e.n_edges, g.min_degree, g.max_degree,
            round((CAST(m.n AS DOUBLE) * m.sxy
                   - CAST(m.sx AS DOUBLE) * m.sy)
@@ -1431,13 +1442,32 @@ _ASSORT = """
 
 
 def assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N102: Newman degree-assortativity over the co-purchase graph."""
+    """N102: Newman degree-assortativity over the co-purchase graph.
+
+    The edge and degree frames are each referenced 3-5 times by the
+    moment/summary CTEs, so both are staged once via scoped_checkpoint
+    (Catalyst inlines CTEs — the kcore lesson; the oracle says
+    AS MATERIALIZED for the same reason)."""
+    from ..checkpoints import scoped_checkpoint
+
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql("WITH " + _ASSORT)
+    pairs = spark.sql(
+        f"WITH {_copurchase_cte(mat=False)} SELECT u, v FROM pairs"
+    )
+    scoped_checkpoint(pairs, "assort_pairs").createOrReplaceTempView(
+        "assort_pairs"
+    )
+    deg = spark.sql(_DEG_SQL.format(pairs="assort_pairs"))
+    scoped_checkpoint(deg, "assort_deg").createOrReplaceTempView("assort_deg")
+    return spark.sql("WITH " + _assort_body("assort_pairs", "assort_deg"))
 
 
 def assortativity_oracle() -> str:
-    return "WITH " + _ASSORT
+    return (
+        f"WITH {_copurchase_cte(mat=True)},\n"
+        f"    deg AS MATERIALIZED ({_DEG_SQL.format(pairs='pairs')}),"
+        + _assort_body("pairs", "deg")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1483,12 +1513,7 @@ def _bfs_oracle_sql() -> str:
         for h in range(0, BFS_HOPS + 1)
     )
     return f"""
-    items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey,
-                                  l_partkey AS part
-              FROM lineitem),
-    pairs AS MATERIALIZED (SELECT DISTINCT a.part AS u, b.part AS v
-              FROM items a JOIN items b
-                ON a.okey = b.okey AND a.part < b.part),
+    {_copurchase_cte(mat=True)},
     sym AS MATERIALIZED (SELECT u, v FROM pairs
             UNION ALL SELECT v AS u, u AS v FROM pairs),
     deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM sym
@@ -1507,14 +1532,8 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     sym = spark.sql(
-        """
-        WITH items AS (SELECT DISTINCT l_orderkey AS okey,
-                              l_partkey AS part FROM lineitem),
-        pairs AS (SELECT DISTINCT a.part AS u, b.part AS v
-                  FROM items a JOIN items b
-                    ON a.okey = b.okey AND a.part < b.part)
-        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
-        """
+        f"""WITH {_copurchase_cte(mat=False)}
+        SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs"""
     )
     sym = scoped_checkpoint(sym, "bfs_sym")
     sym.createOrReplaceTempView("bfs_sym")
@@ -1580,6 +1599,20 @@ def bfs_hops_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
+# Variant assignment shared by ab_test and cuped — ONE definition, since
+# the CUPED adjustment is only valid when both readouts split users
+# identically (editing one copy of the hash without the other would put
+# the two ops on silently different experiments).
+_PICK_SPARK = (
+    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) "
+    "AS BIGINT) % 2 = 0"
+)
+_PICK_DUCK = (
+    "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT) % 2 = 0"
+)
+
+
 def _ab_sql(md5pick: str) -> str:
     return f"""
     e AS (SELECT user_id,
@@ -1625,19 +1658,11 @@ def _ab_sql(md5pick: str) -> str:
 def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N105: deterministic-assignment A/B readout with SRM guard."""
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    pick = (
-        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) "
-        "AS BIGINT) % 2 = 0"
-    )
-    return spark.sql("WITH " + _ab_sql(pick))
+    return spark.sql("WITH " + _ab_sql(_PICK_SPARK))
 
 
 def ab_test_oracle() -> str:
-    pick = (
-        "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) "
-        "AS BIGINT) % 2 = 0"
-    )
-    return "WITH " + _ab_sql(pick)
+    return "WITH " + _ab_sql(_PICK_DUCK)
 
 
 # ---------------------------------------------------------------------------
@@ -1744,24 +1769,16 @@ def cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import EPOCH_NTZ
 
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    pick = (
-        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) "
-        "AS BIGINT) % 2 = 0"
-    )
     return spark.sql(
         "WITH "
         + _cuped_sql(
-            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", pick, "div"
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", _PICK_SPARK, "div"
         )
     )
 
 
 def cuped_oracle() -> str:
-    pick = (
-        "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) "
-        "AS BIGINT) % 2 = 0"
-    )
-    return "WITH " + _cuped_sql("epoch_us(ts)", pick, "//")
+    return "WITH " + _cuped_sql("epoch_us(ts)", _PICK_DUCK, "//")
 
 
 # ---------------------------------------------------------------------------
@@ -1774,10 +1791,10 @@ def cuped_oracle() -> str:
 # their OWN slot's mean and deviation.
 #
 # Calendar discipline: dow/hour are derived from epoch microseconds by
-# integer arithmetic (epoch_days % 7, epoch_hours % 24) — NOT from
-# dayofweek()/hour(), whose numbering conventions differ between
-# engines (Spark 1=Sunday, DuckDB 0=Sunday; the classic cross-dialect
-# trap). Exactness: event values enter as milli-unit DECIMAL(18,0), and
+# integer arithmetic ((epoch_days + 4) % 7 → 0=Sunday, since the epoch
+# is a Thursday; epoch_hours % 24) — NOT from dayofweek()/hour(), whose
+# numbering conventions differ between engines (Spark 1=Sunday, DuckDB
+# 0=Sunday; the classic cross-dialect trap). Exactness: event values enter as milli-unit DECIMAL(18,0), and
 # the slot moments (n, Σv, Σv²) are exact DECIMAL folds — BIGINT would
 # overflow on Σv² (value ≤ ~10³ → v² in milli-units ≈ 3·10¹¹ per row;
 # ~10⁷ rows breaches 2⁶³, observed at the 10× probe), while DECIMAL
@@ -1797,7 +1814,8 @@ SEASONAL_TOP = 20
 def _seasonal_sql(epoch_us: str, idiv: str) -> str:
     return f"""
     ev AS (SELECT event_id, user_id, event_type, value,
-                  CAST(({epoch_us}) {idiv} 86400000000 AS BIGINT) % 7 AS dow,
+                  (CAST(({epoch_us}) {idiv} 86400000000 AS BIGINT) + 4) % 7
+                    AS dow,
                   CAST(({epoch_us}) {idiv} 3600000000 AS BIGINT) % 24 AS hod,
                   CAST(round(value * 1000) AS DECIMAL(18, 0)) AS vu
            FROM events),

@@ -210,8 +210,15 @@ MERGE_PASSES = 4
 def _bpe_apply_sql(wsplit: str, spaced: str, nsyms: str) -> str:
     s = "rep"
     for r in range(1, N_MERGES + 1):
-        pat = f"concat(' ', substr(p{r}, 1, 1), ' ', substr(p{r}, 2, 1), ' ')"
-        sub = f"concat(' ', p{r}, ' ')"
+        # coalesce guards the under-populated-vocabulary case: fewer than
+        # N_MERGES distinct pairs leaves p{r} NULL, and replace(s, NULL, …)
+        # would NULL-poison every segmentation; chr(0) can never occur in
+        # the symbol string, so an absent merge becomes a no-op pass
+        pat = (
+            f"coalesce(concat(' ', substr(p{r}, 1, 1), ' ', "
+            f"substr(p{r}, 2, 1), ' '), chr(0))"
+        )
+        sub = f"coalesce(concat(' ', p{r}, ' '), '')"
         for _ in range(MERGE_PASSES):
             s = f"replace({s}, {pat}, {sub})"
     ranked = ", ".join(

@@ -521,17 +521,16 @@ def kanon_audit_oracle() -> str:
 LEAKAGE_TOP = 15
 
 
-def _leakage_sql(presence: str) -> str:
+def _leakage_sql(ex: str) -> str:
     return f"""
-    {presence},
     doc AS (SELECT doc_id, lang FROM documents),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM doc),
     lg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
            FROM doc GROUP BY lang),
     tkc AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
-            FROM ex GROUP BY tok),
+            FROM {ex} GROUP BY tok),
     obs AS (SELECT e.tok, d.lang, CAST(count(*) AS BIGINT) AS o
-            FROM ex e JOIN doc d ON d.doc_id = e.doc_id
+            FROM {ex} e JOIN doc d ON d.doc_id = e.doc_id
             GROUP BY e.tok, d.lang),
     cell AS (SELECT g.tok, g.n_tok, g.n_lang,
                     coalesce(o.o, CAST(0 AS BIGINT)) AS o1
@@ -561,25 +560,29 @@ def _leakage_sql(presence: str) -> str:
     """
 
 
-_LEAK_EX_SPARK = """ex AS (
-    SELECT DISTINCT doc_id, tok
-    FROM (SELECT doc_id, split(text, ' ', -1) AS toks FROM documents) tk
-    LATERAL VIEW explode(toks) t AS tok)"""
-
-_LEAK_EX_DUCK = """ex AS (
-    SELECT DISTINCT doc_id, unnest(toks) AS tok
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks
-          FROM documents) tk)"""
-
-
 def label_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N98: chi-square token/label association (leakage + feature audit)."""
+    """N98: chi-square token/label association (leakage + feature audit).
+
+    The presence frame is textops.presence_select — ONE definition of
+    document-level token presence across the text family, on the shared
+    tokenizer contract — staged once via scoped_checkpoint (it feeds
+    both the per-token counts and the per-(token, label) counts)."""
+    from ..checkpoints import scoped_checkpoint
+    from .textops import presence_select
+
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql("WITH " + _leakage_sql(_LEAK_EX_SPARK))
+    ex = spark.sql(presence_select(duck=False))
+    scoped_checkpoint(ex, "leak_ex").createOrReplaceTempView("leak_ex")
+    return spark.sql("WITH " + _leakage_sql("leak_ex"))
 
 
 def label_leakage_oracle() -> str:
-    return "WITH " + _leakage_sql(_LEAK_EX_DUCK)
+    from .textops import presence_select
+
+    return (
+        f"WITH ex AS MATERIALIZED ({presence_select(duck=True)}), "
+        + _leakage_sql("ex")
+    )
 
 
 # ---------------------------------------------------------------------------

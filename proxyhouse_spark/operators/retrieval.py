@@ -422,23 +422,31 @@ def unigram_logprob_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _bigram_sql(toks: str, w1: str, w2: str, posrange: str) -> str:
+def _bigram_select(toks: str, w1: str, w2: str, posrange: str) -> str:
+    """The corpus bigram frame (doc_id, w1, w2) — the shared base every
+    downstream CTE reads, staged once (checkpoint / MATERIALIZED) since
+    it is referenced four times and re-tokenizes the corpus if inlined."""
+    return (
+        f"SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM "
+        f"(SELECT doc_id, {toks} AS toks FROM documents) tk{posrange}"
+    )
+
+
+def _bigram_body(bg: str) -> str:
     return f"""
-    tk AS (SELECT doc_id, {toks} AS toks FROM documents),
-    bg AS (SELECT doc_id, {w1} AS w1, {w2} AS w2 FROM tk{posrange}),
     tr AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-           FROM bg WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY w1, w2),
+           FROM {bg} WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY w1, w2),
     un AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
-           FROM bg WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY w1),
+           FROM {bg} WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY w1),
     vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
-             SELECT w1 AS w FROM bg WHERE doc_id % {EVAL_MOD} <> 0
+             SELECT w1 AS w FROM {bg} WHERE doc_id % {EVAL_MOD} <> 0
              UNION ALL
-             SELECT w2 AS w FROM bg WHERE doc_id % {EVAL_MOD} <> 0) x),
+             SELECT w2 AS w FROM {bg} WHERE doc_id % {EVAL_MOD} <> 0) x),
     sc AS (SELECT e.doc_id,
              CAST(round(log10((coalesce(t.c12, 0) + 1.0)
                               / (coalesce(u.c1, 0) + (SELECT v FROM vv))),
                         6) AS DECIMAL(18, 6)) AS lp
-           FROM bg e
+           FROM {bg} e
            LEFT JOIN tr t ON t.w1 = e.w1 AND t.w2 = e.w2
            LEFT JOIN un u ON u.w1 = e.w1
            WHERE e.doc_id % {EVAL_MOD} = 0),
@@ -455,24 +463,28 @@ def _bigram_sql(toks: str, w1: str, w2: str, posrange: str) -> str:
 
 def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N101: held-out bigram LM scoring (add-one smoothed, out-of-fold)."""
+    from ..checkpoints import scoped_checkpoint
+
     _docs(spark, sf_dir)
     posrange = (
         " LATERAL VIEW explode(slice(sequence(1, size(toks)), 1, "
         "greatest(size(toks) - 1, 0))) t AS i"
     )
-    return spark.sql(
-        "WITH "
-        + _bigram_sql(
+    bg = spark.sql(
+        _bigram_select(
             "split(text, ' ', -1)",
             "element_at(toks, i)",
             "element_at(toks, i + 1)",
             posrange,
         )
     )
+    scoped_checkpoint(bg, "bigram_bg").createOrReplaceTempView("bigram_bg")
+    return spark.sql("WITH " + _bigram_body("bigram_bg"))
 
 
 def bigram_logprob_oracle() -> str:
     posrange = ", unnest(range(1, len(toks))) AS t(i)"
-    return "WITH " + _bigram_sql(
+    sel = _bigram_select(
         "string_split(text, ' ')", "toks[i]", "toks[i + 1]", posrange
     )
+    return f"WITH bg AS MATERIALIZED ({sel})," + _bigram_body("bg")

@@ -528,15 +528,16 @@ def winnow_oracle() -> str:
 PMI_VOCAB = 24
 
 
-def _pmi_sql(presence: str) -> str:
+def _pmi_sql(ex: str) -> str:
     return f"""
-    {presence},
-    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM ex),
-    dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM ex GROUP BY tok),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM {ex}),
+    dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM {ex}
+            GROUP BY tok),
     vocab AS (SELECT tok, df FROM dfr
               ORDER BY df DESC, tok LIMIT {PMI_VOCAB}),
     oc AS (SELECT e.doc_id, e.tok, v.df
-           FROM ex e JOIN vocab v ON v.tok = e.tok),
+           FROM {ex} e JOIN vocab v ON v.tok = e.tok),
     pairs AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
                      CAST(count(*) AS BIGINT) AS n_ab,
                      max(a.df) AS n_a, max(b.df) AS n_b
@@ -552,21 +553,40 @@ def _pmi_sql(presence: str) -> str:
     """
 
 
-_PRESENCE_SPARK = f"""ex AS (
-    SELECT DISTINCT doc_id, tok
-    FROM (SELECT doc_id, {T.TOKS_SPARK} AS toks FROM documents) tk
-    LATERAL VIEW explode(toks) t AS tok)"""
-
-_PRESENCE_DUCK = f"""ex AS (
-    SELECT DISTINCT doc_id, unnest(toks) AS tok
-    FROM (SELECT doc_id, {T.TOKS_DUCK} AS toks FROM documents) tk)"""
+def presence_select(duck: bool) -> str:
+    """Document-level token presence (DISTINCT doc_id, tok) — the shared
+    base frame of cooccur_pmi and quality.label_leakage, built on the
+    corpus tokenizer contract (functions/text.py) so every text op
+    tokenizes identically."""
+    if duck:
+        return (
+            "SELECT DISTINCT doc_id, unnest(toks) AS tok "
+            f"FROM (SELECT doc_id, {T.TOKS_DUCK} AS toks FROM documents) tk"
+        )
+    return (
+        "SELECT DISTINCT doc_id, tok "
+        f"FROM (SELECT doc_id, {T.TOKS_SPARK} AS toks FROM documents) tk "
+        "LATERAL VIEW explode(toks) t AS tok"
+    )
 
 
 def cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N97: top-vocab token co-occurrence PMI (collocation mining)."""
+    """N97: top-vocab token co-occurrence PMI (collocation mining).
+
+    The presence frame is referenced three times (corpus size, document
+    frequencies, the pair join), so it is staged once through
+    scoped_checkpoint rather than re-exploding the corpus per reference
+    (Catalyst inlines CTEs — the kcore lesson)."""
+    from ..checkpoints import scoped_checkpoint
+
     _docs(spark, sf_dir)
-    return spark.sql("WITH " + _pmi_sql(_PRESENCE_SPARK))
+    ex = spark.sql(presence_select(duck=False))
+    scoped_checkpoint(ex, "pmi_ex").createOrReplaceTempView("pmi_ex")
+    return spark.sql("WITH " + _pmi_sql("pmi_ex"))
 
 
 def cooccur_pmi_oracle() -> str:
-    return "WITH " + _pmi_sql(_PRESENCE_DUCK)
+    return (
+        f"WITH ex AS MATERIALIZED ({presence_select(duck=True)}), "
+        + _pmi_sql("ex")
+    )

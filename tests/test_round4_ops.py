@@ -373,12 +373,15 @@ def test_bigram_logprob_is_out_of_fold_add_one(spark):
         if d.doc_id % EVAL_MOD == 0:
             eval_docs[d.doc_id] = bgs
         else:
-            vocab.update(d.t)
+            # vocab as the op's vv counts it: tokens PARTICIPATING in
+            # train bigrams (w1 or w2) — a 1-token train doc contributes
+            # no bigram and so no vocab entry
+            for a, b in bgs:
+                vocab.add(a)
+                vocab.add(b)
             for a, b in bgs:
                 tr12[(a, b)] = tr12.get((a, b), 0) + 1
                 tr1[a] = tr1.get(a, 0) + 1
-    # vocab as the op counts it: distinct tokens PARTICIPATING in train
-    # bigrams (w1 ∪ w2) — for multi-token docs that is every token
     v = len(vocab)
     assert {r.doc_id for r in rows} == set(eval_docs)
     for r in rows:
@@ -604,7 +607,7 @@ def test_seasonal_anomaly_z_is_against_own_slot(spark):
     by_id = {}
     for e in events:
         us = int((e.ts - epoch).total_seconds() * 1_000_000)
-        key = ((us // 86400000000) % 7, (us // 3600000000) % 24)
+        key = ((us // 86400000000 + 4) % 7, (us // 3600000000) % 24)
         vu = round(e.value * 1_000)
         slots.setdefault(key, []).append(vu)
         by_id[e.event_id] = (key, vu)
