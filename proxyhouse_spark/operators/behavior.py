@@ -1855,3 +1855,73 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def seasonal_anomaly_oracle() -> str:
     return "WITH " + _seasonal_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# welch_metric — continuous-metric readout completing the experiment
+# trio: ab_test compares PROPORTIONS, cuped de-noises a COUNT metric,
+# this one compares MEANS of a continuous metric (per-user average
+# event value) with Welch's unequal-variance t statistic — the correct
+# default when variant variances differ (pooling is the classic
+# anti-pattern Welch 1947 fixed) — plus the Welch–Satterthwaite
+# effective degrees of freedom, which is what turns the statistic into
+# a p-value downstream.
+#
+# Exactness: per-user metric = milli-unit value sum div event count
+# (BIGINT); variant moments (n, Σm, Σm²) are exact BIGINT folds (m ≤
+# ~10⁶ milli-units → Σm² ≈ 10¹² per user, safely inside BIGINT through
+# ~10⁶ users per variant; the DECIMAL widening documented on
+# seasonal_anomaly applies beyond that); t and dof are single double
+# expressions over the 2-row frame, rounded 6 dp.
+#
+# At 100 TB: identical shape to ab_test — user fold, variant fold,
+# 1-row readout.
+# ---------------------------------------------------------------------------
+
+
+def _welch_sql(md5pick: str, idiv: str) -> str:
+    va = "(CAST(sa2 AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1)"
+    vb = "(CAST(sb2 AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1)"
+    return f"""
+    u AS (SELECT user_id,
+                 CASE WHEN {md5pick} THEN 'A' ELSE 'B' END AS variant,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                      {idiv} count(*) AS BIGINT) AS m
+          FROM events GROUP BY user_id),
+    v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(m) AS BIGINT) AS s,
+                 CAST(sum(m * m) AS BIGINT) AS s2
+          FROM u GROUP BY variant),
+    w AS (SELECT
+            max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+            max(CASE WHEN variant = 'A' THEN s END) AS sa,
+            max(CASE WHEN variant = 'A' THEN s2 END) AS sa2,
+            max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+            max(CASE WHEN variant = 'B' THEN s END) AS sb,
+            max(CASE WHEN variant = 'B' THEN s2 END) AS sb2
+          FROM v)
+    SELECT n_a, n_b,
+           round(CAST(sa AS DOUBLE) / n_a / 1000.0, 6) AS mean_a,
+           round(CAST(sb AS DOUBLE) / n_b / 1000.0, 6) AS mean_b,
+           round((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+                 / sqrt(({va}) / n_a + ({vb}) / n_b),
+                 6) AS t_welch,
+           round((({va}) / n_a + ({vb}) / n_b)
+                 * (({va}) / n_a + ({vb}) / n_b)
+                 / (({va}) * ({va}) / (CAST(n_a AS DOUBLE) * n_a)
+                    / (n_a - 1)
+                    + ({vb}) * ({vb}) / (CAST(n_b AS DOUBLE) * n_b)
+                      / (n_b - 1)),
+                 6) AS dof_ws
+    FROM w
+    """
+
+
+def welch_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N108: Welch unequal-variance t readout on a continuous metric."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("WITH " + _welch_sql(_PICK_SPARK, "div"))
+
+
+def welch_metric_oracle() -> str:
+    return "WITH " + _welch_sql(_PICK_DUCK, "//")

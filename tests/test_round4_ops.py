@@ -624,3 +624,44 @@ def test_seasonal_anomaly_z_is_against_own_slot(spark):
     # the report is a true top-k by |z|
     zs = [abs(r.z_score) for r in rows]
     assert zs == sorted(zs, reverse=True)
+
+
+def test_welch_metric_matches_textbook_formulas(spark):
+    import hashlib
+    import math
+
+    from proxyhouse_spark.tables import table
+
+    r = registry.QUERIES["q_welch_metric"](spark, SF_SMALL).collect()[0]
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "value"
+    ).collect()
+    per_user = {}
+    for e in events:
+        s, n = per_user.setdefault(e.user_id, [0, 0])
+        per_user[e.user_id][0] += round(e.value * 1000)
+        per_user[e.user_id][1] += 1
+    groups = {"A": [], "B": []}
+    for uid, (s, n) in per_user.items():
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        groups["A" if h % 2 == 0 else "B"].append(s // n)
+    ma, mb = groups["A"], groups["B"]
+    assert (r.n_a, r.n_b) == (len(ma), len(mb))
+    assert abs(r.mean_a - round(sum(ma) / len(ma) / 1000, 6)) < 1e-9
+    assert abs(r.mean_b - round(sum(mb) / len(mb) / 1000, 6)) < 1e-9
+
+    def var(xs):
+        n, s = len(xs), sum(xs)
+        return (sum(x * x for x in xs) - s * s / n) / (n - 1)
+
+    va, vb = var(ma), var(mb)
+    sem2 = va / len(ma) + vb / len(mb)
+    t = (sum(ma) / len(ma) - sum(mb) / len(mb)) / math.sqrt(sem2)
+    dof = sem2 * sem2 / (
+        va * va / (len(ma) ** 2) / (len(ma) - 1)
+        + vb * vb / (len(mb) ** 2) / (len(mb) - 1)
+    )
+    assert abs(r.t_welch - round(t, 6)) < 1e-9
+    assert abs(r.dof_ws - round(dof, 6)) < 1e-9
+    # Welch-Satterthwaite dof is bounded by min-1 and n_a+n_b-2
+    assert min(len(ma), len(mb)) - 1 <= r.dof_ws <= len(ma) + len(mb) - 2
