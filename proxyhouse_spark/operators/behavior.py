@@ -1925,3 +1925,95 @@ def welch_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def welch_metric_oracle() -> str:
     return "WITH " + _welch_sql(_PICK_DUCK, "//")
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci — Poisson-bootstrap confidence interval for the mean
+# metric, the UNCERTAINTY member of the experimentation family: the
+# z/t readouts assume approximate normality of the mean; the bootstrap
+# makes no such assumption and is what a platform reports when the
+# metric is skewed (revenue-like metrics almost always are). The
+# classical bootstrap resamples n-of-n WITH replacement — not
+# distributable, because a resample needs global coordination; the
+# Poisson bootstrap (each row enters each replicate Poisson(1) times,
+# the large-n limit of the multinomial — Chamandy et al., "Estimating
+# uncertainty for massive data streams", Google 2012) makes the weight
+# ROW-LOCAL, which is the whole trick: replicate weights become a
+# per-row expression and the replicate means one map-side-combinable
+# fold.
+#
+# Determinism: the Poisson(1) draw is the inverse CDF applied to a
+# md5-hash uniform over (user_id, replicate) — the dp_counts seeding
+# discipline; the cumulative-pmf thresholds are hardcoded double
+# literals, identical in both engines, so every weight is bit-equal.
+# R = 32 replicates; the CI is the 2.5/97.5 percentile of the 32
+# replicate means (a bounded 32-row frame — percentile aggregate, no
+# window).
+#
+# At 100 TB: the user-metric fold shuffles on user_id once; the
+# replicate explode is a constant ×R narrow expansion with a map-side-
+# combinable (replicate) fold to an R-row frame. Nothing else moves.
+# ---------------------------------------------------------------------------
+
+BOOT_R = 32
+# cumulative Poisson(1) pmf: P(X <= k) for k = 0..6 (k = 7 absorbs the tail)
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119",
+)
+
+
+def _bootstrap_sql(md5int: str, pct: str, explode_r: str) -> str:
+    ladder = " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"""
+    m AS (SELECT user_id,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS tot
+          FROM events GROUP BY user_id),
+    x AS (SELECT user_id, tot, r FROM m{explode_r}),
+    w AS (SELECT tot, r,
+                 CASE {ladder} ELSE 7 END AS wt
+          FROM (SELECT tot, r,
+                       (({md5int} % 1000000) + 0.5) / 1000000.0 AS u
+                FROM x)),
+    rep AS (SELECT r, round(CAST(sum(wt * tot) AS DOUBLE)
+                            / sum(wt) / 1000.0, 6) AS mean_r
+            FROM w GROUP BY r),
+    base AS (SELECT round(CAST(sum(tot) AS DOUBLE) / count(*) / 1000.0, 6)
+               AS mean_obs FROM m)
+    SELECT (SELECT mean_obs FROM base) AS mean_obs,
+           round({pct}(mean_r, 0.025), 6) AS ci_lo,
+           round({pct}(mean_r, 0.975), 6) AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n_replicates
+    FROM rep
+    """
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N109: deterministic Poisson-bootstrap CI for the mean user metric."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    md5int = (
+        "CAST(conv(substr(md5(concat(CAST(user_id AS STRING), ':', "
+        "CAST(r AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+    )
+    return spark.sql(
+        "WITH "
+        + _bootstrap_sql(
+            md5int, "percentile",
+            f" LATERAL VIEW explode(sequence(0, {BOOT_R - 1})) t AS r",
+        )
+    )
+
+
+def bootstrap_ci_oracle() -> str:
+    md5int = (
+        "CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR), ':', "
+        "CAST(r AS VARCHAR))), 1, 12)) AS BIGINT)"
+    )
+    return "WITH " + _bootstrap_sql(
+        md5int, "quantile_cont",
+        f", unnest(range(0, {BOOT_R})) AS t(r)",
+    )

@@ -665,3 +665,46 @@ def test_welch_metric_matches_textbook_formulas(spark):
     assert abs(r.dof_ws - round(dof, 6)) < 1e-9
     # Welch-Satterthwaite dof is bounded by min-1 and n_a+n_b-2
     assert min(len(ma), len(mb)) - 1 <= r.dof_ws <= len(ma) + len(mb) - 2
+
+
+def test_bootstrap_ci_is_deterministic_poisson(spark):
+    import hashlib
+
+    from proxyhouse_spark.operators.behavior import BOOT_R, _POIS_CDF
+    from proxyhouse_spark.tables import table
+
+    r = registry.QUERIES["q_bootstrap_ci"](spark, SF_SMALL).collect()[0]
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "value"
+    ).collect()
+    tot = {}
+    for e in events:
+        tot[e.user_id] = tot.get(e.user_id, 0) + round(e.value * 1000)
+    cdf = [float(c) for c in _POIS_CDF]
+    means = []
+    for rep in range(BOOT_R):
+        num = den = 0
+        for uid, t in tot.items():
+            h = int(
+                hashlib.md5(f"{uid}:{rep}".encode()).hexdigest()[:12], 16
+            )
+            u = ((h % 1000000) + 0.5) / 1000000.0
+            wt = next((k for k, c in enumerate(cdf) if u < c), 7)
+            num += wt * t
+            den += wt
+        means.append(round(num / den / 1000.0, 6))
+    means.sort()
+
+    def q(p):  # linear interpolation, the percentile/quantile_cont contract
+        pos = p * (len(means) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(means) - 1)
+        return means[lo] + frac * (means[hi] - means[lo])
+
+    assert r.n_replicates == BOOT_R
+    assert abs(r.mean_obs - round(sum(tot.values()) / len(tot) / 1000.0, 6)) < 1e-9
+    assert abs(r.ci_lo - round(q(0.025), 6)) < 1e-9
+    assert abs(r.ci_hi - round(q(0.975), 6)) < 1e-9
+    assert r.ci_lo < r.ci_hi
+    assert r.ci_lo <= r.mean_obs <= r.ci_hi
