@@ -2017,3 +2017,80 @@ def bootstrap_ci_oracle() -> str:
         md5int, "quantile_cont",
         f", unnest(range(0, {BOOT_R})) AS t(r)",
     )
+
+
+# ---------------------------------------------------------------------------
+# mannwhitney — rank-based nonparametric readout closing the
+# experimentation family's fourth face: parametric mean (welch),
+# variance-reduced (cuped), resampled (bootstrap), and now DISTRIBUTION
+# comparison — Mann–Whitney U asks "does a random A user beat a random
+# B user?", robust to the outliers and skew that move a mean without
+# moving the experience of a typical user.
+#
+# The scale problem is the global rank: a naive rank() over the
+# combined sample is a whole-population single-partition sort (the
+# round-3 unigram finding). Spelled instead with the two-phase
+# distributed prefix pattern (pack_global's machinery, generalized from
+# packing offsets to midranks): (1) fold to distinct metric VALUES with
+# (total, A) counts; (2) per-bucket count totals — the only
+# unpartitioned window runs over this O(#buckets) frame, bounded by the
+# metric RANGE (value div 1000), not the corpus; (3) broadcast bucket
+# offsets back and finish with a bucket-partitioned running sum.
+# Midranks ride ×2 (midrank2 = 2·below + t + 1) so ties stay in exact
+# integers; U itself is exact in half-units, and the tie-corrected
+# normal approximation (σ² with the Σ(t³−t) correction) is the single
+# double at the end.
+# ---------------------------------------------------------------------------
+
+MW_BUCKET = 1000  # milli-units per rank bucket (metric-range knob)
+
+
+def _mw_sql(md5pick: str, idiv: str) -> str:
+    return f"""
+    u AS (SELECT user_id,
+                 CASE WHEN {md5pick} THEN 1 ELSE 0 END AS is_a,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                      {idiv} count(*) AS BIGINT) AS m
+          FROM events GROUP BY user_id),
+    vals AS (SELECT m, CAST(count(*) AS BIGINT) AS t,
+                    CAST(sum(is_a) AS BIGINT) AS ta,
+                    CAST(m {idiv} {MW_BUCKET} AS BIGINT) AS b
+             FROM u GROUP BY m),
+    bt AS (SELECT b, CAST(sum(t) AS BIGINT) AS tb FROM vals GROUP BY b),
+    boff AS (SELECT b, CAST(coalesce(sum(tb) OVER (ORDER BY b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS off
+             FROM bt),
+    ranked AS (SELECT v.m, v.t, v.ta,
+                      CAST(o.off + coalesce(sum(v.t) OVER (PARTITION BY v.b
+                             ORDER BY v.m ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS below
+               FROM vals v JOIN boff o ON o.b = v.b),
+    agg AS (SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+                   CAST(sum(t) - sum(ta) AS BIGINT) AS n_b,
+                   CAST(sum(ta * (2 * below + t + 1)) AS BIGINT) AS r2a,
+                   CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+            FROM ranked)
+    SELECT n_a, n_b,
+           CAST((r2a - 2 * ((n_a * (n_a + 1)) {idiv} 2)) AS DECIMAL(19, 1))
+             / 2 AS u_a,
+           round(((CAST(r2a AS DOUBLE) - n_a * (n_a + 1)) / 2
+                  - CAST(n_a AS DOUBLE) * n_b / 2)
+                 / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                        * ((n_a + n_b + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((CAST(n_a AS DOUBLE) + n_b)
+                                * (n_a + n_b - 1)))),
+                 6) AS z_normal
+    FROM agg
+    """
+
+
+def mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N110: Mann–Whitney U via two-phase distributed midranks."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("WITH " + _mw_sql(_PICK_SPARK, "div"))
+
+
+def mannwhitney_oracle() -> str:
+    return "WITH " + _mw_sql(_PICK_DUCK, "//")

@@ -323,6 +323,10 @@ _UNPARTITIONED_WINDOW_OK = {
                          # is the op's own output bound
     "q_bpe_apply",    # row_number over the LIMIT-4 merge-candidate frame
                       # (O(N_MERGES) rows by construction)
+    "q_mannwhitney",  # bucket-offset prefix over the O(#buckets) frame —
+                      # phase 2 of the two-phase midrank scan; bucket count
+                      # is bounded by the metric RANGE (value div 1000),
+                      # not the corpus (the pack_global justification)
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec

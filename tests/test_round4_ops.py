@@ -708,3 +708,41 @@ def test_bootstrap_ci_is_deterministic_poisson(spark):
     assert abs(r.ci_hi - round(q(0.975), 6)) < 1e-9
     assert r.ci_lo < r.ci_hi
     assert r.ci_lo <= r.mean_obs <= r.ci_hi
+
+
+def test_mannwhitney_matches_scipy_free_midranks(spark):
+    import hashlib
+    import math
+
+    from proxyhouse_spark.tables import table
+
+    r = registry.QUERIES["q_mannwhitney"](spark, SF_SMALL).collect()[0]
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "value"
+    ).collect()
+    per_user = {}
+    for e in events:
+        s = per_user.setdefault(e.user_id, [0, 0])
+        s[0] += round(e.value * 1000)
+        s[1] += 1
+    a, b = [], []
+    for uid, (s, n) in per_user.items():
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        (a if h % 2 == 0 else b).append(s // n)
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    # brute-force U with half-credit for ties
+    u = sum(
+        (1.0 if x > y else 0.5 if x == y else 0.0) for x in a for y in b
+    )
+    assert float(r.u_a) == u
+    # tie-corrected normal approximation
+    n, na, nb = len(a) + len(b), len(a), len(b)
+    from collections import Counter
+
+    ties = Counter(a + b)
+    tie3 = sum(t**3 - t for t in ties.values())
+    mu = na * nb / 2
+    sigma = math.sqrt(
+        na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    )
+    assert abs(r.z_normal - round((u - mu) / sigma, 6)) < 1e-9
