@@ -2094,3 +2094,81 @@ def mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mannwhitney_oracle() -> str:
     return "WITH " + _mw_sql(_PICK_DUCK, "//")
+
+
+# ---------------------------------------------------------------------------
+# ks_test — exact two-sample Kolmogorov–Smirnov distance between the
+# variant metric distributions: D = max_v |F_A(v) − F_B(v)|, the
+# UNBINNED counterpart of drift_psi (PSI needs a bin design and hides
+# everything inside a bin; KS is binning-free and exact) and the
+# distribution-level sibling of mannwhitney (U detects a location
+# shift, KS detects ANY distributional difference — variance, shape,
+# bimodality). Reported with the scaled statistic
+# D·√(n_A·n_B/(n_A+n_B)) that the Kolmogorov distribution converts to
+# a p-value downstream.
+#
+# Same two-phase scaffolding as mannwhitney (distinct-value fold →
+# O(#buckets) offset prefix → bucket-partitioned running sums), carried
+# for BOTH counters (all, A) at once; the supremum is then a plain max
+# aggregate over distinct values — no global sort anywhere. Exactness:
+# D's numerator is the integer |cumA·n_B − cumB·n_A| (≤ n²,
+# BIGINT-safe through ~10⁹ users; DECIMAL widening past that), so the
+# argmax is decided in exact arithmetic and the single double is the
+# final division, rounded 6 dp.
+# ---------------------------------------------------------------------------
+
+
+def _ks_sql(md5pick: str, idiv: str) -> str:
+    return f"""
+    u AS (SELECT user_id,
+                 CASE WHEN {md5pick} THEN 1 ELSE 0 END AS is_a,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                      {idiv} count(*) AS BIGINT) AS m
+          FROM events GROUP BY user_id),
+    vals AS (SELECT m, CAST(count(*) AS BIGINT) AS t,
+                    CAST(sum(is_a) AS BIGINT) AS ta,
+                    CAST(m {idiv} {MW_BUCKET} AS BIGINT) AS b
+             FROM u GROUP BY m),
+    bt AS (SELECT b, CAST(sum(t) AS BIGINT) AS tb,
+                  CAST(sum(ta) AS BIGINT) AS tab
+           FROM vals GROUP BY b),
+    boff AS (SELECT b,
+               CAST(coalesce(sum(tb) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS off,
+               CAST(coalesce(sum(tab) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS offa
+             FROM bt),
+    cum AS (SELECT v.m,
+                   CAST(o.off + sum(v.t) OVER (PARTITION BY v.b
+                          ORDER BY v.m ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS call,
+                   CAST(o.offa + sum(v.ta) OVER (PARTITION BY v.b
+                          ORDER BY v.m ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS ca
+            FROM vals v JOIN boff o ON o.b = v.b),
+    nn AS (SELECT CAST(sum(ta) AS BIGINT) AS n_a,
+                  CAST(sum(t) - sum(ta) AS BIGINT) AS n_b FROM vals),
+    sup AS (SELECT CAST(max(abs(ca * (SELECT n_b FROM nn)
+                                - (call - ca) * (SELECT n_a FROM nn)))
+                        AS BIGINT) AS dnum
+            FROM cum)
+    SELECT nn.n_a, nn.n_b,
+           round(CAST(sup.dnum AS DOUBLE) / nn.n_a / nn.n_b, 6) AS ks_d,
+           round(CAST(sup.dnum AS DOUBLE) / nn.n_a / nn.n_b
+                 * sqrt(CAST(nn.n_a AS DOUBLE) * nn.n_b
+                        / (nn.n_a + nn.n_b)),
+                 6) AS ks_stat
+    FROM nn, sup
+    """
+
+
+def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N111: exact two-sample KS distance via two-phase cumulative counts."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("WITH " + _ks_sql(_PICK_SPARK, "div"))
+
+
+def ks_test_oracle() -> str:
+    return "WITH " + _ks_sql(_PICK_DUCK, "//")

@@ -283,6 +283,8 @@ _SCALAR_BNLJ_OK = {
                           # crossed into the vocabulary segmentation
     "q_cuped",            # two 1-row frames (pivoted variant sums, pooled
                           # theta/variance moments) crossed for the readout
+    "q_ks_test",          # two 1-row frames (group sizes, integer supremum)
+                          # crossed for the readout
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
 }
@@ -327,6 +329,8 @@ _UNPARTITIONED_WINDOW_OK = {
                       # phase 2 of the two-phase midrank scan; bucket count
                       # is bounded by the metric RANGE (value div 1000),
                       # not the corpus (the pack_global justification)
+    "q_ks_test",      # same O(#buckets) offset-prefix frame, carried for
+                      # both the all- and A-counters at once
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec

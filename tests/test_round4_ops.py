@@ -746,3 +746,41 @@ def test_mannwhitney_matches_scipy_free_midranks(spark):
         na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
     )
     assert abs(r.z_normal - round((u - mu) / sigma, 6)) < 1e-9
+
+
+def test_ks_test_matches_brute_force_cdf_sup(spark):
+    import hashlib
+    import math
+
+    from proxyhouse_spark.tables import table
+
+    r = registry.QUERIES["q_ks_test"](spark, SF_SMALL).collect()[0]
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "value"
+    ).collect()
+    per_user = {}
+    for e in events:
+        s = per_user.setdefault(e.user_id, [0, 0])
+        s[0] += round(e.value * 1000)
+        s[1] += 1
+    a, b = [], []
+    for uid, (s, n) in per_user.items():
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        (a if h % 2 == 0 else b).append(s // n)
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    # brute-force sup over all observed values, in exact integers
+    vals = sorted(set(a) | set(b))
+    dnum = max(
+        abs(
+            sum(1 for x in a if x <= v) * len(b)
+            - sum(1 for x in b if x <= v) * len(a)
+        )
+        for v in vals
+    )
+    d = dnum / (len(a) * len(b))
+    assert abs(r.ks_d - round(d, 6)) < 1e-9
+    assert abs(
+        r.ks_stat
+        - round(d * math.sqrt(len(a) * len(b) / (len(a) + len(b))), 6)
+    ) < 1e-9
+    assert 0.0 <= r.ks_d <= 1.0
