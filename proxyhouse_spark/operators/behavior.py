@@ -2172,3 +2172,96 @@ def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ks_test_oracle() -> str:
     return "WITH " + _ks_sql(_PICK_DUCK, "//")
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier — product-limit time-to-conversion curve: the
+# right-censoring-aware counterpart of cohort_retention and event_funnel
+# (the funnel counts who EVER converted; KM answers "what fraction has
+# NOT yet purchased by day t since first touch", giving later cohorts —
+# whose observation was cut short — their correct statistical weight
+# instead of silently counting them as non-converters). Duration = whole
+# days from a user's first event to their first 'purchase' (exact
+# epoch-microsecond integer division); observation is administratively
+# truncated at KM_WINDOW_DAYS — a user whose first purchase lands after
+# the window (or never) is right-censored at min(window, last-seen age).
+# (A pure never-purchased censoring rule is degenerate on the fixture —
+# every user converts — so the window is what exercises both arms; it is
+# also the honest product question: "conversion within W days".)
+#
+# Estimator: S(t) = prod_{t_i <= t} (1 - d_i/n_i) over distinct event
+# times, censored-at-t users still at risk AT t (the standard
+# events-before-censorings convention). Shape: one shuffle on user_id
+# for the duration fold, then a groupBy on duration whose output is
+# O(KM_WINDOW_DAYS + 1) rows by construction — so the unpartitioned
+# at-risk/product prefix windows run on a bounded frame (whitelisted).
+# Floats: n_i, d_i are exact BIGINTs; the only doubles are the final
+# ln/exp product (rounded 6 dp, same discipline as welch/ks_stat); a
+# d_i = n_i extinction step is routed around ln(0) (Spark returns NULL
+# there, DuckDB -inf) with an exact zero-flag carried by the same
+# prefix window.
+# ---------------------------------------------------------------------------
+
+KM_WINDOW_DAYS = 3  # administrative censoring horizon (days since first
+# touch): the product question is "converted within 3 days"
+
+
+def _km_sql(epoch: str, idiv: str) -> str:
+    day = 86_400_000_000  # exact micros per day
+    return f"""
+    u AS (SELECT user_id,
+                 CAST(min({epoch}) {idiv} {day} AS BIGINT) AS d0,
+                 CAST(max({epoch}) {idiv} {day} AS BIGINT) AS dlast,
+                 CAST(min(CASE WHEN event_type = 'purchase'
+                               THEN {epoch} END) {idiv} {day}
+                      AS BIGINT) AS dp
+          FROM events GROUP BY user_id),
+    life AS (SELECT CASE WHEN dp IS NOT NULL
+                              AND dp - d0 <= {KM_WINDOW_DAYS}
+                         THEN CAST(dp - d0 AS BIGINT)
+                         ELSE CAST(least({KM_WINDOW_DAYS},
+                                         dlast - d0) AS BIGINT)
+                    END AS t,
+                    CASE WHEN dp IS NOT NULL
+                              AND dp - d0 <= {KM_WINDOW_DAYS}
+                         THEN 1 ELSE 0 END AS churned
+             FROM u),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM life),
+    agg AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t,
+                   CAST(sum(churned) AS BIGINT) AS d_t
+            FROM life GROUP BY t),
+    risk AS (SELECT a.t, a.n_t, a.d_t,
+                    CAST(tot.n - coalesce(sum(a.n_t) OVER (ORDER BY a.t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+             FROM agg a, tot),
+    km AS (SELECT t, n_risk, d_t,
+                  sum(CASE WHEN d_t > 0 AND d_t < n_risk
+                           THEN ln(CAST(n_risk - d_t AS DOUBLE) / n_risk)
+                           ELSE 0.0e0 END)
+                    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS lsum,
+                  max(CASE WHEN d_t >= n_risk THEN 1 ELSE 0 END)
+                    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS extinct
+           FROM risk)
+    SELECT t AS t_days, n_risk, d_t AS n_events,
+           round(CASE WHEN extinct = 1 THEN 0.0e0 ELSE exp(lsum) END,
+                 6) AS survival
+    FROM km WHERE d_t > 0
+    """
+
+
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N112: product-limit time-to-conversion curve with right censoring."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _km_sql(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div")
+    )
+
+
+def kaplan_meier_oracle() -> str:
+    return "WITH " + _km_sql("epoch_us(ts)", "//")

@@ -285,6 +285,8 @@ _SCALAR_BNLJ_OK = {
                           # theta/variance moments) crossed for the readout
     "q_ks_test",          # two 1-row frames (group sizes, integer supremum)
                           # crossed for the readout
+    "q_kaplan_meier",     # 1-row total-subjects frame crossed into the
+                          # O(KM_WINDOW_DAYS) duration table
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
 }
@@ -329,6 +331,9 @@ _UNPARTITIONED_WINDOW_OK = {
                       # phase 2 of the two-phase midrank scan; bucket count
                       # is bounded by the metric RANGE (value div 1000),
                       # not the corpus (the pack_global justification)
+    "q_kaplan_meier", # at-risk/product prefix over the duration frame —
+                      # O(KM_WINDOW_DAYS + 1) rows by construction (the
+                      # administrative censoring horizon caps t)
     "q_ks_test",      # same O(#buckets) offset-prefix frame, carried for
                       # both the all- and A-counters at once
 }

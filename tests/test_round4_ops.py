@@ -784,3 +784,52 @@ def test_ks_test_matches_brute_force_cdf_sup(spark):
         - round(d * math.sqrt(len(a) * len(b) / (len(a) + len(b))), 6)
     ) < 1e-9
     assert 0.0 <= r.ks_d <= 1.0
+
+
+def test_kaplan_meier_matches_brute_force_product_limit(spark):
+    from proxyhouse_spark.operators.behavior import KM_WINDOW_DAYS
+    from proxyhouse_spark.tables import table
+
+    rows = {
+        r.t_days: r
+        for r in registry.QUERIES["q_kaplan_meier"](spark, SF_SMALL).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1)
+    per_user = {}
+    for e in events:
+        us = int((e.ts - epoch).total_seconds() * 1_000_000) \
+            // 86_400_000_000
+        s = per_user.setdefault(e.user_id, [us, us, None])
+        s[0] = min(s[0], us)
+        s[1] = max(s[1], us)
+        if e.event_type == "purchase":
+            s[2] = us if s[2] is None else min(s[2], us)
+    subjects = []  # (t, is_event)
+    for d0, dlast, dp in per_user.values():
+        if dp is not None and dp - d0 <= KM_WINDOW_DAYS:
+            subjects.append((dp - d0, True))
+        else:
+            subjects.append((min(KM_WINDOW_DAYS, dlast - d0), False))
+    # hand-rolled product-limit: events-before-censorings at each time
+    s, at_risk = 1.0, len(subjects)
+    expect = {}
+    for t in sorted({t for t, _ in subjects}):
+        d = sum(1 for tt, ev in subjects if tt == t and ev)
+        c = sum(1 for tt, ev in subjects if tt == t and not ev)
+        if d:
+            s *= (at_risk - d) / at_risk
+            expect[t] = (at_risk, d, round(s, 6))
+        at_risk -= d + c
+    assert set(rows) == set(expect)
+    for t, (n_risk, d, surv) in expect.items():
+        r = rows[t]
+        assert (r.n_risk, r.n_events) == (n_risk, d)
+        assert abs(r.survival - surv) < 1e-9
+    # censoring must actually bite on the fixture: at-risk shrinks by more
+    # than the event count somewhere, or the last step survival stays > 0
+    assert any(not ev for _, ev in subjects)
