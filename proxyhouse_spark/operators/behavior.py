@@ -2265,3 +2265,86 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kaplan_meier_oracle() -> str:
     return "WITH " + _km_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# autocorr — sample autocorrelation of the daily metric series per
+# event_type at lags 1 and 7 (the day-over-day persistence and the
+# weekly echo): the time-series diagnostic that tells a pipeline
+# whether seasonal_anomaly's weekly-slot model is even justified
+# (lag-7 ACF ≈ 0 means "no weekly structure, don't deseasonalize").
+#
+# r_k = Σ_{t≤n−k}(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² over the DENSE daily
+# index [dmin, dmax] per type, missing days = 0. The dense spine is
+# never materialized: expanding the numerator,
+#   n²·num = n²·Σx_t·x_{t+k} − n·S·(H_k+T_k) + (n−k)·S²
+#   n²·den = n²·Σx²           − n·S²
+# where every term is a sum over OBSERVED days only (zero days vanish
+# from P, H, T, S, Σx² alike; n = dmax−dmin+1 counts them exactly) —
+# so the whole statistic is decided in exact DECIMAL integer
+# arithmetic (x = daily milli-value sums; DECIMAL(38,0) carriers keep
+# n²Σx² safe past the BIGINT ceiling at ~10⁹-row days) and the single
+# double is the final division, rounded 6 dp.
+#
+# Shape: one shuffle for the (type, day) fold; the lag product is an
+# equi-join of the daily frame with itself on (type, day+k) after
+# broadcasting the 2-row lag list and the per-type moment frame —
+# O(#types·#days) rows throughout, never corpus-sized.
+# ---------------------------------------------------------------------------
+
+
+def _acf_sql(epoch: str, idiv: str) -> str:
+    day = 86_400_000_000
+    return f"""
+    d AS (SELECT event_type,
+                 CAST({epoch} {idiv} {day} AS BIGINT) AS d,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                      AS DECIMAL(18,0)) AS x
+          FROM events GROUP BY event_type, CAST({epoch} {idiv} {day} AS BIGINT)),
+    m AS (SELECT event_type,
+                 CAST(min(d) AS BIGINT) AS dmin,
+                 CAST(max(d) AS BIGINT) AS dmax,
+                 CAST(max(d) - min(d) + 1 AS DECIMAL(18,0)) AS n,
+                 CAST(sum(x) AS DECIMAL(18,0)) AS s,
+                 CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+          FROM d GROUP BY event_type),
+    ks AS (SELECT CAST(1 AS BIGINT) AS lag
+           UNION ALL SELECT CAST(7 AS BIGINT)),
+    pk AS (SELECT m.event_type, ks.lag, m.n, m.s, m.sxx,
+                  CAST(m.dmax - m.dmin + 1 AS BIGINT) AS n_days,
+                  CAST(coalesce(sum(a.x * b.x), 0) AS DECIMAL(38,0)) AS p,
+                  CAST(coalesce(sum(CASE WHEN a.d <= m.dmax - ks.lag
+                                         THEN a.x END), 0)
+                       AS DECIMAL(18,0)) AS h,
+                  CAST(coalesce(sum(CASE WHEN a.d >= m.dmin + ks.lag
+                                         THEN a.x END), 0)
+                       AS DECIMAL(18,0)) AS t
+           FROM m, ks
+           JOIN d a ON a.event_type = m.event_type
+           LEFT JOIN d b ON b.event_type = a.event_type
+                        AND b.d = a.d + ks.lag
+           GROUP BY m.event_type, ks.lag, m.n, m.s, m.sxx,
+                    m.dmax, m.dmin)
+    SELECT event_type, lag, n_days,
+           CASE WHEN n * n * sxx - n * s * s = 0 THEN NULL
+                ELSE round(CAST(n * n * p - n * s * (h + t)
+                                + (n - lag) * s * s AS DOUBLE)
+                           / CAST(n * n * sxx - n * s * s AS DOUBLE), 6)
+           END AS acf
+    FROM pk
+    """
+
+
+def autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N113: exact-arithmetic daily-series autocorrelation at lags 1, 7."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _acf_sql(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div")
+    )
+
+
+def autocorr_oracle() -> str:
+    return "WITH " + _acf_sql("epoch_us(ts)", "//")

@@ -833,3 +833,41 @@ def test_kaplan_meier_matches_brute_force_product_limit(spark):
     # censoring must actually bite on the fixture: at-risk shrinks by more
     # than the event count somewhere, or the last step survival stays > 0
     assert any(not ev for _, ev in subjects)
+
+
+def test_autocorr_matches_dense_series_brute_force(spark):
+    import datetime as _dt
+
+    from proxyhouse_spark.tables import table
+
+    out = {
+        (r.event_type, r.lag): r
+        for r in registry.QUERIES["q_autocorr"](spark, SF_SMALL).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    daily = {}
+    for e in events:
+        d = int((e.ts - epoch).total_seconds() * 1_000_000) \
+            // 86_400_000_000
+        key = (e.event_type, d)
+        daily[key] = daily.get(key, 0) + round(e.value * 1000)
+    types = {t for t, _ in daily}
+    for t in types:
+        days = {d for tt, d in daily if tt == t}
+        lo, hi = min(days), max(days)
+        xs = [daily.get((t, d), 0) for d in range(lo, hi + 1)]
+        n = len(xs)
+        mean = sum(xs) / n
+        den = sum((x - mean) ** 2 for x in xs)
+        for k in (1, 7):
+            r = out[(t, k)]
+            assert r.n_days == n
+            num = sum(
+                (xs[i] - mean) * (xs[i + k] - mean) for i in range(n - k)
+            )
+            assert abs(r.acf - round(num / den, 6)) < 1e-6
+            assert -1.0 <= r.acf <= 1.0
+    assert len(out) == 2 * len(types)
