@@ -2348,3 +2348,87 @@ def autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def autocorr_oracle() -> str:
     return "WITH " + _acf_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# cusum — CUSUM changepoint scan over the daily activity series per
+# event_type: the level-shift detector that complements autocorr
+# (persistence) and seasonal_anomaly (pointwise outliers) — "did the
+# MEAN of this series change, and when?". Statistic: the scale-free
+# D* = max_k |S_k/S_n − k/n| over the dense daily index (the empirical
+# bridge sup — CUSUM's max-type form), with the argmax day as the
+# changepoint candidate.
+#
+# Exactness: the sup is decided on the integer numerator
+# |n·S_k − k·S_n| (counts × day-index: BIGINT-safe through ~10¹⁴-row
+# series), ties broken to the smallest k by an integer min — the only
+# double is the final division by n·S_n, rounded 6 dp. Dense-index
+# semantics without a spine: S is a step function, so over a missing-
+# day run |S − kμ| is linear in k and maximal at run ends — both ends
+# are emitted per observed day ((k_d, S_d) after the step and
+# (k_d − 1, S_d − x_d) before it, which also covers the initial zero
+# run), so the sup over ALL dense k is the max over 2·#observed
+# candidates.
+#
+# Shape: one shuffle for the (type, day) fold; the cumulative sum is a
+# window PARTITIONED by event_type (never single-partition); max and
+# argmax are plain group-bys. O(#types·#days) rows end to end.
+# ---------------------------------------------------------------------------
+
+
+def _cusum_sql(epoch: str, idiv: str) -> str:
+    day = 86_400_000_000
+    return f"""
+    d AS (SELECT event_type,
+                 CAST({epoch} {idiv} {day} AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events
+          GROUP BY event_type, CAST({epoch} {idiv} {day} AS BIGINT)),
+    m AS (SELECT event_type,
+                 CAST(min(d) AS BIGINT) AS dmin,
+                 CAST(max(d) - min(d) + 1 AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s_n
+          FROM d GROUP BY event_type),
+    c AS (SELECT event_type, d, x,
+                 CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM d),
+    cand AS (SELECT c.event_type,
+                    CAST(c.d - m.dmin + 1 AS BIGINT) AS k,
+                    c.cum AS s, m.n, m.s_n, m.dmin
+             FROM c JOIN m ON m.event_type = c.event_type
+             UNION ALL
+             SELECT c.event_type,
+                    CAST(c.d - m.dmin AS BIGINT) AS k,
+                    CAST(c.cum - c.x AS BIGINT) AS s, m.n, m.s_n, m.dmin
+             FROM c JOIN m ON m.event_type = c.event_type),
+    num AS (SELECT event_type, k, n, s_n, dmin,
+                   CAST(abs(n * s - k * s_n) AS BIGINT) AS v
+            FROM cand WHERE k >= 1 AND k < n),
+    mx AS (SELECT event_type, CAST(max(v) AS BIGINT) AS mv
+           FROM num GROUP BY event_type)
+    SELECT n.event_type,
+           CAST(min(n.n) AS BIGINT) AS n_days,
+           CAST(min(n.k) AS BIGINT) AS cp_k,
+           CAST(min(n.dmin + n.k - 1) AS BIGINT) AS cp_day,
+           round(CAST(min(x.mv) AS DOUBLE)
+                 / (CAST(min(n.n) AS DOUBLE) * min(n.s_n)), 6) AS cusum_rel
+    FROM num n JOIN mx x ON x.event_type = n.event_type AND n.v = x.mv
+    GROUP BY n.event_type
+    """
+
+
+def cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N114: CUSUM level-shift scan, integer-exact argmax per series."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _cusum_sql(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div")
+    )
+
+
+def cusum_oracle() -> str:
+    return "WITH " + _cusum_sql("epoch_us(ts)", "//")

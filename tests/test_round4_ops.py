@@ -871,3 +871,42 @@ def test_autocorr_matches_dense_series_brute_force(spark):
             assert abs(r.acf - round(num / den, 6)) < 1e-6
             assert -1.0 <= r.acf <= 1.0
     assert len(out) == 2 * len(types)
+
+
+def test_cusum_matches_dense_bridge_brute_force(spark):
+    import datetime as _dt
+
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_cusum"](spark, SF_SMALL).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "event_type", "ts"
+    ).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    daily = {}
+    for e in events:
+        d = int((e.ts - epoch).total_seconds() * 1_000_000) \
+            // 86_400_000_000
+        key = (e.event_type, d)
+        daily[key] = daily.get(key, 0) + 1
+    for t in {tt for tt, _ in daily}:
+        days = {d for tt, d in daily if tt == t}
+        lo, hi = min(days), max(days)
+        xs = [daily.get((t, d), 0) for d in range(lo, hi + 1)]
+        n, s_n = len(xs), sum(xs)
+        # brute force over EVERY dense k, not just observed-day candidates
+        best_v, best_k, cum = -1, None, 0
+        for k in range(1, n):
+            cum += xs[k - 1]
+            v = abs(n * cum - k * s_n)
+            if v > best_v:
+                best_v, best_k = v, k
+        r = out[t]
+        assert (r.n_days, r.cp_k) == (n, best_k)
+        assert r.cp_day == lo + best_k - 1
+        assert abs(r.cusum_rel - round(best_v / (n * s_n), 6)) < 1e-9
+        assert 0.0 <= r.cusum_rel <= 1.0
+    assert len(out) == len({tt for tt, _ in daily})
