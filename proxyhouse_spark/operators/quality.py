@@ -654,3 +654,55 @@ def dp_counts_oracle() -> str:
         f"CAST(concat('0x', substr(md5({_DP_SEED_S}), 1, 12)) AS BIGINT)"
     )
     return "WITH " + _dp_sql(md5int)
+
+
+# ---------------------------------------------------------------------------
+# benford_audit — first-significant-digit distribution of order totals
+# against Benford's law: the classic fabricated-/corrupted-numeric-data
+# screen (a synthetic generator, a broken currency conversion, or a
+# truncating ETL step all bend the leading-digit curve long before any
+# range constraint fires). Complements constraint_audit: ranges say
+# "values are legal", Benford says "values are PLAUSIBLE as a
+# population".
+#
+# Exactness: the digit is extracted from the BIGINT cents carrier via
+# integer string representation (substr of a BIGINT's text form —
+# engine-stable, unlike float log10 at power-of-ten knife edges); all
+# counts are exact BIGINTs joined onto a literal 9-row digit spine so
+# zero-count digits still report. Doubles appear only in the final
+# readout columns (observed share, Benford share log10(1+1/d), and the
+# chi-square term n·(obs−exp)²/exp), each rounded 6 dp.
+#
+# Shape: one map-side-combinable fold into 9 rows, then a broadcast
+# join against the literal spine. Nothing here scales with anything
+# but the digit alphabet.
+# ---------------------------------------------------------------------------
+
+_BENFORD_BODY = """
+digits AS (SELECT CAST(d AS BIGINT) AS digit
+           FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS t(d)),
+obs AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS STRING), 1, 1) AS BIGINT) AS digit,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM orders WHERE o_totalprice > 0
+        GROUP BY 1),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+SELECT d.digit,
+       CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+       round(CAST(coalesce(o.n_obs, 0) AS DOUBLE) / tot.n, 6) AS obs_share,
+       round(log10(1.0e0 + 1.0e0 / d.digit), 6) AS benford_share,
+       round(power(CAST(coalesce(o.n_obs, 0) AS DOUBLE) / tot.n
+                   - log10(1.0e0 + 1.0e0 / d.digit), 2)
+             / log10(1.0e0 + 1.0e0 / d.digit) * tot.n, 6) AS chi2_term
+FROM digits d LEFT JOIN obs o ON o.digit = d.digit, tot
+"""
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N115: Benford first-digit audit of order totals."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("WITH " + _BENFORD_BODY)
+
+
+def benford_audit_oracle() -> str:
+    return "WITH " + _BENFORD_BODY

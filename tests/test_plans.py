@@ -289,6 +289,8 @@ _SCALAR_BNLJ_OK = {
                           # O(KM_WINDOW_DAYS) duration table
     "q_autocorr",         # O(#event-types) moment frame crossed with the
                           # 2-row lag list before the daily equi-joins
+    "q_benford",          # 1-row total-count frame crossed into the 9-row
+                          # digit spine
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
 }

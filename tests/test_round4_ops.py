@@ -910,3 +910,40 @@ def test_cusum_matches_dense_bridge_brute_force(spark):
         assert abs(r.cusum_rel - round(best_v / (n * s_n), 6)) < 1e-9
         assert 0.0 <= r.cusum_rel <= 1.0
     assert len(out) == len({tt for tt, _ in daily})
+
+
+def test_benford_shares_sum_and_brute_force_digits(spark):
+    import math
+
+    from proxyhouse_spark.tables import table
+
+    rows = {
+        r.digit: r
+        for r in registry.QUERIES["q_benford"](spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(range(1, 10))
+    prices = [
+        r.o_totalprice
+        for r in table(spark, SF_SMALL, "orders").select(
+            "o_totalprice"
+        ).collect()
+        if r.o_totalprice > 0
+    ]
+    counts = {d: 0 for d in range(1, 10)}
+    for p in prices:
+        counts[int(str(round(p * 100))[0])] += 1
+    n = sum(counts.values())
+    chi2 = 0.0
+    for d in range(1, 10):
+        r = rows[d]
+        assert r.n_obs == counts[d]
+        assert abs(r.obs_share - round(counts[d] / n, 6)) < 1e-9
+        exp = math.log10(1 + 1 / d)
+        assert abs(r.benford_share - round(exp, 6)) < 1e-9
+        assert abs(
+            r.chi2_term - round((counts[d] / n - exp) ** 2 / exp * n, 6)
+        ) < 1e-6
+        chi2 += r.chi2_term
+    # Benford shares are a distribution; observed shares must be too
+    assert abs(sum(r.obs_share for r in rows.values()) - 1.0) < 1e-4
+    assert chi2 >= 0.0
