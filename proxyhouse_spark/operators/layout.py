@@ -149,3 +149,76 @@ def zorder_stats_oracle() -> str:
         "CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)",
         "//",
     )
+
+
+# ---------------------------------------------------------------------------
+# gini_concentration — corpus-concentration audit: the Gini coefficient
+# (plus top-source share) of BYTES per source over ``documents``. The
+# curation readout behind every mixing policy (mix_temperature upweights
+# tails on the premise that mass is concentrated; this measures HOW
+# concentrated) and the corpus-level sibling of skew_report (that one
+# sizes a shuffle key, this one audits the data estate itself).
+#
+# G = (2·Σᵢ i·x₍ᵢ₎ − (m+1)·Σx) / (m·Σx) over ascending-sorted masses —
+# every term integer. The rank-weighted sum Σ i·x₍ᵢ₎ never sorts
+# globally: masses fold to distinct values, values are coarsened into
+# DIGIT-CLASS buckets (b = 1000·digits(x) + top-3-digits(x), a pure
+# integer coarsening of the numeric order, ≤ ~19k buckets regardless of
+# data volume), bucket offsets are a prefix sum over that bounded frame,
+# and the tied-block contribution x·(t·off + t(t+1)/2) is decided per
+# distinct value with exact integers (t(t+1) is always even, so the
+# halving is exact in both engines' integer division). DECIMAL(38,0)
+# carriers keep rank×mass products safe past BIGINT at petabyte masses.
+# The only doubles are the final two divisions, rounded 6 dp.
+# ---------------------------------------------------------------------------
+
+
+def _gini_sql(idiv: str) -> str:
+    return f"""
+    src AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS x
+            FROM documents GROUP BY source),
+    vals AS (SELECT x, CAST(count(*) AS BIGINT) AS t,
+                    CAST(length(CAST(x AS STRING)) * 1000
+                         + x {idiv} CAST(power(10, greatest(
+                               length(CAST(x AS STRING)) - 3, 0))
+                             AS BIGINT) AS BIGINT) AS b
+             FROM src GROUP BY x),
+    bt AS (SELECT b, CAST(sum(t) AS BIGINT) AS tb FROM vals GROUP BY b),
+    boff AS (SELECT b,
+               CAST(coalesce(sum(tb) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS off
+             FROM bt),
+    cum AS (SELECT v.x, v.t,
+                   CAST(o.off + sum(v.t) OVER (PARTITION BY v.b
+                          ORDER BY v.x ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - v.t AS BIGINT) AS lo
+            FROM vals v JOIN boff o ON o.b = v.b),
+    six AS (SELECT CAST(sum(CAST(x AS DECIMAL(18,0))
+                            * (CAST(t AS DECIMAL(18,0)) * lo
+                               + CAST(t * (t + 1) {idiv} 2
+                                      AS DECIMAL(18,0))))
+                        AS DECIMAL(38,0)) AS v
+            FROM cum),
+    nn AS (SELECT CAST(count(*) AS DECIMAL(18,0)) AS m,
+                  CAST(sum(x) AS DECIMAL(18,0)) AS s,
+                  CAST(max(x) AS BIGINT) AS mx,
+                  CAST(count(*) AS BIGINT) AS n_sources,
+                  CAST(sum(x) AS BIGINT) AS total_chars
+           FROM src)
+    SELECT nn.n_sources, nn.total_chars,
+           round(CAST(2 * six.v - (nn.m + 1) * nn.s AS DOUBLE)
+                 / CAST(nn.m * nn.s AS DOUBLE), 6) AS gini,
+           round(CAST(nn.mx AS DOUBLE) / nn.total_chars, 6) AS top1_share
+    FROM nn, six
+    """
+
+
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N116: exact rank-weighted Gini of bytes-per-source, no global sort."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _gini_sql("div"))
+
+
+def gini_concentration_oracle() -> str:
+    return "WITH " + _gini_sql("//")

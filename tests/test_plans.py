@@ -291,6 +291,8 @@ _SCALAR_BNLJ_OK = {
                           # 2-row lag list before the daily equi-joins
     "q_benford",          # 1-row total-count frame crossed into the 9-row
                           # digit spine
+    "q_gini",             # two 1-row frames (corpus moments, rank-weighted
+                          # sum) crossed for the single readout row
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
 }
@@ -335,6 +337,9 @@ _UNPARTITIONED_WINDOW_OK = {
                       # phase 2 of the two-phase midrank scan; bucket count
                       # is bounded by the metric RANGE (value div 1000),
                       # not the corpus (the pack_global justification)
+    "q_gini",         # bucket-offset prefix over the digit-class frame —
+                      # <= ~19k buckets by construction (1000*digits +
+                      # top-3-digits), independent of corpus size
     "q_kaplan_meier", # at-risk/product prefix over the duration frame —
                       # O(KM_WINDOW_DAYS + 1) rows by construction (the
                       # administrative censoring horizon caps t)

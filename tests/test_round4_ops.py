@@ -947,3 +947,27 @@ def test_benford_shares_sum_and_brute_force_digits(spark):
     # Benford shares are a distribution; observed shares must be too
     assert abs(sum(r.obs_share for r in rows.values()) - 1.0) < 1e-4
     assert chi2 >= 0.0
+
+
+def test_gini_matches_sorted_rank_brute_force(spark):
+    from proxyhouse_spark.tables import table
+
+    r = registry.QUERIES["q_gini"](spark, SF_SMALL).collect()[0]
+    docs = table(spark, SF_SMALL, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    mass = {}
+    for d in docs:
+        mass[d.source] = mass.get(d.source, 0) + d.n_chars
+    xs = sorted(mass.values())
+    m, s = len(xs), sum(xs)
+    assert (r.n_sources, r.total_chars) == (m, s)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = (2 * six - (m + 1) * s) / (m * s)
+    assert abs(r.gini - round(gini, 6)) < 1e-9
+    assert abs(r.top1_share - round(max(xs) / s, 6)) < 1e-9
+    assert 0.0 <= r.gini < 1.0
+    # rank-tie exactness: duplicate masses must use consecutive-rank sums,
+    # which the sorted brute force above produces by construction; also
+    # sanity that the fixture is non-degenerate (not all masses equal)
+    assert len(set(xs)) > 1
