@@ -1245,3 +1245,96 @@ def join_asof_tolerance_oracle() -> str:
     FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
       ON j.event_id = p.event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# bloom_join — the semi-join-reduction / runtime-row-filter join
+# strategy, spelled explicitly: revenue of lineitems whose orders
+# belong to BUILDING-segment customers. The naive plan shuffles ALL of
+# lineitem into the orders join; at 100 TB the winning plan first
+# broadcasts a BOUNDED digest of the qualifying build side — here the
+# distinct hash-buckets of qualifying order keys, capped at
+# BLOOM_M = 2^16 rows no matter how many keys qualify (the hand-rolled,
+# deterministic analogue of Spark's runtime bloom filter /
+# InjectRuntimeFilter) — and semi-joins the fact side against it
+# map-side, so only surviving rows (true matches + bucket-collision
+# false positives) pay the exact-join shuffle. Correctness never
+# depends on the filter: the exact semi-join runs after it, so the
+# bucket hash can be Spark-private (xxhash64) with no oracle
+# counterpart; the oracle is the plain three-way join.
+#
+# Plan pins (tests/test_plans.py): the bucket digest reaches the fact
+# scan as a BroadcastHashJoin BEFORE any data exchange, and the probe
+# scan reads only the referenced columns.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 16  # bucket-digest capacity: broadcast is <= 2^16 rows, always
+
+
+def bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: semi-join reduction via a broadcast bucket digest.
+
+    Reference parity: ABSENT (no joins in /root/reference at all,
+    SURVEY §2.3); this is the north-star join-strategy surface.
+    """
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+
+    build = (
+        orders.join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey")
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_semi",
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    # bounded digest of the build side's key set (never > BLOOM_M rows)
+    digest = (
+        build.select(
+            F.pmod(F.xxhash64(F.col("o_orderkey")), F.lit(BLOOM_M))
+            .alias("bucket")
+        ).distinct()
+    )
+    prefiltered = lineitem.select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).join(
+        F.broadcast(digest),
+        F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(BLOOM_M))
+        == F.col("bucket"),
+        "left_semi",
+    )
+    # exact join AFTER the reduction: collisions die here, semantics exact
+    joined = prefiltered.join(
+        build, prefiltered.l_orderkey == build.o_orderkey
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (
+                    F.round(F.col("l_extendedprice") * 1000).cast("long")
+                    * (1000 - F.round(F.col("l_discount") * 1000).cast("long"))
+                )
+            ).alias("revenue_micros"),
+        )
+    )
+
+
+def bloom_join_oracle() -> str:
+    return """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 1000) AS BIGINT)
+                    * (1000 - CAST(round(l.l_discount * 1000) AS BIGINT)))
+                AS BIGINT) AS revenue_micros
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+    """

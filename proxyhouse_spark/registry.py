@@ -962,6 +962,9 @@ register("q_semantic_dedup", clustering.semantic_dedup_oracle())(
 )
 register("q_silhouette", clustering.silhouette_oracle())(clustering.silhouette)
 register("q_join_salted", relational.join_salted_oracle())(relational.join_salted)
+register("q_bloom_join", relational.bloom_join_oracle())(
+    relational.bloom_join
+)
 register("q_join_full_outer", relational.join_full_outer_oracle())(
     relational.join_full_outer
 )
@@ -1191,7 +1194,7 @@ _LEAD = [
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini",
+    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

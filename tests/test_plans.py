@@ -760,3 +760,17 @@ def test_triangles_stages_oriented_and_never_broadcasts(spark):
     # final BNLJ cross; the edge-list joins themselves must never be a
     # BroadcastHASHJoin (that broadcast side would be the oriented frame)
     assert "BroadcastHashJoin" not in tree
+
+
+def test_bloom_join_fact_side_never_shuffles_before_the_digest(spark):
+    """J7's whole point: the fact scan must flow into the broadcast
+    bucket-digest LeftSemi (and then the exact join) with NO data
+    exchange on the fact lineage — the only shuffles in the plan are
+    the digest's own distinct fold and the final groupBy. A plan where
+    the fact side shuffles first has silently become the naive join."""
+    tree = tree_of(plan_of(spark, "q_bloom_join"))
+    assert tree.count("BroadcastHashJoin LeftSemi") >= 2  # digest + dim
+    assert "SortMergeJoin" not in tree
+    assert "Cartesian" not in tree and "NestedLoop" not in tree
+    # exactly two real exchanges: digest distinct + final aggregate
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2

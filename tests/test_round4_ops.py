@@ -971,3 +971,40 @@ def test_gini_matches_sorted_rank_brute_force(spark):
     # which the sorted brute force above produces by construction; also
     # sanity that the fixture is non-degenerate (not all masses equal)
     assert len(set(xs)) > 1
+
+
+def test_bloom_join_digest_is_bounded_superset_filter(spark):
+    from pyspark.sql import functions as F
+
+    from proxyhouse_spark.operators.relational import BLOOM_M
+    from proxyhouse_spark.tables import table
+
+    lineitem = table(spark, SF_SMALL, "lineitem")
+    orders = table(spark, SF_SMALL, "orders")
+    customer = table(spark, SF_SMALL, "customer")
+    build = orders.join(
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    ).select("o_orderkey")
+    digest = build.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(BLOOM_M)).alias("bucket")
+    ).distinct()
+    assert digest.count() <= BLOOM_M  # broadcast stays bounded, always
+    survivors = lineitem.join(
+        digest,
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(BLOOM_M)) == F.col("bucket"),
+        "left_semi",
+    )
+    exact = lineitem.join(
+        build, lineitem.l_orderkey == build.o_orderkey, "left_semi"
+    )
+    n_surv, n_exact, n_all = (
+        survivors.count(), exact.count(), lineitem.count()
+    )
+    # the digest never drops a true match (superset) and the exact join
+    # kills whatever collisions slipped through
+    assert n_exact <= n_surv <= n_all
+    out = registry.QUERIES["q_bloom_join"](spark, SF_SMALL)
+    assert out.agg({"n_items": "sum"}).collect()[0][0] == n_exact
