@@ -603,3 +603,87 @@ def jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def jl_project_oracle() -> str:
     return f"WITH embc AS ({EMB_CORPUS_DUCK}), " + _jl_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# ndcg — ranking-quality readout of the cosine retrieval itself:
+# NDCG@K and MRR@K per probe with binary label relevance. ann_recall
+# judges the INDEX (does LSH return the exact engine's top-k?); this
+# judges the RANKING (does cosine order put same-label vectors first?)
+# — the metric an embedding-quality regression gate watches across
+# model versions. rel(r) = 1 iff the candidate shares the probe's
+# label; DCG@K = Σ rel_r/log2(r+1); IDCG@K truncates the ideal ranking
+# at min(K, total relevant in corpus); MRR@K = 1/rank of the first
+# relevant hit, 0 if none in the top K.
+#
+# Determinism: ranks come from the established round-6-cosine +
+# vec_id tie-break ordering (same as ann_recall), so rank assignment
+# is bit-stable across engines; the discount sums are K-term folds of
+# 1/log2(integer) (ULP-identical across libm), rounded 6 dp at
+# emission. The IDCG series has no closed form — it folds over a
+# literal K-row spine joined on r <= min(K, n_rel), a bounded×bounded
+# frame. Probe frame (N_PROBES rows) broadcasts into the corpus scan;
+# the ranking window is partitioned by probe_id.
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+
+
+def _ndcg_sql(duck: bool) -> str:
+    nrm = (
+        "sqrt(list_sum(list_transform(e, x -> x * x)))"
+        if duck
+        else "sqrt(aggregate(transform(e, x -> x * x), CAST(0 AS DOUBLE), "
+             "(acc, v) -> acc + v))"
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {V.DIM + 1}), "
+        "i -> c.e[i] * p.e[i]))"
+        if duck
+        else "aggregate(zip_with(c.e, p.e, (x, y) -> x * y), "
+             "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    spine = ",".join(f"({r})" for r in range(1, NDCG_K + 1))
+    return f"""
+    n AS (SELECT vec_id, label, e, {nrm} AS nrm FROM embc),
+    p AS (SELECT vec_id AS probe_id, label AS plabel, e, nrm FROM n
+          WHERE vec_id < {N_PROBES}),
+    ranked AS (SELECT p.probe_id,
+                      CASE WHEN c.label = p.plabel THEN 1 ELSE 0 END AS rel,
+                      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                        round(({dot}) / (c.nrm * p.nrm), 6) DESC, c.vec_id)
+                        AS rnk
+               FROM n c CROSS JOIN p WHERE c.vec_id <> p.probe_id),
+    relk AS (SELECT probe_id,
+                    CAST(sum(CASE WHEN rnk <= {NDCG_K} THEN rel
+                             ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+                    CAST(min(CASE WHEN rel = 1 AND rnk <= {NDCG_K}
+                             THEN rnk END) AS BIGINT) AS first_rel,
+                    sum(CASE WHEN rel = 1 AND rnk <= {NDCG_K}
+                        THEN CAST(1 AS DOUBLE) / log2(rnk + 1)
+                        ELSE 0.0e0 END) AS dcg,
+                    CAST(sum(rel) AS BIGINT) AS n_rel
+             FROM ranked GROUP BY probe_id),
+    spine AS (SELECT CAST(r AS BIGINT) AS r
+              FROM (VALUES {spine}) AS t(r)),
+    idcg AS (SELECT k.probe_id, sum(CAST(1 AS DOUBLE) / log2(s.r + 1)) AS v
+             FROM relk k JOIN spine s
+               ON s.r <= least(CAST({NDCG_K} AS BIGINT), k.n_rel)
+             GROUP BY k.probe_id)
+    SELECT k.probe_id, k.n_rel_at_k,
+           round(CASE WHEN k.first_rel IS NULL THEN 0.0e0
+                      ELSE CAST(1 AS DOUBLE) / k.first_rel END, 6) AS mrr,
+           round(CASE WHEN i.v IS NULL THEN 0.0e0
+                      ELSE k.dcg / i.v END, 6) AS ndcg_at_k
+    FROM relk k LEFT JOIN idcg i ON i.probe_id = k.probe_id
+    """
+
+
+def ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N117: NDCG@K + MRR@K of the cosine ranking, binary label relevance."""
+    emb_corpus(spark, sf_dir).createOrReplaceTempView("embc")
+    return spark.sql("WITH " + _ndcg_sql(duck=False))
+
+
+def ndcg_oracle() -> str:
+    return f"WITH embc AS ({EMB_CORPUS_DUCK}), " + _ndcg_sql(duck=True)

@@ -1008,3 +1008,59 @@ def test_bloom_join_digest_is_bounded_superset_filter(spark):
     assert n_exact <= n_surv <= n_all
     out = registry.QUERIES["q_bloom_join"](spark, SF_SMALL)
     assert out.agg({"n_items": "sum"}).collect()[0][0] == n_exact
+
+
+def test_ndcg_matches_brute_force_ranking_metrics(spark):
+    import math
+
+    from proxyhouse_spark.operators.similarity import N_PROBES, NDCG_K
+
+    out = {
+        r.probe_id: r
+        for r in registry.QUERIES["q_ndcg"](spark, SF_SMALL).collect()
+    }
+    assert set(out) == set(range(N_PROBES))
+    vecs = {
+        r.vec_id: ([float(x) for x in r.embedding], r.label)
+        for r in spark.read.parquet(
+            f"{SF_SMALL}/embeddings.parquet"
+        ).collect()
+    }
+    # replicate emb_corpus's planted near-twins (vec_id % 25 == 0 →
+    # +1e6 twin with e[0] shifted by 0.05)
+    for vid in list(vecs):
+        if vid % 25 == 0:
+            e, lab = vecs[vid]
+            vecs[vid + 1_000_000] = ([e[0] + 0.05] + e[1:], lab)
+    for pid in range(N_PROBES):
+        pe, plabel = vecs[pid]
+        scored = []
+        for vid, (e, lab) in vecs.items():
+            if vid == pid:
+                continue
+            dot = sum(a * b for a, b in zip(e, pe))
+            na = math.sqrt(sum(a * a for a in e))
+            nb = math.sqrt(sum(a * a for a in pe))
+            scored.append((round(dot / (na * nb), 6), -vid, lab))
+        scored.sort(reverse=True)
+        rels = [1 if lab == plabel else 0 for _, _, lab in scored]
+        topk = rels[:NDCG_K]
+        dcg = sum(r / math.log2(i + 2) for i, r in enumerate(topk))
+        n_rel = sum(rels)
+        idcg = sum(
+            1 / math.log2(i + 2) for i in range(min(NDCG_K, n_rel))
+        )
+        mrr = 0.0
+        for i, r in enumerate(topk):
+            if r:
+                mrr = 1 / (i + 1)
+                break
+        row = out[pid]
+        assert row.n_rel_at_k == sum(topk)
+        assert abs(row.mrr - round(mrr, 6)) < 1e-9
+        expect = 0.0 if idcg == 0 else round(dcg / idcg, 6)
+        assert abs(row.ndcg_at_k - expect) < 1e-6
+        assert 0.0 <= row.ndcg_at_k <= 1.0
+    # the labeled fixture is non-degenerate: at least one probe has a
+    # relevant hit in its top-K
+    assert any(r.n_rel_at_k > 0 for r in out.values())
