@@ -2432,3 +2432,69 @@ def cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cusum_oracle() -> str:
     return "WITH " + _cusum_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# twap — time-weighted average of the event metric per event_type, the
+# irregular-sampling-correct mean: a plain avg(value) over-weights
+# chatty periods (ten samples in a burst minute count 10×); weighting
+# each sample by how long it REMAINED the latest observation (LOCF —
+# the gapfill_locf carry, folded instead of materialized) weights by
+# exposure time. TWAP = Σᵤ Σᵢ vᵢ·(tᵢ₊₁−tᵢ) / Σᵤ spanᵤ per type, i.e.
+# each user's last-observation-carried-forward integral over their own
+# observation window, pooled across users (single-event users carry
+# zero span and drop out of both sums).
+#
+# Exactness: milli-value × microsecond-gap products in DECIMAL(38,0)
+# carriers (a month-long gap × large metric already brushes the BIGINT
+# ceiling); the only double is the final division, rounded 6 dp. The
+# seconds readout avoids DECIMAL integer division entirely — DuckDB
+# ROUNDS a DECIMAL `//` where Spark's `div` truncates — by the exact
+# mod-subtract spelling (x − x%10⁶)/10⁶, divisible by construction.
+# Shape: the lead window is partitioned by (user_id, event_type) —
+# partition count scales WITH the corpus (never a per-type
+# single-partition sort); the pooled fold is one map-side-combinable
+# aggregate to O(#types) rows.
+# ---------------------------------------------------------------------------
+
+
+def _twap_sql(epoch: str) -> str:
+    return f"""
+    s AS (SELECT user_id, event_type,
+                 CAST(round(value * 1000) AS BIGINT) AS v,
+                 CAST({epoch} AS BIGINT) AS t,
+                 lead(CAST({epoch} AS BIGINT)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY {epoch}, event_id) AS t_next
+          FROM events),
+    w AS (SELECT event_type,
+                 CAST(sum(CAST(v AS DECIMAL(18,0))
+                          * CAST(t_next - t AS DECIMAL(18,0)))
+                      AS DECIMAL(38,0)) AS wsum,
+                 CAST(sum(CAST(t_next - t AS DECIMAL(18,0)))
+                      AS DECIMAL(38,0)) AS span_us,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM s WHERE t_next IS NOT NULL
+          GROUP BY event_type)
+    SELECT event_type, n_users,
+           CAST((span_us - span_us % 1000000) / 1000000 AS BIGINT)
+             AS span_secs,
+           round(CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 1000.0e0,
+                 6) AS twap
+    FROM w
+    """
+
+
+def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N118: LOCF time-weighted average, exposure-time-correct mean."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _twap_sql(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)")
+    )
+
+
+def twap_oracle() -> str:
+    return "WITH " + _twap_sql("epoch_us(ts)")

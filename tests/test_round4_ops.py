@@ -1064,3 +1064,53 @@ def test_ndcg_matches_brute_force_ranking_metrics(spark):
     # the labeled fixture is non-degenerate: at least one probe has a
     # relevant hit in its top-K
     assert any(r.n_rel_at_k > 0 for r in out.values())
+
+
+def test_twap_matches_locf_integral_brute_force(spark):
+    import datetime as _dt
+
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_twap"](spark, SF_SMALL).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    ).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    streams = {}
+    for e in events:
+        us = int((e.ts - epoch).total_seconds() * 1_000_000)
+        streams.setdefault((e.user_id, e.event_type), []).append(
+            (us, e.event_id, round(e.value * 1000))
+        )
+    agg = {}
+    for (_, t), evs in streams.items():
+        evs.sort()
+        wsum, span = 0, 0
+        for (t0, _, v), (t1, _, _) in zip(evs, evs[1:]):
+            wsum += v * (t1 - t0)
+            span += t1 - t0
+        if span:
+            a = agg.setdefault(t, [0, 0, 0])
+            a[0] += wsum
+            a[1] += span
+            a[2] += 1
+    assert set(out) == set(agg)
+    for t, (wsum, span, n_users) in agg.items():
+        r = out[t]
+        assert r.n_users == n_users
+        assert r.span_secs == span // 1_000_000
+        assert abs(r.twap - round(wsum / span / 1000, 6)) < 1e-9
+    # TWAP must differ from the naive mean somewhere on the fixture —
+    # otherwise the exposure weighting is vacuous here
+    naive = {}
+    for e in events:
+        a = naive.setdefault(e.event_type, [0, 0])
+        a[0] += round(e.value * 1000)
+        a[1] += 1
+    assert any(
+        abs(out[t].twap - naive[t][0] / naive[t][1] / 1000) > 1e-9
+        for t in out
+    )
