@@ -706,3 +706,130 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def benford_audit_oracle() -> str:
     return "WITH " + _BENFORD_BODY
+
+
+# ---------------------------------------------------------------------------
+# profile — the per-column data-profiling report (the Deequ-analyzer /
+# PROFILE shape): for every audited column, row count, null count,
+# exact distinct count, and min/max. constraint_audit answers "does
+# the table satisfy MY rules?"; profile answers "what IS this table?"
+# — the first query anyone runs against an unfamiliar 100 TB estate,
+# and the input from which constraints get written.
+#
+# Same one-scan discipline as constraint_audit: all per-column stats
+# fold into ONE aggregate row per table (conditional aggregates share
+# the scan; the count(DISTINCT) legs expand map-side), and Spark's
+# stack() unpivots that row — a UNION ALL over a multi-referenced CTE
+# would re-scan per column. The oracle unpivots via UNION ALL (DuckDB
+# materializes multi-referenced CTEs; oracle plan cost is irrelevant).
+#
+# Representation discipline: min/max are emitted as STRINGs for a
+# uniform report schema, but only from engine-stable renderings —
+# BIGINTs and VARCHARs directly, DOUBLEs through their exact integer
+# cents carrier (float→string formatting differs across engines;
+# integer→string never does). Timestamp columns are profiled by their
+# epoch-second BIGINT for the same reason.
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORDERS = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS nn_okey,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_okey,
+       CAST(CAST(min(o_orderkey) AS BIGINT) AS STRING) AS mn_okey,
+       CAST(CAST(max(o_orderkey) AS BIGINT) AS STRING) AS mx_okey,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS nn_ckey,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_ckey,
+       CAST(CAST(min(o_custkey) AS BIGINT) AS STRING) AS mn_ckey,
+       CAST(CAST(max(o_custkey) AS BIGINT) AS STRING) AS mx_ckey,
+       CAST(count(*) - count(o_orderstatus) AS BIGINT) AS nn_stat,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_stat,
+       min(o_orderstatus) AS mn_stat,
+       max(o_orderstatus) AS mx_stat,
+       CAST(count(*) - count(o_totalprice) AS BIGINT) AS nn_price,
+       CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS nd_price,
+       CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS STRING)
+         AS mn_price,
+       CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS STRING)
+         AS mx_price,
+       CAST(count(*) - count(o_orderpriority) AS BIGINT) AS nn_prio,
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+       min(o_orderpriority) AS mn_prio,
+       max(o_orderpriority) AS mx_prio
+FROM orders
+"""
+
+_PROFILE_DOCS = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(doc_id) AS BIGINT) AS nn_doc,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS nd_doc,
+       CAST(CAST(min(doc_id) AS BIGINT) AS STRING) AS mn_doc,
+       CAST(CAST(max(doc_id) AS BIGINT) AS STRING) AS mx_doc,
+       CAST(count(*) - count(lang) AS BIGINT) AS nn_lang,
+       CAST(count(DISTINCT lang) AS BIGINT) AS nd_lang,
+       min(lang) AS mn_lang,
+       max(lang) AS mx_lang,
+       CAST(count(*) - count(source) AS BIGINT) AS nn_src,
+       CAST(count(DISTINCT source) AS BIGINT) AS nd_src,
+       min(source) AS mn_src,
+       max(source) AS mx_src,
+       CAST(count(*) - count(n_chars) AS BIGINT) AS nn_nc,
+       CAST(count(DISTINCT n_chars) AS BIGINT) AS nd_nc,
+       CAST(CAST(min(n_chars) AS BIGINT) AS STRING) AS mn_nc,
+       CAST(CAST(max(n_chars) AS BIGINT) AS STRING) AS mx_nc
+FROM documents
+"""
+
+_PROFILE_COLS = {
+    "orders": [
+        ("o_orderkey", "okey"), ("o_custkey", "ckey"),
+        ("o_orderstatus", "stat"), ("o_totalprice_cents", "price"),
+        ("o_orderpriority", "prio"),
+    ],
+    "documents": [
+        ("doc_id", "doc"), ("lang", "lang"),
+        ("source", "src"), ("n_chars", "nc"),
+    ],
+}
+
+
+def _profile_stack(tbl: str) -> str:
+    cols = _PROFILE_COLS[tbl]
+    args = ", ".join(
+        f"'{name}', n_rows, nn_{s}, nd_{s}, mn_{s}, mx_{s}"
+        for name, s in cols
+    )
+    return (
+        f"SELECT '{tbl}' AS table_name, stack({len(cols)}, {args}) AS "
+        "(column_name, n_rows, n_null, n_distinct, min_repr, max_repr)"
+    )
+
+
+def _profile_union(tbl: str, src: str) -> str:
+    cols = _PROFILE_COLS[tbl]
+    return "\n  UNION ALL\n".join(
+        f"  SELECT '{tbl}' AS table_name, '{name}' AS column_name, "
+        f"n_rows, nn_{s} AS n_null, nd_{s} AS n_distinct, "
+        f"mn_{s} AS min_repr, mx_{s} AS max_repr FROM {src}"
+        for name, s in cols
+    )
+
+
+def profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N119: per-column profiling report, one scan per table."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"WITH o AS ({_PROFILE_ORDERS}), d AS ({_PROFILE_DOCS}) "
+        f"{_profile_stack('orders')} FROM o UNION ALL "
+        f"{_profile_stack('documents')} FROM d"
+    )
+
+
+def profile_oracle() -> str:
+    return (
+        f"WITH o AS MATERIALIZED ({_PROFILE_ORDERS}), "
+        f"d AS MATERIALIZED ({_PROFILE_DOCS}) "
+        f"{_profile_union('orders', 'o')} UNION ALL "
+        f"{_profile_union('documents', 'd')}"
+    )

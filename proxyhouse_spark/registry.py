@@ -1100,6 +1100,7 @@ register("q_stream_triangles", behavior.triangles_oracle())(
 
 from .operators import quality  # noqa: E402
 
+register("q_profile", quality.profile_oracle())(quality.profile)
 register("q_gini", layout.gini_concentration_oracle())(
     layout.gini_concentration
 )
@@ -1196,7 +1197,7 @@ _LEAD = [
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap",
+    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

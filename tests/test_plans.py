@@ -776,3 +776,12 @@ def test_bloom_join_fact_side_never_shuffles_before_the_digest(spark):
     assert "Cartesian" not in tree and "NestedLoop" not in tree
     # exactly two real exchanges: digest distinct + final aggregate
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2
+
+
+def test_profile_scans_each_table_exactly_once(spark):
+    """The profiling report's whole cost model: N columns' stats fold
+    into one aggregate row per table (stack() unpivots AFTER the agg),
+    so the plan scans orders and documents exactly once each — a
+    UNION-ALL-per-column spelling would scan per column (9 scans)."""
+    tree = tree_of(plan_of(spark, "q_profile"))
+    assert tree.count("Scan parquet") == 2

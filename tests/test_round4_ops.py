@@ -1114,3 +1114,37 @@ def test_twap_matches_locf_integral_brute_force(spark):
         abs(out[t].twap - naive[t][0] / naive[t][1] / 1000) > 1e-9
         for t in out
     )
+
+
+def test_profile_matches_brute_force_column_stats(spark):
+    from proxyhouse_spark.tables import table
+
+    out = {
+        (r.table_name, r.column_name): r
+        for r in registry.QUERIES["q_profile"](spark, SF_SMALL).collect()
+    }
+    orders = table(spark, SF_SMALL, "orders").collect()
+    docs = table(spark, SF_SMALL, "documents").collect()
+
+    def check(key, vals, render=str):
+        r = out[key]
+        present = [v for v in vals if v is not None]
+        assert r.n_rows == len(vals)
+        assert r.n_null == len(vals) - len(present)
+        assert r.n_distinct == len(set(present))
+        assert r.min_repr == render(min(present))
+        assert r.max_repr == render(max(present))
+
+    check(("orders", "o_orderkey"), [r.o_orderkey for r in orders])
+    check(("orders", "o_custkey"), [r.o_custkey for r in orders])
+    check(("orders", "o_orderstatus"), [r.o_orderstatus for r in orders])
+    check(
+        ("orders", "o_totalprice_cents"),
+        [round(r.o_totalprice * 100) for r in orders],
+    )
+    check(("orders", "o_orderpriority"), [r.o_orderpriority for r in orders])
+    check(("documents", "doc_id"), [r.doc_id for r in docs])
+    check(("documents", "lang"), [r.lang for r in docs])
+    check(("documents", "source"), [r.source for r in docs])
+    check(("documents", "n_chars"), [r.n_chars for r in docs])
+    assert len(out) == 9
