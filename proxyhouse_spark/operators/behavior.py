@@ -2498,3 +2498,69 @@ def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def twap_oracle() -> str:
     return "WITH " + _twap_sql("epoch_us(ts)")
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv — cumulative revenue per user by acquisition cohort and
+# age: the LTV curve that closes the acquisition triad
+# (cohort_retention = "do they come back", kaplan_meier = "how fast do
+# they convert", cohort_ltv = "what are they WORTH over time"). Cohort
+# = a user's first-event day; every purchase contributes its cents at
+# age = purchase day − cohort day; the curve is the running total per
+# cohort divided by the FULL cohort size (non-purchasers dilute, as an
+# LTV must — revenue-only denominators flatter the number).
+#
+# Exactness: day arithmetic in epoch-microsecond integer division,
+# revenue in exact BIGINT cents, the cumulative sum a window
+# PARTITIONED by cohort (each partition is O(#days) by calendar
+# construction), cohort sizes an equi-joined exact count; the only
+# double is the final per-user division, rounded 6 dp. Rows are
+# emitted at observed (cohort, age) purchase points — the running
+# total at an observed age is the correct cumulative regardless of
+# gaps, so no day spine is materialized.
+# ---------------------------------------------------------------------------
+
+
+def _ltv_sql(epoch: str, idiv: str) -> str:
+    day = 86_400_000_000
+    return f"""
+    u AS (SELECT user_id,
+                 CAST(min({epoch}) {idiv} {day} AS BIGINT) AS cohort
+          FROM events GROUP BY user_id),
+    sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+           FROM u GROUP BY cohort),
+    p AS (SELECT e.user_id,
+                 CAST({epoch} {idiv} {day} AS BIGINT) AS d,
+                 CAST(round(e.value * 100) AS BIGINT) AS cents
+          FROM events e WHERE e.event_type = 'purchase'),
+    a AS (SELECT u.cohort, CAST(p.d - u.cohort AS BIGINT) AS age_days,
+                 CAST(sum(p.cents) AS BIGINT) AS rev,
+                 CAST(count(*) AS BIGINT) AS n_purchases
+          FROM p JOIN u ON u.user_id = p.user_id
+          GROUP BY u.cohort, p.d - u.cohort),
+    c AS (SELECT cohort, age_days, n_purchases,
+                 CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_cents
+          FROM a)
+    SELECT c.cohort AS cohort_day, s.cohort_size, c.age_days,
+           c.n_purchases, c.cum_cents,
+           round(CAST(c.cum_cents AS DOUBLE) / s.cohort_size / 100.0e0,
+                 6) AS ltv_per_user
+    FROM c JOIN sz s ON s.cohort = c.cohort
+    """
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N120: cumulative-revenue LTV curve per acquisition cohort."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _ltv_sql(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div")
+    )
+
+
+def cohort_ltv_oracle() -> str:
+    return "WITH " + _ltv_sql("epoch_us(ts)", "//")

@@ -1148,3 +1148,54 @@ def test_profile_matches_brute_force_column_stats(spark):
     check(("documents", "source"), [r.source for r in docs])
     check(("documents", "n_chars"), [r.n_chars for r in docs])
     assert len(out) == 9
+
+
+def test_cohort_ltv_matches_brute_force_curve(spark):
+    import datetime as _dt
+
+    from proxyhouse_spark.tables import table
+
+    out = {
+        (r.cohort_day, r.age_days): r
+        for r in registry.QUERIES["q_cohort_ltv"](spark, SF_SMALL).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_type", "value"
+    ).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    first = {}
+    for e in events:
+        d = int((e.ts - epoch).total_seconds() * 1_000_000) \
+            // 86_400_000_000
+        first[e.user_id] = min(first.get(e.user_id, d), d)
+    sizes = {}
+    for c in first.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    cells = {}
+    for e in events:
+        if e.event_type != "purchase":
+            continue
+        d = int((e.ts - epoch).total_seconds() * 1_000_000) \
+            // 86_400_000_000
+        key = (first[e.user_id], d - first[e.user_id])
+        rev, n = cells.get(key, (0, 0))
+        cells[key] = (rev + round(e.value * 100), n + 1)
+    assert set(out) == set(cells)
+    for cohort in {c for c, _ in cells}:
+        ages = sorted(a for c, a in cells if c == cohort)
+        cum = 0
+        for a in ages:
+            rev, n = cells[(cohort, a)]
+            cum += rev
+            r = out[(cohort, a)]
+            assert (r.cohort_size, r.n_purchases, r.cum_cents) == (
+                sizes[cohort], n, cum
+            )
+            assert abs(
+                r.ltv_per_user - round(cum / sizes[cohort] / 100, 6)
+            ) < 1e-9
+        # the curve is monotone nondecreasing within a cohort
+        vals = [out[(cohort, a)].ltv_per_user for a in ages]
+        assert vals == sorted(vals)
+    # ages are nonnegative by construction (first event defines cohort)
+    assert all(a >= 0 for _, a in out)
