@@ -2564,3 +2564,68 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cohort_ltv_oracle() -> str:
     return "WITH " + _ltv_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# qte — quantile treatment effects for the A/B experiment: exact
+# per-variant quartiles + p90 of the per-user metric and their
+# differences. Completes the experiment readout ladder — ab_test/welch
+# see the MEAN shift, mannwhitney sees a location shift, ks_test sees
+# that SOMETHING differs; QTE says WHERE in the distribution the
+# treatment acts (a p90-only effect is a whale story, a p25-only
+# effect is a floor-raise — same mean, opposite product decisions).
+#
+# Uses the same variant hash as ab_test/cuped/mannwhitney (one
+# definition, same experiment) and the proven cross-engine identity
+# Spark `percentile` ≡ DuckDB `quantile_cont` (bit-identical
+# interpolating quantiles, q_percentiles) over the exact per-user
+# milli-unit metric. One pass: the per-variant quantile arrays fold in
+# a single GROUP BY is_a (2-row frame); the readout crosses two 1-row
+# frames with a literal 4-row quantile spine. Values rounded 6 dp at
+# emission.
+# ---------------------------------------------------------------------------
+
+QTE_QUANTS = [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9)]
+
+
+def _qte_sql(md5pick: str, idiv: str, pct: str, arr: str,
+             base: int) -> str:
+    spine = ", ".join(
+        f"('{lbl}', {q}, {i + base})"
+        for i, (lbl, q) in enumerate(QTE_QUANTS)
+    )
+    return f"""
+    u AS (SELECT user_id,
+                 CASE WHEN {md5pick} THEN 1 ELSE 0 END AS is_a,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                      {idiv} count(*) AS BIGINT) AS m
+          FROM events GROUP BY user_id),
+    g AS (SELECT is_a, {pct}(m, {arr}) AS qs FROM u GROUP BY is_a),
+    qa AS (SELECT qs FROM g WHERE is_a = 1),
+    qb AS (SELECT qs FROM g WHERE is_a = 0),
+    spine AS (SELECT q_label, CAST(q AS DOUBLE) AS q, idx
+              FROM (VALUES {spine}) AS t(q_label, q, idx))
+    SELECT s.q_label, s.q,
+           round(qa.qs[s.idx] / 1000.0e0, 6) AS val_a,
+           round(qb.qs[s.idx] / 1000.0e0, 6) AS val_b,
+           round((qa.qs[s.idx] - qb.qs[s.idx]) / 1000.0e0, 6) AS qte
+    FROM spine s, qa, qb
+    """
+
+
+def qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N121: quantile treatment effects, exact interpolating quantiles."""
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _qte_sql(_PICK_SPARK, "div", "percentile",
+                   "array(0.25, 0.5, 0.75, 0.9)", base=0)
+    )
+
+
+def qte_oracle() -> str:
+    return (
+        "WITH "
+        + _qte_sql(_PICK_DUCK, "//", "quantile_cont",
+                   "[0.25, 0.5, 0.75, 0.9]", base=1)
+    )

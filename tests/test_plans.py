@@ -295,6 +295,8 @@ _SCALAR_BNLJ_OK = {
                           # digit spine
     "q_gini",             # two 1-row frames (corpus moments, rank-weighted
                           # sum) crossed for the single readout row
+    "q_qte",              # two 1-row per-variant quantile-array frames
+                          # crossed with the literal 4-row quantile spine
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
 }

@@ -1199,3 +1199,41 @@ def test_cohort_ltv_matches_brute_force_curve(spark):
         assert vals == sorted(vals)
     # ages are nonnegative by construction (first event defines cohort)
     assert all(a >= 0 for _, a in out)
+
+
+def test_qte_matches_interpolated_quantile_brute_force(spark):
+    import hashlib
+
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.q_label: r
+        for r in registry.QUERIES["q_qte"](spark, SF_SMALL).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "value"
+    ).collect()
+    per_user = {}
+    for e in events:
+        s = per_user.setdefault(e.user_id, [0, 0])
+        s[0] += round(e.value * 1000)
+        s[1] += 1
+    a, b = [], []
+    for uid, (s, n) in per_user.items():
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16)
+        (a if h % 2 == 0 else b).append(s // n)
+    a.sort()
+    b.sort()
+
+    def q(xs, p):  # linear interpolation (percentile/quantile_cont)
+        k = (len(xs) - 1) * p
+        lo, hi = int(k), min(int(k) + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * (k - lo)
+
+    for lbl, p in [("p25", .25), ("p50", .5), ("p75", .75), ("p90", .9)]:
+        r = out[lbl]
+        va, vb = q(a, p), q(b, p)
+        assert abs(r.val_a - round(va / 1000, 6)) < 1e-9
+        assert abs(r.val_b - round(vb / 1000, 6)) < 1e-9
+        assert abs(r.qte - round((va - vb) / 1000, 6)) < 1e-9
+    assert len(out) == 4
