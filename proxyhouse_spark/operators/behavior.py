@@ -2629,3 +2629,65 @@ def qte_oracle() -> str:
         + _qte_sql(_PICK_DUCK, "//", "quantile_cont",
                    "[0.25, 0.5, 0.75, 0.9]", base=1)
     )
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers — robust outlier screen per event_type: median/MAD
+# z-scores (the 0.6745 consistency constant makes MAD estimate σ under
+# normality) with the standard |z| > 3.5 cut. The robust third of the
+# anomaly toolkit: anomaly_p99 thresholds on a tail quantile (itself
+# dragged by outliers), seasonal_anomaly needs a calendar model; MAD
+# is the estimator that does not move when the contamination grows —
+# a 10% bot burst shifts mean/stddev z-scores but leaves median/MAD
+# almost untouched.
+#
+# Exactness: per-event milli-unit integers; medians via the proven
+# Spark `percentile` ≡ DuckDB `quantile_cont` identity (interpolated
+# halves are exact .5 fractions); the z comparison is pure IEEE
+# arithmetic on identical inputs (no libm), so the > 3.5 cut cannot
+# flip across engines. A zero MAD (>50% ties) is routed to zero
+# outliers rather than a division. Two exact-percentile passes — the
+# documented per-group-sort caveat applies; the t-digest swap
+# (q_approx_percentiles) is the scale path for both.
+# ---------------------------------------------------------------------------
+
+MAD_K = 0.6745  # consistency constant: MAD * 1/K estimates sigma
+MAD_CUT = 3.5  # the classic Iglewicz-Hoaglin modified-z threshold
+
+
+def _mad_sql(pct: str) -> str:
+    return f"""
+    u AS (SELECT event_type,
+                 CAST(round(value * 1000) AS BIGINT) AS m
+          FROM events),
+    b AS (SELECT event_type, {pct}(m, 0.5) AS med
+          FROM u GROUP BY event_type),
+    d AS (SELECT u.event_type, u.m, b.med,
+                 abs(u.m - b.med) AS adev
+          FROM u JOIN b ON b.event_type = u.event_type),
+    m2 AS (SELECT event_type, {pct}(adev, 0.5) AS mad
+           FROM d GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(min(d.med) / 1000.0e0, 6) AS median,
+           round(min(m2.mad) / 1000.0e0, 6) AS mad,
+           CAST(sum(CASE WHEN m2.mad > 0
+                              AND abs({MAD_K}e0 * (d.m - d.med) / m2.mad)
+                                  > {MAD_CUT}e0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CASE WHEN min(m2.mad) > 0
+                      THEN max(abs({MAD_K}e0 * (d.m - d.med) / m2.mad))
+                      ELSE 0.0e0 END, 6) AS max_abs_z
+    FROM d JOIN m2 ON m2.event_type = d.event_type
+    GROUP BY d.event_type
+    """
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N122: median/MAD robust z outlier screen per event type."""
+    _events(spark, sf_dir)
+    return spark.sql("WITH " + _mad_sql("percentile"))
+
+
+def mad_outliers_oracle() -> str:
+    return "WITH " + _mad_sql("quantile_cont")

@@ -1237,3 +1237,43 @@ def test_qte_matches_interpolated_quantile_brute_force(spark):
         assert abs(r.val_b - round(vb / 1000, 6)) < 1e-9
         assert abs(r.qte - round((va - vb) / 1000, 6)) < 1e-9
     assert len(out) == 4
+
+
+def test_mad_outliers_matches_brute_force_modified_z(spark):
+    from proxyhouse_spark.operators.behavior import MAD_CUT, MAD_K
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_mad_outliers"](spark, SF_SMALL).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "event_type", "value"
+    ).collect()
+    series = {}
+    for e in events:
+        series.setdefault(e.event_type, []).append(round(e.value * 1000))
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        mid = n // 2
+        return (
+            float(xs[mid]) if n % 2 else (xs[mid - 1] + xs[mid]) / 2
+        )
+
+    for t, xs in series.items():
+        r = out[t]
+        m = med(xs)
+        mad = med([abs(x - m) for x in xs])
+        zs = [MAD_K * (x - m) / mad for x in xs] if mad > 0 else []
+        n_out = sum(1 for z in zs if abs(z) > MAD_CUT)
+        assert r.n_events == len(xs)
+        assert abs(r.median - round(m / 1000, 6)) < 1e-9
+        assert abs(r.mad - round(mad / 1000, 6)) < 1e-9
+        assert r.n_outliers == n_out
+        if zs:
+            assert abs(
+                r.max_abs_z - round(max(abs(z) for z in zs), 6)
+            ) < 1e-9
+    assert set(out) == set(series)
