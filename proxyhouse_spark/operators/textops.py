@@ -590,3 +590,91 @@ def cooccur_pmi_oracle() -> str:
         f"WITH ex AS MATERIALIZED ({presence_select(duck=True)}), "
         + _pmi_sql("ex")
     )
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — corpus-linguistics health audit: the Zipf exponent of the
+# token frequency spectrum plus hapax share. A natural corpus sits
+# near α ≈ 1 with a large hapax tail; template-generated, synthetic,
+# or heavily duplicated text bends both (α drifts, hapaxes vanish) —
+# the population-level screen that complements per-doc signals
+# (token_entropy, repetition_filter) the way benford complements range
+# checks.
+#
+# Fit: OLS of ln f on ln r over the FREQUENCY SPECTRUM — one point per
+# distinct frequency at its tied-block midrank (lo + (t+1)/2),
+# weighted by class size t. Midranks make the fit tie-invariant (a
+# per-token rank would depend on arbitrary ordering within a tied
+# block); the sufficient statistics Σt, Σt·x, Σt·y, Σt·x², Σt·x·y
+# fold in one pass over the spectrum. Ranks come from the same
+# digit-class bucketed two-phase prefix as q_gini (descending by
+# frequency: r = V − asc_rank + 1, exact integers), so nothing sorts
+# globally. Doubles enter only at ln() of exact rationals and the
+# final closed-form slope/R², rounded 6 dp.
+# ---------------------------------------------------------------------------
+
+
+def _zipf_sql(tok_src: str, idiv: str) -> str:
+    return f"""
+    f AS (SELECT tok, CAST(count(*) AS BIGINT) AS fr
+          FROM {tok_src} GROUP BY tok),
+    vals AS (SELECT fr, CAST(count(*) AS BIGINT) AS t,
+                    CAST(length(CAST(fr AS STRING)) * 1000
+                         + fr {idiv} CAST(power(10, greatest(
+                               length(CAST(fr AS STRING)) - 3, 0))
+                             AS BIGINT) AS BIGINT) AS b
+             FROM f GROUP BY fr),
+    tot AS (SELECT CAST(sum(t) AS BIGINT) AS v,
+                   CAST(sum(t * fr) AS BIGINT) AS n_tok,
+                   CAST(sum(CASE WHEN fr = 1 THEN t ELSE 0 END)
+                        AS BIGINT) AS hapax
+            FROM vals),
+    bt AS (SELECT b, CAST(sum(t) AS BIGINT) AS tb FROM vals GROUP BY b),
+    boff AS (SELECT b,
+               CAST(coalesce(sum(tb) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS off
+             FROM bt),
+    pts AS (SELECT v.fr, v.t,
+                   -- ascending tied-block low edge, flipped to a
+                   -- DESCENDING midrank: r_mid = V - lo - (t-1)/2
+                   ln(tot.v - (o.off
+                        + sum(v.t) OVER (PARTITION BY v.b ORDER BY v.fr
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - v.t)
+                      - (v.t - 1) / 2.0e0) AS x,
+                   ln(CAST(v.fr AS DOUBLE)) AS y
+            FROM vals v JOIN boff o ON o.b = v.b, tot),
+    m AS (SELECT sum(CAST(t AS DOUBLE)) AS sw,
+                 sum(t * x) AS sx, sum(t * y) AS sy,
+                 sum(t * x * x) AS sxx, sum(t * x * y) AS sxy,
+                 sum(t * y * y) AS syy
+          FROM pts)
+    SELECT tot.v AS vocab_size, tot.n_tok AS n_tokens,
+           round(CAST(tot.hapax AS DOUBLE) / tot.v, 6) AS hapax_share,
+           round(-(m.sw * m.sxy - m.sx * m.sy)
+                 / (m.sw * m.sxx - m.sx * m.sx), 6) AS zipf_alpha,
+           round(power(m.sw * m.sxy - m.sx * m.sy, 2)
+                 / ((m.sw * m.sxx - m.sx * m.sx)
+                    * (m.sw * m.syy - m.sy * m.sy)), 6) AS r2
+    FROM tot, m
+    """
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N123: Zipf-exponent OLS over the frequency spectrum, midrank ties."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _zipf_sql(
+            "(SELECT explode(split(text, ' ', -1)) AS tok FROM documents) x",
+            "div",
+        )
+    )
+
+
+def zipf_fit_oracle() -> str:
+    return "WITH " + _zipf_sql(
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x",
+        "//",
+    )

@@ -297,6 +297,8 @@ _SCALAR_BNLJ_OK = {
                           # sum) crossed for the single readout row
     "q_qte",              # two 1-row per-variant quantile-array frames
                           # crossed with the literal 4-row quantile spine
+    "q_zipf_fit",         # 1-row corpus-total and OLS-moment frames crossed
+                          # into the spectrum points / final readout
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
 }
@@ -341,6 +343,8 @@ _UNPARTITIONED_WINDOW_OK = {
                       # phase 2 of the two-phase midrank scan; bucket count
                       # is bounded by the metric RANGE (value div 1000),
                       # not the corpus (the pack_global justification)
+    "q_zipf_fit",     # same digit-class bucket-offset prefix as q_gini —
+                      # the spectrum rank scaffolding, <= ~19k buckets
     "q_gini",         # bucket-offset prefix over the digit-class frame —
                       # <= ~19k buckets by construction (1000*digits +
                       # top-3-digits), independent of corpus size

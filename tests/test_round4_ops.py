@@ -1277,3 +1277,45 @@ def test_mad_outliers_matches_brute_force_modified_z(spark):
                 r.max_abs_z - round(max(abs(z) for z in zs), 6)
             ) < 1e-9
     assert set(out) == set(series)
+
+
+def test_zipf_fit_matches_weighted_midrank_ols(spark):
+    import math
+
+    from proxyhouse_spark.tables import table
+
+    r = registry.QUERIES["q_zipf_fit"](spark, SF_SMALL).collect()[0]
+    docs = table(spark, SF_SMALL, "documents").select("text").collect()
+    freq = {}
+    for d in docs:
+        for tok in d.text.split(" "):
+            freq[tok] = freq.get(tok, 0) + 1
+    v, n_tok = len(freq), sum(freq.values())
+    hapax = sum(1 for f in freq.values() if f == 1)
+    assert (r.vocab_size, r.n_tokens) == (v, n_tok)
+    assert abs(r.hapax_share - round(hapax / v, 6)) < 1e-9
+    # frequency spectrum with descending midranks
+    spec = {}
+    for f in freq.values():
+        spec[f] = spec.get(f, 0) + 1
+    pts = []
+    lo = 0  # ascending low edge over increasing frequency
+    for f in sorted(spec):
+        t = spec[f]
+        mid_desc = v - lo - (t - 1) / 2
+        pts.append((t, math.log(mid_desc), math.log(f)))
+        lo += t
+    sw = sum(t for t, _, _ in pts)
+    sx = sum(t * x for t, x, _ in pts)
+    sy = sum(t * y for t, _, y in pts)
+    sxx = sum(t * x * x for t, x, _ in pts)
+    sxy = sum(t * x * y for t, x, y in pts)
+    syy = sum(t * y * y for t, _, y in pts)
+    slope = (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
+    r2 = (sw * sxy - sx * sy) ** 2 / (
+        (sw * sxx - sx * sx) * (sw * syy - sy * sy)
+    )
+    assert abs(r.zipf_alpha - round(-slope, 6)) < 1e-6
+    assert abs(r.r2 - round(r2, 6)) < 1e-6
+    assert 0.0 <= r.r2 <= 1.0
+    assert r.zipf_alpha > 0  # frequency falls with rank, always
