@@ -610,6 +610,7 @@ register("q_stream_ann", similarity.knn_ivf_oracle())(similarity.stream_ann_quer
 register("q_knn_batch", similarity.knn_batch_oracle())(similarity.knn_batch)
 register("q_ann_recall", similarity.ann_recall_oracle())(similarity.ann_recall)
 register("q_ndcg", similarity.ndcg_oracle())(similarity.ndcg)
+register("q_knn_eval", similarity.knn_eval_oracle())(similarity.knn_eval)
 register("q_ts_similarity", similarity.ts_similarity_oracle())(
     similarity.ts_similarity
 )
@@ -1205,7 +1206,7 @@ _LEAD = [
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit",
+    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

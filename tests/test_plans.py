@@ -277,6 +277,8 @@ _SCALAR_BNLJ_OK = {
     "q_ann_recall",       # 5-row probe set crossed into both scoring branches
     "q_ndcg",             # same 5-row probe cross + the K-row discount spine
                           # joined on r <= min(K, n_rel) — bounded×bounded
+    "q_knn_eval",         # EVAL_PROBES-row probe frame crossed into the
+                          # corpus scan (corpus never shuffles by probes)
     "q_silhouette",       # K-row centroid frame (same chain as q_kmeans_embed)
     "q_triangles",        # three 1-row count frames crossed for the summary row
     "q_assortativity",    # three 1-row frames (moments, degree extrema, edge

@@ -1319,3 +1319,44 @@ def test_zipf_fit_matches_weighted_midrank_ols(spark):
     assert abs(r.r2 - round(r2, 6)) < 1e-6
     assert 0.0 <= r.r2 <= 1.0
     assert r.zipf_alpha > 0  # frequency falls with rank, always
+
+
+def test_knn_eval_matches_brute_force_vote(spark):
+    import math
+
+    from proxyhouse_spark.operators.similarity import EVAL_K, EVAL_PROBES
+
+    rows = registry.QUERIES["q_knn_eval"](spark, SF_SMALL).collect()
+    out = {}
+    for r in rows:
+        out[(r.true_label, r.pred_label)] = r.n_probes
+    vecs = {
+        r.vec_id: ([float(x) for x in r.embedding], r.label)
+        for r in spark.read.parquet(
+            f"{SF_SMALL}/embeddings.parquet"
+        ).collect()
+    }
+    for vid in list(vecs):
+        if vid % 25 == 0:
+            e, lab = vecs[vid]
+            vecs[vid + 1_000_000] = ([e[0] + 0.05] + e[1:], lab)
+    expect = {}
+    for pid in range(EVAL_PROBES):
+        pe, plabel = vecs[pid]
+        nb = math.sqrt(sum(a * a for a in pe))
+        scored = []
+        for vid, (e, lab) in vecs.items():
+            if vid == pid:
+                continue
+            dot = sum(a * b for a, b in zip(e, pe))
+            na = math.sqrt(sum(a * a for a in e))
+            scored.append((round(dot / (na * nb), 6), -vid, lab))
+        scored.sort(reverse=True)
+        votes = {}
+        for _, _, lab in scored[:EVAL_K]:
+            votes[lab] = votes.get(lab, 0) + 1
+        pred = min(votes, key=lambda lb: (-votes[lb], lb))
+        key = (plabel, pred)
+        expect[key] = expect.get(key, 0) + 1
+    assert out == expect
+    assert sum(out.values()) == EVAL_PROBES  # every probe classified once
