@@ -961,3 +961,125 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM session_spans
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming extrema — the fifth merge algebra: the BOUNDED-SEMILATTICE
+# fold. After latest-wins (CDC), additive counts (leaderboard/drift),
+# dominance pruning (skyline), and idempotent set union (dedup), this
+# demonstrates the min/max lattice: extrema are mergeable because
+# min/max are associative, commutative AND idempotent — a re-delivered
+# batch cannot corrupt them even without the batch-id fence (the fence
+# still guards the additive n/sum columns riding along). State is
+# O(#event-types): per type the running min/max/count/sum of the cents
+# metric — the continuously-maintained "metric envelope" a monitoring
+# panel reads without ever scanning history. Two REAL availableNow
+# passes over parity-split events must hash-match the one-shot batch
+# envelope.
+# ---------------------------------------------------------------------------
+
+_EXTREMA_SCHEMA = (
+    "event_type string, mn bigint, mx bigint, n bigint, total bigint"
+)
+
+
+def _merge_extrema(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
+    from pyspark.sql import functions as F
+
+    if _snapshot_applied(snap_dir, batch_id):
+        return
+    batch = batch_df.groupBy("event_type").agg(
+        F.min("cents").cast("bigint").alias("mn"),
+        F.max("cents").cast("bigint").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    current = _snapshot_read(spark, snap_dir, _EXTREMA_SCHEMA)
+    merged = (
+        current.select(
+            "event_type",
+            F.col("mn").alias("p_mn"), F.col("mx").alias("p_mx"),
+            F.col("n").alias("p_n"), F.col("total").alias("p_total"),
+        )
+        .join(batch, ["event_type"], "full_outer")
+        .select(
+            "event_type",
+            F.least(F.col("p_mn"), F.col("mn")).alias("raw_mn"),
+            F.greatest(F.col("p_mx"), F.col("mx")).alias("raw_mx"),
+            (F.coalesce(F.col("p_n"), F.lit(0))
+             + F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("n"),
+            (F.coalesce(F.col("p_total"), F.lit(0))
+             + F.coalesce(F.col("total"), F.lit(0))).cast("bigint")
+            .alias("total"),
+        )
+        # least/greatest skip NULLs in Spark only when the other side is
+        # non-NULL — a type absent from one side carries through intact
+        .selectExpr(
+            "event_type",
+            "CAST(raw_mn AS BIGINT) AS mn",
+            "CAST(raw_mx AS BIGINT) AS mx",
+            "n", "total",
+        )
+    )
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    merged.repartition(2, "event_type").write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap_dir, tmp, batch_id)
+
+
+@_oracle_stream_conf
+def stream_extrema_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15, oracle-checked: two availableNow passes maintaining the
+    per-type metric envelope; must hash-match the one-shot batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t15_extrema_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "event_id bigint, event_type string, cents bigint"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: _merge_extrema(spark, df, snap, bid)
+            )
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+    spark.read.parquet(snap).createOrReplaceTempView("extrema_snap")
+    return spark.sql(
+        "SELECT event_type, mn AS min_cents, mx AS max_cents, n, total "
+        "FROM extrema_snap"
+    )
+
+
+def stream_extrema_oracle() -> str:
+    return """
+    SELECT event_type,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+    FROM events GROUP BY event_type
+    """

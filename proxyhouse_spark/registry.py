@@ -945,6 +945,9 @@ register("q_stream_skyline", relational.skyline_oracle())(
     cdc.stream_skyline_query
 )
 register("q_stream_topk", cdc.stream_topk_oracle())(cdc.stream_topk_query)
+register("q_stream_extrema", cdc.stream_extrema_oracle())(
+    cdc.stream_extrema_query
+)
 register("q_bigram_logprob", retrieval.bigram_logprob_oracle())(
     retrieval.bigram_logprob
 )
@@ -1206,7 +1209,7 @@ _LEAD = [
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval",
+    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

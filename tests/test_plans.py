@@ -248,6 +248,7 @@ _EXECUTING = {
     "q_stream_ann",
     "q_stream_triangles",
     "q_stream_kmeans",
+    "q_stream_extrema",
 }
 
 

@@ -1360,3 +1360,53 @@ def test_knn_eval_matches_brute_force_vote(spark):
         expect[key] = expect.get(key, 0) + 1
     assert out == expect
     assert sum(out.values()) == EVAL_PROBES  # every probe classified once
+
+
+def test_stream_extrema_lattice_survives_redelivery(spark, tmp_path):
+    """The algebra claim: min/max are idempotent (a re-delivered batch
+    under a NEW batch id cannot corrupt them), while the additive n/sum
+    columns riding along are protected only by the batch-id fence —
+    both halves checked explicitly."""
+    from proxyhouse_spark.operators.cdc import (
+        _EXTREMA_SCHEMA,
+        _merge_extrema,
+        _snapshot_read,
+    )
+
+    snap = str(tmp_path / "snap")
+    batch = spark.createDataFrame(
+        [("click", 100), ("click", 300), ("view", 50)],
+        "event_type string, cents bigint",
+    )
+    _merge_extrema(spark, batch, snap, 0)
+    # same batch id → fence skips, everything unchanged
+    _merge_extrema(spark, batch, snap, 0)
+    rows = {
+        r.event_type: r for r in _snapshot_read(
+            spark, snap, _EXTREMA_SCHEMA
+        ).collect()
+    }
+    assert (rows["click"].mn, rows["click"].mx, rows["click"].n,
+            rows["click"].total) == (100, 300, 2, 400)
+    # re-delivery under a NEW batch id: extrema stay fixed (lattice),
+    # additive columns double (which is exactly why they need the fence)
+    _merge_extrema(spark, batch, snap, 1)
+    rows = {
+        r.event_type: r for r in _snapshot_read(
+            spark, snap, _EXTREMA_SCHEMA
+        ).collect()
+    }
+    assert (rows["click"].mn, rows["click"].mx) == (100, 300)
+    assert (rows["click"].n, rows["click"].total) == (4, 800)
+    assert (rows["view"].mn, rows["view"].mx) == (50, 50)
+    # a type absent from a later batch carries through intact
+    batch2 = spark.createDataFrame(
+        [("click", 10)], "event_type string, cents bigint"
+    )
+    _merge_extrema(spark, batch2, snap, 2)
+    rows = {
+        r.event_type: r for r in _snapshot_read(
+            spark, snap, _EXTREMA_SCHEMA
+        ).collect()
+    }
+    assert (rows["click"].mn, rows["view"].mx) == (10, 50)
