@@ -2691,3 +2691,60 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mad_outliers_oracle() -> str:
     return "WITH " + _mad_sql("quantile_cont")
+
+
+# ---------------------------------------------------------------------------
+# burstiness — index of dispersion (Fano factor) of the dense daily
+# count series per event_type: Var/Mean ≈ 1 for Poisson arrivals,
+# ≫ 1 for bursty traffic (bot storms, batch backfills), ≪ 1 for
+# rate-limited/metronomic sources. The one-number arrival-process
+# characterization that tells an ingest operator whether p99 sizing
+# can assume Poisson — complementing autocorr (is today like
+# yesterday), cusum (did the level change) and mad_outliers (which
+# points are wild).
+#
+# Exactness: with S = Σx and Q = Σx² over OBSERVED days (zero days add
+# nothing to either) and n = dmax−dmin+1 the dense length, population
+# variance is (nQ − S²)/n² and the Fano factor collapses to
+# (nQ − S²)/(n·S) — all-integer numerator and denominator (DECIMAL
+# carriers past the BIGINT ceiling), one rounded double per readout.
+# One shuffle for the (type, day) fold; O(#types) output.
+# ---------------------------------------------------------------------------
+
+
+def _fano_sql(epoch: str, idiv: str) -> str:
+    day = 86_400_000_000
+    return f"""
+    d AS (SELECT event_type,
+                 CAST({epoch} {idiv} {day} AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events
+          GROUP BY event_type, CAST({epoch} {idiv} {day} AS BIGINT)),
+    m AS (SELECT event_type,
+                 CAST(max(d) - min(d) + 1 AS DECIMAL(18,0)) AS n,
+                 CAST(sum(x) AS DECIMAL(18,0)) AS s,
+                 CAST(sum(x * x) AS DECIMAL(38,0)) AS q
+          FROM d GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS n_events,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
+           round(CAST(n * q - s * s AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS fano
+    FROM m
+    """
+
+
+def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N125: Fano factor of dense daily counts, all-integer interior."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _fano_sql(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div")
+    )
+
+
+def burstiness_oracle() -> str:
+    return "WITH " + _fano_sql("epoch_us(ts)", "//")

@@ -1410,3 +1410,36 @@ def test_stream_extrema_lattice_survives_redelivery(spark, tmp_path):
         ).collect()
     }
     assert (rows["click"].mn, rows["view"].mx) == (10, 50)
+
+
+def test_burstiness_matches_dense_variance_brute_force(spark):
+    import datetime as _dt
+
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_burstiness"](spark, SF_SMALL).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "event_type", "ts"
+    ).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    daily = {}
+    for e in events:
+        d = int((e.ts - epoch).total_seconds() * 1_000_000) \
+            // 86_400_000_000
+        key = (e.event_type, d)
+        daily[key] = daily.get(key, 0) + 1
+    for t in {tt for tt, _ in daily}:
+        days = {d for tt, d in daily if tt == t}
+        lo, hi = min(days), max(days)
+        xs = [daily.get((t, d), 0) for d in range(lo, hi + 1)]
+        n, mean = len(xs), sum(xs) / len(xs)
+        var = sum((x - mean) ** 2 for x in xs) / n  # population variance
+        r = out[t]
+        assert (r.n_days, r.n_events) == (n, sum(xs))
+        assert abs(r.mean_daily - round(mean, 6)) < 1e-9
+        assert abs(r.fano - round(var / mean, 6)) < 1e-6
+        assert r.fano >= 0.0
+    assert len(out) == len({tt for tt, _ in daily})
