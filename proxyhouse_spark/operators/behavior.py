@@ -2748,3 +2748,56 @@ def burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def burstiness_oracle() -> str:
     return "WITH " + _fano_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# percentile_bands — the monitoring band chart: per calendar day, the
+# p10/p50/p90 envelope of the event metric. What an on-call dashboard
+# plots behind the live line — the day-granular distributional summary
+# that anomaly_p99 (one global threshold) and mad_outliers (one robust
+# center) deliberately collapse away. Exact interpolating percentiles
+# over milli-unit integers via the proven Spark `percentile` ≡ DuckDB
+# `quantile_cont` identity, rounded 6 dp; grouping is a plain
+# (day) fold — map-side combinable into O(#days) groups, no windows at
+# all. The per-group exact-percentile sort caveat applies per DAY
+# (bounded by daily volume); the t-digest swap is the documented scale
+# path.
+# ---------------------------------------------------------------------------
+
+
+def _bands_sql(epoch: str, idiv: str, pct: str, arr: str,
+               base: int) -> str:
+    day = 86_400_000_000
+    return f"""
+    v AS (SELECT CAST({epoch} {idiv} {day} AS BIGINT) AS d,
+                 CAST(round(value * 1000) AS BIGINT) AS m
+          FROM events),
+    g AS (SELECT d, CAST(count(*) AS BIGINT) AS n_events,
+                 {pct}(m, {arr}) AS qs
+          FROM v GROUP BY d)
+    SELECT d AS day_num, n_events,
+           round(qs[{base}] / 1000.0e0, 6) AS p10,
+           round(qs[{base + 1}] / 1000.0e0, 6) AS p50,
+           round(qs[{base + 2}] / 1000.0e0, 6) AS p90
+    FROM g
+    """
+
+
+def percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N126: daily p10/p50/p90 monitoring bands, exact quantiles."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _bands_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div",
+            "percentile", "array(0.1, 0.5, 0.9)", base=0,
+        )
+    )
+
+
+def percentile_bands_oracle() -> str:
+    return "WITH " + _bands_sql(
+        "epoch_us(ts)", "//", "quantile_cont", "[0.1, 0.5, 0.9]", base=1
+    )

@@ -1443,3 +1443,41 @@ def test_burstiness_matches_dense_variance_brute_force(spark):
         assert abs(r.fano - round(var / mean, 6)) < 1e-6
         assert r.fano >= 0.0
     assert len(out) == len({tt for tt, _ in daily})
+
+
+def test_percentile_bands_match_interpolated_brute_force(spark):
+    import datetime as _dt
+
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.day_num: r
+        for r in registry.QUERIES["q_percentile_bands"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "ts", "value"
+    ).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    daily = {}
+    for e in events:
+        d = int((e.ts - epoch).total_seconds() * 1_000_000) \
+            // 86_400_000_000
+        daily.setdefault(d, []).append(round(e.value * 1000))
+
+    def q(xs, p):
+        xs = sorted(xs)
+        k = (len(xs) - 1) * p
+        lo, hi = int(k), min(int(k) + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * (k - lo)
+
+    assert set(out) == set(daily)
+    for d, xs in daily.items():
+        r = out[d]
+        assert r.n_events == len(xs)
+        for col, p in (("p10", .1), ("p50", .5), ("p90", .9)):
+            assert abs(
+                getattr(r, col) - round(q(xs, p) / 1000, 6)
+            ) < 1e-9
+        assert r.p10 <= r.p50 <= r.p90
