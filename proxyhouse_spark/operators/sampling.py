@@ -557,3 +557,62 @@ def corpus_shuffle_oracle() -> str:
     md5int = f"CAST(concat('0x', substr(md5({seed_doc}), 1, 12)) AS BIGINT)"
     md5shard = f"CAST(concat('0x', substr(md5({seed_doc}), 13, 2)) AS BIGINT)"
     return _shuffle_sql(md5int, md5shard)
+
+
+# ---------------------------------------------------------------------------
+# neyman_alloc — optimal stratified-sampling ALLOCATION: given a total
+# sample budget, how many documents to draw per source so the
+# stratified estimator's variance is minimal (Neyman 1934:
+# n_h ∝ N_h·σ_h — big AND internally-diverse strata earn more budget).
+# The design-side companion of q_stratified_sample (which executes a
+# fixed-rate draw): proportional allocation oversamples homogeneous
+# strata; this op quantifies exactly how much budget they should give
+# up. Reported against the proportional baseline per stratum.
+#
+# Exactness: N_h·σ_h = √(N_h·Q_h − S_h²) — the argument is an exact
+# DECIMAL integer (n_chars moments), and IEEE sqrt is correctly
+# rounded, so the per-stratum weights are deterministic across
+# engines; shares and the floor allocations are the only doubles
+# (rounded 6 dp / floored). One map-side-combinable fold to O(#sources)
+# rows; the share denominator is a 1-row frame crossed back.
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 100  # total documents the sampling fleet may draw
+
+
+def _neyman_sql() -> str:
+    return f"""
+    m AS (SELECT source,
+                 CAST(count(*) AS DECIMAL(18,0)) AS n,
+                 CAST(sum(n_chars) AS DECIMAL(18,0)) AS s,
+                 CAST(sum(CAST(n_chars AS DECIMAL(18,0))
+                          * CAST(n_chars AS DECIMAL(18,0)))
+                      AS DECIMAL(38,0)) AS q
+          FROM documents GROUP BY source),
+    w AS (SELECT source, n,
+                 sqrt(CAST(n * q - s * s AS DOUBLE)) AS nh_sigma
+          FROM m),
+    tot AS (SELECT sum(nh_sigma) AS denom,
+                   CAST(sum(n) AS BIGINT) AS n_total
+            FROM w)
+    SELECT w.source,
+           CAST(w.n AS BIGINT) AS n_rows,
+           round(w.nh_sigma / CAST(w.n AS DOUBLE), 6) AS sd_chars,
+           round(w.nh_sigma / tot.denom, 6) AS alloc_share,
+           CAST(floor({NEYMAN_BUDGET} * w.nh_sigma / tot.denom)
+                AS BIGINT) AS n_neyman,
+           CAST(({NEYMAN_BUDGET} * CAST(w.n AS BIGINT)
+                 - ({NEYMAN_BUDGET} * CAST(w.n AS BIGINT)) % tot.n_total)
+                / tot.n_total AS BIGINT) AS n_proportional
+    FROM w, tot
+    """
+
+
+def neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N127: Neyman-optimal stratified-sampling allocation per source."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _neyman_sql())
+
+
+def neyman_alloc_oracle() -> str:
+    return "WITH " + _neyman_sql()

@@ -623,6 +623,9 @@ register("q_hyper_rollup", sampling.hyper_rollup_oracle())(sampling.hyper_rollup
 register("q_stratified_sample", sampling.stratified_sample_oracle())(
     sampling.stratified_sample
 )
+register("q_neyman_alloc", sampling.neyman_alloc_oracle())(
+    sampling.neyman_alloc
+)
 register("q_mix_temperature", sampling.mix_temperature_oracle())(
     sampling.mix_temperature
 )
@@ -1215,7 +1218,7 @@ _LEAD = [
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands",
+    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -302,6 +302,8 @@ _SCALAR_BNLJ_OK = {
                           # crossed with the literal 4-row quantile spine
     "q_zipf_fit",         # 1-row corpus-total and OLS-moment frames crossed
                           # into the spectrum points / final readout
+    "q_neyman_alloc",     # 1-row share-denominator frame crossed into the
+                          # O(#sources) weight table
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
 }

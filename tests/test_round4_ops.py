@@ -1481,3 +1481,45 @@ def test_percentile_bands_match_interpolated_brute_force(spark):
                 getattr(r, col) - round(q(xs, p) / 1000, 6)
             ) < 1e-9
         assert r.p10 <= r.p50 <= r.p90
+
+
+def test_neyman_alloc_matches_textbook_formula(spark):
+    import math
+
+    from proxyhouse_spark.operators.sampling import NEYMAN_BUDGET
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.source: r
+        for r in registry.QUERIES["q_neyman_alloc"](spark, SF_SMALL).collect()
+    }
+    docs = table(spark, SF_SMALL, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    strata = {}
+    for d in docs:
+        strata.setdefault(d.source, []).append(d.n_chars)
+    weights = {}
+    for src, xs in strata.items():
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        weights[src] = math.sqrt(n * q - s * s)  # N_h * sigma_h * N_h^0...
+    denom = sum(weights.values())
+    n_total = sum(len(xs) for xs in strata.values())
+    for src, xs in strata.items():
+        r = out[src]
+        n = len(xs)
+        assert r.n_rows == n
+        assert abs(r.sd_chars - round(weights[src] / n, 6)) < 1e-6
+        assert abs(r.alloc_share - round(weights[src] / denom, 6)) < 1e-9
+        assert r.n_neyman == math.floor(
+            NEYMAN_BUDGET * weights[src] / denom
+        )
+        assert r.n_proportional == NEYMAN_BUDGET * n // n_total
+    # shares are a distribution; floor allocations never exceed budget
+    assert abs(sum(r.alloc_share for r in out.values()) - 1.0) < 1e-4
+    assert sum(r.n_neyman for r in out.values()) <= NEYMAN_BUDGET
+    # Neyman must actually deviate from proportional somewhere (the
+    # strata have unequal dispersions by fixture construction)
+    assert any(
+        r.n_neyman != r.n_proportional for r in out.values()
+    ) or len({round(w, 3) for w in weights.values()}) == 1
