@@ -966,8 +966,8 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming extrema — the fifth merge algebra: the BOUNDED-SEMILATTICE
 # fold. After latest-wins (CDC), additive counts (leaderboard/drift),
-# dominance pruning (skyline), and idempotent set union (dedup), this
-# demonstrates the min/max lattice: extrema are mergeable because
+# dominance pruning (skyline), and interval union (coverage/sessions),
+# this demonstrates the min/max lattice: extrema are mergeable because
 # min/max are associative, commutative AND idempotent — a re-delivered
 # batch cannot corrupt them even without the batch-id fence (the fence
 # still guards the additive n/sum columns riding along). State is
