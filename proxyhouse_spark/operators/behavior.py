@@ -2801,3 +2801,68 @@ def percentile_bands_oracle() -> str:
     return "WITH " + _bands_sql(
         "epoch_us(ts)", "//", "quantile_cont", "[0.1, 0.5, 0.9]", base=1
     )
+
+
+# ---------------------------------------------------------------------------
+# decay — exponentially-decayed activity scores per event_type: the
+# "trending now" readout every feed/ranking pipeline maintains, with a
+# 7-day half-life (this week counts double next week's weight). The
+# twist is that the whole computation is EXACT: with the half-life an
+# integer number of days, the weight of an event aged a weeks is
+# 2^(−a), and scaling by 2^62 makes every weight the exact integer
+# 2^(62−a) (clamped at a = 62, i.e. ~8.5 years — below one 2⁻⁶²
+# relative unit). Weighted sums ride DECIMAL(38,0) carriers
+# (milli-value × 2^62 ≈ 10^24 ≪ 10^38); powers of two are exactly
+# representable in IEEE doubles, so even the power() call is
+# bit-exact in both engines. The only rounding anywhere is the two
+# final divisions, 6 dp.
+#
+# decayed_count = Σ 2^(−age_weeks) (the half-life-discounted volume);
+# decayed_mean = Σ v·w / Σ w (what's the metric been RECENTLY).
+# One map-side-combinable fold; O(#types) output.
+# ---------------------------------------------------------------------------
+
+DECAY_HL_DAYS = 7  # half-life: one week
+
+
+def _decay_sql(epoch: str, idiv: str) -> str:
+    day = 86_400_000_000
+    return f"""
+    v AS (SELECT event_type,
+                 CAST(round(value * 1000) AS BIGINT) AS m,
+                 CAST({epoch} {idiv} {day} AS BIGINT) AS d
+          FROM events),
+    h AS (SELECT CAST(max(d) AS BIGINT) AS horizon FROM v),
+    w AS (SELECT v.event_type, v.m,
+                 CAST(power(2, 62 - least((h.horizon - v.d)
+                                          {idiv} {DECAY_HL_DAYS}, 62))
+                      AS DECIMAL(38,0)) AS wt
+          FROM v, h),
+    g AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(wt) AS DECIMAL(38,0)) AS sw,
+                 CAST(sum(CAST(m AS DECIMAL(18,0)) * wt)
+                      AS DECIMAL(38,0)) AS swv
+          FROM w GROUP BY event_type)
+    SELECT event_type, n_events,
+           round(CAST(sw AS DOUBLE) / power(2, 62), 6) AS decayed_count,
+           round(CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) / 1000.0e0,
+                 6) AS decayed_mean
+    FROM g
+    """
+
+
+def decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N128: half-life-decayed activity scores in exact power-of-two
+    integer arithmetic."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _decay_sql(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div")
+    )
+
+
+def decay_oracle() -> str:
+    return "WITH " + _decay_sql("epoch_us(ts)", "//")

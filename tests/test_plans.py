@@ -292,6 +292,8 @@ _SCALAR_BNLJ_OK = {
                           # crossed for the readout
     "q_kaplan_meier",     # 1-row total-subjects frame crossed into the
                           # O(KM_WINDOW_DAYS) duration table
+    "q_decay",            # 1-row horizon frame crossed into the event scan
+                          # (the age anchor)
     "q_autocorr",         # O(#event-types) moment frame crossed with the
                           # 2-row lag list before the daily equi-joins
     "q_benford",          # 1-row total-count frame crossed into the 9-row

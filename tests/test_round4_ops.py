@@ -1523,3 +1523,45 @@ def test_neyman_alloc_matches_textbook_formula(spark):
     assert any(
         r.n_neyman != r.n_proportional for r in out.values()
     ) or len({round(w, 3) for w in weights.values()}) == 1
+
+
+def test_decay_matches_exact_power_of_two_brute_force(spark):
+    import datetime as _dt
+    from fractions import Fraction
+
+    from proxyhouse_spark.operators.behavior import DECAY_HL_DAYS
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_decay"](spark, SF_SMALL).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    rows = []
+    for e in events:
+        d = int((e.ts - epoch).total_seconds() * 1_000_000) \
+            // 86_400_000_000
+        rows.append((e.event_type, d, round(e.value * 1000)))
+    horizon = max(d for _, d, _ in rows)
+    # exact rational arithmetic: the op's claim is that nothing rounds
+    # until the final emission
+    agg = {}
+    for t, d, m in rows:
+        a = min((horizon - d) // DECAY_HL_DAYS, 62)
+        w = Fraction(1, 2**a)
+        sw, swv, n = agg.get(t, (Fraction(0), Fraction(0), 0))
+        agg[t] = (sw + w, swv + m * w, n + 1)
+    for t, (sw, swv, n) in agg.items():
+        r = out[t]
+        assert r.n_events == n
+        assert abs(r.decayed_count - round(float(sw), 6)) < 1e-9
+        assert abs(
+            r.decayed_mean - round(float(swv / sw) / 1000, 6)
+        ) < 1e-9
+        # decayed volume is at most the raw count, at least one event's
+        # worth if anything happened this half-life
+        assert float(sw) <= n
+    assert set(out) == set(agg)
