@@ -2866,3 +2866,90 @@ def decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decay_oracle() -> str:
     return "WITH " + _decay_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# seasonality_strength — how much of the daily-volume variance does
+# the weekly cycle explain? The eta-squared of the weekday-means model
+# over the dense daily count series per event_type: SSB/SST, where SSB
+# is the between-weekday sum of squares and SST the total. This is the
+# quantitative license for seasonal_anomaly's weekly-slot model (and
+# the honest report when there is none): strength ≈ 0 says "don't
+# deseasonalize", ≈ 1 says the weekday alone predicts the day.
+#
+# Dense semantics without a spine: per weekday class, the observed-day
+# sums S_w/Q fold normally (missing days contribute 0) while the DENSE
+# class size n_w comes from closed-form integer calendar arithmetic —
+# n_w = (dmax − r_w) div 7 + 1 with r_w the first in-range day of
+# class w, using the ((x % 7) + 7) % 7 spelling because C-style %
+# keeps the dividend's sign in both engines. Weekday = (d + 4) % 7
+# (epoch day 0 = Thursday), derived from epoch-day integers — never
+# dayofweek(), whose numbering differs across engines. The readout
+# divisions are the only doubles (class means, eta²), rounded 6 dp;
+# the peak-weekday argmax breaks exact-rational ties by weekday index.
+# ---------------------------------------------------------------------------
+
+
+def _seasonality_sql(epoch: str, idiv: str) -> str:
+    day = 86_400_000_000
+    return f"""
+    d AS (SELECT event_type,
+                 CAST({epoch} {idiv} {day} AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS x
+          FROM events
+          GROUP BY event_type, CAST({epoch} {idiv} {day} AS BIGINT)),
+    span AS (SELECT event_type,
+                    CAST(min(d) AS BIGINT) AS dmin,
+                    CAST(max(d) AS BIGINT) AS dmax,
+                    CAST(max(d) - min(d) + 1 AS BIGINT) AS n,
+                    CAST(sum(x) AS BIGINT) AS s,
+                    CAST(sum(x * x) AS BIGINT) AS q
+             FROM d GROUP BY event_type),
+    wd AS (SELECT event_type,
+                  CAST(((d + 4) % 7 + 7) % 7 AS BIGINT) AS w,
+                  CAST(sum(x) AS BIGINT) AS s_w
+           FROM d GROUP BY event_type, ((d + 4) % 7 + 7) % 7),
+    cls AS (SELECT sp.event_type, wd.w, wd.s_w, sp.n, sp.s, sp.q,
+                   -- dense class size: first in-range day of class w,
+                   -- then every 7th day through dmax
+                   CAST((sp.dmax - (sp.dmin
+                          + ((wd.w - ((sp.dmin + 4) % 7 + 7) % 7) % 7
+                             + 7) % 7)) {idiv} 7 + 1 AS BIGINT) AS n_w
+            FROM wd JOIN span sp ON sp.event_type = wd.event_type),
+    m AS (SELECT event_type,
+                 CAST(min(n) AS BIGINT) AS n_days,
+                 min(s) AS s, min(q) AS q,
+                 sum(CAST(s_w AS DOUBLE) * s_w / n_w) AS ssb_raw
+          FROM cls GROUP BY event_type),
+    peak AS (SELECT event_type, w AS peak_weekday
+             FROM (SELECT event_type, w,
+                          row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(s_w AS DOUBLE) / n_w DESC, w)
+                            AS rk
+                   FROM cls) p
+             WHERE rk = 1)
+    SELECT m.event_type, m.n_days, p.peak_weekday,
+           round((m.ssb_raw - CAST(m.s AS DOUBLE) * m.s / m.n_days)
+                 / (CAST(m.q AS DOUBLE)
+                    - CAST(m.s AS DOUBLE) * m.s / m.n_days),
+                 6) AS strength
+    FROM m JOIN peak p ON p.event_type = m.event_type
+    """
+
+
+def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N129: eta-squared of the weekday-means model over dense daily
+    counts."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _seasonality_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def seasonality_strength_oracle() -> str:
+    return "WITH " + _seasonality_sql("epoch_us(ts)", "//")

@@ -1565,3 +1565,49 @@ def test_decay_matches_exact_power_of_two_brute_force(spark):
         # worth if anything happened this half-life
         assert float(sw) <= n
     assert set(out) == set(agg)
+
+
+def test_seasonality_strength_matches_dense_eta_squared(spark):
+    import datetime as _dt
+
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_seasonality_strength"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "event_type", "ts"
+    ).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    daily = {}
+    for e in events:
+        d = int((e.ts - epoch).total_seconds() * 1_000_000) \
+            // 86_400_000_000
+        key = (e.event_type, d)
+        daily[key] = daily.get(key, 0) + 1
+    for t in {tt for tt, _ in daily}:
+        days = {d for tt, d in daily if tt == t}
+        lo, hi = min(days), max(days)
+        xs = {d: daily.get((t, d), 0) for d in range(lo, hi + 1)}
+        n = len(xs)
+        mean = sum(xs.values()) / n
+        sst = sum((x - mean) ** 2 for x in xs.values())
+        classes = {}
+        for d, x in xs.items():
+            classes.setdefault((d + 4) % 7, []).append(x)
+        ssb = sum(
+            len(v) * (sum(v) / len(v) - mean) ** 2
+            for v in classes.values()
+        )
+        peak = min(
+            classes, key=lambda w: (-sum(classes[w]) / len(classes[w]), w)
+        )
+        r = out[t]
+        assert r.n_days == n
+        assert r.peak_weekday == peak
+        assert abs(r.strength - round(ssb / sst, 6)) < 1e-6
+        assert -1e-9 <= r.strength <= 1.0 + 1e-9
+    assert len(out) == len({tt for tt, _ in daily})
