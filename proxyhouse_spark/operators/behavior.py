@@ -2953,3 +2953,94 @@ def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def seasonality_strength_oracle() -> str:
     return "WITH " + _seasonality_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# gap_percentiles — the session-gap design readout: exact p50/p90/p99
+# of the inter-event gap (seconds between a user's consecutive events,
+# pooled). This is the number q_sessionize's gap constant should be
+# READ FROM — the knee between p90 and p99 is where "same visit"
+# ends — and the op doubles as the engine's demonstration that exact
+# global percentiles DON'T need a global sort: the known-weak shape of
+# `percentile` (one sort per group, whole-corpus group) is replaced by
+# two-phase ORDER-STATISTIC SELECTION — distinct-gap fold →
+# digit-class bucket offsets (the q_gini scaffolding) → cumulative
+# counts → the k-th smallest value is min(v | cum ≥ k), folded as SIX
+# conditional mins in ONE aggregate (no rank join, no BNLJ, no sort).
+#
+# Interpolation is exact by construction: the target rank
+# (n−1)·p sits at integer lo = num div 100 with fraction
+# (num % 100)/100, so v_lo + (v_hi − v_lo)·frac is a rational with
+# denominator 100 — bit-stable in both engines. Gaps are exact
+# integer seconds (epoch-microsecond subtraction, idiv 10⁶).
+# ---------------------------------------------------------------------------
+
+GAP_PCTS = [50, 90, 99]  # integer percents — keeps interpolation rational
+
+
+def _gapp_sql(epoch: str, idiv: str) -> str:
+    sel = []
+    for p in GAP_PCTS:
+        sel.append(
+            f"min(CASE WHEN cum >= n1.lo{p} + 1 THEN v END) AS vlo{p}, "
+            f"min(CASE WHEN cum >= n1.lo{p} + 2 THEN v END) AS vhi{p}"
+        )
+    lo_defs = ", ".join(
+        f"CAST((n - 1) * {p} {{idiv}} 100 AS BIGINT) AS lo{p}, "
+        f"CAST((n - 1) * {p} % 100 AS BIGINT) AS fr{p}"
+        for p in GAP_PCTS
+    ).replace("{idiv}", idiv)
+    out_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({p} AS BIGINT) AS pct, "
+        f"round(s.vlo{p} + (coalesce(s.vhi{p}, s.vlo{p}) - s.vlo{p}) "
+        f"* n1.fr{p} / 100.0e0, 6) AS gap_secs "
+        f"FROM s, n1" + (" WHERE n1.n > 1" if p == GAP_PCTS[0] else
+                         " WHERE n1.n > 1")
+        for p in GAP_PCTS
+    )
+    return f"""
+    g AS (SELECT CAST((lead_t - t) {idiv} 1000000 AS BIGINT) AS v
+          FROM (SELECT CAST({epoch} AS BIGINT) AS t,
+                       lead(CAST({epoch} AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY {epoch}, event_id)
+                         AS lead_t
+                FROM events) x
+          WHERE lead_t IS NOT NULL),
+    vals AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+                    CAST(length(CAST(v AS STRING)) * 1000
+                         + v {idiv} CAST(power(10, greatest(
+                               length(CAST(v AS STRING)) - 3, 0))
+                             AS BIGINT) AS BIGINT) AS b
+             FROM g GROUP BY v),
+    n1 AS (SELECT CAST(sum(t) AS BIGINT) AS n, {lo_defs}
+           FROM vals),
+    bt AS (SELECT b, CAST(sum(t) AS BIGINT) AS tb FROM vals GROUP BY b),
+    boff AS (SELECT b,
+               CAST(coalesce(sum(tb) OVER (ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS off
+             FROM bt),
+    cumv AS (SELECT va.v,
+                    CAST(o.off + sum(va.t) OVER (PARTITION BY va.b
+                           ORDER BY va.v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum
+             FROM vals va JOIN boff o ON o.b = va.b),
+    s AS (SELECT {", ".join(sel)} FROM cumv, n1)
+    {out_rows}
+    """
+
+
+def gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N130: exact global percentiles by two-phase order-statistic
+    selection — no global sort, no per-group percentile buffer."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _gapp_sql(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div")
+    )
+
+
+def gap_percentiles_oracle() -> str:
+    return "WITH " + _gapp_sql("epoch_us(ts)", "//")

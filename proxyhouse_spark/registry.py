@@ -1117,6 +1117,9 @@ register("q_seasonality_strength",
          behavior.seasonality_strength_oracle())(
     behavior.seasonality_strength
 )
+register("q_gap_percentiles", behavior.gap_percentiles_oracle())(
+    behavior.gap_percentiles
+)
 register("q_seasonal_anomaly", behavior.seasonal_anomaly_oracle())(
     behavior.seasonal_anomaly
 )
@@ -1223,7 +1226,7 @@ _LEAD = [
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength",
+    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -294,6 +294,8 @@ _SCALAR_BNLJ_OK = {
                           # O(KM_WINDOW_DAYS) duration table
     "q_decay",            # 1-row horizon frame crossed into the event scan
                           # (the age anchor)
+    "q_gap_percentiles",  # 1-row rank-target frame crossed into the
+                          # distinct-gap cumulative frame and the readout
     "q_autocorr",         # O(#event-types) moment frame crossed with the
                           # 2-row lag list before the daily equi-joins
     "q_benford",          # 1-row total-count frame crossed into the 9-row
@@ -352,6 +354,8 @@ _UNPARTITIONED_WINDOW_OK = {
                       # not the corpus (the pack_global justification)
     "q_zipf_fit",     # same digit-class bucket-offset prefix as q_gini —
                       # the spectrum rank scaffolding, <= ~19k buckets
+    "q_gap_percentiles",  # same digit-class scaffolding again — the
+                      # order-statistic selection's bucket offsets
     "q_gini",         # bucket-offset prefix over the digit-class frame —
                       # <= ~19k buckets by construction (1000*digits +
                       # top-3-digits), independent of corpus size

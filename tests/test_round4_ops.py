@@ -1611,3 +1611,46 @@ def test_seasonality_strength_matches_dense_eta_squared(spark):
         assert abs(r.strength - round(ssb / sst, 6)) < 1e-6
         assert -1e-9 <= r.strength <= 1.0 + 1e-9
     assert len(out) == len({tt for tt, _ in daily})
+
+
+def test_gap_percentiles_equal_sorted_interpolation(spark):
+    import datetime as _dt
+
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.pct: r.gap_secs
+        for r in registry.QUERIES["q_gap_percentiles"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    events = table(spark, SF_SMALL, "events").select(
+        "user_id", "ts", "event_id"
+    ).collect()
+    epoch = _dt.datetime(1970, 1, 1)
+    per_user = {}
+    for e in events:
+        us = int((e.ts - epoch).total_seconds() * 1_000_000)
+        per_user.setdefault(e.user_id, []).append((us, e.event_id))
+    gaps = []
+    for evs in per_user.values():
+        evs.sort()
+        gaps += [(b[0] - a[0]) // 1_000_000 for a, b in zip(evs, evs[1:])]
+    gaps.sort()
+    n = len(gaps)
+    for p in (50, 90, 99):
+        num = (n - 1) * p
+        lo, fr = num // 100, num % 100
+        hi = min(lo + 1, n - 1)
+        expect = gaps[lo] + (gaps[hi] - gaps[lo]) * fr / 100
+        assert abs(out[p] - round(expect, 6)) < 1e-9, p
+    # the selection must agree with the engine's own percentile()
+    # identity (the per-group-sort spelling this op replaces)
+    spark.createDataFrame(
+        [(g,) for g in gaps], "v bigint"
+    ).createOrReplaceTempView("gaps_flat")
+    ref = spark.sql(
+        "SELECT percentile(v, array(0.5, 0.9, 0.99)) AS q FROM gaps_flat"
+    ).collect()[0].q
+    for p, r in zip((50, 90, 99), ref):
+        assert abs(out[p] - round(r, 6)) < 1e-9
