@@ -222,3 +222,50 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def gini_concentration_oracle() -> str:
     return "WITH " + _gini_sql("//")
+
+
+# ---------------------------------------------------------------------------
+# hill_tail — Hill estimator of the revenue distribution's tail index:
+# α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order statistics. The
+# tail-RISK audit that completes the concentration family: gini says
+# how unequal the masses are, zipf says how the middle decays,
+# benford says the digits are plausible — Hill says whether the tail
+# is heavy enough that sums are dominated by single records (α ≤ 2
+# means infinite variance: capacity planning, sampling error bars and
+# mean-based SLAs all break). Heavy-tail awareness is exactly what
+# separates p99 engineering from mean engineering at 100 TB.
+#
+# Shape: the top-(k+1) multiset arrives via ORDER BY ... LIMIT — a
+# TakeOrderedAndProject, never a global sort — with o_orderkey
+# tie-break making the cut deterministic; the rank window runs on the
+# LIMIT-bounded frame (k+1 rows by construction). Only doubles: the
+# ln ratios and the final division, rounded 6 dp.
+# ---------------------------------------------------------------------------
+
+HILL_K = 200  # top-k order statistics in the estimator
+
+
+def _hill_sql() -> str:
+    return f"""
+    t AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+          FROM orders ORDER BY c DESC, o_orderkey LIMIT {HILL_K + 1}),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC, o_orderkey) AS rk
+          FROM t),
+    th AS (SELECT CAST(c AS BIGINT) AS xk FROM r WHERE rk = {HILL_K + 1})
+    SELECT CAST({HILL_K} AS BIGINT) AS k,
+           th.xk AS threshold_cents,
+           round({HILL_K} / sum(ln(CAST(r.c AS DOUBLE) / th.xk)), 6)
+             AS hill_alpha
+    FROM r, th WHERE r.rk <= {HILL_K}
+    GROUP BY th.xk
+    """
+
+
+def hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N131: Hill tail-index over TakeOrdered top-k order statistics."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("WITH " + _hill_sql())
+
+
+def hill_tail_oracle() -> str:
+    return "WITH " + _hill_sql()

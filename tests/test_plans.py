@@ -296,6 +296,8 @@ _SCALAR_BNLJ_OK = {
                           # (the age anchor)
     "q_gap_percentiles",  # 1-row rank-target frame crossed into the
                           # distinct-gap cumulative frame and the readout
+    "q_hill_tail",        # 1-row threshold order-stat frame crossed into
+                          # the LIMIT-k top frame
     "q_autocorr",         # O(#event-types) moment frame crossed with the
                           # 2-row lag list before the daily equi-joins
     "q_benford",          # 1-row total-count frame crossed into the 9-row
@@ -338,6 +340,8 @@ _UNPARTITIONED_WINDOW_OK = {
                            # reference replay contract is SEQUENTIAL anyway
                            # (main.go resend loop — a global order is the op)
     "q_knn_pq",       # row_number over the LIMIT-N_CODES codebook seed (O(1))
+    "q_hill_tail",    # rank over the LIMIT-(k+1) TakeOrdered frame —
+                      # bounded by construction
     "q_mom_growth",   # lag over the O(#months) monthly-revenue frame
     "q_pack_global",  # prefix sum over the O(#buckets) bucket-total frame —
                       # phase 1 of the documented two-phase distributed scan
@@ -802,3 +806,10 @@ def test_profile_scans_each_table_exactly_once(spark):
     UNION-ALL-per-column spelling would scan per column (9 scans)."""
     tree = tree_of(plan_of(spark, "q_profile"))
     assert tree.count("Scan parquet") == 2
+
+
+def test_hill_tail_plans_take_ordered_not_global_sort(spark):
+    # the top-(k+1) multiset must arrive via TakeOrderedAndProject —
+    # a global Sort here would be the one thing the estimator exists
+    # to avoid at scale
+    assert "TakeOrderedAndProject" in plan_of(spark, "q_hill_tail")

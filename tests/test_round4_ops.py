@@ -1654,3 +1654,26 @@ def test_gap_percentiles_equal_sorted_interpolation(spark):
     ).collect()[0].q
     for p, r in zip((50, 90, 99), ref):
         assert abs(out[p] - round(r, 6)) < 1e-9
+
+
+def test_hill_tail_matches_sorted_brute_force(spark):
+    import math
+
+    from proxyhouse_spark.operators.layout import HILL_K
+    from proxyhouse_spark.tables import table
+
+    r = registry.QUERIES["q_hill_tail"](spark, SF_SMALL).collect()[0]
+    orders = table(spark, SF_SMALL, "orders").select(
+        "o_totalprice", "o_orderkey"
+    ).collect()
+    ranked = sorted(
+        ((round(o.o_totalprice * 100), o.o_orderkey) for o in orders),
+        key=lambda t: (-t[0], t[1]),
+    )
+    top = [c for c, _ in ranked[:HILL_K]]
+    xk = ranked[HILL_K][0]
+    alpha = HILL_K / sum(math.log(c / xk) for c in top)
+    assert r.k == HILL_K
+    assert r.threshold_cents == xk
+    assert abs(r.hill_alpha - round(alpha, 6)) < 1e-6
+    assert r.hill_alpha > 0
