@@ -266,3 +266,99 @@ def multimodal_resize_oracle() -> str:
                 i -> unicode(substr(rz, i, 1)))), 0) AS BIGINT) AS out_byte_sum
     FROM r
     """
+
+
+# ---------------------------------------------------------------------------
+# Audio VAD — the audio-shaped operation closing the modality triad
+# (meta/features/resize = image, frame_sample = video, this = audio):
+# treat the payload as a PCM sample stream, slice it into fixed
+# AUDIO_WIN-sample windows, score each window's activity, and emit the
+# voice-activity trim (first/last active window + density) — the
+# silence-strip every ASR ingest pipeline runs before the expensive
+# model. The deterministic fake scores activity as "enough non-0x20
+# samples" (the fixture's spaces literally ARE the silence); a real
+# pipeline swaps the scorer for an energy/ZCR threshold over decoded
+# PCM with identical schema, batching and windowing arithmetic. The
+# mapInPandas plumbing is real, and the outputs are integer-exact, so
+# the Arrow path gets the FULL differential oracle like its siblings.
+# ---------------------------------------------------------------------------
+
+AUDIO_WIN = 64  # samples (bytes) per analysis window
+AUDIO_MIN_ACTIVE = 8  # non-silence samples for a window to count active
+
+VAD_SCHEMA = (
+    "doc_id bigint, n_windows bigint, n_active bigint, "
+    "first_active bigint, last_active bigint, active_bp bigint"
+)
+
+
+def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N132: windowed voice-activity trim over the binary payload."""
+    mm = multimodal_frame(spark, sf_dir)
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in (
+            "doc_id", "n_windows", "n_active", "first_active",
+            "last_active", "active_bp",
+        )}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_win = (len(b) + AUDIO_WIN - 1) // AUDIO_WIN
+                active = [
+                    sum(
+                        1
+                        for c in b[w * AUDIO_WIN:(w + 1) * AUDIO_WIN]
+                        if c != 0x20
+                    ) >= AUDIO_MIN_ACTIVE
+                    for w in range(n_win)
+                ]
+                n_act = sum(active)
+                first = active.index(True) + 1 if n_act else 0
+                last = (
+                    len(active) - active[::-1].index(True) if n_act else 0
+                )
+                rows["doc_id"].append(int(doc_id))
+                rows["n_windows"].append(n_win)
+                rows["n_active"].append(n_act)
+                rows["first_active"].append(first)
+                rows["last_active"].append(last)
+                rows["active_bp"].append(
+                    10000 * n_act // n_win if n_win else 0
+                )
+        yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(vad, VAD_SCHEMA)
+
+
+def audio_vad_oracle() -> str:
+    w, m = AUDIO_WIN, AUDIO_MIN_ACTIVE
+    # per-window active flags as a list over the ASCII payload: a window
+    # is active iff its non-space count clears the threshold
+    flags = (
+        f"list_transform(range(0, CAST(ceil(length(text) / {w}.0) AS BIGINT)), "
+        f"wi -> length(replace(substr(text, wi * {w} + 1, {w}), ' ', '')) "
+        f">= {m})"
+    )
+    return f"""
+    WITH f AS (SELECT doc_id,
+                      CAST(ceil(length(text) / {w}.0) AS BIGINT) AS n_windows,
+                      {flags} AS fl
+               FROM documents),
+    a AS (SELECT doc_id, n_windows, fl,
+                 CAST(coalesce(list_sum(list_transform(fl,
+                        x -> CASE WHEN x THEN 1 ELSE 0 END)), 0) AS BIGINT)
+                   AS n_active,
+                 list_transform(range(1, len(fl) + 1),
+                                i -> CASE WHEN fl[i] THEN i END) AS idx
+          FROM f)
+    SELECT doc_id, n_windows, n_active,
+           CAST(coalesce(list_min(list_filter(idx, x -> x IS NOT NULL)), 0)
+                AS BIGINT) AS first_active,
+           CAST(coalesce(list_max(list_filter(idx, x -> x IS NOT NULL)), 0)
+                AS BIGINT) AS last_active,
+           CAST(CASE WHEN n_windows = 0 THEN 0
+                     ELSE 10000 * n_active // n_windows END AS BIGINT)
+             AS active_bp
+    FROM a
+    """

@@ -1025,6 +1025,9 @@ register("q_basket_pairs", behavior.basket_pairs_oracle())(
 register("q_multimodal_resize", multimodal.multimodal_resize_oracle())(
     multimodal.multimodal_resize
 )
+register("q_audio_vad", multimodal.audio_vad_oracle())(
+    multimodal.audio_vad
+)
 register("q_skyline", relational.skyline_oracle())(relational.skyline)
 register("q_attribution", behavior.attribution_oracle())(behavior.attribution)
 register("q_drift_psi", behavior.drift_psi_oracle())(behavior.drift_psi)
@@ -1227,7 +1230,7 @@ _LEAD = [
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail",
+    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -1677,3 +1677,45 @@ def test_hill_tail_matches_sorted_brute_force(spark):
     assert r.threshold_cents == xk
     assert abs(r.hill_alpha - round(alpha, 6)) < 1e-6
     assert r.hill_alpha > 0
+
+
+def test_audio_vad_matches_byte_window_brute_force(spark):
+    from proxyhouse_spark.operators.multimodal import (
+        AUDIO_MIN_ACTIVE,
+        AUDIO_WIN,
+    )
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["q_audio_vad"](spark, SF_SMALL).collect()
+    }
+    docs = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    trimmed = 0
+    for d in docs:
+        b = d.text.encode()
+        n_win = (len(b) + AUDIO_WIN - 1) // AUDIO_WIN
+        act = [
+            sum(
+                1 for c in b[w * AUDIO_WIN:(w + 1) * AUDIO_WIN]
+                if c != 0x20
+            ) >= AUDIO_MIN_ACTIVE
+            for w in range(n_win)
+        ]
+        n_act = sum(act)
+        r = out[d.doc_id]
+        assert (r.n_windows, r.n_active) == (n_win, n_act)
+        if n_act:
+            assert r.first_active == act.index(True) + 1
+            assert r.last_active == n_win - act[::-1].index(True)
+        else:
+            assert (r.first_active, r.last_active) == (0, 0)
+        assert r.active_bp == (10000 * n_act // n_win if n_win else 0)
+        if n_act < n_win:
+            trimmed += 1
+    # the windowing must actually bite on the fixture: short tail
+    # windows fall below the activity threshold for a visible fraction
+    assert trimmed > 0
+    assert len(out) == len(docs)
