@@ -269,3 +269,73 @@ def hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hill_tail_oracle() -> str:
     return "WITH " + _hill_sql()
+
+
+# ---------------------------------------------------------------------------
+# schema_merge — the schema-EVOLUTION read: a 100 TB estate is never
+# written by one schema version; files laid down before a column
+# existed must scan as NULL next to files that carry it. This op
+# exercises Spark's real reader capability (parquet `mergeSchema`) on
+# a deterministic two-generation layout derived from events — an
+# either-generation id/type spine where generation 1 lacks the
+# value_cents column and generation 2 carries it — then emits the
+# schema-evolution audit: per column, rows present vs NULL-backfilled.
+# The oracle re-derives the same audit from the events table by parity
+# arithmetic, so the on-disk evolution plumbing (write old-schema
+# files, write new-schema files, merged scan) is what is actually
+# under differential test. Executes at plan time like the streaming
+# ops (whitelisted in _EXECUTING); scratch files are session-scoped.
+# ---------------------------------------------------------------------------
+
+
+def schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: mergeSchema scan over a two-generation parquet layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import _scratch_dir
+
+    base = _scratch_dir("s10_schemamerge_")
+    ev = table(spark, sf_dir, "events")
+    # generation 1: before the value column existed
+    ev.filter("event_id % 2 = 0").select("event_id", "event_type").coalesce(
+        1
+    ).write.parquet(os.path.join(base, "gen=1"))
+    # generation 2: the evolved schema
+    ev.filter("event_id % 2 = 1").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("value_cents"),
+    ).coalesce(1).write.parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    merged.createOrReplaceTempView("schema_merged")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(value_cents) AS BIGINT) AS n_with_value,
+               CAST(count(*) - count(value_cents) AS BIGINT)
+                 AS n_null_backfill,
+               CAST(coalesce(sum(value_cents), 0) AS BIGINT)
+                 AS value_cents_total
+        FROM schema_merged GROUP BY event_type
+        """
+    )
+
+
+def schema_merge_oracle() -> str:
+    return """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_value,
+           CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_backfill,
+           CAST(coalesce(sum(CASE WHEN event_id % 2 = 1
+                             THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                AS BIGINT) AS value_cents_total
+    FROM events GROUP BY event_type
+    """

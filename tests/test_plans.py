@@ -249,6 +249,7 @@ _EXECUTING = {
     "q_stream_triangles",
     "q_stream_kmeans",
     "q_stream_extrema",
+    "q_schema_merge",   # writes the two-generation layout at plan time
 }
 
 

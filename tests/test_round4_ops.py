@@ -1719,3 +1719,28 @@ def test_audio_vad_matches_byte_window_brute_force(spark):
     # windows fall below the activity threshold for a visible fraction
     assert trimmed > 0
     assert len(out) == len(docs)
+
+
+def test_schema_merge_backfills_nulls_for_old_generation(spark):
+    from proxyhouse_spark.tables import table
+
+    rows = registry.QUERIES["q_schema_merge"](spark, SF_SMALL).collect()
+    events = table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    expect = {}
+    for e in events:
+        a = expect.setdefault(e.event_type, [0, 0, 0])
+        a[0] += 1
+        if e.event_id % 2 == 1:
+            a[1] += 1
+            a[2] += round(e.value * 100)
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, nv, cents = expect[r.event_type]
+        assert (r.n_rows, r.n_with_value, r.value_cents_total) == (
+            n, nv, cents
+        )
+        assert r.n_null_backfill == n - nv
+        # both generations must be non-empty or the merge is vacuous
+        assert r.n_with_value > 0 and r.n_null_backfill > 0
