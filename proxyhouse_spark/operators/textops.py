@@ -678,3 +678,66 @@ def zipf_fit_oracle() -> str:
         "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x",
         "//",
     )
+
+
+# ---------------------------------------------------------------------------
+# redundancy — cross-document redundancy per source: total vs distinct
+# token-3-gram mass pooled over each source's documents. The
+# templated-source detector: repetition_filter scores repetition
+# WITHIN a document (Gopher-style), dedup catches whole near-duplicate
+# documents — but a source whose documents each look fine yet all
+# share the same boilerplate skeleton only shows up when grams are
+# pooled ACROSS its documents, which is exactly what inflates
+# total/distinct here. The integer-exact stand-in for the zlib
+# compression-ratio signal the FineWeb/Gopher pipelines use (no
+# compressor in SQL, but shared-gram mass is what a compressor
+# exploits).
+#
+# All counts exact BIGINTs; the two ratios are the only doubles,
+# rounded 6 dp. Shape: explode grams → one (source, gram) fold
+# (map-side combinable; heavy grams combine before the shuffle) →
+# one O(#sources) rollup.
+# ---------------------------------------------------------------------------
+
+
+def _redundancy_sql(tok3: str) -> str:
+    return f"""
+    g AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS n
+          FROM {tok3} GROUP BY source, gram),
+    s AS (SELECT source,
+                 CAST(sum(n) AS BIGINT) AS total_grams,
+                 CAST(count(*) AS BIGINT) AS distinct_grams,
+                 CAST(max(n) AS BIGINT) AS top_gram_count
+          FROM g GROUP BY source)
+    SELECT source, total_grams, distinct_grams,
+           round(CAST(total_grams AS DOUBLE) / distinct_grams, 6)
+             AS redundancy,
+           round(CAST(top_gram_count AS DOUBLE) / total_grams, 6)
+             AS top_gram_share
+    FROM s
+    """
+
+
+def redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N133: pooled cross-doc 3-gram redundancy per source."""
+    _docs(spark, sf_dir)
+    tok3 = (
+        "(SELECT source, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) "
+        " AS gram "
+        " FROM (SELECT source, split(text, ' ', -1) AS toks FROM documents) t "
+        " LATERAL VIEW explode(sequence(0, size(toks) - 3)) x AS i "
+        " WHERE size(toks) >= 3) z"
+    )
+    return spark.sql("WITH " + _redundancy_sql(tok3))
+
+
+def redundancy_oracle() -> str:
+    tok3 = (
+        "(SELECT source, "
+        "  concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS gram "
+        " FROM (SELECT source, string_split(text, ' ') AS toks "
+        "       FROM documents) t, "
+        "      unnest(range(1, greatest(len(toks) - 1, 1))) AS u(i) "
+        " WHERE len(toks) >= 3) z"
+    )
+    return "WITH " + _redundancy_sql(tok3)

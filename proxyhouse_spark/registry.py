@@ -894,6 +894,9 @@ register("q_domain_stats", retrieval.domain_stats_oracle())(retrieval.domain_sta
 register("q_gopher_rules", textops.gopher_rules_oracle())(textops.gopher_rules)
 register("q_token_entropy", textops.token_entropy_oracle())(textops.token_entropy)
 register("q_zipf_fit", textops.zipf_fit_oracle())(textops.zipf_fit)
+register("q_redundancy", textops.redundancy_oracle())(
+    textops.redundancy
+)
 register("q_event_funnel", behavior.event_funnel_oracle())(behavior.event_funnel)
 register("q_cohort_retention", behavior.cohort_retention_oracle())(
     behavior.cohort_retention
@@ -1233,7 +1236,7 @@ _LEAD = [
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge",
+    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge", "q_redundancy",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

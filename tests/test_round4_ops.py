@@ -1744,3 +1744,35 @@ def test_schema_merge_backfills_nulls_for_old_generation(spark):
         assert r.n_null_backfill == n - nv
         # both generations must be non-empty or the merge is vacuous
         assert r.n_with_value > 0 and r.n_null_backfill > 0
+
+
+def test_redundancy_matches_pooled_gram_brute_force(spark):
+    from proxyhouse_spark.tables import table
+
+    out = {
+        r.source: r
+        for r in registry.QUERIES["q_redundancy"](spark, SF_SMALL).collect()
+    }
+    docs = table(spark, SF_SMALL, "documents").select(
+        "source", "text"
+    ).collect()
+    pools = {}
+    for d in docs:
+        toks = d.text.split(" ")
+        grams = pools.setdefault(d.source, {})
+        for i in range(len(toks) - 2):
+            g = " ".join(toks[i:i + 3])
+            grams[g] = grams.get(g, 0) + 1
+    assert set(out) == set(pools)
+    for src, grams in pools.items():
+        r = out[src]
+        total, distinct = sum(grams.values()), len(grams)
+        assert (r.total_grams, r.distinct_grams) == (total, distinct)
+        assert abs(r.redundancy - round(total / distinct, 6)) < 1e-9
+        assert abs(
+            r.top_gram_share - round(max(grams.values()) / total, 6)
+        ) < 1e-9
+        assert r.redundancy >= 1.0
+    # pooling must bite: some source has cross-doc shared grams
+    # (redundancy > 1 somewhere), or the detector is vacuous here
+    assert any(r.redundancy > 1.0 for r in out.values())
