@@ -22,6 +22,7 @@ Both are exact integer computations, differentially oracled.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..tables import table
 
@@ -338,4 +339,75 @@ def schema_merge_oracle() -> str:
                              THEN CAST(round(value * 100) AS BIGINT) END), 0)
                 AS BIGINT) AS value_cents_total
     FROM events GROUP BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# bucketed_join — the persisted-shuffle capability as a first-class
+# query: bucketing is the 100 TB recipe for REPEATED joins on one key
+# (pay the shuffle once at write; every subsequent join on the bucket
+# key is co-located, NO exchange on either side). The op writes
+# orders and customer bucketed+sorted by custkey (8 buckets,
+# overwrite-idempotent session tables), joins them with broadcast
+# disabled so nothing can hide the claim, and returns revenue per
+# market segment; the oracle is the plain join over the original
+# parquet — so the differential proves the bucketed layout changes the
+# PLAN, never the answer. The zero-exchange claim itself is pinned in
+# tests/test_plans.py on this op's executed join.
+# ---------------------------------------------------------------------------
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: co-located join over bucketed tables — the persisted shuffle."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    # a previous SESSION's metastore may have left the managed location
+    # behind without this session's catalog knowing the table — drop
+    # both halves or saveAsTable refuses with LOCATION_ALREADY_EXISTS
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("q_bucketed_orders", "q_bucketed_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.bucketBy(8, "o_custkey").sortBy("o_custkey").mode(
+        "overwrite"
+    ).saveAsTable("q_bucketed_orders")
+    table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).write.bucketBy(8, "c_custkey").sortBy("c_custkey").mode(
+        "overwrite"
+    ).saveAsTable("q_bucketed_customer")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("q_bucketed_orders")
+        c = spark.table("q_bucketed_customer")
+        out = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("revenue_cents"),
+            )
+        )
+        # materialize the co-located join while broadcast is still off
+        # (the conf is plan-time state; localCheckpoint pins the result)
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def bucketed_join_oracle() -> str:
+    return """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
     """

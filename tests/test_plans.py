@@ -250,6 +250,7 @@ _EXECUTING = {
     "q_stream_kmeans",
     "q_stream_extrema",
     "q_schema_merge",   # writes the two-generation layout at plan time
+    "q_bucketed_join",  # writes + checkpoints the bucketed join at plan time
 }
 
 
@@ -814,3 +815,30 @@ def test_hill_tail_plans_take_ordered_not_global_sort(spark):
     # a global Sort here would be the one thing the estimator exists
     # to avoid at scale
     assert "TakeOrderedAndProject" in plan_of(spark, "q_hill_tail")
+
+
+def test_bucketed_join_registered_query_is_colocated(spark):
+    """The registered q_bucketed_join must actually produce the
+    co-located plan its docstring claims: SortMergeJoin with NO
+    exchange on either side (the bucket layout IS the shuffle). The
+    query checkpoints its result, so re-derive the join here over the
+    tables the op just wrote, with broadcast disabled the same way."""
+    from proxyhouse_spark import registry
+
+    registry.QUERIES["q_bucketed_join"](spark, SF_SMALL)  # writes tables
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("q_bucketed_orders")
+        c = spark.table("q_bucketed_customer")
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
