@@ -411,3 +411,66 @@ def bucketed_join_oracle() -> str:
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     """
+
+
+# ---------------------------------------------------------------------------
+# partition_pruning — the partition-layout capability as a first-class
+# query: Hive-style partitionBy(day) write, then a day-range read that
+# must touch ONLY the matching partition directories. At 100 TB
+# partition pruning is the difference between scanning a morning and
+# scanning a year; zorder_stats plans WITHIN-file skipping, this one
+# exercises the directory-level pruning Spark does before any file is
+# opened. The op writes events partitioned by epoch-day, reads back
+# with a closed-form day predicate (last PRUNE_LAST_DAYS days of the
+# fixture), and returns the per-day envelope; the oracle derives the
+# same answer from the unpartitioned events table, so the partitioned
+# write + pruned scan is what the differential tests. The
+# PartitionFilters pin lives in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+
+PRUNE_LAST_DAYS = 7
+
+
+def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: Hive-partitioned write + directory-pruned day-range scan."""
+    import os
+
+    from ..streaming.pipeline import _scratch_dir
+    from ..tables import EPOCH_NTZ
+
+    base = _scratch_dir("s12_prune_")
+    loc = os.path.join(base, "events_by_day")
+    ev = table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+        f"CAST(timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts) div "
+        "86400000000 AS BIGINT) AS day",
+    )
+    ev.write.partitionBy("day").parquet(loc)
+    part = spark.read.parquet(loc)
+    horizon = part.agg(F.max("day")).collect()[0][0]
+    pruned = part.filter(F.col("day") > horizon - PRUNE_LAST_DAYS)
+    pruned.createOrReplaceTempView("events_pruned")
+    return spark.sql(
+        """
+        SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents_total
+        FROM events_pruned GROUP BY day
+        """
+    )
+
+
+def partition_pruning_oracle() -> str:
+    d = 86_400_000_000
+    return f"""
+    WITH e AS (SELECT epoch_us(ts) // {d} AS day,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    h AS (SELECT max(day) AS horizon FROM e)
+    SELECT CAST(e.day AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(e.cents) AS BIGINT) AS cents_total
+    FROM e, h WHERE e.day > h.horizon - {PRUNE_LAST_DAYS}
+    GROUP BY e.day
+    """

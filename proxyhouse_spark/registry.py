@@ -1143,6 +1143,9 @@ register("q_schema_merge", layout.schema_merge_oracle())(
 register("q_bucketed_join", layout.bucketed_join_oracle())(
     layout.bucketed_join
 )
+register("q_partition_pruning", layout.partition_pruning_oracle())(
+    layout.partition_pruning
+)
 register("q_gini", layout.gini_concentration_oracle())(
     layout.gini_concentration
 )
@@ -1239,7 +1242,7 @@ _LEAD = [
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge", "q_redundancy", "q_bucketed_join",
+    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge", "q_redundancy", "q_bucketed_join", "q_partition_pruning",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

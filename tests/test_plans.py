@@ -251,6 +251,7 @@ _EXECUTING = {
     "q_stream_extrema",
     "q_schema_merge",   # writes the two-generation layout at plan time
     "q_bucketed_join",  # writes + checkpoints the bucketed join at plan time
+    "q_partition_pruning",  # writes the partitioned layout at plan time
 }
 
 
@@ -842,3 +843,40 @@ def test_bucketed_join_registered_query_is_colocated(spark):
         assert "Exchange" not in tree
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partition_pruning_scan_reads_only_matching_directories(spark):
+    """The claim S12 exists for: the day predicate must become a
+    PartitionFilters entry on the scan (directory-level pruning), and
+    the pruned scan must read strictly fewer files than the full
+    layout holds."""
+    import os
+
+    from proxyhouse_spark import registry
+    from proxyhouse_spark.operators.layout import PRUNE_LAST_DAYS
+
+    registry.QUERIES["q_partition_pruning"](spark, SF_SMALL)
+    # the op registers its scratch base in-process; take the newest s12
+    from proxyhouse_spark.streaming import pipeline
+
+    loc = next(
+        os.path.join(d, "events_by_day")
+        for d in reversed(pipeline._SCRATCH_DIRS)
+        if os.path.basename(d).startswith("s12_prune_")
+    )
+    part = spark.read.parquet(loc)
+    from pyspark.sql import functions as F
+
+    horizon = part.agg(F.max("day")).collect()[0][0]
+    pruned = part.filter(F.col("day") > horizon - PRUNE_LAST_DAYS)
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "day" in line  # the predicate reached the directory level
+    n_dirs = len([d for d in os.listdir(loc) if d.startswith("day=")])
+    n_kept = pruned.select("day").distinct().count()
+    assert n_kept < n_dirs  # pruning must actually drop partitions
