@@ -1179,6 +1179,18 @@ register("q_stream_sessionize", behavior.sessionize_oracle())(
     cdc.stream_sessionize_query
 )
 
+from .operators import sequences  # noqa: E402
+
+register("q_window_funnel", sequences.window_funnel_oracle())(
+    sequences.window_funnel
+)
+register("q_sequence_count", sequences.sequence_count_oracle())(
+    sequences.sequence_count
+)
+register("q_max_intersections", sequences.max_intersections_oracle())(
+    sequences.max_intersections
+)
+
 
 # ---------------------------------------------------------------------------
 # Driver-visibility rotation (VERDICT r3 item #1)
@@ -1243,6 +1255,7 @@ _LEAD = [
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
     "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge", "q_redundancy", "q_bucketed_join", "q_partition_pruning",
+    "q_window_funnel", "q_sequence_count", "q_max_intersections",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -371,6 +371,11 @@ _UNPARTITIONED_WINDOW_OK = {
                       # administrative censoring horizon caps t)
     "q_ks_test",      # same O(#buckets) offset-prefix frame, carried for
                       # both the all- and A-counters at once
+    "q_max_intersections",  # day-offset prefix over the O(#days) net-delta
+                      # frame — phase 2 of the two-phase sweep-line; day
+                      # count is calendar-bounded (the pack_global shape)
+    "q_window_funnel",  # cumulative n_reached over the O(3) depth-histogram
+                      # frame — bounded by the funnel's stage count
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec
