@@ -3044,3 +3044,219 @@ def gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def gap_percentiles_oracle() -> str:
     return "WITH " + _gapp_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# theil_sen — Theil–Sen robust trend of the daily metric series: the
+# median of all pairwise slopes (and the median-residual intercept).
+# The robust counterpart of linreg_by_group's OLS: one bot-storm day
+# drags a least-squares slope arbitrarily; the slope median has a 29%
+# breakdown point. THE trend number for noisy ops series.
+#
+# Exactness: daily sums enter as milli-unit BIGINTs; each slope is one
+# double division of exact integers; the median is an exact order
+# statistic (lo + (hi−lo)·0.5 at even counts, spelled IDENTICALLY on
+# both engines so interpolation is bit-identical); the intercept reuses
+# the UNROUNDED slope in per-day residuals, again a spelled-out median.
+#
+# Scale shape: the day series is calendar-bounded (O(#days)), so the
+# O(#days²) pair set is a bounded frame, not a data-scaled one. The
+# Spark spelling is JOIN-FREE: the series folds into ONE row and the
+# pair/median algebra runs in codegen'd higher-order array functions
+# (transform/slice/flatten/array_sort) — no self-join, no window, no
+# whitelist entry. The DuckDB oracle spells pair generation as the
+# textbook d1<d2 self-join — an INDEPENDENT plan whose agreement pins
+# the HOF algebra.
+# ---------------------------------------------------------------------------
+
+_TS_DAY = 86_400_000_000
+
+
+def _ts_series_sql(epoch: str, idiv: str) -> str:
+    return f"""
+    d AS (SELECT CAST({epoch} {idiv} {_TS_DAY} AS BIGINT) AS day,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+          FROM events
+          GROUP BY CAST({epoch} {idiv} {_TS_DAY} AS BIGINT))
+    """
+
+
+def _ts_median(arr: str, n: str, el: str) -> str:
+    """Exact interpolating median over a SORTED array/list expression —
+    the same lo/hi spelling on both engines (1-based indexing in both).
+    ``el`` is the dialect accessor (Spark ``element_at`` / DuckDB
+    ``list_extract``). Indices go through floor() of an exact
+    integer-valued division — never CAST(x.5 AS INT), which ROUNDS in
+    DuckDB and truncates in Spark."""
+    lo = f"CAST(floor(({n} + 1) / 2) AS INT)"
+    hi = f"CAST(floor({n} / 2) + 1 AS INT)"
+    return (
+        f"({el}({arr}, {lo})"
+        f" + ({el}({arr}, {hi}) - {el}({arr}, {lo})) * 0.5e0)"
+    )
+
+
+def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N137: Theil–Sen median-slope trend, join-free HOF spelling."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    med_s = _ts_median("s", "np", "element_at")
+    med_r = _ts_median("r", "n_days", "element_at")
+    return spark.sql(
+        "WITH "
+        + _ts_series_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+        + f""",
+    arr AS (SELECT array_sort(collect_list(struct(day, v))) AS a FROM d),
+    sl AS (SELECT a, size(a) AS n_days,
+                  array_sort(flatten(transform(a, (x, i) ->
+                      transform(slice(a, i + 2, size(a)), y ->
+                          CAST(y.v - x.v AS DOUBLE)
+                          / CAST(y.day - x.day AS DOUBLE))))) AS s
+           FROM arr),
+    med AS (SELECT a, n_days, size(s) AS np, {med_s} AS slope FROM sl),
+    fin AS (SELECT n_days, np, slope,
+                   array_sort(transform(a, x ->
+                       CAST(x.v AS DOUBLE)
+                       - slope * CAST(x.day AS DOUBLE))) AS r
+            FROM med)
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(np AS BIGINT) AS n_pairs,
+           round(slope, 6) AS slope_milli_per_day,
+           round({med_r}, 6) AS intercept_milli
+    FROM fin
+    """
+    )
+
+
+def theil_sen_oracle() -> str:
+    med_s = _ts_median("s", "np", "list_extract")
+    med_r = _ts_median("r", "n_days", "list_extract")
+    return (
+        "WITH "
+        + _ts_series_sql("epoch_us(ts)", "//")
+        + f""",
+    pairs AS (SELECT CAST(b.v - a.v AS DOUBLE)
+                     / CAST(b.day - a.day AS DOUBLE) AS slope
+              FROM d a JOIN d b ON b.day > a.day),
+    sl AS (SELECT (SELECT list_sort(list(slope)) FROM pairs) AS s,
+                  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days),
+    med AS (SELECT n_days, CAST(len(s) AS BIGINT) AS np,
+                   {med_s} AS slope
+            FROM sl),
+    fin AS (SELECT n_days, np, slope,
+                   (SELECT list_sort(list(CAST(v AS DOUBLE)
+                                          - m.slope * CAST(day AS DOUBLE)))
+                    FROM d) AS r
+            FROM med m)
+    SELECT n_days, np AS n_pairs,
+           round(slope, 6) AS slope_milli_per_day,
+           round({med_r}, 6) AS intercept_milli
+    FROM fin
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi2 — Pearson χ² independence audit of event_type × day-of-week
+# (+ Cramér's V effect size): does traffic MIX shift across the week,
+# or only volume? seasonality_strength asks "do totals move by
+# weekday"; this asks the orthogonal question about composition — the
+# classic pre-test before pooling weekday data into one model.
+#
+# dow by integer epoch arithmetic ((epoch_days + 4) % 7, 0=Sunday) —
+# never dayofweek(), whose numbering differs across engines. All
+# counts/margins exact BIGINTs. The χ² sum is 35 double terms whose
+# ADDITION ORDER would differ between engines (Spark partial aggs vs
+# DuckDB's scan order) — instead the cell frame folds into ONE sorted
+# array and χ² is a sequential higher-order `aggregate` fold, spelled
+# identically on both engines: bit-identical before rounding.
+#
+# ONE shuffle ((type,dow) fold, map-side combinable), margins re-fold
+# the O(r·c) cell frame, output one row.
+# ---------------------------------------------------------------------------
+
+
+def _chi2_cells_sql(epoch: str, idiv: str) -> str:
+    return f"""
+    cells AS (SELECT event_type,
+                     CAST(({epoch} {idiv} {_TS_DAY} + 4) % 7 AS BIGINT) AS dow,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM events
+              GROUP BY event_type,
+                       CAST(({epoch} {idiv} {_TS_DAY} + 4) % 7 AS BIGINT)),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_tot
+           FROM cells GROUP BY event_type),
+    ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS col_tot
+           FROM cells GROUP BY dow),
+    n1 AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                  CAST(count(DISTINCT dow) AS BIGINT) AS c
+           FROM cells),
+    terms AS (SELECT c.event_type, c.dow,
+                     (CAST(c.o AS DOUBLE)
+                      - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                        / CAST(n1.n AS DOUBLE))
+                     * (CAST(c.o AS DOUBLE)
+                        - CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                          / CAST(n1.n AS DOUBLE))
+                     / (CAST(rt.row_tot AS DOUBLE) * CAST(ct.col_tot AS DOUBLE)
+                        / CAST(n1.n AS DOUBLE)) AS term
+              FROM cells c
+              JOIN rt ON rt.event_type = c.event_type
+              JOIN ct ON ct.dow = c.dow
+              CROSS JOIN n1)
+    """
+
+
+def chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N138: χ² independence of event_type × weekday + Cramér's V."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _chi2_cells_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+        + """,
+    folded AS (SELECT aggregate(
+                   array_sort(collect_list(struct(event_type, dow, term))),
+                   CAST(0 AS DOUBLE), (acc, x) -> acc + x.term) AS chi2
+               FROM terms)
+    SELECT n1.n, n1.r, n1.c,
+           CAST((n1.r - 1) * (n1.c - 1) AS BIGINT) AS dof,
+           round(f.chi2, 6) AS chi2,
+           round(sqrt(f.chi2 / (CAST(n1.n AS DOUBLE)
+                 * CAST(least(n1.r - 1, n1.c - 1) AS DOUBLE))), 6)
+             AS cramers_v
+    FROM folded f CROSS JOIN n1
+    """
+    )
+
+
+def chi2_oracle() -> str:
+    return (
+        "WITH "
+        + _chi2_cells_sql("epoch_us(ts)", "//")
+        + """,
+    folded AS (SELECT list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(
+                           list_sort(list(struct_pack(
+                               event_type := event_type,
+                               dow := dow, term := term))),
+                           x -> x.term)),
+                   (acc, x) -> acc + x) AS chi2
+               FROM terms)
+    SELECT n1.n, n1.r, n1.c,
+           CAST((n1.r - 1) * (n1.c - 1) AS BIGINT) AS dof,
+           round(f.chi2, 6) AS chi2,
+           round(sqrt(f.chi2 / (CAST(n1.n AS DOUBLE)
+                 * CAST(least(n1.r - 1, n1.c - 1) AS DOUBLE))), 6)
+             AS cramers_v
+    FROM folded f CROSS JOIN n1
+    """
+    )

@@ -1190,6 +1190,8 @@ register("q_sequence_count", sequences.sequence_count_oracle())(
 register("q_max_intersections", sequences.max_intersections_oracle())(
     sequences.max_intersections
 )
+register("q_theil_sen", behavior.theil_sen_oracle())(behavior.theil_sen)
+register("q_chi2", behavior.chi2_oracle())(behavior.chi2)
 
 
 # ---------------------------------------------------------------------------
@@ -1256,6 +1258,7 @@ _LEAD = [
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
     "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge", "q_redundancy", "q_bucketed_join", "q_partition_pruning",
     "q_window_funnel", "q_sequence_count", "q_max_intersections",
+    "q_theil_sen", "q_chi2",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

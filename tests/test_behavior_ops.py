@@ -4,6 +4,8 @@ hand-built micro-frames."""
 
 import datetime
 
+from proxyhouse_spark import registry
+from tests.conftest import SF_SMALL
 from tests.test_plans import plan_of, tree_of
 
 
@@ -207,3 +209,78 @@ def test_constraint_audit_null_semantics(spark):
     # NULL field is a violation, same as a single-column NULL key (one
     # uniform convention — ADVICE r3)
     assert rows["lineitem.(l_orderkey, l_linenumber) is unique"] == 1
+
+
+def test_theil_sen_matches_brute_force_median_of_slopes(spark):
+    """Literal O(days²) Python re-derivation: daily milli-unit sums →
+    all pairwise slopes → interpolating median; intercept = median of
+    per-day residuals under the UNROUNDED slope."""
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("ts", "value")
+        .collect()
+    )
+    daily = defaultdict(int)
+    for r in rows:
+        ts = r.ts
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        micros = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+        daily[micros // 86_400_000_000] += int(round(r.value * 1000))
+
+    def median(sorted_vals):
+        n = len(sorted_vals)
+        lo, hi = sorted_vals[(n + 1) // 2 - 1], sorted_vals[n // 2]
+        return lo + (hi - lo) * 0.5
+
+    days = sorted(daily)
+    slopes = sorted(
+        (daily[b] - daily[a]) / (b - a)
+        for i, a in enumerate(days)
+        for b in days[i + 1:]
+    )
+    slope = median(slopes)
+    resid = sorted(daily[d] - slope * d for d in days)
+    [row] = registry.QUERIES["q_theil_sen"](spark, SF_SMALL).collect()
+    assert row.n_days == len(days)
+    assert row.n_pairs == len(slopes)
+    assert row.slope_milli_per_day == round(slope, 6)
+    assert row.intercept_milli == round(median(resid), 6)
+
+
+def test_chi2_matches_brute_force_contingency(spark):
+    """Literal Python contingency-table χ² on (event_type, weekday)."""
+    from collections import Counter
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("ts", "event_type")
+        .collect()
+    )
+    cells = Counter()
+    for r in rows:
+        ts = r.ts
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        days = (ts - epoch).days
+        cells[(r.event_type, (days + 4) % 7)] += 1
+    n = sum(cells.values())
+    types = {t for t, _ in cells}
+    dows = {d for _, d in cells}
+    rt = {t: sum(v for (tt, _), v in cells.items() if tt == t) for t in types}
+    ct = {d: sum(v for (_, dd), v in cells.items() if dd == d) for d in dows}
+    chi2 = 0.0
+    for (t, d), o in sorted(cells.items()):
+        e = rt[t] * ct[d] / n
+        chi2 += (o - e) ** 2 / e
+    [row] = registry.QUERIES["q_chi2"](spark, SF_SMALL).collect()
+    assert (row.n, row.r, row.c) == (n, len(types), len(dows))
+    assert row.dof == (len(types) - 1) * (len(dows) - 1)
+    assert abs(row.chi2 - chi2) < 1e-4
+    import math
+
+    v = math.sqrt(chi2 / (n * min(len(types) - 1, len(dows) - 1)))
+    assert abs(row.cramers_v - v) < 1e-6

@@ -315,6 +315,8 @@ _SCALAR_BNLJ_OK = {
                           # O(#sources) weight table
     "q_hits",             # 1-row L1-total / node-count normalizer frames
     "q_stream_triangles", # same three 1-row count frames as q_triangles
+    "q_chi2",             # 1-row (n, r, c) margin frame crossed into the
+                          # O(r·c) cell terms and the final readout
 }
 
 
