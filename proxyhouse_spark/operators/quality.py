@@ -833,3 +833,90 @@ def profile_oracle() -> str:
         f"{_profile_union('orders', 'o')} UNION ALL "
         f"{_profile_union('documents', 'd')}"
     )
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix — pairwise Pearson correlation over lineitem's numeric
+# measures (quantity, extendedprice, discount, tax): the profiling step
+# after q_profile's per-column view — which columns MOVE TOGETHER. The
+# multicollinearity screen before any model fit, and the redundancy map
+# before wide-table layout decisions (correlated columns compress/
+# cluster together; q_zorder_stats decides layout, this decides which
+# columns deserve one).
+#
+# Exactness: values enter as centi-unit BIGINTs (all four measures are
+# 2-decimal business numbers); the five moments per pair (n, Σx, Σy,
+# Σxy, Σx², Σy²) fold as exact DECIMAL(38,0) carriers (pairwise
+# products hit ~1e14/row at sf0.1 — BIGINT would overflow the sum well
+# before 100 TB). Every double exists only in the final 1-row corr
+# expression, spelled identically on both engines; the whole matrix is
+# ONE scan + ONE 1-row reduce (all 14 moments in a single partial-agg
+# fold — map-side combined, nothing shuffles but 14 numbers/partition).
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = [
+    ("quantity", "l_quantity"),
+    ("extendedprice", "l_extendedprice"),
+    ("discount", "l_discount"),
+    ("tax", "l_tax"),
+]
+
+
+def _corr_matrix_sql(pack: str) -> str:
+    cols = _CORR_COLS
+    cents = ", ".join(
+        f"CAST(round({src} * 100) AS BIGINT) AS c{i}"
+        for i, (_, src) in enumerate(cols)
+    )
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for i in range(len(cols)):
+        sums.append(f"CAST(sum(c{i}) AS DECIMAL(38, 0)) AS s{i}")
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            sums.append(
+                f"CAST(sum(CAST(c{i} AS DECIMAL(18, 0))"
+                f" * CAST(c{j} AS DECIMAL(18, 0))) AS DECIMAL(38, 0))"
+                f" AS p{i}{j}"
+            )
+
+    def corr(i: int, j: int) -> str:
+        return (
+            f"round((CAST(n AS DOUBLE) * CAST(p{i}{j} AS DOUBLE)"
+            f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+            f" / (sqrt(CAST(n AS DOUBLE) * CAST(p{i}{i} AS DOUBLE)"
+            f"     - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+            f"  * sqrt(CAST(n AS DOUBLE) * CAST(p{j}{j} AS DOUBLE)"
+            f"     - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))), 6)"
+        )
+
+    structs = ", ".join(
+        pack.format(x=cols[i][0], y=cols[j][0], corr=corr(i, j))
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    )
+    return f"""
+    li AS (SELECT {cents} FROM lineitem),
+    m AS (SELECT {", ".join(sums)} FROM li)
+    """, structs
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N141: exact-moment Pearson matrix over lineitem measures."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    body, structs = _corr_matrix_sql(
+        "named_struct('col_x', '{x}', 'col_y', '{y}', 'n', n,"
+        " 'corr', {corr})"
+    )
+    return spark.sql(
+        f"WITH {body} SELECT inline(array({structs})) FROM m"
+    )
+
+
+def corr_matrix_oracle() -> str:
+    body, structs = _corr_matrix_sql(
+        "struct_pack(col_x := '{x}', col_y := '{y}', n := n,"
+        " corr := {corr})"
+    )
+    return (
+        f"WITH {body} SELECT unnest([{structs}], recursive := true) FROM m"
+    )

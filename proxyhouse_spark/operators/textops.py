@@ -10,6 +10,7 @@ contract) so no expression tree re-splits the text."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..tables import table
@@ -741,3 +742,185 @@ def redundancy_oracle() -> str:
         " WHERE len(toks) >= 3) z"
     )
     return "WITH " + _redundancy_sql(tok3)
+
+
+# ---------------------------------------------------------------------------
+# entropy_rate — corpus bigram CONDITIONAL entropy H(W₂|W₁) in bits
+# (+ perplexity 2^H): the sequence-predictability number of the corpus
+# itself. Complements the LM-quality ladder's held-out scores
+# (unigram/bigram_logprob score DOCUMENTS against a trained model; this
+# is the corpus-level statistic those models bottom out at — the
+# compressibility floor any LM trained on this corpus can reach on it).
+# Shannon: H(W₂|W₁) = −Σ_{w1,w2} (c12/N)·log2(c12/c1), c1 = Σ_w2 c12.
+#
+# Float discipline (the bigram_logprob pattern): each bigram's
+# log2(c12/c1) is rounded to 6 dp and cast DECIMAL(18,6), multiplied by
+# the exact DECIMAL(18,0) count — the weighted sum is EXACT decimal
+# arithmetic, order-independent across partitions and engines; doubles
+# exist only in the final 1-row division and the pow() readout.
+#
+# Scale: bigram frame = one narrow positional explode; the (w1,w2) fold
+# shuffles once (map-side combinable); un/terms re-read the STAGED
+# type frame (O(bigram types) ≤ min(tokens, V²), Heaps-sublinear), not
+# the corpus — tr is checkpointed (Spark) / MATERIALIZED (DuckDB)
+# because both optimizers would otherwise inline it twice.
+# ---------------------------------------------------------------------------
+
+
+def _entropy_body(tr: str) -> str:
+    return f"""
+    un AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+           FROM {tr} GROUP BY w1),
+    nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_bigram_types
+           FROM {tr}),
+    cc AS (SELECT CAST(count(*) AS BIGINT) AS n_contexts FROM un),
+    terms AS (SELECT CAST(t.c12 AS DECIMAL(18, 0))
+                     * CAST(round(log2(CAST(t.c12 AS DOUBLE)
+                                       / CAST(u.c1 AS DOUBLE)), 6)
+                            AS DECIMAL(18, 6)) AS contrib
+              FROM {tr} t JOIN un u ON u.w1 = t.w1),
+    s AS (SELECT sum(contrib) AS sc FROM terms)
+    SELECT nn.n AS n_bigrams, nn.n_bigram_types, cc.n_contexts,
+           round(-CAST(s.sc AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)
+             AS entropy_bits,
+           round(pow(CAST(2 AS DOUBLE),
+                     round(-CAST(s.sc AS DOUBLE) / CAST(nn.n AS DOUBLE), 6)),
+                 4) AS perplexity
+    FROM s CROSS JOIN nn CROSS JOIN cc
+    """
+
+
+def entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N139: corpus bigram conditional entropy (bits) + perplexity."""
+    from ..checkpoints import scoped_checkpoint
+
+    _docs(spark, sf_dir)
+    bg = spark.sql(
+        """
+        SELECT element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2
+        FROM (SELECT split(text, ' ', -1) AS toks FROM documents)
+        LATERAL VIEW explode(slice(sequence(1, size(toks)), 1,
+                                   greatest(size(toks) - 1, 0))) t AS i
+        """
+    )
+    tr = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    scoped_checkpoint(tr, "entropy_tr").createOrReplaceTempView("entropy_tr")
+    return spark.sql("WITH " + _entropy_body("entropy_tr"))
+
+
+def entropy_rate_oracle() -> str:
+    return (
+        "WITH tr AS MATERIALIZED ("
+        "SELECT toks[i] AS w1, toks[i + 1] AS w2,"
+        " CAST(count(*) AS BIGINT) AS c12"
+        " FROM (SELECT string_split(text, ' ') AS toks FROM documents),"
+        " unnest(range(1, len(toks))) AS t(i)"
+        " GROUP BY toks[i], toks[i + 1]),"
+        + _entropy_body("tr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# heaps_law — vocabulary-GROWTH exponent: V(N) ≈ K·N^β over cumulative
+# corpus prefixes (Heaps/Herdan). The corpus-health twin of zipf_fit:
+# Zipf describes the frequency SPECTRUM at a point in time, Heaps how
+# the vocabulary will GROW as the crawl scales — the number that sizes
+# vocab-keyed state (token dictionaries, BPE tables, dedup band
+# indexes) at 10× the data. β ≈ 0.5 typical English; β near 1 means
+# unbounded novelty (IDs, noise — a data-quality smell); β near 0 a
+# closed vocabulary.
+#
+# Prefixes: 10 checkpoints by doc_id range fraction. A doc belongs to
+# growth bucket b = ceil(10·(doc_id−dmin+1)/span) — spelled with the
+# exact mod-subtract ceiling so both engines' integer division agrees.
+# N_k = cumulative tokens, V_k = cumulative count of tokens whose FIRST
+# doc falls in buckets ≤ k (first-doc = min(doc_id) per token — vocab
+# novelty is an associative min, map-side combinable). OLS on
+# (ln N_k, ln V_k): logs rounded 6 dp → DECIMAL(18,6), so the 10-point
+# moment sums are exact and order-independent; β and K are single
+# double expressions at the end.
+#
+# Scale: one token explode feeding TWO map-side-combinable folds (per
+# doc: count; per token: min doc_id); the checkpoint frames are O(10);
+# the only cross is the 1-row (dmin, span) extent frame (whitelisted).
+# ---------------------------------------------------------------------------
+
+HEAPS_POINTS = 10
+
+
+def _heaps_sql(toks_explode: str, n_toks: str, idiv: str) -> str:
+    p = HEAPS_POINTS
+    # exact integer ceiling: ceil(a/s) = (a - 1) div s + 1 for a ≥ 1
+    # ((a + s − 1) div s rounds in neither engine — both truncate BIGINT
+    # div — but the a−1 form also never overflows a)
+    bucket = f"(({p} * (doc_id - e.dmin + 1) - 1) {idiv} e.span + 1)"
+    return f"""
+    ext AS (SELECT CAST(min(doc_id) AS BIGINT) AS dmin,
+                   CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT) AS span
+            FROM documents),
+    dtok AS (SELECT doc_id, CAST({n_toks} AS BIGINT) AS n_toks
+             FROM documents),
+    nb AS (SELECT CAST({bucket} AS BIGINT) AS b,
+                  CAST(sum(d.n_toks) AS BIGINT) AS toks
+           FROM dtok d CROSS JOIN ext e
+           GROUP BY CAST({bucket} AS BIGINT)),
+    firsts AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS doc_id
+               FROM {toks_explode} GROUP BY tok),
+    vb AS (SELECT CAST({bucket} AS BIGINT) AS b,
+                  CAST(count(*) AS BIGINT) AS novel
+           FROM firsts d CROSS JOIN ext e
+           GROUP BY CAST({bucket} AS BIGINT)),
+    pts AS (SELECT n.b,
+                   CAST(sum(n.toks) OVER (ORDER BY n.b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_toks,
+                   CAST(sum(coalesce(v.novel, 0)) OVER (ORDER BY n.b
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_vocab
+            FROM nb n LEFT JOIN vb v ON v.b = n.b),
+    lg AS (SELECT CAST(round(ln(CAST(cum_toks AS DOUBLE)), 6)
+                       AS DECIMAL(18, 6)) AS x,
+                  CAST(round(ln(CAST(cum_vocab AS DOUBLE)), 6)
+                       AS DECIMAL(18, 6)) AS y
+           FROM pts),
+    m AS (SELECT CAST(count(*) AS DECIMAL(18, 0)) AS k,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM lg)
+    SELECT CAST(k AS BIGINT) AS n_points,
+           (SELECT max(cum_toks) FROM pts) AS total_tokens,
+           (SELECT max(cum_vocab) FROM pts) AS total_vocab,
+           round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE), 4) AS beta,
+           round(exp(CAST(sy AS DOUBLE) / CAST(k AS DOUBLE)
+                 - (CAST(k * sxy - sx * sy AS DOUBLE)
+                    / CAST(k * sxx - sx * sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE) / CAST(k AS DOUBLE)), 4) AS k_coeff
+    FROM m
+    """
+
+
+def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N140: Heaps-law vocabulary-growth exponent over corpus prefixes."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _heaps_sql(
+            "(SELECT doc_id, explode(split(text, ' ', -1)) AS tok "
+            "FROM documents) x",
+            "size(split(text, ' ', -1))",
+            "div",
+        )
+    )
+
+
+def heaps_law_oracle() -> str:
+    return "WITH " + _heaps_sql(
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents) x",
+        "len(string_split(text, ' '))",
+        "//",
+    )

@@ -1192,6 +1192,13 @@ register("q_max_intersections", sequences.max_intersections_oracle())(
 )
 register("q_theil_sen", behavior.theil_sen_oracle())(behavior.theil_sen)
 register("q_chi2", behavior.chi2_oracle())(behavior.chi2)
+register("q_entropy_rate", textops.entropy_rate_oracle())(
+    textops.entropy_rate
+)
+register("q_heaps_law", textops.heaps_law_oracle())(textops.heaps_law)
+register("q_corr_matrix", quality.corr_matrix_oracle())(
+    quality.corr_matrix
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1258,7 +1265,8 @@ _LEAD = [
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
     "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge", "q_redundancy", "q_bucketed_join", "q_partition_pruning",
     "q_window_funnel", "q_sequence_count", "q_max_intersections",
-    "q_theil_sen", "q_chi2",
+    "q_theil_sen", "q_chi2", "q_entropy_rate", "q_heaps_law",
+    "q_corr_matrix",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

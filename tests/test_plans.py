@@ -317,6 +317,10 @@ _SCALAR_BNLJ_OK = {
     "q_stream_triangles", # same three 1-row count frames as q_triangles
     "q_chi2",             # 1-row (n, r, c) margin frame crossed into the
                           # O(r·c) cell terms and the final readout
+    "q_entropy_rate",     # three 1-row frames (weighted-log sum, bigram
+                          # totals, context count) crossed for the readout
+    "q_heaps_law",        # 1-row (dmin, span) extent frame crossed into the
+                          # per-doc and per-token bucket assignment
 }
 
 
@@ -378,6 +382,8 @@ _UNPARTITIONED_WINDOW_OK = {
                       # count is calendar-bounded (the pack_global shape)
     "q_window_funnel",  # cumulative n_reached over the O(3) depth-histogram
                       # frame — bounded by the funnel's stage count
+    "q_heaps_law",    # cumulative token/vocab prefix over the
+                      # O(HEAPS_POINTS)=10 checkpoint frame
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec

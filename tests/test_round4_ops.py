@@ -1776,3 +1776,119 @@ def test_redundancy_matches_pooled_gram_brute_force(spark):
     # pooling must bite: some source has cross-doc shared grams
     # (redundancy > 1 somewhere), or the detector is vacuous here
     assert any(r.redundancy > 1.0 for r in out.values())
+
+
+def test_entropy_rate_matches_brute_force_shannon(spark):
+    """Literal Python H(W2|W1) over the sf0.001 corpus, same 6-dp
+    term rounding; also pins the perplexity = 2^H readout."""
+    import math
+    from collections import Counter
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    c12, c1 = Counter(), Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    n = sum(c12.values())
+    h = -sum(
+        c * round(math.log2(c / c1[w1]), 6) for (w1, _), c in c12.items()
+    ) / n
+    [row] = registry.QUERIES["q_entropy_rate"](spark, SF_SMALL).collect()
+    assert row.n_bigrams == n
+    assert row.n_bigram_types == len(c12)
+    assert row.n_contexts == len(c1)
+    assert abs(row.entropy_bits - h) < 1e-5
+    assert abs(row.perplexity - 2 ** row.entropy_bits) < 1e-3
+    # conditional entropy can't exceed the context-marginal's log-vocab
+    assert 0.0 < row.entropy_bits < math.log2(len(c1)) + 1e-9
+
+
+def test_heaps_law_matches_brute_force_prefix_fit(spark):
+    """Literal Python prefix construction + OLS on 6-dp-rounded logs."""
+    import math
+
+    from proxyhouse_spark.operators.textops import HEAPS_POINTS
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    dmin = min(r.doc_id for r in rows)
+    span = max(r.doc_id for r in rows) - dmin + 1
+    p = HEAPS_POINTS
+
+    def bucket(doc_id):
+        return (p * (doc_id - dmin + 1) - 1) // span + 1
+
+    toks_b, first_b = [0] * (p + 1), [0] * (p + 1)
+    seen = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        b = bucket(r.doc_id)
+        toks = r.text.split(" ")
+        toks_b[b] += len(toks)
+        for t in toks:
+            if t not in seen:
+                seen[t] = b
+    for b in seen.values():
+        first_b[b] += 1
+    pts, cum_t, cum_v = [], 0, 0
+    for b in range(1, p + 1):
+        if toks_b[b] == 0 and first_b[b] == 0:
+            continue
+        cum_t += toks_b[b]
+        cum_v += first_b[b]
+        pts.append((round(math.log(cum_t), 6), round(math.log(cum_v), 6)))
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    kc = math.exp(sy / k - beta * sx / k)
+    [row] = registry.QUERIES["q_heaps_law"](spark, SF_SMALL).collect()
+    assert row.n_points == k
+    assert row.total_tokens == cum_t
+    assert row.total_vocab == cum_v == len(seen)
+    assert abs(row.beta - beta) < 2e-4
+    assert abs(row.k_coeff - kc) < 2e-3
+    # sublinear growth; the toy fixture's ~40-word vocabulary saturates
+    # inside the FIRST checkpoint, so beta bottoms out at exactly 0.0 —
+    # the "closed vocabulary" reading the docstring describes
+    assert 0.0 <= row.beta < 1.0
+
+
+def test_corr_matrix_matches_numpy_on_centi_units(spark):
+    import numpy as np
+
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .collect()
+    )
+    cols = list(zip(*[
+        [
+            round(r.l_quantity * 100),
+            round(r.l_extendedprice * 100),
+            round(r.l_discount * 100),
+            round(r.l_tax * 100),
+        ]
+        for r in li
+    ]))
+    mat = np.corrcoef(np.array(cols, dtype=np.float64))
+    names = ["quantity", "extendedprice", "discount", "tax"]
+    rows = registry.QUERIES["q_corr_matrix"](spark, SF_SMALL).collect()
+    assert len(rows) == 6  # upper triangle of a 4x4
+    for r in rows:
+        i, j = names.index(r.col_x), names.index(r.col_y)
+        assert i < j, "output must be the strict upper triangle"
+        assert r.n == len(li)
+        assert abs(r.corr - mat[i, j]) < 1e-6
+        assert -1.0 <= r.corr <= 1.0
