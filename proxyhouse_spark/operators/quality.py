@@ -920,3 +920,75 @@ def corr_matrix_oracle() -> str:
     return (
         f"WITH {body} SELECT unnest([{structs}], recursive := true) FROM m"
     )
+
+
+# ---------------------------------------------------------------------------
+# mutual_info — mutual information (bits) between `lang` and `source`
+# + normalized MI: the information-theoretic dependence audit next to
+# q_chi2's significance test (χ² asks "is the association real", MI
+# asks "how many BITS does knowing the source tell you about the
+# language" — the quantity that decides whether a sampling mix can
+# treat the two as independent strata). Completes the trio with
+# label_leakage (token↔label MI screen): this is the metadata↔metadata
+# edition over the documents table.
+#
+# MI = Σ_ij (c_ij/N)·log2(N·c_ij/(r_i·c_j)); H(lang), H(source), and
+# NMI = MI / min(H_lang, H_source). Counts and margins exact BIGINTs;
+# each cell's log2 rounds 6 dp → DECIMAL(18,6) × exact DECIMAL count,
+# so all three sums are exact decimal arithmetic (order-independent);
+# the log2 argument is composed in DOUBLE (c·N overflows BIGINT at
+# corpus scale — the ratio doesn't).
+#
+# ONE map-side-combinable (lang, source) fold; margins re-fold the
+# O(langs·sources) cell frame; 1-row readout.
+# ---------------------------------------------------------------------------
+
+
+def _mi_sql() -> str:
+    log_ratio = (
+        "log2(CAST(c.c AS DOUBLE) * CAST(n1.n AS DOUBLE)"
+        " / (CAST(rl.rc AS DOUBLE) * CAST(cs.cc AS DOUBLE)))"
+    )
+    h = (
+        "round(-CAST(sum(CAST({tot} AS DECIMAL(18, 0))"
+        " * CAST(round(log2(CAST({tot} AS DOUBLE)"
+        " / CAST(n1.n AS DOUBLE)), 6) AS DECIMAL(18, 6))) AS DOUBLE)"
+        " / CAST(max(n1.n) AS DOUBLE), 6)"
+    )
+    return f"""
+    cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY lang, source),
+    rl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS rc
+           FROM cells GROUP BY lang),
+    cs AS (SELECT source, CAST(sum(c) AS BIGINT) AS cc
+           FROM cells GROUP BY source),
+    n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+           FROM cells),
+    mi AS (SELECT round(CAST(sum(CAST(c.c AS DECIMAL(18, 0))
+                   * CAST(round({log_ratio}, 6) AS DECIMAL(18, 6)))
+                   AS DOUBLE) / CAST(max(n1.n) AS DOUBLE), 6) AS mi_bits
+           FROM cells c
+           JOIN rl ON rl.lang = c.lang
+           JOIN cs ON cs.source = c.source
+           CROSS JOIN n1),
+    hl AS (SELECT {h.format(tot="rl.rc")} AS h_lang
+           FROM rl CROSS JOIN n1),
+    hs AS (SELECT {h.format(tot="cs.cc")} AS h_source
+           FROM cs CROSS JOIN n1)
+    SELECT n1.n, n1.n_langs, n1.n_sources,
+           mi.mi_bits, hl.h_lang, hs.h_source,
+           round(mi.mi_bits / least(hl.h_lang, hs.h_source), 6) AS nmi
+    FROM mi CROSS JOIN hl CROSS JOIN hs CROSS JOIN n1
+    """
+
+
+def mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N142: lang↔source mutual information + NMI dependence audit."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("WITH " + _mi_sql())
+
+
+def mutual_info_oracle() -> str:
+    return "WITH " + _mi_sql()

@@ -268,9 +268,9 @@ BM25_B = 0.75
 BM25_TOPK = 20
 
 
-def _bm25_sql(
-    toks_fn, size_fn, filter_fn, cross: str
-) -> str:
+def _bm25_exprs(size_fn, filter_fn) -> tuple[str, str, str]:
+    """The three dialect-parametric BM25 expression blocks — shared by
+    bm25_rank and the sparse leg of rrf_fusion."""
     tf_cols = ", ".join(
         f"CAST({size_fn}({filter_fn}(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
         for t in BM25_TERMS
@@ -285,6 +285,13 @@ def _bm25_sql(
         f" (tf_{t} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl * n_docs / total_dl)))"
         for t in BM25_TERMS
     )
+    return tf_cols, df_cols, term_scores
+
+
+def _bm25_sql(
+    toks_fn, size_fn, filter_fn, cross: str
+) -> str:
+    tf_cols, df_cols, term_scores = _bm25_exprs(size_fn, filter_fn)
     return f"""
     WITH tk AS (SELECT doc_id, {toks_fn} AS toks FROM documents),
     d AS (SELECT doc_id, {tf_cols},
@@ -488,3 +495,98 @@ def bigram_logprob_oracle() -> str:
         "string_split(text, ' ')", "toks[i]", "toks[i + 1]", posrange
     )
     return f"WITH bg AS MATERIALIZED ({sel})," + _bigram_body("bg")
+
+
+# ---------------------------------------------------------------------------
+# rrf_fusion — HYBRID retrieval: reciprocal-rank fusion (Cormack &
+# Clarke SIGIR 2009) of a sparse BM25 ranking over `documents` and a
+# dense cosine ranking over the ALIGNED `embeddings` row (vec_id ≡
+# doc_id in the fixture — the contract a production pipeline gets from
+# its embedding job keyed by document id). This is the production
+# retrieval shape in 2026 RAG stacks: lexical and vector lists fused by
+# rank, score scales never compared. RRF(d) = Σ_lists 1/(RRF_K + rank_d)
+# with the standard K = 60; a doc missing from one list contributes 0.
+#
+# Rank determinism: each leg ranks by its ROUNDED score with an id
+# tiebreak (the bm25_rank discipline — a last-ulp ln()/sqrt divergence
+# cannot reorder), and ranks are assigned AFTER a top-RRF_DEPTH cut, so
+# row_number runs on a LIMIT-bounded frame, never the corpus. The RRF
+# sum is two textually fixed terms — no aggregation-order float risk.
+#
+# Scale: each leg is scan → TakeOrderedAndProject(DEPTH) → bounded
+# window; the fusion is a full outer equi-join of two DEPTH-row frames.
+# Corpus is never shuffled; the 1-row stats/query frames broadcast
+# (whitelisted crosses).
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_TOPK = 10
+RRF_QUERY_ID = 0  # the query document / its aligned embedding
+
+
+def _rrf_sql(
+    toks_fn: str, size_fn: str, filter_fn: str,
+    arr_cast: str, cos: str,
+) -> str:
+    tf_cols, df_cols, term_scores = _bm25_exprs(size_fn, filter_fn)
+    inv = f"CAST(1 AS DOUBLE) / ({RRF_K} + {{r}})"
+    return f"""
+    tk AS (SELECT doc_id, {toks_fn} AS toks FROM documents
+           WHERE doc_id <> {RRF_QUERY_ID}),
+    d AS (SELECT doc_id, {tf_cols},
+                 CAST({size_fn}(toks) AS BIGINT) AS dl FROM tk),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS total_dl, {df_cols}
+              FROM d),
+    sp_top AS (SELECT doc_id, round({term_scores}, 4) AS bm25
+               FROM d CROSS JOIN stats
+               ORDER BY bm25 DESC, doc_id LIMIT {RRF_DEPTH}),
+    sp AS (SELECT doc_id, bm25,
+                  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
+           FROM sp_top),
+    emb AS (SELECT vec_id, {arr_cast} AS e FROM embeddings),
+    q AS (SELECT e FROM emb WHERE vec_id = {RRF_QUERY_ID}),
+    dn_top AS (SELECT c.vec_id AS doc_id, round({cos}, 6) AS cos_sim
+               FROM emb c CROSS JOIN q p
+               WHERE c.vec_id <> {RRF_QUERY_ID}
+               ORDER BY cos_sim DESC, doc_id LIMIT {RRF_DEPTH}),
+    dn AS (SELECT doc_id, cos_sim,
+                  row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_dense
+           FROM dn_top),
+    fused AS (SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+                     s.r_sparse, d.r_dense,
+                     round(coalesce({inv.format(r="s.r_sparse")}, 0)
+                           + coalesce({inv.format(r="d.r_dense")}, 0), 6)
+                       AS rrf
+              FROM sp s FULL OUTER JOIN dn d ON d.doc_id = s.doc_id)
+    SELECT doc_id, r_sparse, r_dense, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+    """
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N145: sparse+dense hybrid retrieval via reciprocal-rank fusion."""
+    from ..functions import vectors as V
+    from ..tables import table as _t
+
+    _docs(spark, sf_dir)
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        "WITH "
+        + _rrf_sql(
+            "split(text, ' ', -1)", "size", "filter",
+            "transform(embedding, x -> CAST(x AS DOUBLE))",
+            V.cosine_spark("c.e", "p.e"),
+        )
+    )
+
+
+def rrf_fusion_oracle() -> str:
+    from ..functions import vectors as V
+
+    return "WITH " + _rrf_sql(
+        "string_split(text, ' ')", "len", "list_filter",
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+        V.cosine_duck("c.e", "p.e"),
+    )

@@ -924,3 +924,145 @@ def heaps_law_oracle() -> str:
         "len(string_split(text, ' '))",
         "//",
     )
+
+
+# ---------------------------------------------------------------------------
+# source_diversity — per-source lexical-diversity panel: token count,
+# vocabulary, Shannon entropy (bits), Simpson collision probability,
+# and type-token ratio. The data-MIX audit at the source grain: the mix
+# family (mix_temperature/mix_materialize) decides how much of each
+# source to sample; this measures what each source's token DISTRIBUTION
+# is worth — a source with high mass but near-zero entropy (templated,
+# repetitive) adds tokens, not information. Complements q_redundancy
+# (cross-doc 3-gram pooling) with the order-free unigram view, and
+# q_entropy_rate (global bigram) with the per-source marginal.
+#
+# Exactness: Shannon = −Σ c·log2(c/n)/n with the 6-dp-DECIMAL-log
+# pattern (exact, order-independent); Simpson = Σc(c−1)/(n(n−1)) in
+# DECIMAL(38,0) carriers (c² sums overflow BIGINT at corpus scale) —
+# one double division per source at the end.
+#
+# Shape: one explode → one (source, tok) map-side-combinable fold →
+# per-source refold + equi-join on source (no crosses, no windows);
+# O(#sources) output.
+# ---------------------------------------------------------------------------
+
+
+def _diversity_sql(toks_explode: str) -> str:
+    return f"""
+    tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM {toks_explode} GROUP BY source, tok),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS vocab
+            FROM tc GROUP BY source),
+    ent AS (SELECT t.source,
+                   sum(CAST(t.c AS DECIMAL(18, 0))
+                       * CAST(round(log2(CAST(t.c AS DOUBLE)
+                                         / CAST(o.n AS DOUBLE)), 6)
+                              AS DECIMAL(18, 6))) AS wlog,
+                   sum(CAST(t.c AS DECIMAL(38, 0))
+                       * CAST(t.c - 1 AS DECIMAL(38, 0))) AS coll
+            FROM tc t JOIN tot o ON o.source = t.source
+            GROUP BY t.source)
+    SELECT o.source, o.n AS n_tokens, o.vocab,
+           round(-CAST(e.wlog AS DOUBLE) / CAST(o.n AS DOUBLE), 6)
+             AS shannon_bits,
+           round(CAST(e.coll AS DOUBLE)
+                 / (CAST(o.n AS DOUBLE) * CAST(o.n - 1 AS DOUBLE)), 6)
+             AS simpson,
+           round(CAST(o.vocab AS DOUBLE) / CAST(o.n AS DOUBLE), 6) AS ttr
+    FROM tot o JOIN ent e ON e.source = o.source
+    """
+
+
+def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N143: per-source Shannon/Simpson/TTR lexical-diversity panel."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _diversity_sql(
+            "(SELECT source, explode(split(text, ' ', -1)) AS tok "
+            "FROM documents) x"
+        )
+    )
+
+
+def source_diversity_oracle() -> str:
+    return "WITH " + _diversity_sql(
+        "(SELECT source, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents) x"
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocab_overlap — pairwise source-vocabulary overlap: set Jaccard,
+# small-side containment, AND the mass-weighted cosine of the two
+# token-count profiles. The between-source companion of
+# source_diversity's within-source panel — the mix-design question "are
+# src3 and src7 the same content farm?" (near-1 cosine) vs "do they
+# merely share a language" (high Jaccard, diverging mass profiles).
+# On a closed shared vocabulary set-Jaccard saturates at 1.0 — the
+# cosine is what still separates sources there (and the reason this op
+# reports both).
+#
+# Exactness: intersections/vocab sizes exact BIGINTs; dot products and
+# squared norms in DECIMAL(38,0) carriers; one double division per
+# pair, round 6.
+#
+# Shape: (source, tok) count frame → self equi-join ON tok with
+# source_a < source_b (token-keyed, never a cross: a token joins at
+# most #sources² rows) → (pair) fold; norms equi-join back on source.
+# O(#sources²) output rows — policy-bounded, not data-scaled.
+# ---------------------------------------------------------------------------
+
+
+def _overlap_sql(toks_explode: str) -> str:
+    return f"""
+    tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+           FROM {toks_explode} GROUP BY source, tok),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                  CAST(sum(CAST(c AS DECIMAL(38, 0))
+                           * CAST(c AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+                    AS nrm2
+           FROM tc GROUP BY source),
+    pr AS (SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(count(*) AS BIGINT) AS inter,
+                  CAST(sum(CAST(a.c AS DECIMAL(38, 0))
+                           * CAST(b.c AS DECIMAL(38, 0))) AS DECIMAL(38, 0))
+                    AS dot
+           FROM tc a JOIN tc b
+             ON b.tok = a.tok AND a.source < b.source
+           GROUP BY a.source, b.source)
+    SELECT p.src_a, p.src_b, p.inter AS inter_vocab,
+           round(CAST(p.inter AS DOUBLE)
+                 / CAST(sa.vocab + sb.vocab - p.inter AS DOUBLE), 6)
+             AS jaccard,
+           round(CAST(p.inter AS DOUBLE)
+                 / CAST(least(sa.vocab, sb.vocab) AS DOUBLE), 6)
+             AS containment,
+           round(CAST(p.dot AS DOUBLE)
+                 / (sqrt(CAST(sa.nrm2 AS DOUBLE))
+                    * sqrt(CAST(sb.nrm2 AS DOUBLE))), 6) AS cosine
+    FROM pr p
+    JOIN sz sa ON sa.source = p.src_a
+    JOIN sz sb ON sb.source = p.src_b
+    """
+
+
+def vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N144: pairwise source overlap — Jaccard/containment/mass cosine."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _overlap_sql(
+            "(SELECT source, explode(split(text, ' ', -1)) AS tok "
+            "FROM documents) x"
+        )
+    )
+
+
+def vocab_overlap_oracle() -> str:
+    return "WITH " + _overlap_sql(
+        "(SELECT source, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents) x"
+    )

@@ -1199,6 +1199,18 @@ register("q_heaps_law", textops.heaps_law_oracle())(textops.heaps_law)
 register("q_corr_matrix", quality.corr_matrix_oracle())(
     quality.corr_matrix
 )
+register("q_mutual_info", quality.mutual_info_oracle())(
+    quality.mutual_info
+)
+register("q_source_diversity", textops.source_diversity_oracle())(
+    textops.source_diversity
+)
+register("q_vocab_overlap", textops.vocab_overlap_oracle())(
+    textops.vocab_overlap
+)
+register("q_rrf_fusion", retrieval.rrf_fusion_oracle())(
+    retrieval.rrf_fusion
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1266,7 +1278,8 @@ _LEAD = [
     "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge", "q_redundancy", "q_bucketed_join", "q_partition_pruning",
     "q_window_funnel", "q_sequence_count", "q_max_intersections",
     "q_theil_sen", "q_chi2", "q_entropy_rate", "q_heaps_law",
-    "q_corr_matrix",
+    "q_corr_matrix", "q_mutual_info", "q_source_diversity",
+    "q_vocab_overlap", "q_rrf_fusion",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

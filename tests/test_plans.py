@@ -321,6 +321,10 @@ _SCALAR_BNLJ_OK = {
                           # totals, context count) crossed for the readout
     "q_heaps_law",        # 1-row (dmin, span) extent frame crossed into the
                           # per-doc and per-token bucket assignment
+    "q_mutual_info",      # 1-row N/margin-entropy frames crossed into the
+                          # O(langs·sources) cell terms and the readout
+    "q_rrf_fusion",       # 1-row BM25 stats frame and 1-row query-vector
+                          # frame crossed into each retrieval leg's scan
 }
 
 
@@ -384,6 +388,8 @@ _UNPARTITIONED_WINDOW_OK = {
                       # frame — bounded by the funnel's stage count
     "q_heaps_law",    # cumulative token/vocab prefix over the
                       # O(HEAPS_POINTS)=10 checkpoint frame
+    "q_rrf_fusion",   # row_number over the two LIMIT-RRF_DEPTH retrieval
+                      # legs — bounded by construction (hill_tail shape)
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec

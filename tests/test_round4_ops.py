@@ -1892,3 +1892,147 @@ def test_corr_matrix_matches_numpy_on_centi_units(spark):
         assert r.n == len(li)
         assert abs(r.corr - mat[i, j]) < 1e-6
         assert -1.0 <= r.corr <= 1.0
+
+
+def test_mutual_info_matches_brute_force(spark):
+    import math
+    from collections import Counter
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("lang", "source")
+        .collect()
+    )
+    cells = Counter((r.lang, r.source) for r in rows)
+    n = sum(cells.values())
+    rl = Counter()
+    cs = Counter()
+    for (l, s), c in cells.items():
+        rl[l] += c
+        cs[s] += c
+    mi = sum(
+        c * round(math.log2(c * n / (rl[l] * cs[s])), 6)
+        for (l, s), c in cells.items()
+    ) / n
+    hl = -sum(c * round(math.log2(c / n), 6) for c in rl.values()) / n
+    hs = -sum(c * round(math.log2(c / n), 6) for c in cs.values()) / n
+    [row] = registry.QUERIES["q_mutual_info"](spark, SF_SMALL).collect()
+    assert (row.n, row.n_langs, row.n_sources) == (n, len(rl), len(cs))
+    assert abs(row.mi_bits - mi) < 1e-5
+    assert abs(row.h_lang - hl) < 1e-5
+    assert abs(row.h_source - hs) < 1e-5
+    assert abs(row.nmi - round(row.mi_bits / min(row.h_lang, row.h_source), 6)) < 1e-9
+    # information inequalities: 0 <= MI <= min(H)
+    assert -1e-6 <= row.mi_bits <= min(hl, hs) + 1e-6
+
+
+def test_source_diversity_matches_brute_force(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    toks = defaultdict(Counter)
+    for r in rows:
+        toks[r.source].update(r.text.split(" "))
+    got = {
+        r.source: r
+        for r in registry.QUERIES["q_source_diversity"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(got) == set(toks)
+    for src, cnt in toks.items():
+        n = sum(cnt.values())
+        sh = -sum(c * round(math.log2(c / n), 6) for c in cnt.values()) / n
+        si = sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1))
+        r = got[src]
+        assert r.n_tokens == n
+        assert r.vocab == len(cnt)
+        assert abs(r.shannon_bits - sh) < 1e-5
+        assert abs(r.simpson - si) < 1e-6
+        assert r.ttr == round(len(cnt) / n, 6)
+
+
+def test_vocab_overlap_matches_brute_force(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    toks = defaultdict(Counter)
+    for r in rows:
+        toks[r.source].update(r.text.split(" "))
+    out = registry.QUERIES["q_vocab_overlap"](spark, SF_SMALL).collect()
+    srcs = sorted(toks)
+    expected_pairs = {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]
+        if set(toks[a]) & set(toks[b])
+    }
+    assert {(r.src_a, r.src_b) for r in out} == expected_pairs
+    for r in out:
+        a, b = toks[r.src_a], toks[r.src_b]
+        inter = set(a) & set(b)
+        assert r.inter_vocab == len(inter)
+        assert r.jaccard == round(len(inter) / len(set(a) | set(b)), 6)
+        assert r.containment == round(len(inter) / min(len(a), len(b)), 6)
+        dot = sum(a[t] * b[t] for t in inter)
+        na = math.sqrt(sum(c * c for c in a.values()))
+        nb = math.sqrt(sum(c * c for c in b.values()))
+        assert abs(r.cosine - dot / (na * nb)) < 1e-6
+        # the op's reason to exist: on the shared closed vocabulary the
+        # set view saturates while the mass view still separates
+        assert r.cosine < 1.0 or r.jaccard < 1.0
+
+
+def test_rrf_fusion_ranks_and_formula(spark):
+    import numpy as np
+
+    from proxyhouse_spark.operators.retrieval import (
+        RRF_DEPTH,
+        RRF_K,
+        RRF_QUERY_ID,
+        RRF_TOPK,
+    )
+
+    out = registry.QUERIES["q_rrf_fusion"](spark, SF_SMALL).collect()
+    assert len(out) == RRF_TOPK
+    # the fused score must be exactly the RRF of the REPORTED ranks
+    prev = None
+    for r in out:
+        assert r.r_sparse is not None or r.r_dense is not None
+        for rank in (r.r_sparse, r.r_dense):
+            assert rank is None or 1 <= rank <= RRF_DEPTH
+        expect = round(
+            (1.0 / (RRF_K + r.r_sparse) if r.r_sparse else 0.0)
+            + (1.0 / (RRF_K + r.r_dense) if r.r_dense else 0.0),
+            6,
+        )
+        assert r.rrf == expect
+        if prev is not None:  # output ordered by fused score
+            assert r.rrf <= prev
+        prev = r.rrf
+    # dense-leg ranks agree with a numpy cosine ranking (rounded-score,
+    # id-tiebreak discipline)
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    }
+    q = emb[RRF_QUERY_ID]
+    scored = sorted(
+        (
+            (-round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6), i)
+            for i, v in emb.items()
+            if i != RRF_QUERY_ID
+        ),
+    )[:RRF_DEPTH]
+    dense_rank = {i: r + 1 for r, (_, i) in enumerate(scored)}
+    for r in out:
+        if r.r_dense is not None:
+            assert dense_rank.get(r.doc_id) == r.r_dense, r.doc_id
