@@ -3260,3 +3260,81 @@ def chi2_oracle() -> str:
     FROM folded f CROSS JOIN n1
     """
     )
+
+
+# ---------------------------------------------------------------------------
+# markov_stationary — the stationary distribution of the event-type
+# Markov chain: where q_event_transitions' matrix SENDS traffic in the
+# long run. π = πP by power iteration from uniform — the one-number-
+# per-state summary that says which state the session process actually
+# lives in (vs the marginal frequency, which mixes users who never
+# transition). The pagerank discipline on a POLICY-BOUNDED state space:
+# exact integer micro-unit mass, transition application = equi-join on
+# the source state + fold, iterations unrolled (3) into one declarative
+# plan, convergence reported as the L1 delta of the last step.
+#
+# Exactness: transition counts BIGINT; each step's mass transfer is
+# π_i·c_ij div c_i in integer micros (dialect-parameterized div) — no
+# floats anywhere except the final readout ratio. Truncation loses ≤1
+# micro per (i,j) cell per step — deterministic on both engines.
+#
+# Scale: ONE shuffle (user_id) for the lag pairs; every π/matrix frame
+# is O(#types) / O(#types²) — policy-bounded; iterations are bounded
+# frames folding into bounded frames.
+# ---------------------------------------------------------------------------
+
+MARKOV_SCALE = 1_000_000
+MARKOV_ITERS = 3
+
+
+def _markov_sql(epoch: str, idiv: str) -> str:
+    body = f"""
+    seq AS (SELECT user_id, event_type, {epoch} AS t, event_id
+            FROM events),
+    pairs AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY t, event_id) AS src,
+                     event_type AS dst
+              FROM seq),
+    m AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+          FROM pairs WHERE src IS NOT NULL GROUP BY src, dst),
+    outd AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM m GROUP BY src),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS k FROM outd),
+    p0 AS (SELECT o.src AS event_type,
+                  CAST({MARKOV_SCALE} AS BIGINT) {idiv} nt.k AS mass
+           FROM outd o CROSS JOIN nt)
+    """
+    for i in range(MARKOV_ITERS):
+        body += f""",
+    p{i + 1} AS (SELECT m.dst AS event_type,
+                    CAST(sum(p.mass * m.c {idiv} o.tot) AS BIGINT) AS mass
+             FROM m
+             JOIN p{i} p ON p.event_type = m.src
+             JOIN outd o ON o.src = m.src
+             GROUP BY m.dst)
+    """
+    last, prev = f"p{MARKOV_ITERS}", f"p{MARKOV_ITERS - 1}"
+    return body + f"""
+    SELECT a.event_type,
+           a.mass AS pi_micros,
+           b.mass AS prev_pi_micros,
+           abs(a.mass - b.mass) AS delta_micros,
+           round(CAST(a.mass AS DOUBLE) / {MARKOV_SCALE}, 6) AS pi
+    FROM {last} a JOIN {prev} b ON b.event_type = a.event_type
+    """
+
+
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N146: stationary distribution of the event-type Markov chain."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _markov_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def markov_stationary_oracle() -> str:
+    return "WITH " + _markov_sql("epoch_us(ts)", "//")

@@ -944,7 +944,13 @@ def corr_matrix_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _mi_sql() -> str:
+_MI_CELLS_BATCH = (
+    "SELECT lang, source, CAST(count(*) AS BIGINT) AS c"
+    " FROM documents GROUP BY lang, source"
+)
+
+
+def _mi_sql(cells_src: str = _MI_CELLS_BATCH) -> str:
     log_ratio = (
         "log2(CAST(c.c AS DOUBLE) * CAST(n1.n AS DOUBLE)"
         " / (CAST(rl.rc AS DOUBLE) * CAST(cs.cc AS DOUBLE)))"
@@ -956,8 +962,7 @@ def _mi_sql() -> str:
         " / CAST(max(n1.n) AS DOUBLE), 6)"
     )
     return f"""
-    cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
-              FROM documents GROUP BY lang, source),
+    cells AS ({cells_src}),
     rl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS rc
            FROM cells GROUP BY lang),
     cs AS (SELECT source, CAST(sum(c) AS BIGINT) AS cc
@@ -992,3 +997,94 @@ def mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mutual_info_oracle() -> str:
     return "WITH " + _mi_sql()
+
+
+# ---------------------------------------------------------------------------
+# Streaming mutual information — the merge-algebra family's first
+# NONLINEAR readout: the (lang, source) contingency cells are additive
+# partials (the same fenced snapshot merge as the leaderboard/drift
+# streams), and MI/H/NMI are re-DERIVED per read over the merged
+# O(langs·sources) snapshot. The claim this stream adds over its
+# additive siblings: an information-theoretic statistic — entropies,
+# normalized MI — is batch-boundary-invisible as long as its SUFFICIENT
+# STATISTIC is mergeable; the nonlinearity lives entirely in the
+# read-time projection. Two REAL availableNow passes over parity-split
+# documents must hash-match the one-shot batch q_mutual_info oracle.
+# State is O(langs·sources) regardless of stream length.
+# ---------------------------------------------------------------------------
+
+_MI_SNAP_SCHEMA = "lang string, source string, c bigint"
+
+
+def _merge_mi_cells(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
+    from pyspark.sql import functions as F
+
+    from .cdc import _snapshot_applied, _snapshot_read, _snapshot_swap
+
+    if _snapshot_applied(snap_dir, batch_id):
+        return
+    delta = batch_df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    current = _snapshot_read(spark, snap_dir, _MI_SNAP_SCHEMA)
+    merged = (
+        current.withColumnRenamed("c", "prev")
+        .join(delta.withColumnRenamed("c", "delta"),
+              ["lang", "source"], "full_outer")
+        .select(
+            "lang", "source",
+            (F.coalesce(F.col("prev"), F.lit(0))
+             + F.coalesce(F.col("delta"), F.lit(0))).cast("bigint")
+            .alias("c"),
+        )
+    )
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    merged.repartition(2, "lang").write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap_dir, tmp, batch_id)
+
+
+def stream_mutual_info_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T16, oracle-checked: two availableNow passes over parity-split
+    documents maintaining the contingency-cell snapshot; the MI/H/NMI
+    readout over the merged cells must hash-match the one-shot batch
+    q_mutual_info."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t16_mi_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "doc_id bigint, lang string, source string"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: _merge_mi_cells(spark, df, snap, bid)
+            )
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+    spark.read.parquet(snap).createOrReplaceTempView("mi_snap")
+    return spark.sql(
+        "WITH " + _mi_sql("SELECT lang, source, c FROM mi_snap")
+    )
+
+
+stream_mutual_info_query = _oracle_stream_conf(stream_mutual_info_query)

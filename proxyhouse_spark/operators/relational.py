@@ -1338,3 +1338,57 @@ def bloom_join_oracle() -> str:
     WHERE c.c_mktsegment = 'BUILDING'
     GROUP BY o.o_orderpriority
     """
+
+
+# ---------------------------------------------------------------------------
+# recursive_hierarchy — WITH RECURSIVE as the engine's NATIVE fixpoint
+# operator (Spark 4 / SQL:1999): flatten a key-derived customer
+# hierarchy (parent(k) = k div 10 — the digit forest every surrogate-key
+# scheme hides) into its full ancestor CLOSURE, reporting per-distance
+# entry counts and the hops-to-root histogram. The declarative twin of
+# the repo's hand-driven fixpoints: q_dedup_clusters loops label
+# propagation from the DRIVER, q_bfs_hops/q_pagerank unroll a fixed
+# depth — here the ENGINE owns termination (recursion stops when no row
+# satisfies ancestor > 0), which is the form that composes with AQE and
+# needs no Python in the loop.
+#
+# All-integer; the recursive step is a NARROW projection (ancestor div
+# 10) — each iteration is O(live rows) with no join, depth is
+# O(log₁₀ keyspace) by construction, and the only shuffle is the final
+# histogram fold. DuckDB runs the IDENTICAL recursion (modulo integer
+# division dialect) — the differential proves the two engines' fixpoint
+# semantics agree row-for-row.
+# ---------------------------------------------------------------------------
+
+
+def _recursive_hierarchy_sql(idiv: str) -> str:
+    return f"""
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey AS node, c_custkey AS ancestor,
+               CAST(0 AS BIGINT) AS depth
+        FROM customer
+        UNION ALL
+        SELECT node, ancestor {idiv} 10 AS ancestor, depth + 1 AS depth
+        FROM chain WHERE ancestor > 0
+    )
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_entries,
+           CAST(sum(CASE WHEN ancestor = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_at_root
+    FROM chain GROUP BY depth
+    """
+
+
+def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N147: ancestor closure via the engine-native recursive CTE."""
+    # the closure is O(N·log₁₀ keyspace) rows BY CONSTRUCTION (each node
+    # contributes its digit-chain length) — raise Spark's safety-valve
+    # row limit (default 1e6, tripped at ~sf1) to match; the LEVEL limit
+    # (default 100) is never near: depth = digits of the max key
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_recursive_hierarchy_sql("div"))
+
+
+def recursive_hierarchy_oracle() -> str:
+    return _recursive_hierarchy_sql("//")

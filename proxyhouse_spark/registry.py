@@ -1211,6 +1211,15 @@ register("q_vocab_overlap", textops.vocab_overlap_oracle())(
 register("q_rrf_fusion", retrieval.rrf_fusion_oracle())(
     retrieval.rrf_fusion
 )
+register("q_markov_stationary", behavior.markov_stationary_oracle())(
+    behavior.markov_stationary
+)
+register("q_recursive_hierarchy", relational.recursive_hierarchy_oracle())(
+    relational.recursive_hierarchy
+)
+register("q_stream_mutual_info", quality.mutual_info_oracle())(
+    quality.stream_mutual_info_query
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1279,7 +1288,8 @@ _LEAD = [
     "q_window_funnel", "q_sequence_count", "q_max_intersections",
     "q_theil_sen", "q_chi2", "q_entropy_rate", "q_heaps_law",
     "q_corr_matrix", "q_mutual_info", "q_source_diversity",
-    "q_vocab_overlap", "q_rrf_fusion",
+    "q_vocab_overlap", "q_rrf_fusion", "q_markov_stationary",
+    "q_recursive_hierarchy", "q_stream_mutual_info",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -249,6 +249,7 @@ _EXECUTING = {
     "q_stream_triangles",
     "q_stream_kmeans",
     "q_stream_extrema",
+    "q_stream_mutual_info",  # foreachBatch passes run at plan time
     "q_schema_merge",   # writes the two-generation layout at plan time
     "q_bucketed_join",  # writes + checkpoints the bucketed join at plan time
     "q_partition_pruning",  # writes the partitioned layout at plan time
@@ -325,6 +326,8 @@ _SCALAR_BNLJ_OK = {
                           # O(langs·sources) cell terms and the readout
     "q_rrf_fusion",       # 1-row BM25 stats frame and 1-row query-vector
                           # frame crossed into each retrieval leg's scan
+    "q_markov_stationary",  # 1-row state-count frame crossed into the
+                          # O(#types) uniform-init vector
 }
 
 

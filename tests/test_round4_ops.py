@@ -2036,3 +2036,92 @@ def test_rrf_fusion_ranks_and_formula(spark):
     for r in out:
         if r.r_dense is not None:
             assert dense_rank.get(r.doc_id) == r.r_dense, r.doc_id
+
+
+def test_markov_stationary_matches_integer_power_iteration(spark):
+    from collections import Counter, defaultdict
+
+    from proxyhouse_spark.operators.behavior import (
+        MARKOV_ITERS,
+        MARKOV_SCALE,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    m = Counter()
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(evs, evs[1:]):
+            m[(a.event_type, b.event_type)] += 1
+    tot = Counter()
+    for (s, _), c in m.items():
+        tot[s] += c
+    pi = {s: MARKOV_SCALE // len(tot) for s in tot}
+    hist = [dict(pi)]
+    for _ in range(MARKOV_ITERS):
+        nxt = Counter()
+        for (s, d), c in m.items():
+            nxt[d] += pi[s] * c // tot[s]
+        pi = dict(nxt)
+        hist.append(dict(pi))
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_markov_stationary"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert set(out) == set(hist[-1])
+    for t, r in out.items():
+        assert r.pi_micros == hist[-1][t]
+        assert r.prev_pi_micros == hist[-2][t]
+        assert r.delta_micros == abs(hist[-1][t] - hist[-2][t])
+    # the chain is converging: total L1 movement shrinks step over step
+    l1_last = sum(abs(hist[-1][t] - hist[-2][t]) for t in hist[-1])
+    l1_first = sum(abs(hist[1][t] - hist[0][t]) for t in hist[1])
+    assert l1_last <= l1_first
+
+
+def test_recursive_hierarchy_matches_literal_chain(spark):
+    from collections import Counter
+
+    keys = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    ]
+    entries = Counter()
+    at_root = Counter()
+    for k in keys:
+        cur, depth = k, 0
+        entries[depth] += 1
+        while cur > 0:
+            cur //= 10
+            depth += 1
+            entries[depth] += 1
+        at_root[depth] += 1  # the terminal row is the one with ancestor 0
+    got = {
+        r.depth: (r.n_entries, r.n_at_root)
+        for r in registry.QUERIES["q_recursive_hierarchy"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    assert got == {
+        d: (entries[d], at_root.get(d, 0)) for d in entries
+    }
+
+
+def test_stream_mutual_info_snapshot_equals_batch(spark):
+    """Batch-boundary invisibility: the two-pass streamed contingency
+    snapshot must yield the EXACT batch MI row."""
+    batch = registry.QUERIES["q_mutual_info"](spark, SF_SMALL).collect()
+    streamed = registry.QUERIES["q_stream_mutual_info"](
+        spark, SF_SMALL
+    ).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
