@@ -3338,3 +3338,168 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def markov_stationary_oracle() -> str:
     return "WITH " + _markov_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# winsorize — winsorized and trimmed means per event type: the ROBUST
+# aggregation verbs next to mad_outliers' robust DETECTION. A raw mean
+# over ops metrics is owned by its top outlier; the winsorized mean
+# clamps the tails to the p05/p95 boundaries, the trimmed mean drops
+# them — the pair every SLA/report pipeline should publish alongside
+# (and usually instead of) the raw mean.
+#
+# Exactness: values are milli-unit BIGINTs; the p05/p95 boundaries come
+# from the proven Spark `percentile` ≡ DuckDB `quantile_cont` identity
+# (interpolated doubles). The clamped sum is NOT folded over per-row
+# doubles (order-nondeterministic): it is REGROUPED exactly as
+# n_below·lo + n_above·hi + Σ(untouched integers) — counts and the
+# middle sum are exact integers, so the winsorized mean is a single
+# deterministic expression per type. Trimmed mean is all-integer.
+#
+# Shape: one (type) percentile fold → O(#types) boundary frame →
+# equi-join back on type → one conditional-aggregate fold. Per-group
+# exact-percentile caveat as elsewhere: the boundary pass buffers per
+# TYPE (policy-bounded); t-digest is the documented scale swap.
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def _winsorize_sql(pct: str) -> str:
+    return f"""
+    v AS (SELECT event_type,
+                 CAST(round(value * 1000) AS BIGINT) AS m
+          FROM events),
+    b AS (SELECT event_type,
+                 {pct}(m, {WINSOR_LO}) AS lo,
+                 {pct}(m, {WINSOR_HI}) AS hi,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(m) AS BIGINT) AS s
+          FROM v GROUP BY event_type),
+    c AS (SELECT v.event_type,
+                 CAST(count(CASE WHEN CAST(v.m AS DOUBLE) < b.lo
+                                 THEN 1 END) AS BIGINT) AS n_below,
+                 CAST(count(CASE WHEN CAST(v.m AS DOUBLE) > b.hi
+                                 THEN 1 END) AS BIGINT) AS n_above,
+                 CAST(sum(CASE WHEN CAST(v.m AS DOUBLE) >= b.lo
+                                AND CAST(v.m AS DOUBLE) <= b.hi
+                               THEN v.m ELSE 0 END) AS BIGINT) AS s_mid
+          FROM v JOIN b ON b.event_type = v.event_type
+          GROUP BY v.event_type)
+    SELECT b.event_type, b.n,
+           round(CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) / 1000, 6)
+             AS raw_mean,
+           round((CAST(c.n_below AS DOUBLE) * b.lo
+                  + CAST(c.n_above AS DOUBLE) * b.hi
+                  + CAST(c.s_mid AS DOUBLE))
+                 / CAST(b.n AS DOUBLE) / 1000, 6) AS winsor_mean,
+           round(CAST(c.s_mid AS DOUBLE)
+                 / CAST(b.n - c.n_below - c.n_above AS DOUBLE) / 1000, 6)
+             AS trimmed_mean,
+           c.n_below + c.n_above AS n_tail
+    FROM b JOIN c ON c.event_type = b.event_type
+    """
+
+
+def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N148: winsorized + trimmed means, exact regrouped clamp sums."""
+    _events(spark, sf_dir)
+    return spark.sql("WITH " + _winsorize_sql("percentile"))
+
+
+def winsorize_oracle() -> str:
+    return "WITH " + _winsorize_sql("quantile_cont")
+
+
+# ---------------------------------------------------------------------------
+# ratio_metric_delta — the DELTA-METHOD readout for a ratio metric
+# (revenue per event, the metric shape naive t-tests get WRONG: users,
+# not events, are the randomization unit, and R = Σx/Σy is a ratio of
+# sums whose variance has a covariance term). Var(X̄/Ȳ) ≈
+# (s_x² − 2R·s_xy + R²·s_y²) / (n·ȳ²) — Deng et al. KDD 2018 shape,
+# the fourth member of the experimentation panel (proportions → CUPED →
+# continuous mean → ratio).
+#
+# Exactness: per-user x (milli revenue) / y (event count) are BIGINTs;
+# the five per-variant moments fold as DECIMAL(38,0) carriers; R, the
+# three (co)variances and z are single double expressions over the
+# 2-row variant frame, spelled identically on both engines, rounded 6.
+# Same _PICK assignment as ab_test/cuped (shared constant — the three
+# readouts must split users identically).
+#
+# Shape: user fold (ONE user_id shuffle) → variant fold (2 rows) →
+# pivoted 1-row readout. Nothing else moves.
+# ---------------------------------------------------------------------------
+
+
+def _ratio_delta_sql(md5pick: str) -> str:
+    # sample (co)variances over user grain, n-1 denominator
+    def var(p: str) -> str:
+        return (
+            f"(CAST({p}sxx AS DOUBLE) - CAST({p}sx AS DOUBLE)"
+            f" * CAST({p}sx AS DOUBLE) / CAST({p}n AS DOUBLE))"
+            f" / CAST({p}n - 1 AS DOUBLE)"
+        )
+
+    def vary(p: str) -> str:
+        return (
+            f"(CAST({p}syy AS DOUBLE) - CAST({p}sy AS DOUBLE)"
+            f" * CAST({p}sy AS DOUBLE) / CAST({p}n AS DOUBLE))"
+            f" / CAST({p}n - 1 AS DOUBLE)"
+        )
+
+    def cov(p: str) -> str:
+        return (
+            f"(CAST({p}sxy AS DOUBLE) - CAST({p}sx AS DOUBLE)"
+            f" * CAST({p}sy AS DOUBLE) / CAST({p}n AS DOUBLE))"
+            f" / CAST({p}n - 1 AS DOUBLE)"
+        )
+
+    def r(p: str) -> str:
+        return f"(CAST({p}sx AS DOUBLE) / CAST({p}sy AS DOUBLE))"
+
+    def se2(p: str) -> str:
+        ybar = f"(CAST({p}sy AS DOUBLE) / CAST({p}n AS DOUBLE))"
+        return (
+            f"(({var(p)}) - 2e0 * ({r(p)}) * ({cov(p)})"
+            f" + ({r(p)}) * ({r(p)}) * ({vary(p)}))"
+            f" / (CAST({p}n AS DOUBLE) * ({ybar}) * ({ybar}))"
+        )
+
+    agg = ", ".join(
+        f"CAST(sum(CASE WHEN pick = {flag} THEN {ex} ELSE 0 END)"
+        f" AS DECIMAL(38, 0)) AS {p}{name}"
+        for flag, p in (("TRUE", "a_"), ("FALSE", "b_"))
+        for name, ex in (
+            ("n", "1"), ("sx", "x"), ("sy", "y"),
+            ("sxx", "x * x"), ("syy", "y * y"), ("sxy", "x * y"),
+        )
+    )
+    return f"""
+    u AS (SELECT user_id,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS x,
+                 CAST(count(*) AS BIGINT) AS y,
+                 {md5pick} AS pick
+          FROM events GROUP BY user_id),
+    m AS (SELECT {agg} FROM u)
+    SELECT CAST(a_n AS BIGINT) AS n_a, CAST(b_n AS BIGINT) AS n_b,
+           round({r("a_")} / 1000, 6) AS ratio_a,
+           round({r("b_")} / 1000, 6) AS ratio_b,
+           round(({r("a_")} - {r("b_")}) / 1000, 6) AS diff,
+           round(sqrt(({se2("a_")}) + ({se2("b_")})) / 1000, 6) AS se,
+           round(({r("a_")} - {r("b_")})
+                 / sqrt(({se2("a_")}) + ({se2("b_")})), 6) AS z
+    FROM m
+    """
+
+
+def ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N149: delta-method variance for the revenue-per-event ratio."""
+    _events(spark, sf_dir)
+    return spark.sql("WITH " + _ratio_delta_sql(_PICK_SPARK))
+
+
+def ratio_metric_delta_oracle() -> str:
+    return "WITH " + _ratio_delta_sql(_PICK_DUCK)

@@ -1220,6 +1220,15 @@ register("q_recursive_hierarchy", relational.recursive_hierarchy_oracle())(
 register("q_stream_mutual_info", quality.mutual_info_oracle())(
     quality.stream_mutual_info_query
 )
+register("q_winsorize", behavior.winsorize_oracle())(behavior.winsorize)
+register("q_ratio_metric_delta", behavior.ratio_metric_delta_oracle())(
+    behavior.ratio_metric_delta
+)
+
+from .operators import mleval  # noqa: E402
+
+register("q_calibration", mleval.calibration_oracle())(mleval.calibration)
+register("q_auc", mleval.auc_oracle())(mleval.auc)
 
 
 # ---------------------------------------------------------------------------
@@ -1289,7 +1298,8 @@ _LEAD = [
     "q_theil_sen", "q_chi2", "q_entropy_rate", "q_heaps_law",
     "q_corr_matrix", "q_mutual_info", "q_source_diversity",
     "q_vocab_overlap", "q_rrf_fusion", "q_markov_stationary",
-    "q_recursive_hierarchy", "q_stream_mutual_info",
+    "q_recursive_hierarchy", "q_stream_mutual_info", "q_winsorize",
+    "q_ratio_metric_delta", "q_calibration", "q_auc",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -328,6 +328,8 @@ _SCALAR_BNLJ_OK = {
                           # frame crossed into each retrieval leg's scan
     "q_markov_stationary",  # 1-row state-count frame crossed into the
                           # O(#types) uniform-init vector
+    "q_calibration",      # 1-row ECE-numerator frame crossed into the
+                          # O(CAL_BINS) reliability rows
 }
 
 
@@ -393,6 +395,9 @@ _UNPARTITIONED_WINDOW_OK = {
                       # O(HEAPS_POINTS)=10 checkpoint frame
     "q_rrf_fusion",   # row_number over the two LIMIT-RRF_DEPTH retrieval
                       # legs — bounded by construction (hill_tail shape)
+    "q_auc",          # midrank prefix over the per-distinct-score frame —
+                      # bounded by the SCORE RANGE (≤ 10001 basis points),
+                      # the mannwhitney justification verbatim
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec

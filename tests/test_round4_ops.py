@@ -2125,3 +2125,150 @@ def test_stream_mutual_info_snapshot_equals_batch(spark):
         spark, SF_SMALL
     ).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def _interp_pct(sorted_vals, q):
+    """numpy-'linear' interpolation — Spark percentile() semantics."""
+    n = len(sorted_vals)
+    pos = (n - 1) * q
+    lo = int(pos)
+    frac = pos - lo
+    if lo + 1 < n:
+        return sorted_vals[lo] + (sorted_vals[lo + 1] - sorted_vals[lo]) * frac
+    return float(sorted_vals[lo])
+
+
+def test_winsorize_matches_brute_force(spark):
+    from collections import defaultdict
+
+    from proxyhouse_spark.operators.behavior import WINSOR_HI, WINSOR_LO
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(int(round(r.value * 1000)))
+    got = {
+        r.event_type: r
+        for r in registry.QUERIES["q_winsorize"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        vals.sort()
+        lo = _interp_pct(vals, WINSOR_LO)
+        hi = _interp_pct(vals, WINSOR_HI)
+        mid = [v for v in vals if lo <= v <= hi]
+        n_below = sum(1 for v in vals if v < lo)
+        n_above = sum(1 for v in vals if v > hi)
+        r = got[t]
+        assert r.n == len(vals)
+        assert r.n_tail == n_below + n_above
+        assert abs(r.raw_mean - sum(vals) / len(vals) / 1000) < 1e-6
+        wm = (n_below * lo + n_above * hi + sum(mid)) / len(vals) / 1000
+        assert abs(r.winsor_mean - wm) < 1e-6
+        assert abs(r.trimmed_mean - sum(mid) / len(mid) / 1000) < 1e-6
+        # robustness ordering on a right-skewed metric: clamping can only
+        # pull the mean toward the median side
+        assert r.n_tail > 0
+
+
+def test_ratio_metric_delta_matches_brute_force(spark):
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "value")
+        .collect()
+    )
+    per_user = defaultdict(lambda: [0, 0])
+    for r in rows:
+        per_user[r.user_id][0] += int(round(r.value * 1000))
+        per_user[r.user_id][1] += 1
+
+    def pick(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:12], 16) % 2 == 0
+
+    def leg(users):
+        xs = [per_user[u][0] for u in users]
+        ys = [per_user[u][1] for u in users]
+        n = len(users)
+        sx, sy = sum(xs), sum(ys)
+        r = sx / sy
+        vx = (sum(x * x for x in xs) - sx * sx / n) / (n - 1)
+        vy = (sum(y * y for y in ys) - sy * sy / n) / (n - 1)
+        cxy = (sum(x * y for x, y in zip(xs, ys)) - sx * sy / n) / (n - 1)
+        ybar = sy / n
+        se2 = (vx - 2 * r * cxy + r * r * vy) / (n * ybar * ybar)
+        return n, r, se2
+
+    a = leg([u for u in per_user if pick(u)])
+    b = leg([u for u in per_user if not pick(u)])
+    [row] = registry.QUERIES["q_ratio_metric_delta"](
+        spark, SF_SMALL
+    ).collect()
+    assert (row.n_a, row.n_b) == (a[0], b[0])
+    assert abs(row.ratio_a - a[1] / 1000) < 1e-6
+    assert abs(row.ratio_b - b[1] / 1000) < 1e-6
+    assert abs(row.se - math.sqrt(a[2] + b[2]) / 1000) < 1e-6
+    assert abs(row.z - (a[1] - b[1]) / math.sqrt(a[2] + b[2])) < 1e-5
+
+
+def _en_scores(spark):
+    from proxyhouse_spark.functions.text import STOPWORDS
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("lang", "text")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        toks = r.text.split(" ")
+        hits = sum(1 for t in toks if t in STOPWORDS)
+        out.append((10000 * hits // max(len(toks), 1), r.lang == "en"))
+    return out
+
+
+def test_calibration_matches_brute_force_ece(spark):
+    from collections import defaultdict
+
+    scored = _en_scores(spark)
+    bins = defaultdict(lambda: [0, 0, 0])  # n, sum_bp, n_pos
+    for bp, pos in scored:
+        b = bins[bp // 1000]
+        b[0] += 1
+        b[1] += bp
+        b[2] += pos
+    nn = len(scored)
+    ece = sum(abs(s - 10000 * p) for _, s, p in bins.values()) / (10000 * nn)
+    got = {
+        r.bin: r
+        for r in registry.QUERIES["q_calibration"](spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(bins)
+    for bno, (n, s, p) in bins.items():
+        r = got[bno]
+        assert r.n == n
+        assert abs(r.confidence - s / (10000 * n)) < 1e-6
+        assert abs(r.accuracy - p / n) < 1e-6
+        assert abs(r.ece - ece) < 1e-6
+
+
+def test_auc_matches_pairwise_brute_force(spark):
+    scored = _en_scores(spark)
+    pos = [bp for bp, p in scored if p]
+    neg = [bp for bp, p in scored if not p]
+    wins = sum(1 for a in pos for b in neg if a > b)
+    ties = sum(1 for a in pos for b in neg if a == b)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    [row] = registry.QUERIES["q_auc"](spark, SF_SMALL).collect()
+    assert (row.n, row.n_pos, row.n_neg) == (
+        len(scored), len(pos), len(neg)
+    )
+    assert abs(row.auc - auc) < 1e-6
+    assert abs(row.gini - (2 * auc - 1)) < 1e-6
