@@ -128,13 +128,12 @@ def calibration_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _auc_sql(score: str) -> str:
-    return (
-        score
-        + """,
-    g AS (SELECT score_bp, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(pos) AS BIGINT) AS n_pos
-          FROM s GROUP BY score_bp),
+def _auc_tail(g_src: str) -> str:
+    """AUC readout over a (score_bp, n, n_pos) histogram — shared by the
+    batch op and the streamed snapshot variant (the histogram is the
+    mergeable sufficient statistic)."""
+    return f"""
+    g AS ({g_src}),
     r AS (SELECT score_bp, n, n_pos,
                  CAST(2 * coalesce(sum(n) OVER (ORDER BY score_bp
                           ROWS BETWEEN UNBOUNDED PRECEDING
@@ -157,7 +156,16 @@ def _auc_sql(score: str) -> str:
                  - 1e0, 6) AS gini
     FROM m
     """
-    )
+
+
+_G_FROM_S = (
+    "SELECT score_bp, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(pos) AS BIGINT) AS n_pos FROM s GROUP BY score_bp"
+)
+
+
+def _auc_sql(score: str) -> str:
+    return score + "," + _auc_tail(_G_FROM_S)
 
 
 def auc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,3 +187,183 @@ def auc_oracle() -> str:
             toks="string_split(text, ' ')"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pr_curve — precision/recall/F1 at every operating threshold + average
+# precision: the threshold-CHOOSING companion of q_auc's threshold-free
+# grade. A quality-filter pipeline doesn't deploy "AUC 0.8" — it deploys
+# "score ≥ s", and this table is where s comes from (the best-F1 row is
+# flagged; AP summarizes the whole curve, sklearn's step-wise
+# definition: AP = Σ_i (R_i − R_{i−1})·P_i over descending thresholds).
+#
+# Exactness: thresholds are the distinct basis-point scores (bounded by
+# the SCORE RANGE); TP/FP prefixes are exact integers over that frame;
+# precision/recall are single rational→double expressions per row. The
+# AP sum's terms carry different denominators, so each term is rounded
+# to 9 dp DECIMAL before an EXACT decimal sum (the 6-dp-log discipline,
+# one digit tighter because terms are ≤ 1): order-independent, engine-
+# identical.
+# ---------------------------------------------------------------------------
+
+
+def _pr_curve_sql(score: str) -> str:
+    prec = "CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)"
+    rec = "CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)"
+    f1 = (
+        f"CASE WHEN cum_pos > 0 THEN"
+        f" 2e0 * ({prec}) * ({rec}) / (({prec}) + ({rec}))"
+        f" ELSE 0e0 END"
+    )
+    return (
+        score
+        + f""",
+    g AS ({_G_FROM_S}),
+    c AS (SELECT score_bp,
+                 CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+                 CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+                 n_pos,
+                 CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+          FROM g
+          WINDOW w AS (ORDER BY score_bp DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    pts AS (SELECT score_bp, cum_n, cum_pos, tot_pos,
+                   round({prec}, 6) AS precision,
+                   round({rec}, 6) AS recall,
+                   round({f1}, 6) AS f1,
+                   CAST(round(CAST(n_pos AS DOUBLE) * ({prec})
+                              / CAST(tot_pos AS DOUBLE), 9)
+                        AS DECIMAL(28, 9)) AS ap_term
+            FROM c),
+    summ AS (SELECT CAST(sum(ap_term) AS DOUBLE) AS ap,
+                    max(f1) AS best_f1
+             FROM pts)
+    SELECT p.score_bp AS threshold_bp,
+           p.cum_n AS n_predicted_pos, p.cum_pos AS tp,
+           p.precision, p.recall, p.f1,
+           CAST(p.f1 = s.best_f1 AS BOOLEAN) AS is_best_f1,
+           round(s.ap, 6) AS ap
+    FROM pts p CROSS JOIN summ s
+    """
+    )
+
+
+def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N152: PR/F1 operating table + step-wise average precision."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _pr_curve_sql(
+            _score_sql("size", "filter", "div").format(
+                toks="split(text, ' ', -1)"
+            )
+        )
+    )
+
+
+def pr_curve_oracle() -> str:
+    return "WITH " + _pr_curve_sql(
+        _score_sql("len", "list_filter", "//").format(
+            toks="string_split(text, ' ')"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming AUC — ONLINE evaluation of a classifier over an ever-growing
+# corpus: the (score_bp → n, n_pos) histogram is the mergeable
+# SUFFICIENT STATISTIC for AUC (the q_stream_mutual_info thesis, second
+# instance: the nonlinear rank statistic lives entirely in the read-time
+# projection over additive state). Two REAL availableNow passes over
+# parity-split documents must hash-match the one-shot batch q_auc
+# oracle. State is O(score range) regardless of corpus size — the shape
+# that lets a training-data platform publish a LIVE quality-filter AUC
+# without ever rescanning history.
+# ---------------------------------------------------------------------------
+
+_AUC_SNAP_SCHEMA = "score_bp bigint, n bigint, n_pos bigint"
+
+
+def _merge_auc_hist(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
+    from pyspark.sql import functions as F
+
+    from .cdc import _snapshot_applied, _snapshot_read, _snapshot_swap
+
+    if _snapshot_applied(snap_dir, batch_id):
+        return
+    delta = batch_df.groupBy("score_bp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    current = _snapshot_read(spark, snap_dir, _AUC_SNAP_SCHEMA)
+    merged = (
+        current.withColumnRenamed("n", "pn")
+        .withColumnRenamed("n_pos", "pp")
+        .join(
+            delta.withColumnRenamed("n", "dn")
+            .withColumnRenamed("n_pos", "dp"),
+            "score_bp", "full_outer",
+        )
+        .selectExpr(
+            "score_bp",
+            "CAST(coalesce(pn, 0) + coalesce(dn, 0) AS BIGINT) AS n",
+            "CAST(coalesce(pp, 0) + coalesce(dp, 0) AS BIGINT) AS n_pos",
+        )
+    )
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    merged.repartition(2, "score_bp").write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap_dir, tmp, batch_id)
+
+
+def stream_auc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17, oracle-checked: two availableNow passes maintaining the
+    score histogram; the AUC readout over the merged histogram must
+    hash-match the one-shot batch q_auc."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t17_auc_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    _docs(spark, sf_dir)
+    scored = spark.sql(
+        "WITH "
+        + _score_sql("size", "filter", "div").format(
+            toks="split(text, ' ', -1)"
+        )
+        + " SELECT doc_id, score_bp, pos FROM s"
+    )
+    scored.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "doc_id bigint, score_bp bigint, pos int"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: _merge_auc_hist(spark, df, snap, bid)
+            )
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    scored.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        src
+    )
+    _await_or_raise(one_pass())
+    spark.read.parquet(snap).createOrReplaceTempView("auc_snap")
+    return spark.sql(
+        "WITH "
+        + _auc_tail("SELECT score_bp, n, n_pos FROM auc_snap")
+    )
+
+
+from ..streaming.pipeline import _oracle_stream_conf  # noqa: E402
+
+stream_auc_query = _oracle_stream_conf(stream_auc_query)

@@ -1229,6 +1229,8 @@ from .operators import mleval  # noqa: E402
 
 register("q_calibration", mleval.calibration_oracle())(mleval.calibration)
 register("q_auc", mleval.auc_oracle())(mleval.auc)
+register("q_pr_curve", mleval.pr_curve_oracle())(mleval.pr_curve)
+register("q_stream_auc", mleval.auc_oracle())(mleval.stream_auc_query)
 
 
 # ---------------------------------------------------------------------------
@@ -1299,7 +1301,8 @@ _LEAD = [
     "q_corr_matrix", "q_mutual_info", "q_source_diversity",
     "q_vocab_overlap", "q_rrf_fusion", "q_markov_stationary",
     "q_recursive_hierarchy", "q_stream_mutual_info", "q_winsorize",
-    "q_ratio_metric_delta", "q_calibration", "q_auc",
+    "q_ratio_metric_delta", "q_calibration", "q_auc", "q_pr_curve",
+    "q_stream_auc",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

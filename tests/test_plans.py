@@ -250,6 +250,7 @@ _EXECUTING = {
     "q_stream_kmeans",
     "q_stream_extrema",
     "q_stream_mutual_info",  # foreachBatch passes run at plan time
+    "q_stream_auc",          # foreachBatch passes run at plan time
     "q_schema_merge",   # writes the two-generation layout at plan time
     "q_bucketed_join",  # writes + checkpoints the bucketed join at plan time
     "q_partition_pruning",  # writes the partitioned layout at plan time
@@ -330,6 +331,8 @@ _SCALAR_BNLJ_OK = {
                           # O(#types) uniform-init vector
     "q_calibration",      # 1-row ECE-numerator frame crossed into the
                           # O(CAL_BINS) reliability rows
+    "q_pr_curve",         # 1-row AP/best-F1 summary frame crossed into the
+                          # score-range-bounded threshold rows
 }
 
 
@@ -398,6 +401,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "q_auc",          # midrank prefix over the per-distinct-score frame —
                       # bounded by the SCORE RANGE (≤ 10001 basis points),
                       # the mannwhitney justification verbatim
+    "q_pr_curve",     # TP/FP prefixes over the same score-range-bounded
+                      # threshold frame
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec

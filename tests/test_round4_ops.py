@@ -2272,3 +2272,45 @@ def test_auc_matches_pairwise_brute_force(spark):
     )
     assert abs(row.auc - auc) < 1e-6
     assert abs(row.gini - (2 * auc - 1)) < 1e-6
+
+
+def test_pr_curve_matches_brute_force_ap(spark):
+    from collections import Counter
+
+    scored = _en_scores(spark)
+    g = Counter()
+    gp = Counter()
+    for bp, p in scored:
+        g[bp] += 1
+        gp[bp] += p
+    tot_pos = sum(gp.values())
+    rows = registry.QUERIES["q_pr_curve"](spark, SF_SMALL).collect()
+    assert len(rows) == len(g)
+    cum_n = cum_pos = 0
+    ap = 0.0
+    expect = {}
+    for bp in sorted(g, reverse=True):
+        cum_n += g[bp]
+        cum_pos += gp[bp]
+        prec = cum_pos / cum_n
+        rec = cum_pos / tot_pos
+        f1 = 2 * prec * rec / (prec + rec) if cum_pos else 0.0
+        ap += round(gp[bp] * prec / tot_pos, 9)
+        expect[bp] = (cum_n, cum_pos, round(prec, 6), round(rec, 6),
+                      round(f1, 6))
+    best = max(v[4] for v in expect.values())
+    for r in rows:
+        e = expect[r.threshold_bp]
+        assert (r.n_predicted_pos, r.tp) == e[:2]
+        assert (r.precision, r.recall, r.f1) == e[2:]
+        assert r.is_best_f1 == (r.f1 == best)
+        assert abs(r.ap - ap) < 1e-6
+    # the loosest threshold predicts everything positive: recall = 1
+    loosest = min(expect)
+    assert expect[loosest][3] == 1.0
+
+
+def test_stream_auc_snapshot_equals_batch(spark):
+    batch = registry.QUERIES["q_auc"](spark, SF_SMALL).collect()
+    streamed = registry.QUERIES["q_stream_auc"](spark, SF_SMALL).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
