@@ -3503,3 +3503,223 @@ def ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ratio_metric_delta_oracle() -> str:
     return "WITH " + _ratio_delta_sql(_PICK_DUCK)
+
+
+# ---------------------------------------------------------------------------
+# did — difference-in-differences readout: (Ā_post − Ā_pre) −
+# (B̄_post − B̄_pre) over the same data-derived midpoint boundary as
+# cuped and the same _PICK split as the rest of the experimentation
+# panel. Fifth member of that panel, and the causal verb the others
+# lack: CUPED uses the pre-period to SHRINK variance of a post-only
+# contrast; DiD uses it to DIFFERENCE OUT a level shift common to both
+# arms (the parallel-trends estimator every launch-vs-holdout readout
+# with a confounded rollout needs).
+#
+# Unit = (user, period) cell mean of milli-value sums; the estimate is
+# a linear combination of four cell means, SE = √(Σ s²_c/n_c) over the
+# four cells (the standard two-period two-group normal approximation).
+# All moments exact BIGINT/DECIMAL; floats only in the 1-row readout.
+#
+# Shape: ONE user_id-grain fold (the midpoint is a 1-row scalar frame),
+# then a 4-row cell fold, then the pivoted readout. One shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _did_sql(epoch_us: str, md5pick: str, idiv: str) -> str:
+    cells = ", ".join(
+        f"CAST(sum(CASE WHEN pick = {pk} AND post = {po}"
+        f" THEN {ex} ELSE 0 END) AS DECIMAL(38, 0)) AS {p}_{name}"
+        for pk, po, p in (
+            ("TRUE", 0, "a_pre"), ("TRUE", 1, "a_post"),
+            ("FALSE", 0, "b_pre"), ("FALSE", 1, "b_post"),
+        )
+        for name, ex in (("n", "1"), ("s", "m"), ("q", "m * m"))
+    )
+
+    def mean(c: str) -> str:
+        return f"(CAST({c}_s AS DOUBLE) / CAST({c}_n AS DOUBLE))"
+
+    def se2(c: str) -> str:
+        # s²_c / n_c with the n−1 sample variance
+        return (
+            f"((CAST({c}_q AS DOUBLE) - CAST({c}_s AS DOUBLE)"
+            f" * CAST({c}_s AS DOUBLE) / CAST({c}_n AS DOUBLE))"
+            f" / CAST({c}_n - 1 AS DOUBLE) / CAST({c}_n AS DOUBLE))"
+        )
+
+    est = (
+        f"(({mean('a_post')}) - ({mean('a_pre')})"
+        f" - (({mean('b_post')}) - ({mean('b_pre')})))"
+    )
+    se = (
+        f"sqrt(({se2('a_post')}) + ({se2('a_pre')})"
+        f" + ({se2('b_post')}) + ({se2('b_pre')}))"
+    )
+    return f"""
+    ev AS (SELECT user_id, {epoch_us} AS t,
+                  CAST(round(value * 1000) AS BIGINT) AS v
+           FROM events),
+    bnd AS (SELECT CAST((min(t) + max(t)) {idiv} 2 AS BIGINT) AS mid
+            FROM ev),
+    u AS (SELECT user_id,
+                 CASE WHEN t <= (SELECT mid FROM bnd) THEN 0 ELSE 1 END
+                   AS post,
+                 {md5pick} AS pick,
+                 CAST(sum(v) AS BIGINT) AS m
+          FROM ev
+          GROUP BY user_id,
+                   CASE WHEN t <= (SELECT mid FROM bnd) THEN 0 ELSE 1 END),
+    c AS (SELECT {cells} FROM u)
+    SELECT round({mean('a_pre')} / 1000, 6) AS a_pre_mean,
+           round({mean('a_post')} / 1000, 6) AS a_post_mean,
+           round({mean('b_pre')} / 1000, 6) AS b_pre_mean,
+           round({mean('b_post')} / 1000, 6) AS b_post_mean,
+           round({est} / 1000, 6) AS did,
+           round({se} / 1000, 6) AS se,
+           round({est} / ({se}), 6) AS z
+    FROM c
+    """
+
+
+def did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N153: difference-in-differences over the midpoint boundary."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _did_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            _PICK_SPARK, "div",
+        )
+    )
+
+
+def did_oracle() -> str:
+    return "WITH " + _did_sql("epoch_us(ts)", _PICK_DUCK, "//")
+
+
+# ---------------------------------------------------------------------------
+# mde — minimum-detectable-effect planner: given the CURRENT metric
+# variance and user count, the smallest lift a two-arm split can
+# reliably see — MDE = (z_α/2 + z_β)·√(2σ²/n_per_arm), the number every
+# experiment review asks for BEFORE launch ("can this test even detect
+# the effect we hope for?"). Closes the experimentation panel's loop:
+# the other five grade a finished experiment; this one sizes the next.
+#
+# z constants pinned (α = 0.05 two-sided → 1.959964, power 0.8 →
+# 0.841621) — textual constants, not engine erf() calls, so both
+# engines agree bit-for-bit. σ² from exact BIGINT/DECIMAL user-metric
+# moments; readout reported absolute and as % of the current mean.
+# One user-grain fold → 1-row frame. One shuffle.
+# ---------------------------------------------------------------------------
+
+MDE_Z_ALPHA = 1.959964  # two-sided 5%
+MDE_Z_BETA = 0.841621   # 80% power
+
+
+def _mde_sql() -> str:
+    var = (
+        "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+    )
+    mde = (
+        f"({MDE_Z_ALPHA} + {MDE_Z_BETA})"
+        f" * sqrt(2e0 * ({var}) / (CAST(n AS DOUBLE) / 2e0))"
+    )
+    return f"""
+    u AS (SELECT user_id,
+                 CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS m
+          FROM events GROUP BY user_id),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(m) AS DECIMAL(38, 0)) AS s,
+                 CAST(sum(CAST(m AS DECIMAL(19, 0)) * m) AS DECIMAL(38, 0))
+                   AS q
+          FROM u)
+    SELECT n AS n_users,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000, 6)
+             AS mean_metric,
+           round(sqrt({var}) / 1000, 6) AS sd_metric,
+           round({mde} / 1000, 6) AS mde_abs,
+           round(({mde}) / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 100,
+                 4) AS mde_pct
+    FROM g
+    """
+
+
+def mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N154: minimum-detectable-effect experiment sizing."""
+    _events(spark, sf_dir)
+    return spark.sql("WITH " + _mde_sql())
+
+
+def mde_oracle() -> str:
+    return "WITH " + _mde_sql()
+
+
+# ---------------------------------------------------------------------------
+# funnel_ttc — time-to-convert percentiles BETWEEN funnel stages: the
+# latency face of q_event_funnel's count face (counts say HOW MANY
+# convert, this says HOW LONG the survivors take — the number that sets
+# attribution windows and windowFunnel's W honestly, instead of
+# folklore 24 h). Reuses the funnel's staged-min frame verbatim
+# (first view → first click after it → first purchase after that), then
+# exact interpolating p25/p50/p90 of the two stage gaps in integer
+# SECONDS via the proven percentile ≡ quantile_cont identity.
+#
+# One user_id-grain staged fold (the funnel machinery, one logical
+# shuffle) → O(2) output rows; per-stage percentile buffers are
+# O(converting users) — the documented per-group caveat, t-digest swap.
+# ---------------------------------------------------------------------------
+
+
+def _funnel_ttc_sql(epoch: str, idiv: str, pct: str) -> str:
+    return f"""
+    e AS (SELECT user_id, event_type, {epoch} AS t FROM events),
+    v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN t END) AS tv
+          FROM e GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.t) AS tc
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND v.tv IS NOT NULL AND e.t > v.tv
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.t) AS tp
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.t > c.tc
+          GROUP BY e.user_id),
+    g1 AS (SELECT (c.tc - v.tv) {idiv} 1000000 AS gap_s
+           FROM c JOIN v ON v.user_id = c.user_id),
+    g2 AS (SELECT (p.tp - c.tc) {idiv} 1000000 AS gap_s
+           FROM p JOIN c ON c.user_id = p.user_id)
+    SELECT 1 AS stage_id, 'view>click' AS transition,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round({pct}(gap_s, 0.25), 4) AS p25_s,
+           round({pct}(gap_s, 0.5), 4) AS p50_s,
+           round({pct}(gap_s, 0.9), 4) AS p90_s
+    FROM g1
+    UNION ALL
+    SELECT 2 AS stage_id, 'click>purchase' AS transition,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round({pct}(gap_s, 0.25), 4) AS p25_s,
+           round({pct}(gap_s, 0.5), 4) AS p50_s,
+           round({pct}(gap_s, 0.9), 4) AS p90_s
+    FROM g2
+    """
+
+
+def funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N155: stage-transition latency percentiles for the funnel."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _funnel_ttc_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            "div", "percentile",
+        )
+    )
+
+
+def funnel_ttc_oracle() -> str:
+    return "WITH " + _funnel_ttc_sql("epoch_us(ts)", "//", "quantile_cont")

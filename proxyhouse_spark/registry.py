@@ -1231,6 +1231,9 @@ register("q_calibration", mleval.calibration_oracle())(mleval.calibration)
 register("q_auc", mleval.auc_oracle())(mleval.auc)
 register("q_pr_curve", mleval.pr_curve_oracle())(mleval.pr_curve)
 register("q_stream_auc", mleval.auc_oracle())(mleval.stream_auc_query)
+register("q_did", behavior.did_oracle())(behavior.did)
+register("q_mde", behavior.mde_oracle())(behavior.mde)
+register("q_funnel_ttc", behavior.funnel_ttc_oracle())(behavior.funnel_ttc)
 
 
 # ---------------------------------------------------------------------------
@@ -1302,7 +1305,7 @@ _LEAD = [
     "q_vocab_overlap", "q_rrf_fusion", "q_markov_stationary",
     "q_recursive_hierarchy", "q_stream_mutual_info", "q_winsorize",
     "q_ratio_metric_delta", "q_calibration", "q_auc", "q_pr_curve",
-    "q_stream_auc",
+    "q_stream_auc", "q_did", "q_mde", "q_funnel_ttc",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -2314,3 +2314,125 @@ def test_stream_auc_snapshot_equals_batch(spark):
     batch = registry.QUERIES["q_auc"](spark, SF_SMALL).collect()
     streamed = registry.QUERIES["q_stream_auc"](spark, SF_SMALL).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def _user_period_metrics(spark):
+    import hashlib
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    def us(ts):
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    ts_us = [us(r.ts) for r in rows]
+    mid = (min(ts_us) + max(ts_us)) // 2
+    cells = defaultdict(int)
+    for r, t in zip(rows, ts_us):
+        pick = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:12],
+                   16) % 2 == 0
+        cells[(r.user_id, pick, 1 if t > mid else 0)] += int(
+            round(r.value * 1000)
+        )
+    return cells
+
+
+def test_did_matches_brute_force(spark):
+    import math
+    from collections import defaultdict
+
+    cells = _user_period_metrics(spark)
+    groups = defaultdict(list)
+    for (_, pick, post), m in cells.items():
+        groups[(pick, post)].append(m)
+
+    def stats(vals):
+        n = len(vals)
+        mean = sum(vals) / n
+        var = (sum(v * v for v in vals) - sum(vals) ** 2 / n) / (n - 1)
+        return mean, var / n
+
+    (ma1, s1), (ma0, s0) = stats(groups[(True, 1)]), stats(groups[(True, 0)])
+    (mb1, s3), (mb0, s2) = stats(groups[(False, 1)]), stats(groups[(False, 0)])
+    est = (ma1 - ma0) - (mb1 - mb0)
+    se = math.sqrt(s0 + s1 + s2 + s3)
+    [row] = registry.QUERIES["q_did"](spark, SF_SMALL).collect()
+    assert abs(row.a_pre_mean - ma0 / 1000) < 1e-6
+    assert abs(row.b_post_mean - mb1 / 1000) < 1e-6
+    assert abs(row.did - est / 1000) < 1e-6
+    assert abs(row.se - se / 1000) < 1e-6
+    assert abs(row.z - est / se) < 1e-5
+
+
+def test_mde_matches_brute_force(spark):
+    import math
+    from collections import defaultdict
+
+    from proxyhouse_spark.operators.behavior import MDE_Z_ALPHA, MDE_Z_BETA
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "value")
+        .collect()
+    )
+    per_user = defaultdict(int)
+    for r in rows:
+        per_user[r.user_id] += int(round(r.value * 1000))
+    vals = list(per_user.values())
+    n = len(vals)
+    var = (sum(v * v for v in vals) - sum(vals) ** 2 / n) / (n - 1)
+    mde = (MDE_Z_ALPHA + MDE_Z_BETA) * math.sqrt(2 * var / (n / 2))
+    [row] = registry.QUERIES["q_mde"](spark, SF_SMALL).collect()
+    assert row.n_users == n
+    assert abs(row.sd_metric - math.sqrt(var) / 1000) < 1e-6
+    assert abs(row.mde_abs - mde / 1000) < 1e-6
+    assert abs(row.mde_pct - mde / (sum(vals) / n) * 100) < 1e-4
+    # a detectable lift must cost more than zero and less than the mean
+    # itself on this well-populated fixture
+    assert 0 < row.mde_pct < 100
+
+
+def test_funnel_ttc_matches_brute_force(spark):
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    g1, g2 = [], []
+    for evs in by_user.values():
+        views = [e.ts for e in evs if e.event_type == "view"]
+        if not views:
+            continue
+        tv = min(views)
+        clicks = [e.ts for e in evs if e.event_type == "click" and e.ts > tv]
+        if not clicks:
+            continue
+        tc = min(clicks)
+        g1.append(int((tc - tv).total_seconds()))
+        purch = [e.ts for e in evs
+                 if e.event_type == "purchase" and e.ts > tc]
+        if purch:
+            g2.append(int((min(purch) - tc).total_seconds()))
+    got = {r.transition: r for r in registry.QUERIES["q_funnel_ttc"](
+        spark, SF_SMALL).collect()}
+    for name, gaps in (("view>click", g1), ("click>purchase", g2)):
+        gaps.sort()
+        r = got[name]
+        assert r.n_users == len(gaps)
+        for col, q in (("p25_s", 0.25), ("p50_s", 0.5), ("p90_s", 0.9)):
+            assert abs(getattr(r, col) - _interp_pct(gaps, q)) < 1e-4, col
+    # percentile sanity: the envelope is monotone and strictly positive
+    # (strict event ordering makes a zero-second transition impossible)
+    for r in got.values():
+        assert 0 < r.p25_s <= r.p50_s <= r.p90_s
