@@ -58,6 +58,10 @@ HEADLINE = [
     "q_triangles",           # degree-oriented triangle count
     "q_kcore",               # staged peel rounds (checkpoint-per-round cost)
     "q_stream_kmeans",       # streaming sufficient-stats merge (2 real passes)
+    "q_window_funnel",       # ClickHouse sequence algebra (stacked windows)
+    "q_rrf_fusion",          # hybrid sparse+dense retrieval (2-leg fusion)
+    "q_recursive_hierarchy", # engine-native recursive-CTE fixpoint
+    "q_entropy_rate",        # corpus bigram fold + staged type frame
 ]
 
 

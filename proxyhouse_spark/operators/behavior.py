@@ -3723,3 +3723,89 @@ def funnel_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def funnel_ttc_oracle() -> str:
     return "WITH " + _funnel_ttc_sql("epoch_us(ts)", "//", "quantile_cont")
+
+
+# ---------------------------------------------------------------------------
+# modularity — Newman modularity Q of the BRAND partition over the
+# co-purchase part graph: the QUALITY-of-partition metric completing
+# the graph family's verbs (pagerank = importance, triangles = closure,
+# kcore = layering, assortativity = mixing, dedup_clusters = finding
+# components; this GRADES a given community structure). The question it
+# answers for a pipeline: is `brand` a real blocking key for this graph
+# (Q ≫ 0 → partition-by-brand co-locates most joins) or a fiction?
+#
+# Exactness: Q = Σ_c [m_c/m − (d_c/2m)²] collapses over the common
+# denominator 4m² to (Σ_c 4·m·m_c − Σ_c d_c²) / (4m²) — all-integer
+# numerator and denominator (DECIMAL carriers for d_c²), ONE double
+# division, rounded 6. Per-community terms reported alongside.
+#
+# Scale: edges = the pagerank co-purchase frame (equi-joins on okey);
+# community attach = broadcastable part dim; everything after the edge
+# fold is O(#brands). Edge frame staged once (multi-referenced).
+# ---------------------------------------------------------------------------
+
+
+def _modularity_sql(edges: str) -> str:
+    return f"""
+    bp AS (SELECT p_partkey AS part, p_brand AS brand FROM part),
+    deg AS (SELECT e.src AS part, CAST(count(*) AS BIGINT) AS d
+            FROM {edges} e GROUP BY e.src),
+    m1 AS (SELECT CAST(sum(d) AS BIGINT) AS m2  -- 2m (directed count)
+           FROM deg),
+    dc AS (SELECT b.brand, CAST(sum(d.d) AS BIGINT) AS d_c
+           FROM deg d JOIN bp b ON b.part = d.part
+           GROUP BY b.brand),
+    mc AS (SELECT ba.brand, CAST(count(*) AS BIGINT) AS m2_c  -- 2·m_c
+           FROM {edges} e
+           JOIN bp ba ON ba.part = e.src
+           JOIN bp bb ON bb.part = e.dst AND bb.brand = ba.brand
+           GROUP BY ba.brand),
+    terms AS (SELECT d.brand,
+                     coalesce(c.m2_c, 0) AS m2_c, d.d_c,
+                     CAST(d.d_c AS DECIMAL(38, 0))
+                     * CAST(d.d_c AS DECIMAL(38, 0)) AS dc2
+              FROM dc d LEFT JOIN mc c ON c.brand = d.brand),
+    q AS (SELECT CAST(sum(CAST(m2_c AS DECIMAL(38, 0)) * m1.m2) AS
+                      DECIMAL(38, 0)) AS num_in,
+                 CAST(sum(dc2) AS DECIMAL(38, 0)) AS num_deg,
+                 CAST(max(m1.m2) AS BIGINT) AS m2,
+                 CAST(count(*) AS BIGINT) AS n_communities
+          FROM terms CROSS JOIN m1)
+    SELECT n_communities,
+           CAST(m2 / 2 AS BIGINT) AS n_edges,
+           round(CAST(num_in - num_deg AS DOUBLE)
+                 / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6)
+             AS modularity
+    FROM q
+    """
+
+
+_COPURCHASE_EDGES = """
+    items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+              FROM lineitem),
+    edges AS (SELECT DISTINCT a.part AS src, b.part AS dst
+              FROM items a JOIN items b
+                ON a.okey = b.okey AND a.part <> b.part)
+"""
+
+
+def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N156: Newman modularity of the brand partition, all-integer."""
+    from ..checkpoints import scoped_checkpoint
+
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    edges = spark.sql("WITH " + _COPURCHASE_EDGES + " SELECT * FROM edges")
+    scoped_checkpoint(edges, "modularity_edges").createOrReplaceTempView(
+        "mod_edges"
+    )
+    return spark.sql("WITH " + _modularity_sql("mod_edges"))
+
+
+def modularity_oracle() -> str:
+    return (
+        "WITH "
+        + _COPURCHASE_EDGES
+        + ", edges_m AS MATERIALIZED (SELECT * FROM edges),"
+        + _modularity_sql("edges_m")
+    )

@@ -474,3 +474,79 @@ def partition_pruning_oracle() -> str:
     FROM e, h WHERE e.day > h.horizon - {PRUNE_LAST_DAYS}
     GROUP BY e.day
     """
+
+
+# ---------------------------------------------------------------------------
+# format_scan — FORMAT-parity capability as a first-class query: the
+# same events land as parquet, CSV and JSON-Lines (the lake's usual
+# trio — and the read-side mirror of the reference's ingest formats:
+# Values/TSV/JSONEachRow on the way IN, main.go:264-286), each is read
+# back with its format-appropriate reader, and per-(format, type)
+# rollups must be IDENTICAL — proving the engine's answer does not
+# depend on the wire format. The oracle derives all three legs from the
+# parquet fixture, so the CSV/JSONL writes + schema-explicit reads are
+# exactly what the differential tests.
+#
+# Format discipline: the projected columns are (event_id BIGINT,
+# event_type STRING, cents BIGINT) — integers and a clean string, the
+# subset every text format round-trips losslessly (timestamps/doubles
+# deliberately converted BEFORE the write: text formats' precision and
+# zone pitfalls are the reason a lake standardizes on binary formats,
+# and the op documents that by construction). Reads use EXPLICIT
+# schemas — inference is nondeterministic under sampling and forbidden
+# here.
+#
+# Scale: each leg is one scan + one map-side-combinable fold; the
+# writes are plan-time artifacts (whitelisted _EXECUTING).
+# ---------------------------------------------------------------------------
+
+_FORMAT_LEGS = ("parquet", "csv", "jsonl")
+
+
+def format_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.pipeline import _scratch_dir
+
+    base = _scratch_dir("s13_formats_")
+    ev = table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "event_type",
+        "CAST(round(value * 100) AS BIGINT) AS cents",
+    )
+    locs = {f: os.path.join(base, f) for f in _FORMAT_LEGS}
+    ev.write.parquet(locs["parquet"])
+    ev.write.option("header", True).csv(locs["csv"])
+    ev.write.json(locs["jsonl"])
+
+    schema = "event_id bigint, event_type string, cents bigint"
+    legs = {
+        "parquet": spark.read.parquet(locs["parquet"]),
+        "csv": spark.read.schema(schema).option("header", True)
+        .csv(locs["csv"]),
+        "jsonl": spark.read.schema(schema).json(locs["jsonl"]),
+    }
+    out = None
+    for fmt in _FORMAT_LEGS:
+        leg = (
+            legs[fmt]
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("cents_total"),
+            )
+            .select(F.lit(fmt).alias("fmt"), "event_type", "n",
+                    "cents_total")
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
+def format_scan_oracle() -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT '{fmt}' AS fmt, event_type, CAST(count(*) AS BIGINT) AS n,"
+        " CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+        " AS cents_total FROM events GROUP BY event_type"
+        for fmt in _FORMAT_LEGS
+    )
+    return legs

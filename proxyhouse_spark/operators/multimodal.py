@@ -362,3 +362,154 @@ def audio_vad_oracle() -> str:
              AS active_bp
     FROM a
     """
+
+
+# ---------------------------------------------------------------------------
+# phash_neardup — PERCEPTUAL-hash near-duplicate detection over the
+# binary payload column: the multimodal face of the dedup family.
+# md5 (multimodal_meta) only catches byte-identical media; an average
+# hash (aHash) survives the re-encodes and minor edits that change
+# bytes but not content. Pipeline: decode → 64-"pixel" grid → threshold
+# at the global mean → 64-bit fingerprint → pigeonhole band join →
+# Hamming cut (the q_simhash_wide machinery pointed at media).
+#
+# The grid here is the decode stand-in (byte means over 64 equal
+# chunks of the payload — exactly what aHash computes on a row-major
+# grayscale buffer after resize); a real deployment swaps the chunk
+# step for PIL's resize((8,8)) inside the SAME mapInPandas, as
+# _decode_features_real demonstrates. Bits are an exact integer
+# comparison (chunk_sum·len > total_sum·chunk_len — cross-multiplied,
+# no float means), so the Arrow path carries a FULL DuckDB differential
+# oracle that rebuilds the grid in SQL from the ASCII fixture.
+#
+# The corpus is the dedup family's planted one (exact copies at
+# +1,000,000; first-word-dropped excerpts at +2,000,000): exact copies
+# MUST land at Hamming 0; excerpts shift every chunk boundary by one
+# word and land wherever they land — both engines agree on the cut.
+#
+# Scale: fingerprints are 2×32-bit ints; 4×16-bit pigeonhole bands,
+# SHUFFLE_HASH, never a corpus broadcast (the minhash lesson); the
+# fingerprint frame is staged once.
+# ---------------------------------------------------------------------------
+
+PHASH_CHUNKS = 64
+PHASH_HAMMING = 6
+
+_PHASH_SCHEMA = "doc_id bigint, hi bigint, lo bigint"
+
+
+def _ahash_bits(payload: bytes) -> tuple[int, int]:
+    """64-bit aHash as (hi, lo) 32-bit halves — pure integer arithmetic,
+    mirrored exactly by the SQL oracle."""
+    n = len(payload)
+    if n == 0:
+        return 0, 0
+    total = sum(payload)
+    sums = [0] * PHASH_CHUNKS
+    lens = [0] * PHASH_CHUNKS
+    for p, b in enumerate(payload):
+        c = p * PHASH_CHUNKS // n
+        sums[c] += b
+        lens[c] += 1
+    hi = lo = 0
+    for i in range(PHASH_CHUNKS):
+        if sums[i] * n > total * lens[i]:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return hi, lo
+
+
+def phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.corpus import doc_corpus
+
+    corpus = doc_corpus(spark, sf_dir).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "hi": [], "lo": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hi, lo = _ahash_bits(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["hi"].append(hi)
+                out["lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return corpus.mapInPandas(hash_batches, _PHASH_SCHEMA)
+
+
+def _phash_pairs(band: str, explode4: str, hint: str, ham: str) -> str:
+    return f"""
+    bands AS (
+      SELECT doc_id, hi, lo, p, {band} AS band
+      FROM s {explode4}),
+    pairs AS (
+      SELECT {hint} DISTINCT
+             a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+      FROM bands a JOIN bands b
+        ON a.p = b.p AND a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+    FROM pairs
+    WHERE {ham} <= {PHASH_HAMMING}
+"""
+
+
+def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N157: aHash near-dup over media payloads (Arrow decode path)."""
+    from ..checkpoints import scoped_checkpoint
+
+    s = scoped_checkpoint(phash_frame(spark, sf_dir), "phash_frame")
+    s.createOrReplaceTempView("phash_v")
+    return spark.sql(
+        "WITH s AS (SELECT * FROM phash_v),"
+        + _phash_pairs(
+            band="shiftright(CASE WHEN p < 2 THEN lo ELSE hi END,"
+                 " 16 * (p % 2)) & 65535",
+            explode4="LATERAL VIEW explode(sequence(0, 3)) t AS p",
+            hint="/*+ SHUFFLE_HASH(a, b) */",
+            ham="bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)",
+        )
+    )
+
+
+def phash_neardup_oracle() -> str:
+    from ..sources.corpus import DOC_CORPUS_SQL
+
+    n = PHASH_CHUNKS
+    return (
+        f"""
+    WITH corpus AS ({DOC_CORPUS_SQL}),
+    pos AS (SELECT doc_id, (i - 1) * {n} // length(text) AS chunk,
+                   unicode(substr(text, i, 1)) AS b
+            FROM corpus, unnest(range(1, length(text) + 1)) AS t(i)),
+    tot AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS len
+            FROM pos GROUP BY doc_id),
+    ch AS (SELECT doc_id, chunk, CAST(sum(b) AS BIGINT) AS c,
+                  CAST(count(*) AS BIGINT) AS l
+           FROM pos GROUP BY doc_id, chunk),
+    bits AS (SELECT c.doc_id, c.chunk,
+                    CASE WHEN c.c * t.len > t.total * c.l
+                         THEN 1 ELSE 0 END AS bit
+             FROM ch c JOIN tot t ON t.doc_id = c.doc_id),
+    s AS (SELECT doc_id,
+                 CAST(coalesce(sum(CASE WHEN chunk >= 32 THEN
+                      bit * (CAST(1 AS BIGINT) << (chunk - 32)) END), 0)
+                   AS BIGINT) AS hi,
+                 CAST(coalesce(sum(CASE WHEN chunk < 32 THEN
+                      bit * (CAST(1 AS BIGINT) << chunk) END), 0)
+                   AS BIGINT) AS lo
+          FROM bits GROUP BY doc_id),
+"""
+        + _phash_pairs(
+            band="((CASE WHEN p < 2 THEN lo ELSE hi END)"
+                 " >> (16 * (p % 2))) & 65535",
+            explode4=", range(0, 4) AS t(p)",
+            hint="",
+            ham="bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))",
+        )
+    )

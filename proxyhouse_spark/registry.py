@@ -1234,6 +1234,14 @@ register("q_stream_auc", mleval.auc_oracle())(mleval.stream_auc_query)
 register("q_did", behavior.did_oracle())(behavior.did)
 register("q_mde", behavior.mde_oracle())(behavior.mde)
 register("q_funnel_ttc", behavior.funnel_ttc_oracle())(behavior.funnel_ttc)
+register("q_modularity", behavior.modularity_oracle())(behavior.modularity)
+
+from .operators import multimodal  # noqa: E402
+
+register("q_phash_neardup", multimodal.phash_neardup_oracle())(
+    multimodal.phash_neardup
+)
+register("q_format_scan", layout.format_scan_oracle())(layout.format_scan)
 
 
 # ---------------------------------------------------------------------------
@@ -1305,7 +1313,8 @@ _LEAD = [
     "q_vocab_overlap", "q_rrf_fusion", "q_markov_stationary",
     "q_recursive_hierarchy", "q_stream_mutual_info", "q_winsorize",
     "q_ratio_metric_delta", "q_calibration", "q_auc", "q_pr_curve",
-    "q_stream_auc", "q_did", "q_mde", "q_funnel_ttc",
+    "q_stream_auc", "q_did", "q_mde", "q_funnel_ttc", "q_modularity",
+    "q_phash_neardup", "q_format_scan",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -254,6 +254,7 @@ _EXECUTING = {
     "q_schema_merge",   # writes the two-generation layout at plan time
     "q_bucketed_join",  # writes + checkpoints the bucketed join at plan time
     "q_partition_pruning",  # writes the partitioned layout at plan time
+    "q_format_scan",    # writes the csv/jsonl/parquet legs at plan time
 }
 
 
@@ -333,6 +334,8 @@ _SCALAR_BNLJ_OK = {
                           # O(CAL_BINS) reliability rows
     "q_pr_curve",         # 1-row AP/best-F1 summary frame crossed into the
                           # score-range-bounded threshold rows
+    "q_modularity",       # 1-row 2m-total frame crossed into the O(#brands)
+                          # community terms
 }
 
 

@@ -2436,3 +2436,78 @@ def test_funnel_ttc_matches_brute_force(spark):
     # (strict event ordering makes a zero-second transition impossible)
     for r in got.values():
         assert 0 < r.p25_s <= r.p50_s <= r.p90_s
+
+
+def test_modularity_matches_brute_force(spark):
+    from collections import defaultdict
+
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in spark.read.parquet(f"{SF_SMALL}/part.parquet").collect()
+    }
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    edges.add((a, b))  # symmetric directed view
+    deg = defaultdict(int)
+    for a, _ in edges:
+        deg[a] += 1
+    m2 = len(edges)
+    d_c = defaultdict(int)
+    m2_c = defaultdict(int)
+    for p, d in deg.items():
+        d_c[brand[p]] += d
+    for a, b in edges:
+        if brand[a] == brand[b]:
+            m2_c[brand[a]] += 1
+    q = (
+        sum(m2_c[c] * m2 for c in d_c) - sum(d * d for d in d_c.values())
+    ) / (m2 * m2)
+    [row] = registry.QUERIES["q_modularity"](spark, SF_SMALL).collect()
+    assert row.n_communities == len(d_c)
+    assert row.n_edges == m2 // 2
+    assert abs(row.modularity - q) < 1e-6
+    # modularity is bounded in [-1, 1] by definition
+    assert -1.0 <= row.modularity <= 1.0
+
+
+def test_phash_finds_planted_exact_copies_at_hamming_zero(spark):
+    from proxyhouse_spark.operators.multimodal import (
+        PHASH_HAMMING,
+        _ahash_bits,
+    )
+
+    rows = registry.QUERIES["q_phash_neardup"](spark, SF_SMALL).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    # every planted byte-identical copy (doc_id % 10 == 0 → +1e6) MUST
+    # surface at Hamming 0 — identical payloads share every band
+    for d in range(0, 500, 10):
+        assert pairs.get((d, d + 1_000_000)) == 0, d
+    for (a, b), h in pairs.items():
+        assert a < b
+        assert 0 <= h <= PHASH_HAMMING
+    # the Python hash agrees with itself on a literal doc (determinism)
+    hi, lo = _ahash_bits(b"some literal payload bytes here")
+    assert (hi, lo) == _ahash_bits(b"some literal payload bytes here")
+    assert 0 <= hi < 2 ** 32 and 0 <= lo < 2 ** 32
+
+
+def test_format_scan_three_legs_identical(spark):
+    rows = registry.QUERIES["q_format_scan"](spark, SF_SMALL).collect()
+    by_fmt = {}
+    for r in rows:
+        by_fmt.setdefault(r.fmt, {})[r.event_type] = (r.n, r.cents_total)
+    assert set(by_fmt) == {"parquet", "csv", "jsonl"}
+    # format parity IS the claim: every leg returns the identical rollup
+    assert by_fmt["parquet"] == by_fmt["csv"] == by_fmt["jsonl"]
+    assert sum(n for n, _ in by_fmt["parquet"].values()) == 1000
