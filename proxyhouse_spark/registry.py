@@ -1243,6 +1243,16 @@ register("q_phash_neardup", multimodal.phash_neardup_oracle())(
 )
 register("q_format_scan", layout.format_scan_oracle())(layout.format_scan)
 
+from .operators import features  # noqa: E402
+
+register("q_lag_features", features.lag_features_oracle())(
+    features.lag_features
+)
+register("q_target_encoding", features.target_encoding_oracle())(
+    features.target_encoding
+)
+register("q_woe_iv", features.woe_iv_oracle())(features.woe_iv)
+
 
 # ---------------------------------------------------------------------------
 # Driver-visibility rotation (VERDICT r3 item #1)
@@ -1314,7 +1324,8 @@ _LEAD = [
     "q_recursive_hierarchy", "q_stream_mutual_info", "q_winsorize",
     "q_ratio_metric_delta", "q_calibration", "q_auc", "q_pr_curve",
     "q_stream_auc", "q_did", "q_mde", "q_funnel_ttc", "q_modularity",
-    "q_phash_neardup", "q_format_scan",
+    "q_phash_neardup", "q_format_scan", "q_lag_features",
+    "q_target_encoding", "q_woe_iv",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

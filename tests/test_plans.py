@@ -336,6 +336,8 @@ _SCALAR_BNLJ_OK = {
                           # score-range-bounded threshold rows
     "q_modularity",       # 1-row 2m-total frame crossed into the O(#brands)
                           # community terms
+    "q_woe_iv",           # 1-row class-total and IV frames crossed into the
+                          # O(#sources) WOE rows
 }
 
 

@@ -2511,3 +2511,104 @@ def test_format_scan_three_legs_identical(spark):
     # format parity IS the claim: every leg returns the identical rollup
     assert by_fmt["parquet"] == by_fmt["csv"] == by_fmt["jsonl"]
     assert sum(n for n, _ in by_fmt["parquet"].values()) == 1000
+
+
+def test_lag_features_matches_brute_force(spark):
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    daily = defaultdict(lambda: [0, 0])  # (user, day) -> [milli, n]
+    for r in rows:
+        epoch = r.ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                             second=0, microsecond=0)
+        td = r.ts - epoch
+        day = ((td.days * 86_400 + td.seconds) * 1_000_000
+               + td.microseconds) // 86_400_000_000
+        cell = daily[(r.user_id, day)]
+        cell[0] += int(round(r.value * 1000))
+        cell[1] += 1
+    out = registry.QUERIES["q_lag_features"](spark, SF_SMALL).collect()
+    assert len(out) == len(daily)
+    for r in out:
+        key = (r.user_id, r.day)
+        assert (r.milli_today, r.n_today) == tuple(daily[key])
+        l1 = daily.get((r.user_id, r.day - 1))
+        l7 = daily.get((r.user_id, r.day - 7))
+        assert r.milli_lag1 == (l1[0] if l1 else None)
+        assert r.milli_lag7 == (l7[0] if l7 else None)
+        window = [daily[(r.user_id, d)]
+                  for d in range(r.day - 6, r.day + 1)
+                  if (r.user_id, d) in daily]
+        assert r.roll_days == len(window)
+        assert r.milli_roll7 == sum(w[0] for w in window)
+        assert r.n_roll7 == sum(w[1] for w in window)
+
+
+def test_target_encoding_is_leak_free(spark):
+    from collections import defaultdict
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source", "lang")
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, 0])
+    for d in docs:
+        agg[d.source][0] += d.lang == "en"
+        agg[d.source][1] += 1
+    out = {r.doc_id: r for r in registry.QUERIES["q_target_encoding"](
+        spark, SF_SMALL).collect()}
+    assert len(out) == len(docs)
+    for d in docs:
+        pos, n = agg[d.source]
+        r = out[d.doc_id]
+        y = 1 if d.lang == "en" else 0
+        assert r.y == y
+        if n > 1:
+            assert r.te_loo == round((pos - y) / (n - 1), 6)
+        else:
+            assert r.te_loo is None
+        assert r.te_naive == round(pos / n, 6)
+    # the leak signature: within a category, the naive encoding is
+    # constant while LOO differs by label (when both labels occur)
+    by_src = defaultdict(set)
+    for d in docs:
+        by_src[d.source].add(1 if d.lang == "en" else 0)
+    mixed = [s for s, ys in by_src.items() if len(ys) == 2]
+    assert mixed, "fixture should have mixed-label sources"
+    s = mixed[0]
+    los = {out[d.doc_id].te_loo for d in docs if d.source == s}
+    assert len(los) == 2
+
+
+def test_woe_iv_matches_brute_force(spark):
+    import math
+    from collections import defaultdict
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("source", "lang")
+        .collect()
+    )
+    c = defaultdict(lambda: [0, 0])
+    for d in docs:
+        c[d.source][d.lang != "en"] += 1
+    pos = sum(v[0] for v in c.values())
+    neg = sum(v[1] for v in c.values())
+    woes = {
+        s: round(math.log(((p + 0.5) / pos) / ((n + 0.5) / neg)), 6)
+        for s, (p, n) in c.items()
+    }
+    iv = sum(round((p / pos - n / neg) * woes[s], 9)
+             for s, (p, n) in c.items())
+    out = {r.source: r for r in registry.QUERIES["q_woe_iv"](
+        spark, SF_SMALL).collect()}
+    assert set(out) == set(c)
+    for s, (p, n) in c.items():
+        assert (out[s].pos_c, out[s].neg_c) == (p, n)
+        assert abs(out[s].woe - woes[s]) < 1e-9
+        assert abs(out[s].iv - iv) < 1e-6
