@@ -3809,3 +3809,98 @@ def modularity_oracle() -> str:
         + ", edges_m AS MATERIALIZED (SELECT * FROM edges),"
         + _modularity_sql("edges_m")
     )
+
+
+# ---------------------------------------------------------------------------
+# lateness_profile — the out-of-orderness audit that sizes WATERMARKS
+# from data instead of folklore: for each event in ARRIVAL order
+# (event_id — the ingestion sequence), lateness = how far the stream's
+# event-time high-water mark had already passed this event's timestamp
+# (0 for in-order arrivals). Reported as an hour-bucketed histogram
+# with cumulative shares plus the p99-covering watermark delay — the
+# number every `withWatermark(...)` in streaming/pipeline.py should be
+# justified by. The streaming ops define what LATE means; this op
+# measures how much lateness the source actually produces.
+#
+# The 100 TB shape: the high-water mark is a PREFIX MAX over the whole
+# arrival order — the same whole-corpus single-partition hazard as the
+# sweep-line's prefix sum, solved the same two-phase way (pack_global
+# generalized from sums to MAX): arrival-bucket-partitioned running
+# maxima + an O(#buckets) bucket-max offset frame, where #buckets =
+# corpus/LAT_BUCKET (the documented pack_global whitelist shape). The
+# DuckDB oracle spells ONE global window — the differential proves the
+# two-phase max decomposition exact.
+#
+# Exactness: everything integer micros; the p99 cut is the exact
+# comparison 100·cum ≥ 99·total — no float percentile.
+# ---------------------------------------------------------------------------
+
+LAT_BUCKET = 1024  # arrival-order events per phase-1 partition
+_HOUR_US = 3_600_000_000
+
+
+def _lateness_hist(hwm_frame: str) -> str:
+    return f"""
+    lat AS (SELECT CASE WHEN h IS NULL OR h <= t THEN CAST(0 AS BIGINT)
+                        ELSE h - t END AS l
+            FROM {hwm_frame}),
+    hist AS (SELECT CAST(l {{idiv}} {_HOUR_US} AS BIGINT) AS late_hours,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM lat GROUP BY CAST(l {{idiv}} {_HOUR_US} AS BIGINT)),
+    cum AS (SELECT late_hours, n,
+                   CAST(sum(n) OVER (ORDER BY late_hours
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_n,
+                   CAST(sum(n) OVER () AS BIGINT) AS total
+            FROM hist),
+    wm AS (SELECT CAST(min(late_hours) AS BIGINT) AS watermark_hours
+           FROM cum WHERE 100 * cum_n >= 99 * total)
+    SELECT c.late_hours, c.n, c.cum_n,
+           round(CAST(c.cum_n AS DOUBLE) / CAST(c.total AS DOUBLE), 6)
+             AS cum_share,
+           w.watermark_hours
+    FROM cum c CROSS JOIN wm w
+    """
+
+
+def lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N161: watermark-sizing lateness histogram, two-phase prefix max."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    epoch = f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)"
+    hwm = f"""
+    ev AS (SELECT event_id, {epoch} AS t,
+                  event_id div {LAT_BUCKET} AS b
+           FROM events),
+    ph1 AS (SELECT event_id, t, b,
+                   max(t) OVER (PARTITION BY b ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS local_h
+            FROM ev),
+    bmax AS (SELECT b, max(t) AS bm FROM ev GROUP BY b),
+    -- O(#buckets) = corpus/LAT_BUCKET frame: the pack_global shape
+    boff AS (SELECT b, max(bm) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS off
+             FROM bmax),
+    hw AS (SELECT p.t, greatest(coalesce(p.local_h, CAST(-1 AS BIGINT)),
+                                coalesce(o.off, CAST(-1 AS BIGINT))) AS h0
+           FROM ph1 p JOIN boff o ON o.b = p.b),
+    hwm AS (SELECT t, CASE WHEN h0 < 0 THEN NULL ELSE h0 END AS h FROM hw)
+    """
+    return spark.sql(
+        "WITH " + hwm + "," + _lateness_hist("hwm").format(idiv="div")
+    )
+
+
+def lateness_profile_oracle() -> str:
+    hwm = """
+    ev AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+    hwm AS (SELECT t,
+                   max(t) OVER (ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS h
+            FROM ev)
+    """
+    return "WITH " + hwm + "," + _lateness_hist("hwm").format(idiv="//")

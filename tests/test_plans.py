@@ -338,6 +338,8 @@ _SCALAR_BNLJ_OK = {
                           # community terms
     "q_woe_iv",           # 1-row class-total and IV frames crossed into the
                           # O(#sources) WOE rows
+    "q_lateness_profile", # 1-row watermark readout crossed into the
+                          # bounded lateness histogram
 }
 
 
@@ -408,6 +410,10 @@ _UNPARTITIONED_WINDOW_OK = {
                       # the mannwhitney justification verbatim
     "q_pr_curve",     # TP/FP prefixes over the same score-range-bounded
                       # threshold frame
+    "q_lateness_profile",  # bucket-max offset prefix over the
+                      # O(corpus/LAT_BUCKET) frame (pack_global shape) +
+                      # the cum prefix over the calendar-bounded
+                      # O(max-lateness-hours) histogram
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec

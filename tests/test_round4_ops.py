@@ -2612,3 +2612,56 @@ def test_woe_iv_matches_brute_force(spark):
         assert (out[s].pos_c, out[s].neg_c) == (p, n)
         assert abs(out[s].woe - woes[s]) < 1e-9
         assert abs(out[s].iv - iv) < 1e-6
+
+
+def test_lateness_profile_fixture_is_ordered_and_machinery_is_exact(spark):
+    """The synthetic fixture assigns event_id in timestamp order, so the
+    audit must report a PERFECTLY ordered source (one bucket, watermark
+    0 h) — and the two-phase prefix-max machinery must reproduce a
+    literal high-water-mark scan on a hand-built OUT-OF-ORDER frame."""
+    import datetime
+
+    from proxyhouse_spark.operators.behavior import lateness_profile
+
+    rows = registry.QUERIES["q_lateness_profile"](spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    assert rows[0].late_hours == 0
+    assert rows[0].cum_share == 1.0
+    assert rows[0].watermark_hours == 0
+
+    # hand-built disorder: event 3 arrives 2 hours stale, event 5 ten
+    # minutes stale — across a phase-1 bucket boundary when LAT_BUCKET
+    # is monkey-shrunk to 2, so the bucket-offset max is load-bearing
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, offset_min):
+        return (eid, base + datetime.timedelta(minutes=offset_min), 1, "x",
+                1.0, "{}")
+
+    frame = spark.createDataFrame(
+        [ev(0, 0), ev(1, 60), ev(2, 90), ev(3, -60), ev(4, 120),
+         ev(5, 110)],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    import tempfile
+
+    import proxyhouse_spark.operators.behavior as B
+
+    with tempfile.TemporaryDirectory() as d:
+        frame.write.parquet(f"{d}/events.parquet")
+        old = B.LAT_BUCKET
+        B.LAT_BUCKET = 2
+        try:
+            out = {r.late_hours: r for r in lateness_profile(spark, d)
+                   .collect()}
+        finally:
+            B.LAT_BUCKET = old
+    # literal scan: HWM before e3 is 90min → e3 at -60min is 150min late
+    # (2 full hours); e5 sees HWM 120min → 10min late (hour bucket 0)
+    assert set(out) == {0, 2}
+    assert out[2].n == 1
+    assert out[0].n == 5  # four in-order + the 10-min-late one
+    # 5/6 = 83% < 99% → the p99 cut lands at the 2-hour bucket; the
+    # watermark readout is a per-result constant on every row
+    assert out[0].watermark_hours == out[2].watermark_hours == 2
