@@ -492,3 +492,58 @@ def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sales_opportunity_oracle() -> str:
     return _SALES_OPPORTUNITY
+
+
+# ---------------------------------------------------------------------------
+# price_elasticity — log-log demand elasticity per brand: OLS slope of
+# ln(quantity) on ln(unit price) over line items, the price-sensitivity
+# readout every pricing/merchandising review runs (ε < −1 elastic,
+# −1 < ε < 0 inelastic). Extends linreg_by_group's generic OLS with the
+# ECONOMETRIC spelling: both axes in logs, unit price as the exact
+# difference ln(price_cents) − ln(qty) (never a float division before
+# the log), slope + fit quality per brand.
+#
+# Float discipline: each log term rounds 6 dp → DECIMAL(18,6); the five
+# OLS moments are exact decimal sums (order-independent); slope and r²
+# are single double expressions over the O(#brands) frame, rounded 6.
+#
+# Shape: lineitem ⋈ broadcastable part dim → one (brand) fold →
+# O(#brands) readout. One shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _elasticity_sql() -> str:
+    x = ("CAST(round(ln(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+         " AS DOUBLE)) - ln(CAST(CAST(round(l_quantity) AS BIGINT)"
+         " AS DOUBLE)), 6) AS DECIMAL(18, 6))")
+    y = ("CAST(round(ln(CAST(CAST(round(l_quantity) AS BIGINT)"
+         " AS DOUBLE)), 6) AS DECIMAL(18, 6))")
+    return f"""
+    pts AS (SELECT p.p_brand AS brand, {x} AS x, {y} AS y
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    m AS (SELECT brand, CAST(count(*) AS DECIMAL(18, 0)) AS k,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pts GROUP BY brand)
+    SELECT brand, CAST(k AS BIGINT) AS n,
+           round(CAST(k * sxy - sx * sy AS DOUBLE)
+                 / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS elasticity,
+           round((CAST(k * sxy - sx * sy AS DOUBLE)
+                  * CAST(k * sxy - sx * sy AS DOUBLE))
+                 / (CAST(k * sxx - sx * sx AS DOUBLE)
+                    * CAST(k * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m
+    """
+
+
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N163: log-log demand elasticity per brand, exact decimal moments."""
+    from ..tables import table
+
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql("WITH " + _elasticity_sql())
+
+
+def price_elasticity_oracle() -> str:
+    return "WITH " + _elasticity_sql()

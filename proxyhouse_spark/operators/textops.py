@@ -1066,3 +1066,63 @@ def vocab_overlap_oracle() -> str:
         "(SELECT source, unnest(string_split(text, ' ')) AS tok "
         "FROM documents) x"
     )
+
+
+# ---------------------------------------------------------------------------
+# novelty — per-document NOVELTY score against the corpus prefix: the
+# share of a doc's distinct token-3-grams never seen in any EARLIER doc
+# (first-seen = min doc_id per gram — the Heaps-law machinery at gram
+# grain, credited back to documents). The data-curation signal between
+# dedup's binary verdicts and redundancy's source-level pooling: a
+# feed whose novelty curve collapses has stopped paying for itself —
+# the number crawl scheduling and mix rebalancing read per batch.
+#
+# All-integer (counts + basis points via dialect integer division).
+# Shape: distinct (doc, gram) explode → one gram-keyed min fold (map-
+# side combinable) → join back on gram → per-doc fold. Two shuffles,
+# both on keys that scale sublinearly (grams Heaps-bounded).
+# ---------------------------------------------------------------------------
+
+
+def _novelty_sql(shingles: str, explode: str, idiv: str) -> str:
+    return f"""
+    sh AS (SELECT doc_id, {shingles} AS sh FROM documents),
+    dg AS (SELECT doc_id, gram FROM sh {explode}),
+    fs AS (SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc
+           FROM dg GROUP BY gram),
+    d AS (SELECT dg.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN fs.first_doc = dg.doc_id
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM dg JOIN fs ON fs.gram = dg.gram
+          GROUP BY dg.doc_id)
+    SELECT doc_id, n_grams, n_novel,
+           CAST((10000 * n_novel) {idiv} n_grams AS BIGINT) AS novelty_bp
+    FROM d
+    """
+
+
+def novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N162: first-seen gram share per doc — the curation novelty curve."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH tk0 AS (SELECT doc_id, split(text, ' ', -1) AS toks, text "
+        "FROM documents),"
+        + _novelty_sql(
+            T.shingles_spark(),
+            "LATERAL VIEW explode(sh) t AS gram",
+            "div",
+        ).replace("FROM documents", "FROM tk0", 1)
+    )
+
+
+def novelty_oracle() -> str:
+    return (
+        "WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS toks, text "
+        "FROM documents),"
+        + _novelty_sql(
+            T.shingles_duck(),
+            ", unnest(sh) AS t(gram)",
+            "//",
+        ).replace("FROM documents", "FROM tk0", 1)
+    )

@@ -1255,6 +1255,10 @@ register("q_woe_iv", features.woe_iv_oracle())(features.woe_iv)
 register("q_lateness_profile", behavior.lateness_profile_oracle())(
     behavior.lateness_profile
 )
+register("q_novelty", textops.novelty_oracle())(textops.novelty)
+register("q_price_elasticity", ds.price_elasticity_oracle())(
+    ds.price_elasticity
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1328,7 +1332,8 @@ _LEAD = [
     "q_ratio_metric_delta", "q_calibration", "q_auc", "q_pr_curve",
     "q_stream_auc", "q_did", "q_mde", "q_funnel_ttc", "q_modularity",
     "q_phash_neardup", "q_format_scan", "q_lag_features",
-    "q_target_encoding", "q_woe_iv", "q_lateness_profile",
+    "q_target_encoding", "q_woe_iv", "q_lateness_profile", "q_novelty",
+    "q_price_elasticity",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -2665,3 +2665,81 @@ def test_lateness_profile_fixture_is_ordered_and_machinery_is_exact(spark):
     # 5/6 = 83% < 99% → the p99 cut lands at the 2-hour bucket; the
     # watermark readout is a per-result constant on every row
     assert out[0].watermark_hours == out[2].watermark_hours == 2
+
+
+def test_novelty_matches_brute_force_first_seen(spark):
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+
+    def shingles(text):
+        toks = text.split(" ")
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {text}
+
+    first = {}
+    sh = {}
+    for d in sorted(docs, key=lambda d: d.doc_id):
+        sh[d.doc_id] = shingles(d.text)
+        for g in sh[d.doc_id]:
+            first.setdefault(g, d.doc_id)
+    out = {r.doc_id: r for r in registry.QUERIES["q_novelty"](
+        spark, SF_SMALL).collect()}
+    assert set(out) == set(sh)
+    for doc_id, grams in sh.items():
+        novel = sum(1 for g in grams if first[g] == doc_id)
+        r = out[doc_id]
+        assert r.n_grams == len(grams)
+        assert r.n_novel == novel
+        assert r.novelty_bp == 10000 * novel // len(grams)
+    # the curve collapses over the corpus prefix: late docs on a closed
+    # vocabulary introduce fewer grams than the very first doc
+    first_doc = min(sh)
+    assert out[first_doc].novelty_bp == 10000
+
+
+def test_price_elasticity_matches_brute_force_ols(spark):
+    import math
+    from collections import defaultdict
+
+    li = (
+        spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    brand = {
+        r.p_partkey: r.p_brand
+        for r in spark.read.parquet(f"{SF_SMALL}/part.parquet").collect()
+    }
+    pts = defaultdict(list)
+    for r in li:
+        x = round(
+            math.log(round(r.l_extendedprice * 100))
+            - math.log(round(r.l_quantity)), 6,
+        )
+        y = round(math.log(round(r.l_quantity)), 6)
+        pts[brand[r.l_partkey]].append((x, y))
+    out = {r.brand: r for r in registry.QUERIES["q_price_elasticity"](
+        spark, SF_SMALL).collect()}
+    assert set(out) == set(pts)
+    for b, xy in pts.items():
+        k = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        syy = sum(y * y for _, y in xy)
+        slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        r2 = (k * sxy - sx * sy) ** 2 / ((k * sxx - sx * sx)
+                                         * (k * syy - sy * sy))
+        r = out[b]
+        assert r.n == k
+        assert abs(r.elasticity - slope) < 1e-4
+        assert abs(r.r2 - r2) < 1e-4
+        # demand slopes down: every brand's elasticity is negative on
+        # this fixture (corr(ln q, ln p) ≈ -0.7 corpus-wide)
+        assert r.elasticity < 0
+        assert 0.0 <= r.r2 <= 1.0
