@@ -367,3 +367,108 @@ def stream_auc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..streaming.pipeline import _oracle_stream_conf  # noqa: E402
 
 stream_auc_query = _oracle_stream_conf(stream_auc_query)
+
+
+# ---------------------------------------------------------------------------
+# cross_validation — k-fold threshold selection WITHOUT leakage: for
+# each fold, the operating threshold is chosen by best train-F1 over
+# the OTHER folds' score histogram, then graded on the held-out fold.
+# The discipline q_pr_curve's single best-F1 row skips (its threshold
+# saw the data it's graded on — optimistic by construction) and the
+# evaluation twin of q_target_encoding's leave-one-out: selection must
+# never see its own test labels. Folds = doc_id % K (the hash_split
+# discipline).
+#
+# Everything rides the (fold, score) histogram: the train histogram is
+# total − fold (additivity — no K rescans), TP/FP prefixes run per-fold
+# over the score-range-bounded threshold grid, and F1s are exact
+# rationals in single rounded expressions. test_f1 ≤ train-optimal by
+# construction shows up as the generalization gap column.
+# ---------------------------------------------------------------------------
+
+CV_FOLDS = 5
+
+
+def _cv_sql(score: str, idiv: str) -> str:
+    f1 = (
+        "round(CASE WHEN {tp} > 0 THEN"
+        " 2e0 * CAST({tp} AS DOUBLE)"
+        " / (CAST({pp} AS DOUBLE) + CAST({pos} AS DOUBLE))"
+        " ELSE 0e0 END, 6)"
+    )  # F1 = 2TP/(predicted_pos + actual_pos) — the rational identity
+    return (
+        score
+        + f""",
+    sf AS (SELECT score_bp, pos, doc_id % {CV_FOLDS} AS fold FROM s),
+    g AS (SELECT fold, score_bp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS npos
+          FROM sf GROUP BY fold, score_bp),
+    tot AS (SELECT score_bp, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(npos) AS BIGINT) AS npos
+            FROM g GROUP BY score_bp),
+    folds AS (SELECT DISTINCT fold FROM g),
+    -- the fold × threshold grid: O(K · score-range), policy-bounded
+    grid AS (SELECT f.fold, t.score_bp,
+                    t.n - coalesce(gg.n, 0) AS tr_n,
+                    t.npos - coalesce(gg.npos, 0) AS tr_npos,
+                    coalesce(gg.n, 0) AS te_n,
+                    coalesce(gg.npos, 0) AS te_npos
+             FROM folds f CROSS JOIN tot t
+             LEFT JOIN g gg ON gg.fold = f.fold
+                           AND gg.score_bp = t.score_bp),
+    pfx AS (SELECT fold, score_bp,
+                   CAST(sum(tr_n) OVER w AS BIGINT) AS tr_pp,
+                   CAST(sum(tr_npos) OVER w AS BIGINT) AS tr_tp,
+                   CAST(sum(te_n) OVER w AS BIGINT) AS te_pp,
+                   CAST(sum(te_npos) OVER w AS BIGINT) AS te_tp,
+                   CAST(sum(tr_npos) OVER p AS BIGINT) AS tr_pos,
+                   CAST(sum(te_npos) OVER p AS BIGINT) AS te_pos
+            FROM grid
+            WINDOW w AS (PARTITION BY fold ORDER BY score_bp DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW),
+                   p AS (PARTITION BY fold)),
+    scored AS (SELECT fold, score_bp,
+                      {f1.format(tp="tr_tp", pp="tr_pp", pos="tr_pos")}
+                        AS train_f1,
+                      {f1.format(tp="te_tp", pp="te_pp", pos="te_pos")}
+                        AS test_f1
+               FROM pfx),
+    best AS (SELECT fold, score_bp AS threshold_bp, train_f1, test_f1
+             FROM (SELECT *, row_number() OVER (
+                       PARTITION BY fold
+                       ORDER BY train_f1 DESC, score_bp) AS rk
+                   FROM scored)
+             WHERE rk = 1),
+    summ AS (SELECT round(CAST(sum(CAST(test_f1 AS DECIMAL(18, 6)))
+                               AS DOUBLE) / count(*), 6) AS mean_test_f1
+             FROM best)
+    SELECT b.fold, b.threshold_bp, b.train_f1, b.test_f1,
+           round(b.train_f1 - b.test_f1, 6) AS gen_gap,
+           s2.mean_test_f1
+    FROM best b CROSS JOIN summ s2
+    """
+    )
+
+
+def cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N164: leak-free k-fold threshold selection + held-out grading."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _cv_sql(
+            _score_sql("size", "filter", "div").format(
+                toks="split(text, ' ', -1)"
+            ),
+            "div",
+        )
+    )
+
+
+def cross_validation_oracle() -> str:
+    return "WITH " + _cv_sql(
+        _score_sql("len", "list_filter", "//").format(
+            toks="string_split(text, ' ')"
+        ),
+        "//",
+    )

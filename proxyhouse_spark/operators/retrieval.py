@@ -590,3 +590,118 @@ def rrf_fusion_oracle() -> str:
         "list_transform(embedding, x -> CAST(x AS DOUBLE))",
         V.cosine_duck("c.e", "p.e"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ngram_lm_interp — Jelinek–Mercer interpolation, the third rung of the
+# LM-quality ladder: held-out perplexity of λ·P_bigram + (1−λ)·P_unigram
+# at three λ values, best λ flagged. Unigram sees marginal frequency
+# (N25's score), the bigram sees sequence (N101) — the interpolated
+# model is what actually ships (pure bigram add-one wastes mass on the
+# V² unseen tail; the mixture recovers it), and the λ sweep is the
+# one-hyperparameter tuning loop every LM pipeline runs on held-out
+# data. Same out-of-fold eval slice (doc_id % EVAL_MOD) as its ladder
+# siblings, so the three perplexities are directly comparable.
+#
+# Float discipline: component probabilities are exact-integer rationals
+# composed in DOUBLE inside one log10 per (eval bigram, λ), rounded
+# 6 dp → DECIMAL sums (the ladder's established pattern); the three λs
+# are binary-exact literals (0.25/0.5/0.75) evaluated as THREE columns
+# of one fold — no λ-spine join, one pass over the eval bigrams — then
+# unpivoted via inline/unnest (the corr_matrix trick).
+# ---------------------------------------------------------------------------
+
+LM_LAMBDAS = (0.25, 0.5, 0.75)
+
+
+def _interp_body(bg: str) -> tuple[str, str]:
+    """Shared CTE chain + the per-λ rounded-log DECIMAL sum columns."""
+    p2 = ("(CAST(coalesce(c12, 0) + 1.0 AS DOUBLE)"
+          " / (CAST(coalesce(c1, 0) AS DOUBLE)"
+          "    + CAST((SELECT v FROM vv) AS DOUBLE)))")
+    p1 = ("(CAST(coalesce(cu, 0) + 1.0 AS DOUBLE)"
+          " / (CAST((SELECT nt FROM nn) AS DOUBLE)"
+          "    + CAST((SELECT v FROM vv) AS DOUBLE)))")
+    lam_cols = ", ".join(
+        f"sum(CAST(round(log10({lam} * {p2} + {1 - lam} * {p1}), 6)"
+        f" AS DECIMAL(18, 6))) AS lp_{i}"
+        for i, lam in enumerate(LM_LAMBDAS)
+    )
+    body = f"""
+    tr AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM {bg} WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY w1, w2),
+    un AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+           FROM {bg} WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY w1),
+    ug AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS cu
+           FROM {bg} WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY w2),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nt
+           FROM {bg} WHERE doc_id % {EVAL_MOD} <> 0),
+    vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+             SELECT w1 AS w FROM {bg} WHERE doc_id % {EVAL_MOD} <> 0
+             UNION ALL
+             SELECT w2 AS w FROM {bg} WHERE doc_id % {EVAL_MOD} <> 0) x),
+    ev AS (SELECT e.w1, e.w2,
+                  t.c12, u.c1, uu.cu
+           FROM {bg} e
+           LEFT JOIN tr t ON t.w1 = e.w1 AND t.w2 = e.w2
+           LEFT JOIN un u ON u.w1 = e.w1
+           LEFT JOIN ug uu ON uu.w = e.w2
+           WHERE e.doc_id % {EVAL_MOD} = 0),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_eval, {lam_cols} FROM ev)
+    """
+    return body, p2
+
+
+def _interp_rows(pack: str) -> str:
+    rows = []
+    for i, lam in enumerate(LM_LAMBDAS):
+        mean = f"round(CAST(lp_{i} AS DOUBLE) / n_eval, 4)"
+        rows.append(pack.format(lam=lam, mean=mean))
+    return ", ".join(rows)
+
+
+def ngram_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N165: Jelinek–Mercer λ sweep — held-out interpolated perplexity."""
+    from ..checkpoints import scoped_checkpoint
+
+    _docs(spark, sf_dir)
+    posrange = (
+        " LATERAL VIEW explode(slice(sequence(1, size(toks)), 1, "
+        "greatest(size(toks) - 1, 0))) t AS i"
+    )
+    bg = spark.sql(
+        _bigram_select(
+            "split(text, ' ', -1)",
+            "element_at(toks, i)",
+            "element_at(toks, i + 1)",
+            posrange,
+        )
+    )
+    scoped_checkpoint(bg, "interp_bg").createOrReplaceTempView("interp_bg")
+    body, _ = _interp_body("interp_bg")
+    rows = _interp_rows(
+        "named_struct('lam', CAST({lam} AS DOUBLE), 'n_eval', n_eval,"
+        " 'mean_lp', {mean},"
+        " 'perplexity', round(pow(CAST(10 AS DOUBLE), -({mean})), 4))"
+    )
+    return spark.sql(
+        "WITH " + body + f" SELECT inline(array({rows})) FROM m"
+    )
+
+
+def ngram_lm_interp_oracle() -> str:
+    posrange = ", unnest(range(1, len(toks))) AS t(i)"
+    sel = _bigram_select(
+        "string_split(text, ' ')", "toks[i]", "toks[i + 1]", posrange
+    )
+    body, _ = _interp_body("bg")
+    rows = _interp_rows(
+        "struct_pack(lam := CAST({lam} AS DOUBLE), n_eval := n_eval,"
+        " mean_lp := {mean},"
+        " perplexity := round(pow(CAST(10 AS DOUBLE), -({mean})), 4))"
+    )
+    return (
+        f"WITH bg AS MATERIALIZED ({sel}),"
+        + body
+        + f" SELECT unnest([{rows}], recursive := true) FROM m"
+    )

@@ -1259,6 +1259,12 @@ register("q_novelty", textops.novelty_oracle())(textops.novelty)
 register("q_price_elasticity", ds.price_elasticity_oracle())(
     ds.price_elasticity
 )
+register("q_cross_validation", mleval.cross_validation_oracle())(
+    mleval.cross_validation
+)
+register("q_ngram_lm_interp", retrieval.ngram_lm_interp_oracle())(
+    retrieval.ngram_lm_interp
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1333,7 +1339,7 @@ _LEAD = [
     "q_stream_auc", "q_did", "q_mde", "q_funnel_ttc", "q_modularity",
     "q_phash_neardup", "q_format_scan", "q_lag_features",
     "q_target_encoding", "q_woe_iv", "q_lateness_profile", "q_novelty",
-    "q_price_elasticity",
+    "q_price_elasticity", "q_cross_validation", "q_ngram_lm_interp",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

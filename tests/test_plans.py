@@ -340,6 +340,9 @@ _SCALAR_BNLJ_OK = {
                           # O(#sources) WOE rows
     "q_lateness_profile", # 1-row watermark readout crossed into the
                           # bounded lateness histogram
+    "q_cross_validation", # K-row fold spine crossed with the score-range-
+                          # bounded threshold frame (the fold×threshold
+                          # grid) + the 1-row mean-test-F1 readout
 }
 
 

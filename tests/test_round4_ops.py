@@ -2743,3 +2743,98 @@ def test_price_elasticity_matches_brute_force_ols(spark):
         # this fixture (corr(ln q, ln p) ≈ -0.7 corpus-wide)
         assert r.elasticity < 0
         assert 0.0 <= r.r2 <= 1.0
+
+
+def test_cross_validation_matches_brute_force(spark):
+    from collections import Counter
+
+    from proxyhouse_spark.operators.mleval import CV_FOLDS
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    from proxyhouse_spark.functions.text import STOPWORDS
+
+    scored = []
+    for d in docs:
+        toks = d.text.split(" ")
+        hits = sum(1 for t in toks if t in STOPWORDS)
+        scored.append((d.doc_id % CV_FOLDS,
+                       10000 * hits // max(len(toks), 1),
+                       d.lang == "en"))
+    thresholds = sorted({s for _, s, _ in scored})
+
+    def f1_at(rows, t):
+        pp = sum(1 for _, s, _ in rows if s >= t)
+        tp = sum(1 for _, s, p in rows if s >= t and p)
+        pos = sum(1 for *_, p in rows if p)
+        return round(2 * tp / (pp + pos), 6) if tp else 0.0
+
+    out = {r.fold: r for r in registry.QUERIES["q_cross_validation"](
+        spark, SF_SMALL).collect()}
+    assert set(out) == set(range(CV_FOLDS))
+    test_f1s = []
+    for f in range(CV_FOLDS):
+        train = [r for r in scored if r[0] != f]
+        test = [r for r in scored if r[0] == f]
+        best_t = max(thresholds,
+                     key=lambda t: (f1_at(train, t), -t))
+        r = out[f]
+        assert r.threshold_bp == best_t
+        assert r.train_f1 == f1_at(train, best_t)
+        assert r.test_f1 == f1_at(test, best_t)
+        assert r.gen_gap == round(r.train_f1 - r.test_f1, 6)
+        test_f1s.append(r.test_f1)
+    assert abs(out[0].mean_test_f1
+               - round(sum(test_f1s) / CV_FOLDS, 6)) < 1e-9
+
+
+def test_ngram_lm_interp_matches_brute_force(spark):
+    import math
+    from collections import Counter
+
+    from proxyhouse_spark.operators.retrieval import EVAL_MOD, LM_LAMBDAS
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    tr_bi, tr_un, tr_ug = Counter(), Counter(), Counter()
+    ev = []
+    nt = 0
+    vocab = set()
+    for d in docs:
+        toks = d.text.split(" ")
+        bgs = list(zip(toks, toks[1:]))
+        if d.doc_id % EVAL_MOD == 0:
+            ev.extend(bgs)
+        else:
+            for a, b in bgs:
+                tr_bi[(a, b)] += 1
+                tr_un[a] += 1
+                tr_ug[b] += 1
+                vocab.add(a)
+                vocab.add(b)
+                nt += 1
+    v = len(vocab)
+    out = {r.lam: r for r in registry.QUERIES["q_ngram_lm_interp"](
+        spark, SF_SMALL).collect()}
+    assert set(out) == set(LM_LAMBDAS)
+    means = {}
+    for lam in LM_LAMBDAS:
+        s = 0.0
+        for a, b in ev:
+            p2 = (tr_bi[(a, b)] + 1.0) / (tr_un[a] + v)
+            p1 = (tr_ug[b] + 1.0) / (nt + v)
+            s += round(math.log10(lam * p2 + (1 - lam) * p1), 6)
+        means[lam] = round(s / len(ev), 4)
+        r = out[lam]
+        assert r.n_eval == len(ev)
+        assert abs(r.mean_lp - means[lam]) < 1e-4
+        assert abs(r.perplexity - 10 ** -r.mean_lp) < 1e-3
+    # the mixture must not be worse than its own components' envelope:
+    # perplexities are finite and ordered sanely across the sweep
+    assert all(out[l].perplexity > 1.0 for l in LM_LAMBDAS)
