@@ -3904,3 +3904,141 @@ def lateness_profile_oracle() -> str:
             FROM ev)
     """
     return "WITH " + hwm + "," + _lateness_hist("hwm").format(idiv="//")
+
+
+# ---------------------------------------------------------------------------
+# growth_accounting — the product-growth ledger: every active user-day
+# classified as NEW (first day ever), RETAINED (also active yesterday)
+# or RESURRECTED (returning after a gap), plus the CHURNED count (active
+# yesterday, silent today). The decomposition behind every "DAU is up,
+# is that good?" conversation — dau_mau gives the ratio, cohort tables
+# the long arc; this is the day-over-day flux ledger they both hide.
+# Identity pinned in tests: active(d) = new + retained + resurrected,
+# and retained(d) = active(d−1) − churned(d).
+#
+# Churn AT the horizon is observable (active on horizon−1, silent on
+# the horizon); churn at horizon+1 is NOT (no tomorrow to be silent
+# in) — the ledger stops at the horizon by the administrative-cutoff
+# rule (the kaplan_meier censoring discipline), pinned.
+#
+# All-integer; ONE shuffle on user_id (distinct user-days + lag/lead
+# share the sort), then an O(#days) day fold.
+# ---------------------------------------------------------------------------
+
+
+def _growth_sql(epoch: str, idiv: str) -> str:
+    return f"""
+    ad AS (SELECT DISTINCT user_id,
+                  CAST({epoch} {idiv} {_TS_DAY} AS BIGINT) AS day
+           FROM events),
+    hz AS (SELECT CAST(max(day) AS BIGINT) AS horizon FROM ad),
+    seq AS (SELECT user_id, day,
+                   lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                     AS prev,
+                   lead(day) OVER (PARTITION BY user_id ORDER BY day)
+                     AS nxt
+            FROM ad),
+    flux AS (SELECT day,
+                    CAST(count(*) AS BIGINT) AS n_active,
+                    CAST(sum(CASE WHEN prev IS NULL
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                    CAST(sum(CASE WHEN prev = day - 1
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_retained,
+                    CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_resurrected
+             FROM seq GROUP BY day),
+    churn AS (SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+              FROM seq CROSS JOIN hz
+              WHERE (nxt IS NULL OR nxt > day + 1) AND day + 1 <= horizon
+              GROUP BY day + 1)
+    SELECT f.day, f.n_active, f.n_new, f.n_retained, f.n_resurrected,
+           coalesce(c.n_churned, 0) AS n_churned
+    FROM flux f LEFT JOIN churn c ON c.day = f.day
+    """
+
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N166: new/retained/resurrected/churned day-over-day ledger."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _growth_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def growth_accounting_oracle() -> str:
+    return "WITH " + _growth_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# churn_label — predictive-LABEL construction with a hard temporal
+# boundary: features from days strictly BEFORE horizon − 7, label =
+# silent during the last 7 days. The label-engineering verb that closes
+# the feature family's loop (lag_features builds X, this builds a
+# leak-free y): every feature column is computable on the boundary
+# date, nothing after it leaks in — the temporal analogue of
+# target_encoding's self-exclusion, and the supervised frame a churn
+# model trains on directly.
+#
+# All-integer features (counts, milli sums, recency days). ONE user
+# fold; the boundary is a 1-row scalar frame.
+# ---------------------------------------------------------------------------
+
+CHURN_WINDOW_DAYS = 7
+
+
+def _churn_label_sql(epoch: str, idiv: str) -> str:
+    return f"""
+    ev AS (SELECT user_id,
+                  CAST({epoch} {idiv} {_TS_DAY} AS BIGINT) AS day,
+                  CAST(round(value * 1000) AS BIGINT) AS v,
+                  event_type
+           FROM events),
+    hz AS (SELECT CAST(max(day) - {CHURN_WINDOW_DAYS} AS BIGINT)
+                    AS boundary
+           FROM ev),
+    u AS (SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(v) AS BIGINT) AS milli_total,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                 CAST(max(day) AS BIGINT) AS last_day,
+                 CAST(count(DISTINCT day) AS BIGINT) AS n_active_days
+          FROM ev CROSS JOIN hz
+          WHERE day < boundary
+          GROUP BY user_id),
+    lab AS (SELECT user_id, CAST(1 AS INT) AS seen_after
+            FROM ev CROSS JOIN hz
+            WHERE day >= boundary
+            GROUP BY user_id)
+    SELECT u.user_id, u.n_events, u.milli_total, u.n_purchases,
+           u.n_active_days,
+           CAST((SELECT boundary FROM hz) - u.last_day AS BIGINT)
+             AS recency_days,
+           CAST(CASE WHEN l.seen_after IS NULL THEN 1 ELSE 0 END AS INT)
+             AS churned
+    FROM u LEFT JOIN lab l ON l.user_id = u.user_id
+    """
+
+
+def churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N167: leak-free supervised churn frame (features | boundary | y)."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _churn_label_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def churn_label_oracle() -> str:
+    return "WITH " + _churn_label_sql("epoch_us(ts)", "//")

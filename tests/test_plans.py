@@ -343,6 +343,10 @@ _SCALAR_BNLJ_OK = {
     "q_cross_validation", # K-row fold spine crossed with the score-range-
                           # bounded threshold frame (the fold×threshold
                           # grid) + the 1-row mean-test-F1 readout
+    "q_growth_accounting",  # 1-row horizon frame crossed into the churn
+                          # classification
+    "q_churn_label",      # 1-row boundary frame crossed into both the
+                          # feature and label scans
 }
 
 

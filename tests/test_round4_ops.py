@@ -2838,3 +2838,93 @@ def test_ngram_lm_interp_matches_brute_force(spark):
     # the mixture must not be worse than its own components' envelope:
     # perplexities are finite and ordered sanely across the sweep
     assert all(out[l].perplexity > 1.0 for l in LM_LAMBDAS)
+
+
+def test_growth_accounting_identities_and_brute_force(spark):
+    from collections import defaultdict
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "ts")
+        .collect()
+    )
+    days = defaultdict(set)
+    for r in rows:
+        epoch = r.ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                             second=0, microsecond=0)
+        td = r.ts - epoch
+        d = ((td.days * 86_400 + td.seconds) * 1_000_000
+             + td.microseconds) // 86_400_000_000
+        days[r.user_id].add(d)
+    per_day = defaultdict(lambda: [0, 0, 0, 0, 0])  # act,new,ret,res,chu
+    horizon = max(d for s in days.values() for d in s)
+    for _, ds in days.items():
+        sd = sorted(ds)
+        for i, d in enumerate(sd):
+            cell = per_day[d]
+            cell[0] += 1
+            if i == 0:
+                cell[1] += 1
+            elif sd[i - 1] == d - 1:
+                cell[2] += 1
+            else:
+                cell[3] += 1
+            nxt = sd[i + 1] if i + 1 < len(sd) else None
+            if (nxt is None or nxt > d + 1) and d + 1 <= horizon:
+                per_day[d + 1][4] += 1
+    got = {r.day: r for r in registry.QUERIES["q_growth_accounting"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == {d for d, c in per_day.items() if c[0] > 0}
+    prev_active = {}
+    for d, r in sorted(got.items()):
+        e = per_day[d]
+        assert (r.n_active, r.n_new, r.n_retained, r.n_resurrected,
+                r.n_churned) == tuple(e)
+        # ledger identities
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+        if d - 1 in prev_active:
+            assert r.n_retained == prev_active[d - 1] - r.n_churned
+        prev_active[d] = r.n_active
+    # churn AT the horizon is observable; beyond it is not — no output
+    # day exceeds the horizon (the administrative cutoff)
+    assert max(got) == horizon
+
+
+def test_churn_label_is_temporally_leak_free(spark):
+    from collections import defaultdict
+
+    from proxyhouse_spark.operators.behavior import CHURN_WINDOW_DAYS
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "ts", "value", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    all_days = []
+    for r in rows:
+        epoch = r.ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                             second=0, microsecond=0)
+        td = r.ts - epoch
+        d = ((td.days * 86_400 + td.seconds) * 1_000_000
+             + td.microseconds) // 86_400_000_000
+        per_user[r.user_id].append((d, int(round(r.value * 1000)),
+                                    r.event_type))
+        all_days.append(d)
+    boundary = max(all_days) - CHURN_WINDOW_DAYS
+    got = {r.user_id: r for r in registry.QUERIES["q_churn_label"](
+        spark, SF_SMALL).collect()}
+    expect_users = {u for u, evs in per_user.items()
+                    if any(d < boundary for d, _, _ in evs)}
+    assert set(got) == expect_users
+    for u in expect_users:
+        before = [(d, v, t) for d, v, t in per_user[u] if d < boundary]
+        after = [d for d, _, _ in per_user[u] if d >= boundary]
+        r = got[u]
+        assert r.n_events == len(before)
+        assert r.milli_total == sum(v for _, v, _ in before)
+        assert r.n_purchases == sum(1 for *_, t in before
+                                    if t == "purchase")
+        assert r.n_active_days == len({d for d, _, _ in before})
+        assert r.recency_days == boundary - max(d for d, _, _ in before)
+        assert r.churned == (0 if after else 1)
