@@ -547,3 +547,61 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def price_elasticity_oracle() -> str:
     return "WITH " + _elasticity_sql()
+
+
+# ---------------------------------------------------------------------------
+# fulfillment_lag — order-to-ship latency percentiles per order
+# priority: the supply-chain SLA readout (does URGENT actually ship
+# faster?). Joins the order header's o_orderdate to each line's
+# l_shipdate and reports exact interpolating p50/p90/p99 of the lag in
+# whole days per priority, plus the late-line share past a fixed
+# 90-day promise. The operations twin of q_funnel_ttc's behavioral
+# stage latencies, on the relational side of the house.
+#
+# Exactness: lags are exact integer days (epoch-micro division); the
+# percentile ≡ quantile_cont identity carries the readout; the late
+# share is an exact integer ratio in basis points.
+# ---------------------------------------------------------------------------
+
+PROMISE_DAYS = 90
+
+
+def _fulfillment_sql(epoch_o: str, epoch_l: str, idiv: str,
+                     pct: str) -> str:
+    day = 86_400_000_000
+    return f"""
+    lag_days AS (SELECT o.o_orderpriority AS priority,
+                        CAST(({epoch_l} - {epoch_o}) {idiv} {day}
+                             AS BIGINT) AS d
+                 FROM lineitem l
+                 JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round({pct}(d, 0.5), 4) AS p50_days,
+           round({pct}(d, 0.9), 4) AS p90_days,
+           round({pct}(d, 0.99), 4) AS p99_days,
+           CAST((10000 * sum(CASE WHEN d > {PROMISE_DAYS}
+                                  THEN 1 ELSE 0 END)) {idiv} count(*)
+                AS BIGINT) AS late_bp
+    FROM lag_days GROUP BY priority
+    """
+
+
+def fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N169: order-to-ship latency SLA readout per priority."""
+    from ..tables import EPOCH_NTZ, table
+
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    eo = f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, o.o_orderdate)"
+    el = f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, l.l_shipdate)"
+    return spark.sql(
+        "WITH " + _fulfillment_sql(eo, el, "div", "percentile")
+    )
+
+
+def fulfillment_lag_oracle() -> str:
+    return "WITH " + _fulfillment_sql(
+        "epoch_us(o.o_orderdate)", "epoch_us(l.l_shipdate)",
+        "//", "quantile_cont",
+    )

@@ -1312,3 +1312,82 @@ def stream_substring_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..streaming.pipeline import _oracle_stream_conf as _osc  # noqa: E402
 
 stream_substring_query = _osc(stream_substring_query)
+
+
+# ---------------------------------------------------------------------------
+# hamming_sweep — the dedup-threshold OPERATING CURVE: the banded
+# 64-bit SimHash candidate pairs histogrammed by Hamming distance, with
+# cumulative pair counts per cut. q_simhash_wide ships Manku's fixed
+# Hamming ≤ 3; this table is where that number gets TUNED — it shows,
+# per candidate cut, how many pairs a pipeline would merge, so the
+# reviewer picks the knee instead of inheriting folklore (the dedup
+# twin of q_pr_curve's threshold table and q_lateness_profile's
+# watermark cut). Candidates are the SAME pigeonhole band join (pairs
+# agreeing on ≥1 of 4 16-bit bands), so cumulative counts at cut 3
+# reproduce q_simhash_wide's pair count exactly — pinned.
+#
+# All-integer; the histogram frame is O(49) rows (Hamming of a 64-bit
+# fingerprint restricted to band-collision candidates).
+# ---------------------------------------------------------------------------
+
+
+def _hamming_sweep_tail(hint: str, xor2: str) -> str:
+    return f"""
+    bands AS (
+      SELECT doc_id, lang, hi, lo, p,
+             {{band}} AS band
+      FROM s {{explode4}}),
+    pairs AS (
+      SELECT {hint} DISTINCT
+             a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+      FROM bands a JOIN bands b
+        ON a.lang = b.lang AND a.p = b.p AND a.band = b.band
+           AND a.doc_id < b.doc_id),
+    h AS (SELECT CAST({xor2} AS BIGINT) AS hamming FROM pairs),
+    g AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM h GROUP BY hamming)
+    SELECT hamming, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY hamming
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_pairs
+    FROM g
+    """
+
+
+def hamming_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N168: candidate-pair Hamming histogram — the dedup tuning table."""
+    s = scoped_checkpoint(
+        _simhash_wide_frame(spark, sf_dir), "hamming_sweep_frame"
+    )
+    s.createOrReplaceTempView("hamming_sweep_v")
+    tail = _hamming_sweep_tail(
+        "/*+ SHUFFLE_HASH(a, b) */",
+        "bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)",
+    ).format(
+        band="shiftright(CASE WHEN p < 2 THEN lo ELSE hi END,"
+             " 16 * (p % 2)) & 65535",
+        explode4="LATERAL VIEW explode(sequence(0, 3)) t AS p",
+    )
+    return spark.sql("WITH s AS (SELECT * FROM hamming_sweep_v)," + tail)
+
+
+def hamming_sweep_oracle() -> str:
+    tail = _hamming_sweep_tail(
+        "",
+        "bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b))",
+    ).format(
+        band="((CASE WHEN p < 2 THEN lo ELSE hi END)"
+             " >> (16 * (p % 2))) & 65535",
+        explode4=", range(0, 4) AS t(p)",
+    )
+    return f"""
+    WITH corpus AS ({DOC_CORPUS_SQL}),
+    tk AS (SELECT doc_id, lang, {T.TOKS_DUCK} AS toks FROM corpus),
+    th AS (SELECT doc_id, lang,
+                  {T.token_words_duck(T.token_hashes_duck('toks'))} AS ws
+           FROM tk),
+    s AS (SELECT doc_id, lang, {T.simhash64_hi_duck()} AS hi,
+                 {T.simhash64_lo_duck()} AS lo FROM th),
+    {tail}
+    """

@@ -1271,6 +1271,12 @@ register("q_growth_accounting", behavior.growth_accounting_oracle())(
 register("q_churn_label", behavior.churn_label_oracle())(
     behavior.churn_label
 )
+register("q_hamming_sweep", dedup.hamming_sweep_oracle())(
+    dedup.hamming_sweep
+)
+register("q_fulfillment_lag", ds.fulfillment_lag_oracle())(
+    ds.fulfillment_lag
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1346,7 +1352,8 @@ _LEAD = [
     "q_phash_neardup", "q_format_scan", "q_lag_features",
     "q_target_encoding", "q_woe_iv", "q_lateness_profile", "q_novelty",
     "q_price_elasticity", "q_cross_validation", "q_ngram_lm_interp",
-    "q_growth_accounting", "q_churn_label",
+    "q_growth_accounting", "q_churn_label", "q_hamming_sweep",
+    "q_fulfillment_lag",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -421,6 +421,8 @@ _UNPARTITIONED_WINDOW_OK = {
                       # O(corpus/LAT_BUCKET) frame (pack_global shape) +
                       # the cum prefix over the calendar-bounded
                       # O(max-lateness-hours) histogram
+    "q_hamming_sweep",  # cumulative prefix over the O(49)-row Hamming
+                      # histogram — bounded by the fingerprint width
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec

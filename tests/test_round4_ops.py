@@ -2928,3 +2928,48 @@ def test_churn_label_is_temporally_leak_free(spark):
         assert r.n_active_days == len({d for d, _, _ in before})
         assert r.recency_days == boundary - max(d for d, _, _ in before)
         assert r.churned == (0 if after else 1)
+
+
+def test_hamming_sweep_cut3_reproduces_simhash_wide(spark):
+    """The cumulative count at Hamming 3 must equal q_simhash_wide's
+    pair count exactly — same candidates, same fingerprints."""
+    sweep = registry.QUERIES["q_hamming_sweep"](spark, SF_SMALL).collect()
+    wide_n = registry.QUERIES["q_simhash_wide"](spark, SF_SMALL).count()
+    at3 = max((r.cum_pairs for r in sweep if r.hamming <= 3), default=0)
+    assert at3 == wide_n
+    # histogram sanity: cumulative is monotone and totals all candidates
+    prev = 0
+    for r in sorted(sweep, key=lambda r: r.hamming):
+        assert r.n_pairs >= 1
+        assert r.cum_pairs == prev + r.n_pairs
+        prev = r.cum_pairs
+        assert 0 <= r.hamming <= 64
+
+
+def test_fulfillment_lag_matches_brute_force(spark):
+    from collections import defaultdict
+
+    orders = {
+        r.o_orderkey: (r.o_orderdate, r.o_orderpriority)
+        for r in spark.read.parquet(f"{SF_SMALL}/orders.parquet").collect()
+    }
+    lags = defaultdict(list)
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate").collect()
+    for r in li:
+        od, prio = orders[r.l_orderkey]
+        lags[prio].append((r.l_shipdate - od).days)
+    got = {r.priority: r for r in registry.QUERIES["q_fulfillment_lag"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(lags)
+    from proxyhouse_spark.operators.decision_support import PROMISE_DAYS
+
+    for prio, ds_ in lags.items():
+        ds_.sort()
+        r = got[prio]
+        assert r.n_lines == len(ds_)
+        assert abs(r.p50_days - _interp_pct(ds_, 0.5)) < 1e-4
+        assert abs(r.p90_days - _interp_pct(ds_, 0.9)) < 1e-4
+        assert abs(r.p99_days - _interp_pct(ds_, 0.99)) < 1e-4
+        late = sum(1 for d in ds_ if d > PROMISE_DAYS)
+        assert r.late_bp == 10000 * late // len(ds_)
