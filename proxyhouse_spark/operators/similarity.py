@@ -758,3 +758,102 @@ def knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_eval_oracle() -> str:
     return f"WITH embc AS ({EMB_CORPUS_DUCK}), " + _knn_eval_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift — EMBEDDING-space drift between two corpus slices
+# (vec_id parity as yesterday/today): centroid cosine, centroid L2
+# shift, and the worst-drifting dimension. The observability verb
+# q_drift_psi provides for scalar metrics, lifted to vectors — the
+# alarm that fires when an embedding-model upgrade (or a silent
+# tokenizer change upstream) moves the whole space, which per-query
+# ANN recall checks can't see.
+#
+# Exactness: components enter as exact micro-unit BIGINTs
+# (round(v·10⁶) — float32 inputs are well inside that grid), per-slice
+# per-dim sums are exact integer folds; the cross-dim reductions
+# (dot, norms, L2) would be 64-term float sums whose ADDITION ORDER
+# differs across engines — each term is rounded to 12 dp DECIMAL first,
+# then summed exactly (the established discipline, tightened for unit-
+# scale magnitudes). max-dim readout is order-free (max of structs).
+#
+# Shape: one posexplode → one (slice, dim) fold (128 rows) → 1-row
+# readout. One shuffle.
+#
+# Reading caveat (pinned): on a ZERO-CENTERED space both centroids are
+# ≈ 0 and their cosine is direction noise — the L2 shift (vs typical
+# vector norm) is the primary no-drift signal there; centroid cosine
+# becomes meaningful when the space has a bias term or mean-offset
+# features (most production text-embedding spaces do).
+# ---------------------------------------------------------------------------
+
+DRIFT_SCALE = 1_000_000
+
+
+def _embedding_drift_sql(from_tail: str, pos_expr: str,
+                         v_expr: str) -> str:
+    m = ("(CAST(s{h} AS DOUBLE) / CAST(n{h} AS DOUBLE)"
+         f" / {DRIFT_SCALE})")
+    m0, m1 = m.format(h="0"), m.format(h="1")
+    t12 = "CAST(round({expr}, 12) AS DECIMAL(28, 12))"
+    return f"""
+    x AS (SELECT vec_id % 2 AS half, {pos_expr} AS pos,
+                 CAST(round({v_expr} * {DRIFT_SCALE}) AS BIGINT) AS vi
+          FROM emb {from_tail}),
+    d AS (SELECT pos,
+                 CAST(sum(CASE WHEN half = 0 THEN vi END) AS BIGINT) AS s0,
+                 CAST(sum(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n0,
+                 CAST(sum(CASE WHEN half = 1 THEN vi END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n1
+          FROM x GROUP BY pos),
+    terms AS (SELECT pos, n0, n1,
+                     {t12.format(expr=f"{m0} * {m1}")} AS dot_t,
+                     {t12.format(expr=f"{m0} * {m0}")} AS n0_t,
+                     {t12.format(expr=f"{m1} * {m1}")} AS n1_t,
+                     {t12.format(expr=f"({m0} - {m1}) * ({m0} - {m1})")}
+                       AS d2_t,
+                     round(abs({m0} - {m1}), 9) AS ashift
+              FROM d),
+    r AS (SELECT CAST(max(n0) AS BIGINT) AS n_a,
+                 CAST(max(n1) AS BIGINT) AS n_b,
+                 round(CAST(sum(dot_t) AS DOUBLE)
+                       / (sqrt(CAST(sum(n0_t) AS DOUBLE))
+                          * sqrt(CAST(sum(n1_t) AS DOUBLE))), 6)
+                   AS centroid_cos,
+                 round(sqrt(CAST(sum(d2_t) AS DOUBLE)), 6) AS l2_shift,
+                 max(ashift) AS mx
+          FROM terms)
+    SELECT r.n_a, r.n_b, r.centroid_cos, r.l2_shift,
+           CAST(min(t.pos) AS BIGINT) AS max_shift_dim,
+           round(r.mx, 6) AS max_abs_shift
+    FROM r JOIN terms t ON t.ashift = r.mx
+    GROUP BY r.n_a, r.n_b, r.centroid_cos, r.l2_shift, r.mx
+    """
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N170: centroid drift between embedding slices, exact interior."""
+    from ..tables import table as _t
+
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embraw")
+    spark.sql(
+        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e "
+        "FROM embraw"
+    ).createOrReplaceTempView("emb")
+    return spark.sql(
+        "WITH "
+        + _embedding_drift_sql(
+            "LATERAL VIEW posexplode(e) t AS p0, v", "p0", "v"
+        )
+    )
+
+
+def embedding_drift_oracle() -> str:
+    return (
+        "WITH emb AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings),"
+        + _embedding_drift_sql(
+            f", unnest(range(1, {V.DIM + 1})) AS t(i)", "i - 1", "e[i]"
+        )
+    )

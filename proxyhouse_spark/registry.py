@@ -1277,6 +1277,9 @@ register("q_hamming_sweep", dedup.hamming_sweep_oracle())(
 register("q_fulfillment_lag", ds.fulfillment_lag_oracle())(
     ds.fulfillment_lag
 )
+register("q_embedding_drift", similarity.embedding_drift_oracle())(
+    similarity.embedding_drift
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1353,7 +1356,7 @@ _LEAD = [
     "q_target_encoding", "q_woe_iv", "q_lateness_profile", "q_novelty",
     "q_price_elasticity", "q_cross_validation", "q_ngram_lm_interp",
     "q_growth_accounting", "q_churn_label", "q_hamming_sweep",
-    "q_fulfillment_lag",
+    "q_fulfillment_lag", "q_embedding_drift",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

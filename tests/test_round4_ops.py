@@ -2973,3 +2973,33 @@ def test_fulfillment_lag_matches_brute_force(spark):
         assert abs(r.p99_days - _interp_pct(ds_, 0.99)) < 1e-4
         late = sum(1 for d in ds_ if d > PROMISE_DAYS)
         assert r.late_bp == 10000 * late // len(ds_)
+
+
+def test_embedding_drift_matches_numpy(spark):
+    import numpy as np
+
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").collect()
+    halves = {0: [], 1: []}
+    for r in rows:
+        v = np.round(np.array(r.embedding, dtype=np.float64) * 1_000_000)
+        halves[r.vec_id % 2].append(v)
+    a = np.mean(halves[0], axis=0) / 1_000_000
+    b = np.mean(halves[1], axis=0) / 1_000_000
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    l2 = float(np.linalg.norm(a - b))
+    shift = np.abs(a - b)
+    [row] = registry.QUERIES["q_embedding_drift"](
+        spark, SF_SMALL).collect()
+    assert (row.n_a, row.n_b) == (len(halves[0]), len(halves[1]))
+    assert abs(row.centroid_cos - cos) < 1e-5
+    assert abs(row.l2_shift - l2) < 1e-5
+    assert row.max_shift_dim == int(np.argmax(np.round(shift, 9)))
+    assert abs(row.max_abs_shift - float(shift.max())) < 1e-6
+    # slices are random halves of ONE zero-centered unit-vector cloud:
+    # the centroids are both ≈ 0 (cosine = direction noise) and the L2
+    # shift must sit at the SAMPLING-noise scale √(2/n) — materially
+    # above it would be real drift, materially below impossible noise
+    import math
+
+    expected = math.sqrt(2 / row.n_a)
+    assert 0.3 * expected < row.l2_shift < 3 * expected
