@@ -3926,11 +3926,13 @@ def lateness_profile_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _growth_sql(epoch: str, idiv: str) -> str:
+def _growth_sql(epoch: str, idiv: str, ad_src: str | None = None) -> str:
+    ad = ad_src or (
+        f"SELECT DISTINCT user_id, "
+        f"CAST({epoch} {idiv} {_TS_DAY} AS BIGINT) AS day FROM events"
+    )
     return f"""
-    ad AS (SELECT DISTINCT user_id,
-                  CAST({epoch} {idiv} {_TS_DAY} AS BIGINT) AS day
-           FROM events),
+    ad AS ({ad}),
     hz AS (SELECT CAST(max(day) AS BIGINT) AS horizon FROM ad),
     seq AS (SELECT user_id, day,
                    lag(day) OVER (PARTITION BY user_id ORDER BY day)
@@ -4042,3 +4044,89 @@ def churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def churn_label_oracle() -> str:
     return "WITH " + _churn_label_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# Streaming growth ledger — the IDEMPOTENT-SET-UNION member of the
+# merge-algebra family carrying a windowed-classification readout: the
+# ledger's sufficient statistic is the distinct (user, day) activity
+# set, whose merge is a plain union — idempotent, so re-delivered
+# batches are harmless even without the batch-id fence (the
+# stream_dedup property), while NEW/RETAINED/RESURRECTED/CHURNED are
+# re-derived per read over the merged set (the nonlinear-readout
+# thesis, third instance after MI and AUC — here the readout is not
+# even a statistic but a per-row temporal CLASSIFICATION). Two REAL
+# availableNow passes over parity-split events hash-match the one-shot
+# batch q_growth_accounting. State = O(users × active days), the
+# ledger's own output grain.
+# ---------------------------------------------------------------------------
+
+_GROWTH_SNAP_SCHEMA = "user_id bigint, day bigint"
+
+
+def _merge_user_days(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
+    from .cdc import _snapshot_applied, _snapshot_read, _snapshot_swap
+
+    if _snapshot_applied(snap_dir, batch_id):
+        return
+    delta = batch_df.select("user_id", "day").distinct()
+    current = _snapshot_read(spark, snap_dir, _GROWTH_SNAP_SCHEMA)
+    merged = current.unionByName(delta).distinct()
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    merged.repartition(4, "user_id").write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap_dir, tmp, batch_id)
+
+
+def stream_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18, oracle-checked: two availableNow passes maintaining the
+    distinct user-day set; the ledger over the merged set must
+    hash-match the one-shot batch q_growth_accounting."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+    from ..tables import EPOCH_NTZ, table
+
+    base = _scratch_dir("t18_growth_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    ev = table(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "user_id",
+        f"CAST(timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)"
+        f" div {_TS_DAY} AS BIGINT) AS day",
+    )
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "event_id bigint, user_id bigint, day bigint"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: _merge_user_days(spark, df, snap, bid)
+            )
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        src
+    )
+    _await_or_raise(one_pass())
+    spark.read.parquet(snap).createOrReplaceTempView("growth_snap")
+    return spark.sql(
+        "WITH "
+        + _growth_sql(
+            "", "", ad_src="SELECT user_id, day FROM growth_snap"
+        )
+    )
+
+
+from ..streaming.pipeline import _oracle_stream_conf  # noqa: E402
+
+stream_growth_query = _oracle_stream_conf(stream_growth_query)

@@ -1280,6 +1280,9 @@ register("q_fulfillment_lag", ds.fulfillment_lag_oracle())(
 register("q_embedding_drift", similarity.embedding_drift_oracle())(
     similarity.embedding_drift
 )
+register("q_stream_growth", behavior.growth_accounting_oracle())(
+    behavior.stream_growth_query
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1356,7 +1359,7 @@ _LEAD = [
     "q_target_encoding", "q_woe_iv", "q_lateness_profile", "q_novelty",
     "q_price_elasticity", "q_cross_validation", "q_ngram_lm_interp",
     "q_growth_accounting", "q_churn_label", "q_hamming_sweep",
-    "q_fulfillment_lag", "q_embedding_drift",
+    "q_fulfillment_lag", "q_embedding_drift", "q_stream_growth",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

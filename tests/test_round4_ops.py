@@ -3003,3 +3003,15 @@ def test_embedding_drift_matches_numpy(spark):
 
     expected = math.sqrt(2 / row.n_a)
     assert 0.3 * expected < row.l2_shift < 3 * expected
+
+
+def test_stream_growth_snapshot_equals_batch_and_is_replay_safe(spark):
+    batch = sorted(
+        tuple(r) for r in registry.QUERIES["q_growth_accounting"](
+            spark, SF_SMALL).collect()
+    )
+    streamed = sorted(
+        tuple(r) for r in registry.QUERIES["q_stream_growth"](
+            spark, SF_SMALL).collect()
+    )
+    assert streamed == batch
