@@ -472,3 +472,94 @@ def cross_validation_oracle() -> str:
         ),
         "//",
     )
+
+
+# ---------------------------------------------------------------------------
+# char_lang_id — a TRAINED character-bigram language classifier,
+# evaluated out-of-fold: per-language char-bigram profiles learned from
+# the doc_id-even half, the odd half classified by cosine against the
+# profiles, per-language accuracy reported. q_lang_id is the zero-shot
+# stopword heuristic; this is the trained upgrade a real pipeline swaps
+# in (char n-gram profiles are textcat/fastText's cheap tier).
+#
+# Honest-fixture reading (pinned): the synthetic corpus draws every
+# language's text from ONE shared word distribution — the labels carry
+# no text signal (the stopword scorer's AUC is ≈0.44, chance) — so the
+# held-out accuracy lands at the 1/k random baseline. That is the eval
+# WORKING: an out-of-fold evaluation whose job is to catch useless
+# models reports this one as useless; the same machinery reports real
+# accuracy the moment the corpus has real languages.
+#
+# Exact argmax: cosine(doc, lang) ordering per doc is argmax over
+# dot²/‖profile‖² (the doc norm is common) — compared via the exact
+# integer key floor(dot²·10⁶ / n_l) with a lang tiebreak: dots and
+# norms are exact BIGINT/DECIMAL counts, so the winner is identical on
+# both engines by construction (no float cosine anywhere).
+#
+# Scale: bigram explode is a narrow linear pass; profiles are
+# O(langs · |Σ|²) — policy-bounded, broadcastable; the scoring join is
+# keyed on the bigram; per-doc argmax is a keyed max, not a window.
+# ---------------------------------------------------------------------------
+
+
+def _char_lang_sql(explode: str, bg: str, idiv: str) -> str:
+    return f"""
+    cb AS (SELECT doc_id, lang, {bg} AS bigram
+           FROM documents {explode}),
+    prof AS (SELECT lang, bigram, CAST(count(*) AS BIGINT) AS c
+             FROM cb WHERE doc_id % 2 = 0 GROUP BY lang, bigram),
+    pnorm AS (SELECT lang,
+                     CAST(sum(CAST(c AS DECIMAL(19, 0)) * c)
+                          AS DECIMAL(38, 0)) AS n2
+              FROM prof GROUP BY lang),
+    dv AS (SELECT doc_id, lang AS true_lang, bigram,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM cb WHERE doc_id % 2 = 1 GROUP BY doc_id, lang, bigram),
+    dots AS (SELECT d.doc_id, d.true_lang, p.lang AS cand,
+                    CAST(sum(CAST(d.c AS DECIMAL(19, 0)) * p.c)
+                         AS DECIMAL(38, 0)) AS dot
+             FROM dv d JOIN prof p ON p.bigram = d.bigram
+             GROUP BY d.doc_id, d.true_lang, p.lang),
+    keyed AS (SELECT doc_id, true_lang, cand,
+                     CAST((dot * dot * 1000000) {idiv} pn.n2
+                          AS DECIMAL(38, 0)) AS k
+              FROM dots JOIN pnorm pn ON pn.lang = dots.cand),
+    best AS (SELECT doc_id, true_lang,
+                    min(cand) AS pred_lang
+             FROM keyed k1
+             WHERE NOT EXISTS (SELECT 1 FROM keyed k2
+                               WHERE k2.doc_id = k1.doc_id
+                                 AND (k2.k > k1.k
+                                      OR (k2.k = k1.k
+                                          AND k2.cand < k1.cand)))
+             GROUP BY doc_id, true_lang)
+    SELECT true_lang,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN pred_lang = true_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((10000 * sum(CASE WHEN pred_lang = true_lang
+                                  THEN 1 ELSE 0 END)) {idiv} count(*)
+                AS BIGINT) AS accuracy_bp
+    FROM best GROUP BY true_lang
+    """
+
+
+def char_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N171: trained char-bigram language ID, out-of-fold accuracy."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _char_lang_sql(
+            "LATERAL VIEW explode(sequence(1, length(text) - 1)) t AS i",
+            "substring(text, i, 2)",
+            "div",
+        )
+    )
+
+
+def char_lang_id_oracle() -> str:
+    return "WITH " + _char_lang_sql(
+        ", unnest(range(1, length(text))) AS t(i)",
+        "substr(text, i, 2)",
+        "//",
+    )

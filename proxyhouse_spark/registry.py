@@ -1283,6 +1283,9 @@ register("q_embedding_drift", similarity.embedding_drift_oracle())(
 register("q_stream_growth", behavior.growth_accounting_oracle())(
     behavior.stream_growth_query
 )
+register("q_char_lang_id", mleval.char_lang_id_oracle())(
+    mleval.char_lang_id
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1360,6 +1363,7 @@ _LEAD = [
     "q_price_elasticity", "q_cross_validation", "q_ngram_lm_interp",
     "q_growth_accounting", "q_churn_label", "q_hamming_sweep",
     "q_fulfillment_lag", "q_embedding_drift", "q_stream_growth",
+    "q_char_lang_id",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -3015,3 +3015,48 @@ def test_stream_growth_snapshot_equals_batch_and_is_replay_safe(spark):
             spark, SF_SMALL).collect()
     )
     assert streamed == batch
+
+
+def test_char_lang_id_matches_brute_force_classifier(spark):
+    from collections import Counter, defaultdict
+
+    docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    prof = defaultdict(Counter)
+    for d in docs:
+        if d.doc_id % 2 == 0:
+            for i in range(len(d.text) - 1):
+                prof[d.lang][d.text[i:i + 2]] += 1
+    n2 = {l: sum(c * c for c in cnt.values()) for l, cnt in prof.items()}
+    per_lang = defaultdict(lambda: [0, 0])
+    for d in docs:
+        if d.doc_id % 2 == 0:
+            continue
+        dv = Counter(d.text[i:i + 2] for i in range(len(d.text) - 1))
+        keys = {}
+        for l, cnt in prof.items():
+            dot = sum(c * cnt[g] for g, c in dv.items() if g in cnt)
+            keys[l] = dot * dot * 1_000_000 // n2[l]
+        pred = min(keys, key=lambda l: (-keys[l], l))
+        cell = per_lang[d.lang]
+        cell[0] += 1
+        cell[1] += pred == d.lang
+    got = {r.true_lang: r for r in registry.QUERIES["q_char_lang_id"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(per_lang)
+    total_n = total_c = 0
+    for l, (n, c) in per_lang.items():
+        r = got[l]
+        assert (r.n_test, r.n_correct) == (n, c)
+        assert r.accuracy_bp == 10000 * c // n
+        total_n += n
+        total_c += c
+    # the fixture's language labels carry NO text signal (one shared
+    # word distribution — the stopword scorer's AUC is ≈0.44), so the
+    # held-out accuracy must land AT the 1/k random baseline, inside a
+    # generous binomial band — the eval correctly catching a useless
+    # model is the pinned behavior
+    assert 0.1 < total_c / total_n < 0.35
