@@ -4130,3 +4130,52 @@ def stream_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..streaming.pipeline import _oracle_stream_conf  # noqa: E402
 
 stream_growth_query = _oracle_stream_conf(stream_growth_query)
+
+
+# ---------------------------------------------------------------------------
+# basket_rules — DIRECTED association rules over the top co-occurring
+# pairs: support, confidence and lift for both directions A→B and B→A.
+# Completes q_basket_pairs' symmetric view with the asymmetric one that
+# drives action (lift is symmetric — "these sell together"; confidence
+# is not — "A's buyers buy B" ≠ "B's buyers buy A", and the
+# recommendation goes on the HIGH-confidence side). All metrics exact
+# integer basis points after the top-K cut.
+# ---------------------------------------------------------------------------
+
+
+def _basket_rules_sql(idiv: str, cross: str) -> str:
+    base = _basket_sql(idiv, cross)
+    # reuse the pair machinery up to `top`, then unpivot to directed rules
+    head = base[: base.index("SELECT t.part_a")].rstrip()
+    if not head.endswith(","):
+        head += ","
+    return (
+        head
+        + f"""
+    rules AS (
+        SELECT part_a AS antecedent, part_b AS consequent, co FROM top
+        UNION ALL
+        SELECT part_b AS antecedent, part_a AS consequent, co FROM top)
+    SELECT d.antecedent, d.consequent, d.co,
+           CAST((d.co * 10000) {idiv} n.n_orders AS BIGINT) AS support_bp,
+           CAST((d.co * 10000) {idiv} pa.n_part AS BIGINT)
+             AS confidence_bp,
+           CAST((d.co * 10000) {idiv}
+                greatest(CAST(1 AS BIGINT),
+                         (pa.n_part * pb.n_part) {idiv} n.n_orders)
+                AS BIGINT) AS lift_bp
+    FROM rules d
+    JOIN pc pa ON pa.part = d.antecedent
+    JOIN pc pb ON pb.part = d.consequent{cross}n
+    """
+    )
+
+
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N172: directed support/confidence/lift rules on the top pairs."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("WITH " + _basket_rules_sql("div", " CROSS JOIN "))
+
+
+def basket_rules_oracle() -> str:
+    return "WITH " + _basket_rules_sql("//", ", ")

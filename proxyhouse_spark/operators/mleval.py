@@ -563,3 +563,97 @@ def char_lang_id_oracle() -> str:
         "substr(text, i, 2)",
         "//",
     )
+
+
+# ---------------------------------------------------------------------------
+# split_half — split-half RELIABILITY of the quality score
+# (measurement theory's first question about any metric: does it agree
+# with ITSELF?): each document's tokens split by position parity, the
+# integer quality score computed independently on each half, Pearson
+# between the halves across docs, and the Spearman–Brown correction
+# 2r/(1+r) — the reliability the full-length score is entitled to
+# claim. A quality filter whose halves disagree is measuring noise, no
+# matter what it correlates with downstream.
+#
+# Exactness: both half-scores are the exact integer-basis-point quality
+# blend (functions/text.py) over the parity token slices; the Pearson
+# moments are exact DECIMAL(38,0) folds (the corr_matrix discipline);
+# r and Spearman–Brown are single 1-row double expressions.
+# ---------------------------------------------------------------------------
+
+
+def _split_half_sql(size_fn: str, filter_fn: str, arr_filter: str,
+                    q_of: str, idiv: str) -> str:
+    return f"""
+    tk AS (SELECT doc_id, {{toks}} AS toks, text FROM documents),
+    halves AS (SELECT doc_id,
+                      {arr_filter.format(par="0")} AS t_even,
+                      {arr_filter.format(par="1")} AS t_odd
+               FROM tk),
+    sc AS (SELECT doc_id,
+                  CAST({q_of.format(t="t_even")} AS BIGINT) AS x,
+                  CAST({q_of.format(t="t_odd")} AS BIGINT) AS y
+           FROM halves
+           WHERE {size_fn}(t_even) > 0 AND {size_fn}(t_odd) > 0),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS DECIMAL(38, 0)) AS sx,
+                 CAST(sum(y) AS DECIMAL(38, 0)) AS sy,
+                 CAST(sum(CAST(x AS DECIMAL(19, 0)) * y) AS DECIMAL(38, 0))
+                   AS sxy,
+                 CAST(sum(CAST(x AS DECIMAL(19, 0)) * x) AS DECIMAL(38, 0))
+                   AS sxx,
+                 CAST(sum(CAST(y AS DECIMAL(19, 0)) * y) AS DECIMAL(38, 0))
+                   AS syy
+          FROM sc)
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS half_corr,
+           round(2e0 * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 / (1e0 + ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))),
+                 6) AS spearman_brown
+    FROM m
+    """
+
+
+def split_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N173: split-half reliability + Spearman–Brown of quality_score."""
+    from ..functions import text as T
+
+    _docs(spark, sf_dir)
+    arr_filter = ("filter(toks, (tok, i) -> i % 2 = {par})")
+    q_of = T.quality_spark(toks="{t}", text="array_join({t}, ' ')")
+    return spark.sql(
+        "WITH "
+        + _split_half_sql(
+            "size", "filter", arr_filter, q_of, "div"
+        ).format(toks="split(text, ' ', -1)")
+    )
+
+
+def split_half_oracle() -> str:
+    from ..functions import text as T
+
+    arr_filter = (
+        "list_transform("
+        "list_filter(list_transform(toks, (x, i) -> struct_pack("
+        "tok := x, i := i)), s -> (s.i - 1) % 2 = {par}), s -> s.tok)"
+    )
+    q_of = T.quality_duck(toks="{t}", text="array_to_string({t}, ' ')")
+    return "WITH " + _split_half_sql(
+        "len", "list_filter", arr_filter, q_of, "//"
+    ).format(toks="string_split(text, ' ')")

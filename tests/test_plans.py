@@ -348,6 +348,9 @@ _SCALAR_BNLJ_OK = {
                           # classification
     "q_churn_label",      # 1-row boundary frame crossed into both the
                           # feature and label scans
+    "q_basket_rules",     # 1-row basket-count frame crossed with the
+                          # top-20 directed-rule cut (the basket_pairs
+                          # justification, both directions)
 }
 
 

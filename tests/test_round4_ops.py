@@ -3060,3 +3060,80 @@ def test_char_lang_id_matches_brute_force_classifier(spark):
     # generous binomial band — the eval correctly catching a useless
     # model is the pinned behavior
     assert 0.1 < total_c / total_n < 0.35
+
+
+def test_basket_rules_matches_brute_force(spark):
+    from collections import Counter, defaultdict
+
+    from proxyhouse_spark.operators.behavior import BASKET_TOP
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey").collect()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    co = Counter()
+    pc = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            pc[p] += 1
+        sp = sorted(parts)
+        for i, a in enumerate(sp):
+            for b in sp[i + 1:]:
+                co[(a, b)] += 1
+    n = len(baskets)
+    top = sorted(co.items(), key=lambda kv: (-kv[1], kv[0]))[:BASKET_TOP]
+    got = {(r.antecedent, r.consequent): r
+           for r in registry.QUERIES["q_basket_rules"](
+               spark, SF_SMALL).collect()}
+    assert len(got) == 2 * len(top)
+    for (a, b), c in top:
+        for ant, con in ((a, b), (b, a)):
+            r = got[(ant, con)]
+            assert r.co == c
+            assert r.support_bp == 10000 * c // n
+            assert r.confidence_bp == 10000 * c // pc[ant]
+            assert r.lift_bp == 10000 * c // max(
+                1, pc[ant] * pc[con] // n)
+    # the point of direction: at least one top pair has asymmetric
+    # confidence while lift is symmetric by construction
+    asym = [(a, b) for (a, b), _ in top
+            if got[(a, b)].confidence_bp != got[(b, a)].confidence_bp]
+    assert asym, "all confidences symmetric — fixture unexpectedly uniform"
+    for (a, b), _ in top:
+        assert got[(a, b)].lift_bp == got[(b, a)].lift_bp
+
+
+def test_split_half_matches_numpy(spark):
+    import numpy as np
+
+    from proxyhouse_spark.functions.text import STOPWORDS
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "text").collect()
+
+    def quality(toks):
+        # mirror functions/text.py integer basis-point blend
+        ntoks = len(toks)
+        text = " ".join(toks)
+        ndist = len(set(toks))
+        nstop = sum(1 for t in toks if t in STOPWORDS)
+        length = 3000 * min(ntoks, 100) // 100
+        diversity = 3000 * ndist // ntoks
+        shape = min(2000, 2000 * (len(text) - ntoks + 1) // (8 * ntoks))
+        stop = 2000 - 2000 * nstop // ntoks
+        return length + diversity + shape + stop
+
+    xs, ys = [], []
+    for d in docs:
+        toks = d.text.split(" ")
+        ev = toks[0::2]
+        od = toks[1::2]
+        if ev and od:
+            xs.append(quality(ev))
+            ys.append(quality(od))
+    r = float(np.corrcoef(xs, ys)[0, 1])
+    [row] = registry.QUERIES["q_split_half"](spark, SF_SMALL).collect()
+    assert row.n == len(xs)
+    assert abs(row.half_corr - r) < 1e-6
+    assert abs(row.spearman_brown - 2 * r / (1 + r)) < 1e-6
