@@ -657,3 +657,86 @@ def split_half_oracle() -> str:
     return "WITH " + _split_half_sql(
         "len", "list_filter", arr_filter, q_of, "//"
     ).format(toks="string_split(text, ' ')")
+
+
+# ---------------------------------------------------------------------------
+# conformal — SPLIT-CONFORMAL prediction intervals with empirical
+# coverage: the distribution-free uncertainty wrapper every 2026 ML
+# deployment is supposed to ship. Three disjoint day-folds: TRAIN fits
+# the predictor (weekday-slot mean of the milli metric — deliberately
+# the simplest model; conformal wraps ANY predictor), CALIBRATE takes
+# the ceil((n+1)(1−α))-th order statistic of absolute residuals (the
+# finite-sample-valid conformal rank, not a plug-in quantile), TEST
+# reports the empirical coverage the guarantee promises ≥ 1−α on
+# exchangeable data.
+#
+# Exactness: the slot predictor is integer division (deterministic,
+# documented floor bias — conformal's guarantee is predictor-agnostic
+# so the bias costs interval width, never validity); residuals exact
+# integers; the conformal order statistic is a count-based cut over the
+# residual-VALUE histogram (min r with cum ≥ k — the AUC machinery
+# shape, bounded by the residual range); coverage is exact basis
+# points. No floats anywhere but the α constant in the readout.
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA_BP = 1000  # α = 0.10 → target coverage 90.00%
+
+
+def _conformal_sql(epoch: str, idiv: str) -> str:
+    day = 86_400_000_000
+    return f"""
+    ev AS (SELECT CAST({epoch} {idiv} {day} AS BIGINT) AS day,
+                  CAST(({epoch} {idiv} {day} + 4) % 7 AS BIGINT) AS dow,
+                  CAST(round(value * 1000) AS BIGINT) AS y
+           FROM events),
+    f AS (SELECT day % 3 AS fold, dow, y FROM ev),
+    sm AS (SELECT dow, CAST(sum(y) {idiv} count(*) AS BIGINT) AS yhat
+           FROM f WHERE fold = 0 GROUP BY dow),
+    calib AS (SELECT abs(fc.y - sm.yhat) AS r
+              FROM f fc JOIN sm ON sm.dow = fc.dow
+              WHERE fc.fold = 1),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM calib),
+    rk AS (SELECT CAST(((10000 - {CONF_ALPHA_BP}) * (n + 1) + 9999)
+                       {idiv} 10000 AS BIGINT) AS k, n
+           FROM nc),
+    rhist AS (SELECT r, CAST(count(*) AS BIGINT) AS cnt FROM calib
+              GROUP BY r),
+    rcum AS (SELECT r, CAST(sum(cnt) OVER (ORDER BY r
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+             FROM rhist),
+    qhat AS (SELECT CAST(min(rc.r) AS BIGINT) AS q
+             FROM rcum rc CROSS JOIN rk
+             WHERE rc.cum >= rk.k),
+    test AS (SELECT abs(ft.y - sm.yhat) AS r
+             FROM f ft JOIN sm ON sm.dow = ft.dow
+             WHERE ft.fold = 2),
+    cov AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+                   CAST((10000 * sum(CASE WHEN t.r <= q.q
+                                          THEN 1 ELSE 0 END)) {idiv}
+                        count(*) AS BIGINT) AS coverage_bp
+            FROM test t CROSS JOIN qhat q)
+    SELECT rk.n AS n_calib, rk.k AS conformal_rank,
+           q.q AS q_milli,
+           cov.n_test, cov.coverage_bp,
+           {10000 - CONF_ALPHA_BP} AS target_bp
+    FROM rk CROSS JOIN qhat q CROSS JOIN cov
+    """
+
+
+def conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N174: split-conformal interval + finite-sample coverage audit."""
+    from ..tables import EPOCH_NTZ
+
+    _docs(spark, sf_dir)  # registers documents; events view below
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        "WITH "
+        + _conformal_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def conformal_oracle() -> str:
+    return "WITH " + _conformal_sql("epoch_us(ts)", "//")

@@ -351,6 +351,8 @@ _SCALAR_BNLJ_OK = {
     "q_basket_rules",     # 1-row basket-count frame crossed with the
                           # top-20 directed-rule cut (the basket_pairs
                           # justification, both directions)
+    "q_conformal",        # 1-row conformal-rank / q-hat / coverage frames
+                          # crossed for the readout
 }
 
 
@@ -427,6 +429,9 @@ _UNPARTITIONED_WINDOW_OK = {
                       # O(max-lateness-hours) histogram
     "q_hamming_sweep",  # cumulative prefix over the O(49)-row Hamming
                       # histogram — bounded by the fingerprint width
+    "q_conformal",    # cumulative prefix over the residual-VALUE
+                      # histogram — bounded by the metric range (the
+                      # mannwhitney justification)
 }
 
 # windowspecdefinition whose FIRST argument is already an order spec

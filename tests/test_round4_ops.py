@@ -3137,3 +3137,45 @@ def test_split_half_matches_numpy(spark):
     assert row.n == len(xs)
     assert abs(row.half_corr - r) < 1e-6
     assert abs(row.spearman_brown - 2 * r / (1 + r)) < 1e-6
+
+
+def test_conformal_matches_brute_force_and_covers(spark):
+    import math
+    from collections import defaultdict
+
+    from proxyhouse_spark.operators.mleval import CONF_ALPHA_BP
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("ts", "value")
+        .collect()
+    )
+    folds = defaultdict(list)
+    for r in rows:
+        epoch = r.ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                             second=0, microsecond=0)
+        td = r.ts - epoch
+        d = ((td.days * 86_400 + td.seconds) * 1_000_000
+             + td.microseconds) // 86_400_000_000
+        folds[d % 3].append(((d + 4) % 7, int(round(r.value * 1000))))
+    sm = defaultdict(lambda: [0, 0])
+    for dow, y in folds[0]:
+        sm[dow][0] += y
+        sm[dow][1] += 1
+    yhat = {dow: s // n for dow, (s, n) in sm.items()}
+    calib = sorted(abs(y - yhat[dow]) for dow, y in folds[1])
+    n = len(calib)
+    k = math.ceil((10000 - CONF_ALPHA_BP) * (n + 1) / 10000)
+    q = calib[k - 1]
+    test = [abs(y - yhat[dow]) for dow, y in folds[2]]
+    covered = sum(1 for r_ in test if r_ <= q)
+    [row] = registry.QUERIES["q_conformal"](spark, SF_SMALL).collect()
+    assert (row.n_calib, row.conformal_rank) == (n, k)
+    assert row.q_milli == q
+    assert row.n_test == len(test)
+    assert row.coverage_bp == 10000 * covered // len(test)
+    # the conformal guarantee on exchangeable folds: coverage within
+    # binomial noise of the target (generous 3σ band)
+    p = (10000 - CONF_ALPHA_BP) / 10000
+    sd = math.sqrt(p * (1 - p) / len(test))
+    assert abs(row.coverage_bp / 10000 - p) < 3 * sd + 1.0 / len(test)
