@@ -605,3 +605,69 @@ def fulfillment_lag_oracle() -> str:
         "epoch_us(o.o_orderdate)", "epoch_us(l.l_shipdate)",
         "//", "quantile_cont",
     )
+
+
+# ---------------------------------------------------------------------------
+# repurchase_gap — inter-ORDER recurrence per market segment: the CRM
+# reorder-cycle readout (when to send the replenishment nudge, when a
+# customer counts as lapsed). Per customer, gaps between consecutive
+# orders in whole days; per segment, exact interpolating p25/p50/p90 of
+# those gaps plus the share of one-order customers the gap view can't
+# see (reported, not silently dropped). The relational sibling of
+# q_gap_percentiles' event-stream gaps and q_funnel_ttc's stage
+# latencies.
+#
+# All-integer gaps (epoch-day subtraction); ONE shuffle on o_custkey
+# (lag shares the sort), then an O(#segments) fold; customer dim
+# attaches by broadcastable join.
+# ---------------------------------------------------------------------------
+
+
+def _repurchase_sql(epoch: str, idiv: str, pct: str) -> str:
+    day = 86_400_000_000
+    return f"""
+    o AS (SELECT o_custkey AS ck,
+                 CAST({epoch} {idiv} {day} AS BIGINT) AS d,
+                 o_orderkey AS ok
+          FROM orders),
+    g AS (SELECT ck,
+                 d - lag(d) OVER (PARTITION BY ck ORDER BY d, ok) AS gap
+          FROM o),
+    seg AS (SELECT c_custkey AS ck, c_mktsegment AS segment
+            FROM customer),
+    cust AS (SELECT ck, CAST(count(*) AS BIGINT) AS n_orders FROM o
+             GROUP BY ck)
+    SELECT s.segment,
+           CAST(count(DISTINCT c.ck) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN c.n_orders = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_single_order,
+           CAST(count(g.gap) AS BIGINT) AS n_gaps,
+           round({pct}(g.gap, 0.25), 4) AS p25_days,
+           round({pct}(g.gap, 0.5), 4) AS p50_days,
+           round({pct}(g.gap, 0.9), 4) AS p90_days
+    FROM cust c
+    JOIN seg s ON s.ck = c.ck
+    LEFT JOIN g ON g.ck = c.ck AND g.gap IS NOT NULL
+    GROUP BY s.segment
+    """
+
+
+def repurchase_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N175: reorder-cycle percentiles per market segment."""
+    from ..tables import EPOCH_NTZ, table
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        "WITH "
+        + _repurchase_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, o_orderdate)",
+            "div", "percentile",
+        )
+    )
+
+
+def repurchase_gap_oracle() -> str:
+    return "WITH " + _repurchase_sql(
+        "epoch_us(o_orderdate)", "//", "quantile_cont"
+    )

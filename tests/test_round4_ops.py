@@ -3179,3 +3179,43 @@ def test_conformal_matches_brute_force_and_covers(spark):
     p = (10000 - CONF_ALPHA_BP) / 10000
     sd = math.sqrt(p * (1 - p) / len(test))
     assert abs(row.coverage_bp / 10000 - p) < 3 * sd + 1.0 / len(test)
+
+
+def test_repurchase_gap_matches_brute_force(spark):
+    from collections import defaultdict
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_orderdate").collect()
+    seg = {
+        r.c_custkey: r.c_mktsegment
+        for r in spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+        .collect()
+    }
+    by_cust = defaultdict(list)
+    for r in orders:
+        epoch = r.o_orderdate.replace(year=1970, month=1, day=1)
+        by_cust[r.o_custkey].append(
+            ((r.o_orderdate - epoch).days, r.o_orderkey))
+    gaps = defaultdict(list)
+    singles = defaultdict(int)
+    custs = defaultdict(set)
+    for ck, ds_ in by_cust.items():
+        s = seg[ck]
+        custs[s].add(ck)
+        ds_.sort()
+        if len(ds_) == 1:
+            singles[s] += 1
+        for (a, _), (b, _) in zip(ds_, ds_[1:]):
+            gaps[s].append(b - a)
+    got = {r.segment: r for r in registry.QUERIES["q_repurchase_gap"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(custs)
+    for s in custs:
+        r = got[s]
+        assert r.n_customers == len(custs[s])
+        assert r.n_single_order == singles[s]
+        assert r.n_gaps == len(gaps[s])
+        gs = sorted(gaps[s])
+        for col, q in (("p25_days", 0.25), ("p50_days", 0.5),
+                       ("p90_days", 0.9)):
+            assert abs(getattr(r, col) - _interp_pct(gs, q)) < 1e-4
