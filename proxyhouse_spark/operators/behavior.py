@@ -4179,3 +4179,73 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def basket_rules_oracle() -> str:
     return "WITH " + _basket_rules_sql("//", ", ")
+
+
+# ---------------------------------------------------------------------------
+# attribution_linear — MULTI-touch attribution: each purchase's cents
+# split equally across ALL the user's clicks in the trailing 7-day
+# window (q_attribution's last-touch gives the final click everything;
+# linear is the other bookend every marketing mix debate runs between).
+# Exact-integer credit: every click gets cents div n, and the LAST
+# click (by the same (ts, click_id) tie discipline as last-touch) also
+# carries the remainder — so per-purchase credit sums to the purchase
+# cents EXACTLY (pinned), no fractional-cent leakage at any scale.
+#
+# Shape: the purchase×clicks-in-window join is a USER-keyed equi-join
+# with range predicates — the expansion is the OUTPUT (each qualifying
+# touch earns a credit row), bounded by clicks-per-user-week, never
+# corpus²; rollup to the attribution-day grain. One shuffle pattern on
+# user_id, then a day fold.
+# ---------------------------------------------------------------------------
+
+
+def _attr_linear_sql(epoch: str, idiv: str) -> str:
+    win = ATTRIBUTION_WINDOW_S * 1_000_000
+    day = 86_400_000_000
+    return f"""
+    ev AS (SELECT user_id, event_id, event_type, {epoch} AS t,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events
+           WHERE event_type IN ('click', 'purchase')),
+    touches AS (SELECT p.user_id, p.event_id AS purchase_id,
+                       p.cents, c.event_id AS click_id, c.t AS click_t
+                FROM ev p JOIN ev c
+                  ON c.user_id = p.user_id
+                     AND c.event_type = 'click'
+                     AND c.t <= p.t AND c.t >= p.t - {win}
+                WHERE p.event_type = 'purchase'),
+    ranked AS (SELECT *,
+                      CAST(count(*) OVER (PARTITION BY purchase_id)
+                        AS BIGINT) AS n,
+                      row_number() OVER (PARTITION BY purchase_id
+                                         ORDER BY click_t DESC,
+                                                  click_id DESC) AS rk
+               FROM touches),
+    credit AS (SELECT user_id, click_id, click_t,
+                      CASE WHEN rk = 1
+                           THEN cents - (n - 1) * (cents {idiv} n)
+                           ELSE cents {idiv} n END AS credit_cents
+               FROM ranked)
+    SELECT CAST(click_t {idiv} {day} AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+           CAST(sum(credit_cents) AS BIGINT) AS credited_cents
+    FROM credit GROUP BY CAST(click_t {idiv} {day} AS BIGINT)
+    """
+
+
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N176: equal-split multi-touch attribution, exact to the cent."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _attr_linear_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def attribution_linear_oracle() -> str:
+    return "WITH " + _attr_linear_sql("epoch_us(ts)", "//")

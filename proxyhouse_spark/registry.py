@@ -1294,6 +1294,9 @@ register("q_conformal", mleval.conformal_oracle())(mleval.conformal)
 register("q_repurchase_gap", ds.repurchase_gap_oracle())(
     ds.repurchase_gap
 )
+register("q_attribution_linear", behavior.attribution_linear_oracle())(
+    behavior.attribution_linear
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1372,7 +1375,7 @@ _LEAD = [
     "q_growth_accounting", "q_churn_label", "q_hamming_sweep",
     "q_fulfillment_lag", "q_embedding_drift", "q_stream_growth",
     "q_char_lang_id", "q_basket_rules", "q_split_half", "q_conformal",
-    "q_repurchase_gap",
+    "q_repurchase_gap", "q_attribution_linear",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

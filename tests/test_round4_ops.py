@@ -3219,3 +3219,55 @@ def test_repurchase_gap_matches_brute_force(spark):
         for col, q in (("p25_days", 0.25), ("p50_days", 0.5),
                        ("p90_days", 0.9)):
             assert abs(getattr(r, col) - _interp_pct(gs, q)) < 1e-4
+
+
+def test_attribution_linear_matches_brute_force_and_conserves_cents(spark):
+    from collections import defaultdict
+
+    from proxyhouse_spark.operators.behavior import ATTRIBUTION_WINDOW_S
+
+    rows = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .collect()
+    )
+
+    def us(ts):
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    by_user = defaultdict(lambda: {"click": [], "purchase": []})
+    for r in rows:
+        if r.event_type in ("click", "purchase"):
+            by_user[r.user_id][r.event_type].append(
+                (us(r.ts), r.event_id, int(round(r.value * 100))))
+    win = ATTRIBUTION_WINDOW_S * 1_000_000
+    per_day = defaultdict(lambda: [0, set(), 0])  # touches, clicks, cents
+    total_attributed = 0
+    for u, evs in by_user.items():
+        for pt, _, cents in evs["purchase"]:
+            touches = [(ct, cid) for ct, cid, _ in evs["click"]
+                       if pt - win <= ct <= pt]
+            if not touches:
+                continue
+            total_attributed += cents
+            n = len(touches)
+            last = max(touches)  # (t, id) — the tie discipline
+            for ct, cid in touches:
+                credit = (cents - (n - 1) * (cents // n)
+                          if (ct, cid) == last else cents // n)
+                cell = per_day[ct // 86_400_000_000]
+                cell[0] += 1
+                cell[1].add(cid)
+                cell[2] += credit
+    got = {r.day: r for r in registry.QUERIES["q_attribution_linear"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(per_day)
+    for d, (nt, clicks, cents) in per_day.items():
+        r = got[d]
+        assert (r.n_touches, r.n_clicks, r.credited_cents) == (
+            nt, len(clicks), cents)
+    # conservation to the cent: credit sums to attributed revenue exactly
+    assert sum(r.credited_cents for r in got.values()) == total_attributed
