@@ -740,3 +740,77 @@ def conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def conformal_oracle() -> str:
     return "WITH " + _conformal_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# isotonic_calibration — pool-adjacent-violators over the reliability
+# bins: the monotone recalibration map Platt scaling can't give without a
+# parametric form. q_calibration DIAGNOSES miscalibration (ECE); this op
+# FIXES it — the fitted iso_rate per score bin is the monotone function
+# closest (weighted L2) to the observed per-bin accuracy, the standard
+# production recalibrator for quality-filter scores used as probabilities.
+# Spelled via the PAV minimax identity — no iteration, no state:
+#     iso_i = max_{j ≤ i} min_{k ≥ i} (pos_{j..k} / n_{j..k})
+# over cumulative (n, pos) prefix sums. Every candidate mean is ONE
+# division of exact integers (bit-identical doubles cross-engine), and
+# max/min of identical doubles are identical — so the fit is fully
+# oracled, not approximately so.
+# Scale shape: the corpus collapses to ≤11 score bins (score_bp div 1000,
+# policy-bounded) in one map-side-combinable fold; the j≤k pair frame and
+# the j≤i≤k triple assembly are theta-joins on that BOUNDED frame
+# (≤11² pairs / ≤11³ rows — the conformal/drift_psi whitelist contract),
+# never on data-scaled rows.
+# ---------------------------------------------------------------------------
+
+
+def _isotonic_sql(score: str, idiv: str) -> str:
+    return (
+        score
+        + f""",
+    b AS (SELECT CAST(score_bp {idiv} 1000 AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS n_pos
+          FROM s GROUP BY CAST(score_bp {idiv} 1000 AS BIGINT)),
+    pre AS (SELECT a.bin, a.n, a.n_pos,
+                   CAST(sum(c.n) AS BIGINT) AS cn,
+                   CAST(sum(c.n_pos) AS BIGINT) AS cp
+            FROM b a JOIN b c ON c.bin <= a.bin
+            GROUP BY a.bin, a.n, a.n_pos),
+    pairs AS (SELECT j.bin AS jb, k.bin AS kb,
+                     CAST(k.cp - (j.cp - j.n_pos) AS DOUBLE)
+                       / (k.cn - (j.cn - j.n)) AS m
+              FROM pre j JOIN pre k ON j.bin <= k.bin),
+    inner_min AS (SELECT i.bin, p.jb, min(p.m) AS mn
+                  FROM pre i JOIN pairs p
+                    ON p.jb <= i.bin AND p.kb >= i.bin
+                  GROUP BY i.bin, p.jb),
+    iso AS (SELECT bin, max(mn) AS iso_rate FROM inner_min GROUP BY bin)
+    SELECT b.bin, b.n, b.n_pos,
+           round(CAST(b.n_pos AS DOUBLE) / b.n, 6) AS rate_r6,
+           round(i.iso_rate, 6) AS iso_r6
+    FROM b JOIN iso i ON i.bin = b.bin
+    """
+    )
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N183: PAV monotone recalibration of the en-scorer, fully oracled."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _isotonic_sql(
+            _score_sql("size", "filter", "div").format(
+                toks="split(text, ' ', -1)"
+            ),
+            "div",
+        )
+    )
+
+
+def isotonic_calibration_oracle() -> str:
+    return "WITH " + _isotonic_sql(
+        _score_sql("len", "list_filter", "//").format(
+            toks="string_split(text, ' ')"
+        ),
+        "//",
+    )

@@ -1088,3 +1088,77 @@ def stream_mutual_info_query(
 
 
 stream_mutual_info_query = _oracle_stream_conf(stream_mutual_info_query)
+
+
+# ---------------------------------------------------------------------------
+# simpsons_audit — correlation-reversal (Simpson's paradox) detection:
+# does the POOLED quantity↔unit-price relationship across all lineitems
+# carry the same sign as the WITHIN-brand relationship? Aggregate-level
+# dashboards routinely read the pooled slope; if strata reverse it, the
+# pooled number is a composition artifact, not a causal readout — the
+# audit every pricing/elasticity analysis should run before trusting a
+# trend (the stratified sibling of q_price_elasticity, which estimates
+# the within-stratum slope this audit validates the DIRECTION of).
+# Exactness: x = integer quantity, y = unit price in exact micro-units;
+# each covariance numerator n·Σxy − Σx·Σy is assembled in DECIMAL(38,0)
+# (the squared-sum overflow lesson — BIGINT dies at 10×), so every SIGN
+# is exact integer arithmetic and the flip verdict is bit-exact. The
+# published slope is one double division of those exact carriers.
+# Scale shape: part dim broadcast onto lineitem, ONE brand-keyed
+# map-side-combinable moment fold (O(#brands) rows), pooled row = the
+# same moments re-folded, crossed back (1-row frame, whitelist contract).
+# ---------------------------------------------------------------------------
+
+
+def _simpsons_sql() -> str:
+    dec = "DECIMAL(38,0)"
+    return f"""
+    li AS (SELECT p.p_brand AS brand,
+                  CAST(round(l.l_quantity) AS BIGINT) AS x,
+                  CAST(round(l.l_extendedprice * 1000000 / l.l_quantity)
+                       AS BIGINT) AS y
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    m AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(CAST(x AS {dec}) * y) AS {dec}) AS sxy,
+                 CAST(sum(CAST(x AS {dec}) * x) AS {dec}) AS sxx
+          FROM li GROUP BY brand),
+    pooled AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                      CAST(sum(sx) AS BIGINT) AS sx,
+                      CAST(sum(sy) AS BIGINT) AS sy,
+                      CAST(sum(sxy) AS {dec}) AS sxy,
+                      CAST(sum(sxx) AS {dec}) AS sxx
+               FROM m),
+    sgn AS (SELECT m.brand, m.n,
+                   CAST(m.n AS {dec}) * m.sxy
+                     - CAST(m.sx AS {dec}) * m.sy AS cov_num,
+                   CAST(m.n AS {dec}) * m.sxx
+                     - CAST(m.sx AS {dec}) * m.sx AS var_num,
+                   CAST(p.n AS {dec}) * p.sxy
+                     - CAST(p.sx AS {dec}) * p.sy AS pool_cov_num,
+                   CAST(p.n AS {dec}) * p.sxx
+                     - CAST(p.sx AS {dec}) * p.sx AS pool_var_num
+            FROM m CROSS JOIN pooled p)
+    SELECT brand, n,
+           CAST(sign(cov_num) AS BIGINT) AS within_sign,
+           CAST(sign(pool_cov_num) AS BIGINT) AS pooled_sign,
+           CAST(sign(cov_num) AS BIGINT)
+             <> CAST(sign(pool_cov_num) AS BIGINT) AS flipped,
+           round(CAST(cov_num AS DOUBLE) / CAST(var_num AS DOUBLE), 6)
+             AS slope_upm_r6,
+           round(CAST(pool_cov_num AS DOUBLE)
+                 / CAST(pool_var_num AS DOUBLE), 6) AS pooled_slope_upm_r6
+    FROM sgn
+    """
+
+
+def simpsons_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N184: Simpson's-paradox sign audit, exact DECIMAL(38,0) interior."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("WITH " + _simpsons_sql())
+
+
+def simpsons_audit_oracle() -> str:
+    return "WITH " + _simpsons_sql()

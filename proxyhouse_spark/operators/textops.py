@@ -1126,3 +1126,132 @@ def novelty_oracle() -> str:
             "//",
         ).replace("FROM documents", "FROM tk0", 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters_cms — Count-Min Sketch heavy hitters, FULLY ORACLED.
+# The streaming-sketch answer to "top tokens without a full groupBy": d=4
+# hash rows × w=64 counters; every occurrence increments one counter per
+# row; a token's estimate is the MIN over its d counters — always ≥ the
+# true count (one-sided error), overshooting only when every row collides.
+# Sketches are usually rows-only territory; THIS one is deterministic end
+# to end because the hash is md5 (portable: conv-vs-0x hex-prefix int,
+# the bootstrap_ci discipline), so DuckDB rebuilds the identical sketch
+# and the differential pins estimate AND overestimate exactly.
+# Scale shape: ONE corpus shuffle (token counts — map-side combinable);
+# the sketch is then built FROM the vocab-sized count frame (d×w counters
+# = 256 cells regardless of corpus), the estimate join is equi-keyed on
+# (row, bucket), and the top-K cut is ORDER BY + LIMIT (TakeOrdered, no
+# global window). The fixture's ~40-word closed vocab vs w=64 makes real
+# collisions (and thus visible overestimates) likely — the property the
+# pin verifies: est ≥ true, with equality iff no row-collision survived
+# the min.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOPK = 15
+
+
+def _cms_sql(md5int: str, explode_tok: str, explode_r: str) -> str:
+    return f"""
+    tok AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+            FROM {explode_tok} GROUP BY tok),
+    keyed AS (SELECT tok, n, r, {md5int} % {CMS_WIDTH} AS bucket
+              FROM tok{explode_r}),
+    counters AS (SELECT r, bucket, CAST(sum(n) AS BIGINT) AS c
+                 FROM keyed GROUP BY r, bucket),
+    est AS (SELECT k.tok, k.n, CAST(min(c.c) AS BIGINT) AS est
+            FROM keyed k JOIN counters c
+              ON c.r = k.r AND c.bucket = k.bucket
+            GROUP BY k.tok, k.n)
+    SELECT tok, n AS true_n, est AS est_n, est - n AS overestimate
+    FROM est
+    ORDER BY est DESC, n DESC, tok
+    LIMIT {CMS_TOPK}
+    """
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N181: Count-Min-Sketch heavy hitters with a deterministic md5 sketch."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _cms_sql(
+            "CAST(conv(substr(md5(concat(CAST(r AS STRING), '#', tok)), "
+            "1, 12), 16, 10) AS BIGINT)",
+            "(SELECT tok FROM documents "
+            "LATERAL VIEW explode(split(text, ' ', -1)) t AS tok) x",
+            f" LATERAL VIEW explode(sequence(0, {CMS_DEPTH - 1})) d AS r",
+        )
+    )
+
+
+def heavy_hitters_cms_oracle() -> str:
+    return "WITH " + _cms_sql(
+        "CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR), '#', "
+        "tok)), 1, 12)) AS BIGINT)",
+        "(SELECT unnest(string_split(text, ' ')) AS tok FROM documents) x",
+        f", unnest(range(0, {CMS_DEPTH})) AS d(r)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature_hashing — the hashing trick (Weinberger et al. 2009): tokens →
+# signed {-1,+1} counts in a fixed 64-dim bucket space, the stateless
+# vectorizer for models that can't carry a vocabulary (no fit step, no
+# dictionary broadcast, new tokens never OOV). Signs make collisions
+# cancel in expectation instead of always inflating (the property that
+# separates it from plain modulo bucketing — and from the CMS above,
+# whose collisions are one-sided by design).
+# Everything integer: per-doc nnz / L1 / L2² of the hashed vector are
+# exact, so the differential is hash-exact. Bucket and sign come from
+# the same portable md5-int idiom as the CMS.
+# Scale shape: explode → groupBy (doc_id, bucket) → re-agg by doc_id;
+# both shuffles are doc-keyed and the second runs on the already-reduced
+# ≤64-buckets-per-doc frame (AQE-coalesced) — narrow, linear, no corpus
+# pair surface anywhere.
+# ---------------------------------------------------------------------------
+
+FH_DIM = 64
+
+
+def _feature_hashing_sql(md5b: str, md5s: str, explode_tok: str) -> str:
+    return f"""
+    tk AS (SELECT doc_id, tok,
+                  {md5b} % {FH_DIM} AS bucket,
+                  CASE WHEN {md5s} % 2 = 0 THEN 1 ELSE -1 END AS sg
+           FROM {explode_tok}),
+    vec AS (SELECT doc_id, bucket, CAST(sum(sg) AS BIGINT) AS v
+            FROM tk GROUP BY doc_id, bucket)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+           CAST(sum(abs(v)) AS BIGINT) AS l1,
+           CAST(sum(v * v) AS BIGINT) AS l2sq
+    FROM vec GROUP BY doc_id
+    """
+
+
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N182: signed hashing-trick vectors, exact integer per-doc norms."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _feature_hashing_sql(
+            "CAST(conv(substr(md5(concat('b#', tok)), 1, 12), 16, 10) "
+            "AS BIGINT)",
+            "CAST(conv(substr(md5(concat('s#', tok)), 1, 12), 16, 10) "
+            "AS BIGINT)",
+            "(SELECT doc_id, tok FROM documents "
+            "LATERAL VIEW explode(split(text, ' ', -1)) t AS tok) x",
+        )
+    )
+
+
+def feature_hashing_oracle() -> str:
+    return "WITH " + _feature_hashing_sql(
+        "CAST(concat('0x', substr(md5(concat('b#', tok)), 1, 12)) AS BIGINT)",
+        "CAST(concat('0x', substr(md5(concat('s#', tok)), 1, 12)) AS BIGINT)",
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
+        "FROM documents) x",
+    )

@@ -1,0 +1,289 @@
+"""Time-series monitoring operators over the events stream.
+
+The production-monitoring tail every analytics engine grows once dashboards
+exist: rolling robust baselines (median), exponential smoothing (EWMA),
+changepoint localization (binary segmentation's first split), and a
+distribution-free trend test (Mann-Kendall). All four run at the DAILY grain:
+one shuffle reduces the raw corpus to O(#event_types × #days) rows, and every
+downstream step is bounded by days — independent of row count, which is what
+makes the family safe at 100 TB (the reference proxy has no query surface at
+all; these extend SURVEY §2.11's monitoring family — siblings of
+q_seasonal_anomaly / q_cusum / q_autocorr).
+
+Cross-engine discipline (the traps log in MEMORY): epoch math from
+timestampdiff-vs-epoch_us dialect params, integer division via div-vs-//,
+exact-interpolated medians via the percentile ≡ quantile_cont identity, and
+sequential HOF folds (Spark ``aggregate`` ≡ DuckDB ``list_reduce`` with a
+prepended seed) for the order-sensitive EWMA recurrence — per-expression IEEE
+double ops are exactly rounded and therefore bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..tables import table
+
+DAY_US = 86_400_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> None:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+
+def _daily_sql(epoch: str, idiv: str) -> str:
+    """Shared base: the one data-scale shuffle — events → (type, day) grain.
+
+    ``n`` is the daily event count, ``cents`` the exact integer daily value
+    sum (the same round(value*100) carrier the attribution family uses).
+    """
+    return f"""
+    ev AS (SELECT CAST({epoch} {idiv} {DAY_US} AS BIGINT) AS day, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+    daily AS (SELECT event_type, day,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS cents
+              FROM ev GROUP BY event_type, day)
+    """
+
+
+# ---------------------------------------------------------------------------
+# rolling_median — trailing-7-day EXACT median of the daily event count per
+# event_type: the robust baseline a spike detector compares today against
+# (mean-based baselines chase their own outliers; the median doesn't).
+# Spelled SCALE-FIRST: not a per-row sort window but a bounded 7-offset
+# explode + equi-keyed re-group — each daily row contributes to exactly 7
+# target days, so the blowup is a constant 7× on the O(types×days) frame,
+# never on the raw corpus. Missing calendar days are ABSENT from the window
+# (n_days reports the actual support), not imputed zero — a gap in ingestion
+# should widen uncertainty, not drag the baseline to zero.
+# ---------------------------------------------------------------------------
+
+
+def _rolling_median_sql(epoch: str, idiv: str, pct: str, explode_k: str) -> str:
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    win AS (SELECT d.event_type, d.day + t.k AS day, d.n
+            FROM daily d{explode_k}),
+    med AS (SELECT event_type, day,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   round({pct}(n, 0.5), 1) AS med7
+            FROM win GROUP BY event_type, day)
+    SELECT m.event_type, m.day, d.n, m.n_days, m.med7
+    FROM med m JOIN daily d ON d.event_type = m.event_type AND d.day = m.day
+    """
+    )
+
+
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N177: trailing-7-day exact median baseline per event_type."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _rolling_median_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            "div",
+            "percentile",
+            " LATERAL VIEW explode(sequence(0, 6)) t AS k",
+        )
+    )
+
+
+def rolling_median_oracle() -> str:
+    return "WITH " + _rolling_median_sql(
+        "epoch_us(ts)", "//", "quantile_cont", ", unnest(range(0, 7)) AS t(k)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# changepoint — binary segmentation's FIRST split per event_type: the day τ
+# that maximizes the between-segment sum-of-squares reduction
+# gain(τ) = S₁²/n₁ + S₂²/n₂ − T²/n over the daily counts. The k=1 core of
+# every offline changepoint stack (PELT/BinSeg); q_cusum answers "is it
+# drifting NOW", this answers "WHEN did the level shift".
+# Exactness: prefix sums are integers; each candidate's gain is a fixed
+# left-to-right chain of IEEE double ops on those integers, so both engines
+# produce bit-identical doubles and the argmax (gain DESC, day ASC tie) is
+# deterministic. Segment means are published as exact integer ppm
+# (micro-events/day). The windows are PARTITIONED by event_type and bounded
+# by #days — the corpus never enters a window.
+# ---------------------------------------------------------------------------
+
+
+def _changepoint_sql(epoch: str, idiv: str) -> str:
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    ord AS (SELECT event_type, day, n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS i,
+                   sum(n) OVER (PARTITION BY event_type
+                                ORDER BY day) AS s1,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                     AS nd,
+                   sum(n) OVER (PARTITION BY event_type) AS tot
+            FROM daily),
+    gain AS (SELECT event_type, day, i, nd, s1, tot,
+                    CAST(s1 AS DOUBLE) * s1 / i
+                      + CAST(tot - s1 AS DOUBLE) * (tot - s1) / (nd - i)
+                      - CAST(tot AS DOUBLE) * tot / nd AS g
+             FROM ord WHERE i < nd),
+    best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY g DESC, day) AS rk
+             FROM gain)
+    SELECT event_type, day AS split_day, nd AS n_days,
+           round(g, 6) AS gain_r6,
+           CAST(s1 * CAST(1000000 AS BIGINT) {idiv} i AS BIGINT)
+             AS mean_before_ppm,
+           CAST((tot - s1) * CAST(1000000 AS BIGINT) {idiv} (nd - i)
+                AS BIGINT) AS mean_after_ppm
+    FROM best WHERE rk = 1
+    """
+    )
+
+
+def changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N178: binary-segmentation level-shift localization per event_type."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _changepoint_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def changepoint_oracle() -> str:
+    return "WITH " + _changepoint_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# ewma — per-day exponentially-weighted moving average (α = 1/4) of the
+# daily value sum per event_type: the smoothing every latency/revenue
+# dashboard runs, and the recurrence (ewma_t = ewma_{t-1} + α(x_t −
+# ewma_{t-1})) that plain SQL windows cannot express because it is
+# order-SENSITIVE. Spelled as the proven sequential-HOF-fold scaffold
+# (chi2 / split_half discipline): one array of the type's daily values
+# sorted by day, then each day's readout folds its own prefix slice —
+# O(days²) lambda steps per type, bounded by the calendar, zero extra
+# shuffles. Seed = first observation (standard EWMA init; a zero seed
+# would fabricate a ramp-in). α = 1/4 is exactly representable in binary,
+# so both engines run identical IEEE ops in identical order.
+# ---------------------------------------------------------------------------
+
+
+def _ewma_sql(epoch: str, idiv: str, arr: str, fold: str) -> str:
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    ord AS (SELECT event_type, day, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS i
+            FROM daily),
+    arr AS (SELECT event_type, {arr} AS xs FROM ord GROUP BY event_type)
+    SELECT o.event_type, o.day, o.cents, round({fold}, 6) AS ewma_r6
+    FROM ord o JOIN arr a ON a.event_type = o.event_type
+    """
+    )
+
+
+def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N179: order-sensitive EWMA recurrence as a sequential HOF fold."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _ewma_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            "div",
+            "transform(array_sort(collect_list(struct(day, cents))), "
+            "s -> CAST(s.cents AS DOUBLE))",
+            "aggregate(slice(a.xs, 2, o.i - 1), element_at(a.xs, 1), "
+            "(acc, v) -> acc + CAST(0.25 AS DOUBLE) * (v - acc))",
+        )
+    )
+
+
+def ewma_oracle() -> str:
+    return "WITH " + _ewma_sql(
+        "epoch_us(ts)",
+        "//",
+        "list_transform(list_sort(list(struct_pack(day := day, "
+        "cents := cents))), s -> CAST(s.cents AS DOUBLE))",
+        "list_reduce(list_prepend(a.xs[1], list_slice(a.xs, 2, o.i)), "
+        "(acc, v) -> acc + CAST(0.25 AS DOUBLE) * (v - acc))",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall — the distribution-free monotone-trend test per event_type:
+# S = Σ_{i<j} sign(n_j − n_i) over the daily counts, tie-corrected variance,
+# continuity-corrected z. The standard "is this KPI actually trending"
+# answer when nothing is Gaussian (the hypothesis-test sibling of
+# q_theil_sen's slope estimate — Theil-Sen says how steep, Mann-Kendall says
+# whether to believe it). S and the variance are EXACT integers (variance
+# published ×18 to avoid the /18 rational); only the final z touches floats.
+# The pair join is equi-keyed on event_type over the O(types×days) frame —
+# days²·types pairs total, calendar-bounded, never corpus².
+# ---------------------------------------------------------------------------
+
+
+def _mann_kendall_sql(epoch: str, idiv: str) -> str:
+    return (
+        _daily_sql(epoch, idiv)
+        + """,
+    ord AS (SELECT event_type, day, n,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS i
+            FROM daily),
+    mk AS (SELECT a.event_type,
+                  CAST(sum(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT) AS s
+           FROM ord a JOIN ord b
+             ON a.event_type = b.event_type AND a.i < b.i
+           GROUP BY a.event_type),
+    tt AS (SELECT event_type,
+                  CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+           FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS t
+                 FROM daily GROUP BY event_type, n) tc
+           GROUP BY event_type),
+    nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY event_type)
+    SELECT m.event_type, nd.n_days, m.s,
+           nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - tt.tie_term
+             AS var18,
+           CASE WHEN nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                     - tt.tie_term = 0 THEN CAST(0 AS DOUBLE)
+                ELSE round((m.s - CAST(sign(m.s) AS BIGINT))
+                           / sqrt((nd.n_days * (nd.n_days - 1)
+                                   * (2 * nd.n_days + 5) - tt.tie_term)
+                                  / CAST(18 AS DOUBLE)), 6)
+           END AS z_r6
+    FROM mk m
+    JOIN tt ON tt.event_type = m.event_type
+    JOIN nd ON nd.event_type = m.event_type
+    """
+    )
+
+
+def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N180: tie-corrected Mann-Kendall trend test on daily counts."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _mann_kendall_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def mann_kendall_oracle() -> str:
+    return "WITH " + _mann_kendall_sql("epoch_us(ts)", "//")

@@ -1298,6 +1298,31 @@ register("q_attribution_linear", behavior.attribution_linear_oracle())(
     behavior.attribution_linear
 )
 
+from .operators import timeseries  # noqa: E402
+
+register("q_rolling_median", timeseries.rolling_median_oracle())(
+    timeseries.rolling_median
+)
+register("q_changepoint", timeseries.changepoint_oracle())(
+    timeseries.changepoint
+)
+register("q_ewma", timeseries.ewma_oracle())(timeseries.ewma)
+register("q_mann_kendall", timeseries.mann_kendall_oracle())(
+    timeseries.mann_kendall
+)
+register("q_heavy_hitters_cms", textops.heavy_hitters_cms_oracle())(
+    textops.heavy_hitters_cms
+)
+register("q_feature_hashing", textops.feature_hashing_oracle())(
+    textops.feature_hashing
+)
+register("q_isotonic_calibration", mleval.isotonic_calibration_oracle())(
+    mleval.isotonic_calibration
+)
+register("q_simpsons_audit", quality.simpsons_audit_oracle())(
+    quality.simpsons_audit
+)
+
 
 # ---------------------------------------------------------------------------
 # Driver-visibility rotation (VERDICT r3 item #1)
@@ -1376,6 +1401,9 @@ _LEAD = [
     "q_fulfillment_lag", "q_embedding_drift", "q_stream_growth",
     "q_char_lang_id", "q_basket_rules", "q_split_half", "q_conformal",
     "q_repurchase_gap", "q_attribution_linear",
+    "q_rolling_median", "q_changepoint", "q_ewma", "q_mann_kendall",
+    "q_heavy_hitters_cms", "q_feature_hashing", "q_isotonic_calibration",
+    "q_simpsons_audit",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -295,6 +295,12 @@ _SCALAR_BNLJ_OK = {
                           # crossed into the vocabulary segmentation
     "q_cuped",            # two 1-row frames (pivoted variant sums, pooled
                           # theta/variance moments) crossed for the readout
+    "q_isotonic_calibration",  # PAV minimax theta-joins on the ≤11-row
+                          # score-bin frame (score_bp div 1000 is policy-
+                          # bounded): ≤11² pair / ≤11³ triple rows — the
+                          # conformal/drift_psi bounded-frame contract
+    "q_simpsons_audit",   # 1-row pooled-moments frame crossed back onto
+                          # the O(#brands) per-stratum moment fold
     "q_ks_test",          # two 1-row frames (group sizes, integer supremum)
                           # crossed for the readout
     "q_kaplan_meier",     # 1-row total-subjects frame crossed into the

@@ -3271,3 +3271,232 @@ def test_attribution_linear_matches_brute_force_and_conserves_cents(spark):
             nt, len(clicks), cents)
     # conservation to the cent: credit sums to attributed revenue exactly
     assert sum(r.credited_cents for r in got.values()) == total_attributed
+
+
+def _daily_frames(spark):
+    """Brute-force (event_type, day) -> (count, cents) from the raw fixture."""
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "ts", "event_type", "value").collect()
+
+    def us(ts):
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    daily = defaultdict(lambda: [0, 0])
+    for r in rows:
+        cell = daily[(r.event_type, us(r.ts) // 86_400_000_000)]
+        cell[0] += 1
+        cell[1] += int(round(r.value * 100))
+    return daily
+
+
+def test_rolling_median_matches_brute_force(spark):
+    daily = _daily_frames(spark)
+    got = {(r.event_type, r.day): r for r in registry.QUERIES[
+        "q_rolling_median"](spark, SF_SMALL).collect()}
+    assert set(got) == set(daily)  # one output row per observed (type, day)
+    for (et, d), (n, _) in daily.items():
+        window = sorted(daily[(et, k)][0]
+                        for k in range(d - 6, d + 1) if (et, k) in daily)
+        r = got[(et, d)]
+        assert r.n == n
+        assert r.n_days == len(window)
+        assert abs(r.med7 - _interp_pct(window, 0.5)) < 1e-9
+
+
+def test_changepoint_maximizes_sse_gain(spark):
+    daily = _daily_frames(spark)
+    by_type = {}
+    for (et, d), (n, _) in daily.items():
+        by_type.setdefault(et, []).append((d, n))
+    got = {r.event_type: r for r in registry.QUERIES["q_changepoint"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(by_type)
+    for et, series in by_type.items():
+        series.sort()
+        ns = [n for _, n in series]
+        tot, nd = sum(ns), len(ns)
+        best = None
+        s1 = 0
+        for i in range(1, nd):
+            s1 += ns[i - 1]
+            g = (float(s1) * s1 / i + float(tot - s1) * (tot - s1) / (nd - i)
+                 - float(tot) * tot / nd)
+            if best is None or g > best[0] + 1e-12:
+                best = (g, series[i - 1][0], s1, i)
+        g, day, s1, i = best
+        r = got[et]
+        assert r.split_day == day
+        assert r.n_days == nd
+        assert abs(r.gain_r6 - g) < 1e-5
+        # exact integer ppm means on both segments
+        assert r.mean_before_ppm == s1 * 1_000_000 // i
+        assert r.mean_after_ppm == (tot - s1) * 1_000_000 // (nd - i)
+
+
+def test_ewma_matches_sequential_recurrence(spark):
+    daily = _daily_frames(spark)
+    by_type = {}
+    for (et, d), (_, cents) in daily.items():
+        by_type.setdefault(et, []).append((d, cents))
+    got = {(r.event_type, r.day): r for r in registry.QUERIES["q_ewma"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == {(et, d) for (et, d) in daily}
+    for et, series in by_type.items():
+        series.sort()
+        acc = None
+        for d, cents in series:
+            acc = float(cents) if acc is None else acc + 0.25 * (cents - acc)
+            r = got[(et, d)]
+            assert r.cents == cents
+            assert abs(r.ewma_r6 - acc) < 1e-5, (et, d)
+
+
+def test_mann_kendall_matches_brute_force(spark):
+    from collections import Counter
+    from math import sqrt
+
+    daily = _daily_frames(spark)
+    by_type = {}
+    for (et, d), (n, _) in daily.items():
+        by_type.setdefault(et, []).append((d, n))
+    got = {r.event_type: r for r in registry.QUERIES["q_mann_kendall"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(by_type)
+    for et, series in by_type.items():
+        series.sort()
+        ns = [n for _, n in series]
+        s = sum((b > a) - (b < a)
+                for i, a in enumerate(ns) for b in ns[i + 1:])
+        nd = len(ns)
+        tie = sum(t * (t - 1) * (2 * t + 5)
+                  for t in Counter(ns).values())
+        var18 = nd * (nd - 1) * (2 * nd + 5) - tie
+        r = got[et]
+        assert (r.n_days, r.s, r.var18) == (nd, s, var18)
+        z = 0.0 if var18 == 0 else (s - (s > 0) + (s < 0)) / sqrt(var18 / 18)
+        assert abs(r.z_r6 - z) < 1e-5
+
+
+def test_heavy_hitters_cms_is_one_sided_and_exact(spark):
+    import hashlib
+    from collections import Counter
+
+    from proxyhouse_spark.operators.textops import (
+        CMS_DEPTH, CMS_TOPK, CMS_WIDTH)
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "text").collect()
+    true = Counter(t for r in docs for t in r.text.split(" "))
+
+    def bucket(r, tok):
+        h = hashlib.md5(f"{r}#{tok}".encode()).hexdigest()[:12]
+        return int(h, 16) % CMS_WIDTH
+
+    counters = Counter()
+    for tok, n in true.items():
+        for r in range(CMS_DEPTH):
+            counters[(r, bucket(r, tok))] += n
+    est = {tok: min(counters[(r, bucket(r, tok))] for r in range(CMS_DEPTH))
+           for tok in true}
+    want = sorted(true, key=lambda t: (-est[t], -true[t], t))[:CMS_TOPK]
+    got = registry.QUERIES["q_heavy_hitters_cms"](spark, SF_SMALL).collect()
+    assert [r.tok for r in got] == want
+    for r in got:
+        assert r.true_n == true[r.tok]
+        assert r.est_n == est[r.tok]
+        # the CMS contract: one-sided error, never an underestimate
+        assert r.overestimate == r.est_n - r.true_n >= 0
+
+
+def test_feature_hashing_matches_brute_force(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from proxyhouse_spark.operators.textops import FH_DIM
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text").collect()
+
+    def h(prefix, tok):
+        return int(hashlib.md5(f"{prefix}#{tok}".encode())
+                   .hexdigest()[:12], 16)
+
+    got = {r.doc_id: r for r in registry.QUERIES["q_feature_hashing"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == {r.doc_id for r in docs}
+    for d in docs:
+        vec = defaultdict(int)
+        for tok in d.text.split(" "):
+            vec[h("b", tok) % FH_DIM] += 1 if h("s", tok) % 2 == 0 else -1
+        r = got[d.doc_id]
+        assert r.nnz == sum(1 for v in vec.values() if v != 0)
+        assert r.l1 == sum(abs(v) for v in vec.values())
+        assert r.l2sq == sum(v * v for v in vec.values())
+
+
+def test_isotonic_calibration_is_pav_and_monotone(spark):
+    rows = sorted(registry.QUERIES["q_isotonic_calibration"](
+        spark, SF_SMALL).collect(), key=lambda r: r.bin)
+    # brute-force PAV by pooling adjacent violators on the observed bins
+    blocks = [[r.n, r.n_pos] for r in rows]
+    merged = []
+    for b in blocks:
+        merged.append(list(b))
+        while len(merged) > 1 and (merged[-2][1] * merged[-1][0]
+                                   > merged[-1][1] * merged[-2][0]):
+            n2, p2 = merged.pop()
+            merged[-1][0] += n2
+            merged[-1][1] += p2
+    fitted = []
+    for n, p in merged:
+        # expand the pooled block back over its member bins
+        acc = 0
+        i = 0
+        while acc < n:
+            acc += rows[len(fitted)].n
+            fitted.append(p / n)
+            i += 1
+    for r, f in zip(rows, fitted):
+        assert abs(r.iso_r6 - f) < 1e-5, (r.bin, r.iso_r6, f)
+    # the defining property: the fit is non-decreasing in the score
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_r6 <= b.iso_r6 + 1e-12
+
+
+def test_simpsons_audit_matches_brute_force_signs(spark):
+    from collections import defaultdict
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice").collect()
+    brand = {r.p_partkey: r.p_brand for r in spark.read.parquet(
+        f"{SF_SMALL}/part.parquet").collect()}
+    by_brand = defaultdict(list)
+    for r in li:
+        x = int(round(r.l_quantity))
+        y = int(round(r.l_extendedprice * 1_000_000 / r.l_quantity))
+        by_brand[brand[r.l_partkey]].append((x, y))
+
+    def cov_num(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        return n * sxy - sx * sy
+
+    pooled = [p for pts in by_brand.values() for p in pts]
+    pool_sign = (cov_num(pooled) > 0) - (cov_num(pooled) < 0)
+    got = {r.brand: r for r in registry.QUERIES["q_simpsons_audit"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(by_brand)
+    for b, pts in by_brand.items():
+        r = got[b]
+        c = cov_num(pts)
+        assert r.n == len(pts)
+        assert r.within_sign == (c > 0) - (c < 0)
+        assert r.pooled_sign == pool_sign
+        assert r.flipped == (r.within_sign != r.pooled_sign)
