@@ -114,10 +114,10 @@ def rolling_median_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _changepoint_sql(epoch: str, idiv: str) -> str:
-    return (
-        _daily_sql(epoch, idiv)
-        + f""",
+def _changepoint_tail(idiv: str) -> str:
+    """The changepoint argmax over an existing ``daily(event_type, day, n)``
+    frame — shared by the batch op and the streaming snapshot readout."""
+    return f"""
     ord AS (SELECT event_type, day, n,
                    row_number() OVER (PARTITION BY event_type
                                       ORDER BY day) AS i,
@@ -143,7 +143,10 @@ def _changepoint_sql(epoch: str, idiv: str) -> str:
                 AS BIGINT) AS mean_after_ppm
     FROM best WHERE rk = 1
     """
-    )
+
+
+def _changepoint_sql(epoch: str, idiv: str) -> str:
+    return _daily_sql(epoch, idiv) + "," + _changepoint_tail(idiv)
 
 
 def changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,3 +290,103 @@ def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mann_kendall_oracle() -> str:
     return "WITH " + _mann_kendall_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# Streaming changepoint — ONLINE level-shift localization: the
+# (event_type, day) count frame is the mergeable sufficient statistic for
+# the binary-segmentation gain (the stream_mutual_info / stream_auc
+# thesis, third instance: the nonlinear argmax lives entirely in the
+# read-time projection over ADDITIVE state). Two REAL availableNow passes
+# over parity-split events must hash-match the one-shot batch
+# q_changepoint oracle. State is O(types × days) regardless of corpus
+# size — a monitoring platform keeps a LIVE "when did this KPI shift"
+# answer without ever rescanning history. The additive merge is
+# replay-idempotent via the batch-id marker (same snapshot-swap
+# discipline as the sibling streams).
+# ---------------------------------------------------------------------------
+
+_CP_SNAP_SCHEMA = "event_type string, day bigint, n bigint"
+
+
+def _merge_daily_counts(
+    spark: SparkSession, batch_df: DataFrame, snap_dir: str, batch_id: int
+) -> None:
+    from pyspark.sql import functions as F
+
+    from .cdc import _snapshot_applied, _snapshot_read, _snapshot_swap
+
+    if _snapshot_applied(snap_dir, batch_id):
+        return
+    delta = batch_df.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    current = _snapshot_read(spark, snap_dir, _CP_SNAP_SCHEMA)
+    merged = (
+        current.withColumnRenamed("n", "pn")
+        .join(
+            delta.withColumnRenamed("n", "dn"),
+            ["event_type", "day"], "full_outer",
+        )
+        .selectExpr(
+            "event_type", "day",
+            "CAST(coalesce(pn, 0) + coalesce(dn, 0) AS BIGINT) AS n",
+        )
+    )
+    tmp = snap_dir.rstrip("/") + ".tmp"
+    merged.repartition(2, "event_type").write.mode("overwrite").parquet(tmp)
+    _snapshot_swap(snap_dir, tmp, batch_id)
+
+
+def stream_changepoint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19, oracle-checked: two availableNow passes maintaining the
+    (type, day) count snapshot; the changepoint readout over the merged
+    state must hash-match the one-shot batch q_changepoint."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+    from ..tables import EPOCH_NTZ
+
+    base = _scratch_dir("t18_cp_")
+    src = os.path.join(base, "source")
+    snap = os.path.join(base, "snap")
+    ckpt = os.path.join(base, "ckpt")
+    _events(spark, sf_dir)
+    keyed = spark.sql(
+        f"""
+        SELECT event_id, event_type,
+               CAST(timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)
+                    div {DAY_US} AS BIGINT) AS day
+        FROM events
+        """
+    )
+    keyed.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "event_id bigint, event_type string, day bigint"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, bid: _merge_daily_counts(spark, df, snap, bid)
+            )
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    keyed.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        src
+    )
+    _await_or_raise(one_pass())
+    spark.read.parquet(snap).createOrReplaceTempView("cp_snap")
+    return spark.sql(
+        "WITH daily AS (SELECT event_type, day, n FROM cp_snap),"
+        + _changepoint_tail("div")
+    )
+
+
+from ..streaming.pipeline import _oracle_stream_conf  # noqa: E402
+
+stream_changepoint_query = _oracle_stream_conf(stream_changepoint_query)

@@ -1322,6 +1322,9 @@ register("q_isotonic_calibration", mleval.isotonic_calibration_oracle())(
 register("q_simpsons_audit", quality.simpsons_audit_oracle())(
     quality.simpsons_audit
 )
+register("q_stream_changepoint", timeseries.changepoint_oracle())(
+    timeseries.stream_changepoint_query
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1403,7 +1406,7 @@ _LEAD = [
     "q_repurchase_gap", "q_attribution_linear",
     "q_rolling_median", "q_changepoint", "q_ewma", "q_mann_kendall",
     "q_heavy_hitters_cms", "q_feature_hashing", "q_isotonic_calibration",
-    "q_simpsons_audit",
+    "q_simpsons_audit", "q_stream_changepoint",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

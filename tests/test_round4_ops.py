@@ -3500,3 +3500,15 @@ def test_simpsons_audit_matches_brute_force_signs(spark):
         assert r.within_sign == (c > 0) - (c < 0)
         assert r.pooled_sign == pool_sign
         assert r.flipped == (r.within_sign != r.pooled_sign)
+
+
+def test_stream_changepoint_snapshot_equals_batch(spark):
+    batch = sorted(
+        tuple(r) for r in registry.QUERIES["q_changepoint"](
+            spark, SF_SMALL).collect()
+    )
+    streamed = sorted(
+        tuple(r) for r in registry.QUERIES["q_stream_changepoint"](
+            spark, SF_SMALL).collect()
+    )
+    assert streamed == batch
