@@ -4249,3 +4249,59 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def attribution_linear_oracle() -> str:
     return "WITH " + _attr_linear_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# activity_streaks — gaps-and-islands on per-user ACTIVE DAYS: the
+# consecutive-day streak readout (Duolingo/GitHub-graph shape) that
+# retention teams actually ship, and the canonical islands idiom
+# (day − row_number ≡ constant within an island) the relational surface
+# should demonstrate. Aggregated to the streak-length histogram — the
+# distribution of each user's LONGEST streak — plus the users' total
+# active days per bucket, so the output grain is O(max streak length),
+# not O(users).
+# Everything integer; the windows are PARTITIONED BY user_id (data-scale
+# key, user-bounded frames — never a global sort).
+# ---------------------------------------------------------------------------
+
+
+def _streaks_sql(epoch: str, idiv: str) -> str:
+    day_us = 86_400_000_000
+    return f"""
+    d AS (SELECT DISTINCT user_id,
+                 CAST({epoch} {idiv} {day_us} AS BIGINT) AS day
+          FROM events),
+    isl AS (SELECT user_id, day,
+                   day - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY day) AS grp
+            FROM d),
+    streaks AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+                FROM isl GROUP BY user_id, grp),
+    per_user AS (SELECT user_id,
+                        CAST(max(len) AS BIGINT) AS max_streak,
+                        CAST(count(*) AS BIGINT) AS n_streaks,
+                        CAST(sum(len) AS BIGINT) AS active_days
+                 FROM streaks GROUP BY user_id)
+    SELECT max_streak,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_streaks) AS BIGINT) AS n_streaks,
+           CAST(sum(active_days) AS BIGINT) AS active_days
+    FROM per_user GROUP BY max_streak
+    """
+
+
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N185: consecutive-active-day streak histogram (gaps-and-islands)."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _streaks_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def activity_streaks_oracle() -> str:
+    return "WITH " + _streaks_sql("epoch_us(ts)", "//")

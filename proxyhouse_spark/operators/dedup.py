@@ -797,7 +797,7 @@ def simhash_wide_neardup_oracle() -> str:
 FUZZY_MAXDIST = 2
 
 
-def _fuzzy_sql(norm_fn, duck: bool) -> str:
+def _fuzzy_ctes(norm_fn, duck: bool) -> str:
     hint = "" if duck else "/*+ SHUFFLE_HASH(a, b) */ "
     # Spark's 3-arg levenshtein runs the THRESHOLD-banded DP (O(len·k)
     # cells with early exit, -1 above the bound) — exact for distances
@@ -826,10 +826,15 @@ def _fuzzy_sql(norm_fn, duck: bool) -> str:
       SELECT {hint}a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST({lev} AS INT) AS dist
       FROM blocked a JOIN blocked b
-        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, dist FROM pairs
-    WHERE dist >= 0 AND dist <= {FUZZY_MAXDIST}
+        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id),
+    matches AS (
+      SELECT doc_a, doc_b, dist FROM pairs
+      WHERE dist >= 0 AND dist <= {FUZZY_MAXDIST})
     """
+
+
+def _fuzzy_sql(norm_fn, duck: bool) -> str:
+    return _fuzzy_ctes(norm_fn, duck) + " SELECT doc_a, doc_b, dist FROM matches"
 
 
 def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1391,3 +1396,60 @@ def hamming_sweep_oracle() -> str:
                  {T.simhash64_lo_duck()} AS lo FROM th),
     {tail}
     """
+
+
+# ---------------------------------------------------------------------------
+# er_links — the MATCH step completing fuzzy_match's block→compare→match
+# ER pipeline: collapse the candidate pair soup into 1:1 entity links by
+# RECIPROCAL best match — each record's closest candidate (min distance),
+# kept only when the choice is mutual. One-sided argmins produce chains
+# (A→B→C) that over-merge entities; mutuality is the standard guard
+# (the record-linkage analogue of reciprocal-nearest-neighbor
+# clustering). Determinism: the per-record argmin is the exact integer
+# key min(dist·10¹⁰ + partner_id) — distance first, lowest partner id
+# as the tiebreak — no min_by nondeterminism, no floats anywhere.
+# Scale shape: symmetrize the (already-blocked) match pairs (narrow
+# union), ONE groupBy-src argmin shuffle, then a self equi-join on
+# (src, dst) for the mutuality check — all corpus-scaled joins stay
+# equi-keyed; the quadratic surface was already bounded by fuzzy_match's
+# blocking.
+# ---------------------------------------------------------------------------
+
+
+def _er_links_sql(norm_fn, duck: bool, idiv: str) -> str:
+    enc = "CAST(10000000000 AS BIGINT)"
+    return (
+        _fuzzy_ctes(norm_fn, duck)
+        + f""",
+    sym AS (SELECT doc_a AS src, doc_b AS dst, dist FROM matches
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst, dist FROM matches),
+    best AS (SELECT src,
+                    CAST(min(CAST(dist AS BIGINT) * {enc} + dst)
+                         AS BIGINT) AS k,
+                    CAST(count(*) AS BIGINT) AS n_candidates
+             FROM sym GROUP BY src),
+    link AS (SELECT src, CAST(k {idiv} {enc} AS INT) AS dist,
+                    CAST(k % {enc} AS BIGINT) AS dst, n_candidates
+             FROM best)
+    SELECT a.src AS doc_a, a.dst AS doc_b, a.dist,
+           a.n_candidates AS cand_a, b.n_candidates AS cand_b
+    FROM link a JOIN link b ON a.dst = b.src AND b.dst = a.src
+    WHERE a.src < b.src
+    """
+    )
+
+
+def er_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N186: reciprocal-best-match 1:1 entity links over blocked candidates."""
+    from ..tables import table
+    from .textops import _NORM
+
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_er_links_sql(_NORM.format(t="text"), False, "div"))
+
+
+def er_links_oracle() -> str:
+    from .textops import _NORM_DUCK
+
+    return _er_links_sql(_NORM_DUCK.format(t="text"), True, "//")

@@ -1325,6 +1325,10 @@ register("q_simpsons_audit", quality.simpsons_audit_oracle())(
 register("q_stream_changepoint", timeseries.changepoint_oracle())(
     timeseries.stream_changepoint_query
 )
+register("q_activity_streaks", behavior.activity_streaks_oracle())(
+    behavior.activity_streaks
+)
+register("q_er_links", dedup.er_links_oracle())(dedup.er_links)
 
 
 # ---------------------------------------------------------------------------
@@ -1406,7 +1410,8 @@ _LEAD = [
     "q_repurchase_gap", "q_attribution_linear",
     "q_rolling_median", "q_changepoint", "q_ewma", "q_mann_kendall",
     "q_heavy_hitters_cms", "q_feature_hashing", "q_isotonic_calibration",
-    "q_simpsons_audit", "q_stream_changepoint",
+    "q_simpsons_audit", "q_stream_changepoint", "q_activity_streaks",
+    "q_er_links",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

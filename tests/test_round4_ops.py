@@ -3512,3 +3512,73 @@ def test_stream_changepoint_snapshot_equals_batch(spark):
             spark, SF_SMALL).collect()
     )
     assert streamed == batch
+
+
+def test_activity_streaks_matches_brute_force(spark):
+    from collections import Counter, defaultdict
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", "ts").collect()
+
+    def day(ts):
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        return ((td.days * 86_400 + td.seconds) * 1_000_000
+                + td.microseconds) // 86_400_000_000
+
+    by_user = defaultdict(set)
+    for r in rows:
+        by_user[r.user_id].add(day(r.ts))
+    hist = Counter()
+    agg = defaultdict(lambda: [0, 0])  # max_streak -> [n_streaks, days]
+    for days in by_user.values():
+        ds = sorted(days)
+        streaks = []
+        cur = 1
+        for a, b in zip(ds, ds[1:]):
+            if b == a + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        m = max(streaks)
+        hist[m] += 1
+        agg[m][0] += len(streaks)
+        agg[m][1] += len(ds)
+    got = {r.max_streak: r for r in registry.QUERIES["q_activity_streaks"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(hist)
+    for m, n in hist.items():
+        r = got[m]
+        assert (r.n_users, r.n_streaks, r.active_days) == (
+            n, agg[m][0], agg[m][1])
+
+
+def test_er_links_are_mutual_best_and_one_to_one(spark):
+    from collections import defaultdict
+
+    cand = registry.QUERIES["q_fuzzy_match"](spark, SF_SMALL).collect()
+    best = {}
+    ncand = defaultdict(int)
+    for r in cand:
+        for s, d in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            ncand[s] += 1
+            k = (r.dist, d)
+            if s not in best or k < best[s]:
+                best[s] = k
+    want = set()
+    for s, (dist, d) in best.items():
+        if d in best and best[d][1] == s and s < d:
+            want.add((s, d, dist))
+    got = registry.QUERIES["q_er_links"](spark, SF_SMALL).collect()
+    assert {(r.doc_a, r.doc_b, r.dist) for r in got} == want
+    # 1:1 contract: no record appears in two links
+    seen = set()
+    for r in got:
+        assert r.doc_a not in seen and r.doc_b not in seen
+        seen.add(r.doc_a)
+        seen.add(r.doc_b)
+        assert r.cand_a == ncand[r.doc_a]
+        assert r.cand_b == ncand[r.doc_b]
