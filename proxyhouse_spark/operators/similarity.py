@@ -857,3 +857,79 @@ def embedding_drift_oracle() -> str:
             f", unnest(range(1, {V.DIM + 1})) AS t(i)", "i - 1", "e[i]"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# negative_sampling — deterministic contrastive-negative manifest for
+# embedding/retrieval training: each anchor draws K negatives with a
+# DIFFERENT label, without ever touching a corpus×corpus surface. The
+# scalable spelling: hash vectors into B buckets; per (bucket,
+# excluded-label) precompute ONE representative (the min-md5 candidate —
+# full-hex string min, so the pick is total-ordered and collision-proof);
+# each anchor's k-th draw hashes (anchor, k) to a bucket and equi-joins
+# the O(B × #labels) representative frame. Negatives repeat across
+# anchors that land in the same bucket — the in-batch-negatives analogue,
+# documented; raise B for more diversity. Draw existence: a (bucket,
+# excl) cell is empty only if the bucket holds no other-label vector —
+# with B ≪ N/labels that is vanishing; such draws are dropped, and the
+# pin counts them.
+# Scale shape: two narrow scans; per-(bucket,label) minima are ONE
+# map-side-combinable fold; the label-exclusion theta join runs on the
+# already-bounded O(B × labels) frame; the draw join is equi-keyed
+# (bucket, label). Corpus never self-joins.
+# ---------------------------------------------------------------------------
+
+NEG_BUCKETS = 32
+NEG_K = 4
+
+
+def _neg_sampling_sql(md5b: str, md5draw: str, explode_k: str) -> str:
+    return f"""
+    cand AS (SELECT vec_id, label,
+                    {md5b} % {NEG_BUCKETS} AS bucket,
+                    md5(CAST(vec_id AS STRING) || '#cand') AS h
+             FROM embeddings),
+    labels AS (SELECT DISTINCT label FROM embeddings),
+    per_bl AS (SELECT bucket, label, min(h) AS h
+               FROM cand GROUP BY bucket, label),
+    best AS (SELECT p.bucket, l.label AS excl, min(p.h) AS h
+             FROM per_bl p JOIN labels l ON p.label <> l.label
+             GROUP BY p.bucket, l.label),
+    rep AS (SELECT b.bucket, b.excl, c.vec_id AS neg_id,
+                   c.label AS neg_label
+            FROM best b JOIN cand c
+              ON c.bucket = b.bucket AND c.h = b.h),
+    draws AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                     t.k, {md5draw} % {NEG_BUCKETS} AS slot
+              FROM embeddings a{explode_k})
+    SELECT d.anchor_id, d.anchor_label, d.k, r.neg_id, r.neg_label
+    FROM draws d JOIN rep r
+      ON r.bucket = d.slot AND r.excl = d.anchor_label
+    """
+
+
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N187: bucketed deterministic contrastive negatives, no corpus²."""
+    from ..tables import table as _t
+
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(
+        "WITH "
+        + _neg_sampling_sql(
+            "CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 12), 16, 10) "
+            "AS BIGINT)",
+            "CAST(conv(substr(md5(concat(CAST(a.vec_id AS STRING), '#', "
+            "CAST(t.k AS STRING))), 1, 12), 16, 10) AS BIGINT)",
+            f" LATERAL VIEW explode(sequence(0, {NEG_K - 1})) t AS k",
+        )
+    )
+
+
+def negative_sampling_oracle() -> str:
+    return "WITH " + _neg_sampling_sql(
+        "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 12)) "
+        "AS BIGINT)",
+        "CAST(concat('0x', substr(md5(concat(CAST(a.vec_id AS VARCHAR), "
+        "'#', CAST(t.k AS VARCHAR))), 1, 12)) AS BIGINT)",
+        f", unnest(range(0, {NEG_K})) AS t(k)",
+    )

@@ -1255,3 +1255,58 @@ def feature_hashing_oracle() -> str:
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok "
         "FROM documents) x",
     )
+
+
+# ---------------------------------------------------------------------------
+# preference_pairs — (chosen, rejected) manifest construction for
+# preference-tuning (DPO/RLHF reward-model data): per (lang, source)
+# stratum, pair the HIGHEST-quality document with the LOWEST-quality one
+# under the integer-basis-point quality blend. The pairing every
+# preference pipeline starts from when no human labels exist yet —
+# quality-score extremes as weak preference supervision — and the margin
+# column is the filter knob (small-margin pairs are label noise; a real
+# pipeline drops them).
+# Determinism: arg-extremes via exact integer keys — chosen maximizes
+# quality then takes the LOWEST doc_id (key = q·10¹² + (10¹²−1 − doc_id)),
+# rejected minimizes quality then lowest doc_id (key = q·10¹² + doc_id) —
+# no min_by/max_by tie ambiguity, no floats.
+# Scale shape: one narrow scan → ONE (lang, source)-keyed fold (integer
+# key min/max are map-side combinable) → decode. O(#strata) output.
+# ---------------------------------------------------------------------------
+
+
+def _preference_pairs_sql(quality: str, idiv: str) -> str:
+    enc = "CAST(1000000000000 AS BIGINT)"
+    return f"""
+    q AS (SELECT doc_id, lang, source, {quality} AS qual FROM tk),
+    k AS (SELECT lang, source,
+                 CAST(max(qual * {enc} + ({enc} - 1 - doc_id))
+                      AS BIGINT) AS kmax,
+                 CAST(min(qual * {enc} + doc_id) AS BIGINT) AS kmin,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM q GROUP BY lang, source)
+    SELECT lang, source, n_docs,
+           CAST(({enc} - 1) - (kmax % {enc}) AS BIGINT) AS chosen_doc,
+           CAST(kmax {idiv} {enc} AS BIGINT) AS chosen_q,
+           CAST(kmin % {enc} AS BIGINT) AS rejected_doc,
+           CAST(kmin {idiv} {enc} AS BIGINT) AS rejected_q,
+           CAST(kmax {idiv} {enc} - kmin {idiv} {enc} AS BIGINT)
+             AS margin
+    FROM k
+    """
+
+
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N188: per-stratum (chosen, rejected) preference-pair manifest."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"WITH {_TK_SPARK}, "
+        + _preference_pairs_sql(T.quality_spark(), "div")
+    )
+
+
+def preference_pairs_oracle() -> str:
+    return (
+        f"WITH {_TK_DUCK}, "
+        + _preference_pairs_sql(T.quality_duck(), "//")
+    )

@@ -1329,6 +1329,12 @@ register("q_activity_streaks", behavior.activity_streaks_oracle())(
     behavior.activity_streaks
 )
 register("q_er_links", dedup.er_links_oracle())(dedup.er_links)
+register("q_preference_pairs", textops.preference_pairs_oracle())(
+    textops.preference_pairs
+)
+register("q_negative_sampling", similarity.negative_sampling_oracle())(
+    similarity.negative_sampling
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1411,7 +1417,7 @@ _LEAD = [
     "q_rolling_median", "q_changepoint", "q_ewma", "q_mann_kendall",
     "q_heavy_hitters_cms", "q_feature_hashing", "q_isotonic_calibration",
     "q_simpsons_audit", "q_stream_changepoint", "q_activity_streaks",
-    "q_er_links",
+    "q_er_links", "q_preference_pairs", "q_negative_sampling",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -302,6 +302,10 @@ _SCALAR_BNLJ_OK = {
                           # conformal/drift_psi bounded-frame contract
     "q_simpsons_audit",   # 1-row pooled-moments frame crossed back onto
                           # the O(#brands) per-stratum moment fold
+    "q_negative_sampling",  # label-exclusion theta join on the BOUNDED
+                          # O(B×labels) per-bucket-minima frame (32×labels
+                          # rows by construction); the corpus-scaled draw
+                          # join stays equi-keyed (bucket, label)
     "q_ks_test",          # two 1-row frames (group sizes, integer supremum)
                           # crossed for the readout
     "q_kaplan_meier",     # 1-row total-subjects frame crossed into the

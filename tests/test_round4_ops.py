@@ -3582,3 +3582,73 @@ def test_er_links_are_mutual_best_and_one_to_one(spark):
         seen.add(r.doc_b)
         assert r.cand_a == ncand[r.doc_a]
         assert r.cand_b == ncand[r.doc_b]
+
+
+def test_preference_pairs_are_stratum_extremes_with_exact_tiebreak(spark):
+    from collections import defaultdict
+
+    quals = {r.doc_id: r.quality for r in registry.QUERIES[
+        "q_quality_score"](spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "lang", "source").collect()
+    strata = defaultdict(list)
+    for d in docs:
+        strata[(d.lang, d.source)].append((quals[d.doc_id], d.doc_id))
+    got = {(r.lang, r.source): r for r in registry.QUERIES[
+        "q_preference_pairs"](spark, SF_SMALL).collect()}
+    assert set(got) == set(strata)
+    for key, members in strata.items():
+        r = got[key]
+        # chosen: max quality, LOWEST doc on ties; rejected: min quality,
+        # lowest doc on ties
+        chosen = max(members, key=lambda t: (t[0], -t[1]))
+        rejected = min(members)
+        assert (r.chosen_doc, r.chosen_q) == (chosen[1], chosen[0])
+        assert (r.rejected_doc, r.rejected_q) == (rejected[1], rejected[0])
+        assert r.margin == chosen[0] - rejected[0] >= 0
+        assert r.n_docs == len(members)
+
+
+def test_negative_sampling_contract(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from proxyhouse_spark.operators.similarity import NEG_BUCKETS, NEG_K
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
+        "vec_id", "label").collect()
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    bucket = {r.vec_id: md5i(str(r.vec_id)) % NEG_BUCKETS for r in emb}
+    label = {r.vec_id: r.label for r in emb}
+    # per (bucket, excluded label): the min-full-md5 other-label candidate
+    rep = {}
+    for r in emb:
+        h = hashlib.md5(f"{r.vec_id}#cand".encode()).hexdigest()
+        for excl in {x.label for x in emb}:
+            if r.label == excl:
+                continue
+            k = (bucket[r.vec_id], excl)
+            if k not in rep or h < rep[k][0]:
+                rep[k] = (h, r.vec_id)
+    want = {}
+    dropped = 0
+    for r in emb:
+        for k in range(NEG_K):
+            slot = md5i(f"{r.vec_id}#{k}") % NEG_BUCKETS
+            cell = rep.get((slot, r.label))
+            if cell is None:
+                dropped += 1
+                continue
+            want[(r.vec_id, k)] = cell[1]
+    got = {(r.anchor_id, r.k): r for r in registry.QUERIES[
+        "q_negative_sampling"](spark, SF_SMALL).collect()}
+    assert set(got) == set(want)
+    for (a, k), neg in want.items():
+        r = got[(a, k)]
+        assert r.neg_id == neg
+        assert r.neg_label == label[neg]
+        # the defining contract: a negative never shares the anchor label
+        assert r.neg_label != r.anchor_label
