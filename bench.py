@@ -62,6 +62,10 @@ HEADLINE = [
     "q_rrf_fusion",          # hybrid sparse+dense retrieval (2-leg fusion)
     "q_recursive_hierarchy", # engine-native recursive-CTE fixpoint
     "q_entropy_rate",        # corpus bigram fold + staged type frame
+    "q_heavy_hitters_cms",   # fully-oracled Count-Min sketch (round 4)
+    "q_rolling_median",      # daily-grain monitoring family (round 4)
+    "q_er_links",            # reciprocal-best ER match step (round 4)
+    "q_negative_sampling",   # contrastive-negative manifest (round 4)
 ]
 
 

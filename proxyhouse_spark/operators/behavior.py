@@ -4305,3 +4305,206 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def activity_streaks_oracle() -> str:
     return "WITH " + _streaks_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# ipf_raking — iterative proportional fitting (raking): reweight the
+# FIRST half-period's (event_type, weekday) contingency table so its
+# marginals match the SECOND half's — the survey-statistics / experiment
+# post-stratification workhorse (match the panel to the population on
+# known margins without touching the joint). Three unrolled IPF rounds
+# (row-scale then column-scale each) on the O(types × 7) cell frame.
+# Zero cells stay zero (IPF cannot create mass — the standard caveat);
+# with zeros the marginal fit is the best KL projection available, and
+# the residual is the reader's to judge from fitted-vs-target columns.
+# Float discipline (the embedding_drift lesson): every scaled weight is
+# rounded to 9 dp and summed as DECIMAL(38,9) — addition order never
+# matters — then ONE double multiply/divide per cell per step on those
+# identical-by-construction values; so the whole fixpoint is bit-exact
+# cross-engine despite being float-valued.
+# Scale shape: ONE corpus shuffle (the (type, dow, half) fold), then six
+# equi-joins on the bounded cell frame. Every w-step is referenced twice
+# downstream (its marginal sum and the next rescale), so a naive WITH
+# chain doubles the inlined plan per step (2⁶ re-derivations — Catalyst
+# AND DuckDB both inline multiply-referenced CTEs, the kcore/markov
+# lesson): the Spark side stages each round via scoped_checkpoint, the
+# oracle marks every round AS MATERIALIZED.
+# ---------------------------------------------------------------------------
+
+
+def _ipf_base_sql(epoch: str, idiv: str) -> str:
+    """ONE corpus pass: (event_type, dow, half) counts; half 0 = raked
+    period (cells), half 1 = target period (marginals only)."""
+    return f"""
+    ev AS (SELECT event_type,
+                  (CAST({epoch} {idiv} 86400000000 AS BIGINT) + 4) % 7
+                    AS dow,
+                  CAST({epoch} AS BIGINT) AS t
+           FROM events),
+    b AS (SELECT CAST((min(t) + max(t)) {idiv} 2 AS BIGINT) AS mid FROM ev),
+    base AS (SELECT event_type, dow,
+                    CASE WHEN t <= mid THEN 0 ELSE 1 END AS half,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM ev CROSS JOIN b
+             GROUP BY event_type, dow, CASE WHEN t <= mid THEN 0 ELSE 1 END)
+    """
+
+
+def _ipf_frames_sql() -> str:
+    """The bounded frames derived from ``base``: period-1 cells (with the
+    DECIMAL(38,9) weight carrier) and the two period-2 target marginals."""
+    return """
+    c0 AS (SELECT event_type, dow, n, CAST(n AS DECIMAL(38, 9)) AS wd
+           FROM base WHERE half = 0),
+    tr AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS tgt
+           FROM base WHERE half = 1 GROUP BY event_type),
+    tc AS (SELECT dow, CAST(sum(n) AS DOUBLE) AS tgt
+           FROM base WHERE half = 1 GROUP BY dow)
+    """
+
+
+def _ipf_step_sql(
+    src: str, axis: str, tgt: str, si: str = "s", mat: str = ""
+) -> tuple[str, str]:
+    """One IPF scaling step as (marginal-CTE, rescale-SELECT): rescale
+    ``src`` so its ``axis`` marginal matches ``tgt`` — marginal sums
+    exact DECIMAL (addition order never matters), then one double
+    multiply/divide per cell, re-rounded to the 9 dp carrier so the next
+    round starts from identical values on both engines. ``si`` names the
+    marginal CTE (unique per step in the oracle's single WITH chain);
+    ``mat`` is DuckDB's MATERIALIZED."""
+    cte = f"{si} AS {mat}(SELECT {axis}, sum(wd) AS s FROM {src} GROUP BY {axis})"
+    select = f"""
+    SELECT c.event_type, c.dow, c.n,
+           CAST(round(CAST(c.wd AS DOUBLE) * t.tgt
+                      / CAST({si}.s AS DOUBLE), 9) AS DECIMAL(38, 9)) AS wd
+    FROM {src} c
+    JOIN {si} ON {si}.{axis} = c.{axis}
+    JOIN {tgt} t ON t.{axis} = c.{axis}
+    """
+    return cte, select
+
+
+_IPF_READOUT = """
+SELECT event_type, dow, n,
+       round(CAST(wd AS DOUBLE), 6) AS fitted_r6,
+       round(CAST(wd AS DOUBLE) / n, 6) AS weight_r6
+FROM {src}
+"""
+
+_IPF_AXES = [("event_type", "tr"), ("dow", "tc")] * 3
+
+
+def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N189: 3-round IPF raking of period-1 cells onto period-2 margins."""
+    from ..checkpoints import scoped_checkpoint
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    base = scoped_checkpoint(
+        spark.sql(
+            "WITH "
+            + _ipf_base_sql(
+                f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+            )
+            + " SELECT * FROM base"
+        ),
+        "ipf_base",
+    )
+    base.createOrReplaceTempView("ipf_base")
+    for name in ("c0", "tr", "tc"):
+        spark.sql(
+            "WITH base AS (SELECT * FROM ipf_base),"
+            + _ipf_frames_sql()
+            + f" SELECT * FROM {name}"
+        ).createOrReplaceTempView(f"ipf_{name}")
+    src = "ipf_c0"
+    for i, (axis, tgt) in enumerate(_IPF_AXES, start=1):
+        cte, select = _ipf_step_sql(src, axis, f"ipf_{tgt}")
+        stepped = scoped_checkpoint(
+            spark.sql("WITH " + cte + select), f"ipf_w{i}"
+        )
+        stepped.createOrReplaceTempView(f"ipf_w{i}")
+        src = f"ipf_w{i}"
+    return spark.sql(_IPF_READOUT.format(src=src))
+
+
+def _ipf_frames_sql_mat() -> str:
+    return """
+    c0 AS MATERIALIZED (SELECT event_type, dow, n,
+                               CAST(n AS DECIMAL(38, 9)) AS wd
+           FROM base WHERE half = 0),
+    tr AS MATERIALIZED (SELECT event_type, CAST(sum(n) AS DOUBLE) AS tgt
+           FROM base WHERE half = 1 GROUP BY event_type),
+    tc AS MATERIALIZED (SELECT dow, CAST(sum(n) AS DOUBLE) AS tgt
+           FROM base WHERE half = 1 GROUP BY dow)
+    """
+
+
+def ipf_raking_oracle() -> str:
+    steps = []
+    src = "c0"
+    for i, (axis, tgt) in enumerate(_IPF_AXES, start=1):
+        cte, select = _ipf_step_sql(
+            src, axis, tgt, si=f"s{i}", mat="MATERIALIZED "
+        )
+        steps.append(f"{cte}, w{i} AS MATERIALIZED ({select})")
+        src = f"w{i}"
+    return (
+        "WITH "
+        + _ipf_base_sql("epoch_us(ts)", "//")
+        + ","
+        + _ipf_frames_sql_mat()
+        + ","
+        + ",".join(steps)
+        + _IPF_READOUT.format(src=src)
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy_changers — top-k TRAFFIC SHIFTERS between the two half-periods:
+# the users whose activity count moved the most (|first − second|, exact
+# integers). The "heavy changers" question is the standard second
+# question after heavy hitters in network/abuse monitoring — a stable
+# top talker is boring; a sudden riser or vanisher is the signal.
+# One user-keyed conditional fold over the corpus (the midpoint is a
+# 1-row scalar frame, decay/cuped whitelist shape), then TakeOrdered
+# top-20 with a deterministic (delta DESC, user_id) tiebreak.
+# ---------------------------------------------------------------------------
+
+HEAVY_CHANGERS_K = 20
+
+
+def _heavy_changers_sql(epoch: str, idiv: str) -> str:
+    return f"""
+    ev AS (SELECT user_id, CAST({epoch} AS BIGINT) AS t FROM events),
+    b AS (SELECT CAST((min(t) + max(t)) {idiv} 2 AS BIGINT) AS mid FROM ev),
+    h AS (SELECT user_id,
+                 CAST(sum(CASE WHEN t <= mid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_first,
+                 CAST(sum(CASE WHEN t > mid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_second
+          FROM ev CROSS JOIN b GROUP BY user_id)
+    SELECT user_id, n_first, n_second,
+           abs(n_first - n_second) AS delta
+    FROM h
+    ORDER BY delta DESC, user_id
+    LIMIT {HEAVY_CHANGERS_K}
+    """
+
+
+def heavy_changers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N190: top-k activity shifters between half-periods, exact integers."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _heavy_changers_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def heavy_changers_oracle() -> str:
+    return "WITH " + _heavy_changers_sql("epoch_us(ts)", "//")

@@ -302,6 +302,8 @@ _SCALAR_BNLJ_OK = {
                           # conformal/drift_psi bounded-frame contract
     "q_simpsons_audit",   # 1-row pooled-moments frame crossed back onto
                           # the O(#brands) per-stratum moment fold
+    "q_heavy_changers",   # 1-row midpoint frame crossed into the event
+                          # scan (the decay/cuped boundary-anchor shape)
     "q_negative_sampling",  # label-exclusion theta join on the BOUNDED
                           # O(B×labels) per-bucket-minima frame (32×labels
                           # rows by construction); the corpus-scaled draw

@@ -3652,3 +3652,82 @@ def test_negative_sampling_contract(spark):
         assert r.neg_label == label[neg]
         # the defining contract: a negative never shares the anchor label
         assert r.neg_label != r.anchor_label
+
+
+def test_ipf_raking_matches_brute_force_and_tightens_margins(spark):
+    from collections import Counter, defaultdict
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "ts").collect()
+
+    def us(ts):
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    ts_us = [us(r.ts) for r in rows]
+    mid = (min(ts_us) + max(ts_us)) // 2
+    cells = Counter()
+    tr, tc = Counter(), Counter()
+    for r, t in zip(rows, ts_us):
+        dow = (t // 86_400_000_000 + 4) % 7
+        if t <= mid:
+            cells[(r.event_type, dow)] += 1
+        else:
+            tr[r.event_type] += 1
+            tc[dow] += 1
+    w = {k: float(n) for k, n in cells.items()}
+    for axis in ("row", "col") * 3:
+        marg = defaultdict(float)
+        for (et, dow), v in w.items():
+            marg[et if axis == "row" else dow] += v
+        for k in w:
+            key = k[0] if axis == "row" else k[1]
+            tgt = (tr if axis == "row" else tc)[key]
+            w[k] = round(w[k] * tgt / marg[key], 9)
+    got = {(r.event_type, r.dow): r for r in registry.QUERIES[
+        "q_ipf_raking"](spark, SF_SMALL).collect()}
+    assert set(got) == set(cells)
+    for k, n in cells.items():
+        r = got[k]
+        assert r.n == n
+        assert abs(r.fitted_r6 - w[k]) < 1e-5, k
+        assert abs(r.weight_r6 - w[k] / n) < 1e-5
+    # raking must land the LAST-scaled margin (dow) exactly on target
+    fit_c = defaultdict(float)
+    for (et, dow), v in w.items():
+        fit_c[dow] += v
+    for dow, tgt in tc.items():
+        if dow in fit_c:  # a margin absent from period 1 cannot be raked
+            assert abs(fit_c[dow] - tgt) < 1e-3
+
+
+def test_heavy_changers_matches_brute_force(spark):
+    from collections import Counter
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", "ts").collect()
+
+    def us(ts):
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    ts_us = [us(r.ts) for r in rows]
+    mid = (min(ts_us) + max(ts_us)) // 2
+    first, second = Counter(), Counter()
+    for r, t in zip(rows, ts_us):
+        (first if t <= mid else second)[r.user_id] += 1
+    users = set(first) | set(second)
+    ranked = sorted(
+        ((abs(first[u] - second[u]), u) for u in users),
+        key=lambda t: (-t[0], t[1]))
+    from proxyhouse_spark.operators.behavior import HEAVY_CHANGERS_K
+
+    got = registry.QUERIES["q_heavy_changers"](spark, SF_SMALL).collect()
+    assert [(r.delta, r.user_id) for r in got] == ranked[:HEAVY_CHANGERS_K]
+    for r in got:
+        assert (r.n_first, r.n_second) == (first[r.user_id],
+                                           second[r.user_id])
