@@ -309,7 +309,7 @@ N_SUB = 4
 N_CODES = 16
 
 
-def _pq_sql(duck: bool) -> str:
+def _pq_ctes(duck: bool) -> str:
     if duck:
         sub_of = "e[s * 16 + 1 : s * 16 + 16]"
         gen_s = "(SELECT unnest(range(0, 4)) AS s) t"
@@ -339,12 +339,20 @@ def _pq_sql(duck: bool) -> str:
     scored AS (SELECT c.vec_id, sum(dt.d) AS score
                FROM codes c JOIN dt ON dt.s = c.s AND dt.cid = c.code
                GROUP BY c.vec_id)
+    """
+
+
+def _pq_sql(duck: bool) -> str:
+    return (
+        _pq_ctes(duck)
+        + f"""
     SELECT b.vec_id, b.label, round(CAST(s.score AS DOUBLE), 6) AS approx_d
     FROM scored s JOIN base b ON b.vec_id = s.vec_id
     WHERE b.vec_id <> {PROBE_VEC_ID}
     ORDER BY approx_d, b.vec_id
     LIMIT {K}
     """
+    )
 
 
 def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,3 +941,55 @@ def negative_sampling_oracle() -> str:
         "'#', CAST(t.k AS VARCHAR))), 1, 12)) AS BIGINT)",
         f", unnest(range(0, {NEG_K})) AS t(k)",
     )
+
+
+# ---------------------------------------------------------------------------
+# knn_rerank — the two-stage PRODUCTION ANN pattern the index ops feed:
+# a cheap approximate first stage retrieves a WIDE shortlist (PQ-ADC
+# distances — one byte/subspace codes, no full vectors touched), then
+# the exact cosine reranks ONLY the shortlist. This is how every serving
+# stack (FAISS/ScaNN shape) actually answers queries: the sketch decides
+# WHAT to score, the true metric decides the ORDER — recall comes from
+# shortlist width (RERANK_C), precision from the exact pass, and the
+# full-corpus exact scan never runs. Output carries both scores so the
+# reader sees the disagreement the rerank fixed (PQ rank vs final rank).
+# Determinism: the shortlist cut orders by the exact DECIMAL(18,6) ADC
+# sum (bit-exact cross-engine) with a vec_id tiebreak; the rerank cosine
+# is the same fold both engines run elsewhere (knn_cosine discipline).
+# Scale: stage 1 is the PQ ops' bounded codebook join; stage 2 touches
+# RERANK_C rows — the exact pass is O(C·dim), independent of corpus.
+# ---------------------------------------------------------------------------
+
+RERANK_C = 50
+
+
+def _knn_rerank_sql(duck: bool) -> str:
+    cos = (
+        V.cosine_duck("b.e", "p.e") if duck else V.cosine_spark("b.e", "p.e")
+    )
+    return (
+        _pq_ctes(duck)
+        + f""",
+    shortlist AS (SELECT vec_id, score FROM scored
+                  WHERE vec_id <> {PROBE_VEC_ID}
+                  ORDER BY score, vec_id LIMIT {RERANK_C})
+    SELECT b.vec_id, b.label,
+           round(CAST(s.score AS DOUBLE), 6) AS approx_d,
+           round({cos}, 6) AS cos_sim
+    FROM shortlist s
+    JOIN base b ON b.vec_id = s.vec_id
+    CROSS JOIN (SELECT e FROM base WHERE vec_id = {PROBE_VEC_ID}) p
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT {K}
+    """
+    )
+
+
+def knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N191: PQ-shortlist + exact-cosine rerank, the serving-stack shape."""
+    emb_corpus(spark, sf_dir).createOrReplaceTempView("embc")
+    return spark.sql("WITH " + _knn_rerank_sql(duck=False))
+
+
+def knn_rerank_oracle() -> str:
+    return f"WITH embc AS ({EMB_CORPUS_DUCK}), " + _knn_rerank_sql(duck=True)

@@ -390,3 +390,66 @@ def stream_changepoint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..streaming.pipeline import _oracle_stream_conf  # noqa: E402
 
 stream_changepoint_query = _oracle_stream_conf(stream_changepoint_query)
+
+
+# ---------------------------------------------------------------------------
+# drawdown — MAX DRAWDOWN of the cumulative daily value curve per
+# event_type: the largest peak-to-trough drop, finance's canonical
+# worst-case risk readout and just as meaningful for any cumulative KPI
+# (revenue run-rate, net subscriber adds). Everything exact integers:
+# running sum and running peak over the day-ordered cents, drawdown =
+# peak − cum, the argmax packed as dd·10⁹ + (10⁹−1 − day) so the
+# EARLIEST trough wins ties deterministically; depth also published in
+# exact basis points of the peak. Windows PARTITIONED by event_type and
+# bounded by #days (the family's daily-grain contract — the corpus never
+# enters a window).
+# ---------------------------------------------------------------------------
+
+
+def _drawdown_sql(epoch: str, idiv: str) -> str:
+    enc = "CAST(1000000000 AS BIGINT)"
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    run AS (SELECT event_type, day,
+                   sum(cents) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS cum
+            FROM daily),
+    dd AS (SELECT event_type, day, cum,
+                  max(cum) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS peak
+           FROM run),
+    k AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(max((peak - cum) * {enc} + ({enc} - 1 - day))
+                      AS BIGINT) AS kmax
+          FROM dd GROUP BY event_type),
+    loc AS (SELECT event_type, n_days,
+                   CAST(kmax {idiv} {enc} AS BIGINT) AS max_dd_cents,
+                   CAST(({enc} - 1) - (kmax % {enc}) AS BIGINT)
+                     AS trough_day
+            FROM k)
+    SELECT l.event_type, l.n_days, l.max_dd_cents, l.trough_day,
+           CAST(l.max_dd_cents * 10000 {idiv} greatest(d.peak, 1)
+                AS BIGINT) AS dd_bp
+    FROM loc l JOIN dd d
+      ON d.event_type = l.event_type AND d.day = l.trough_day
+    """
+    )
+
+
+def drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N192: exact-integer max drawdown of the cumulative daily curve."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _drawdown_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def drawdown_oracle() -> str:
+    return "WITH " + _drawdown_sql("epoch_us(ts)", "//")

@@ -1339,6 +1339,10 @@ register("q_ipf_raking", behavior.ipf_raking_oracle())(behavior.ipf_raking)
 register("q_heavy_changers", behavior.heavy_changers_oracle())(
     behavior.heavy_changers
 )
+register("q_knn_rerank", similarity.knn_rerank_oracle())(
+    similarity.knn_rerank
+)
+register("q_drawdown", timeseries.drawdown_oracle())(timeseries.drawdown)
 
 
 # ---------------------------------------------------------------------------
@@ -1422,7 +1426,7 @@ _LEAD = [
     "q_heavy_hitters_cms", "q_feature_hashing", "q_isotonic_calibration",
     "q_simpsons_audit", "q_stream_changepoint", "q_activity_streaks",
     "q_er_links", "q_preference_pairs", "q_negative_sampling",
-    "q_ipf_raking", "q_heavy_changers",
+    "q_ipf_raking", "q_heavy_changers", "q_knn_rerank", "q_drawdown",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -267,6 +267,8 @@ _EXECUTING = {
 _SCALAR_BNLJ_OK = {
     "q_bm25",             # 1-row corpus stats (n_docs, total_dl, dfs)
     "q_knn_cosine",       # 1-row probe vector
+    "q_knn_rerank",       # 1-row probe vector crossed onto the C-row
+                          # shortlist (the knn_cosine shape, post-cut)
     "q_knn_batch",        # 3-row probe set
     "q_mix_temperature",  # 1-row corpus total
     "q_unigram_logprob",  # 1-row corpus token total (the LM normalizer)
@@ -394,6 +396,7 @@ _UNPARTITIONED_WINDOW_OK = {
                            # reference replay contract is SEQUENTIAL anyway
                            # (main.go resend loop — a global order is the op)
     "q_knn_pq",       # row_number over the LIMIT-N_CODES codebook seed (O(1))
+    "q_knn_rerank",   # same codebook-seed row_number (shares _pq_ctes)
     "q_hill_tail",    # rank over the LIMIT-(k+1) TakeOrdered frame —
                       # bounded by construction
     "q_mom_growth",   # lag over the O(#months) monthly-revenue frame

