@@ -3796,3 +3796,66 @@ def test_drawdown_matches_brute_force(spark):
         assert r.max_dd_cents == best[0]
         assert r.trough_day == best[1]
         assert r.dd_bp == best[0] * 10000 // max(best[2], 1)
+
+
+def _planar_points(spark):
+    import hashlib
+
+    from proxyhouse_spark.operators.spatial import WORLD_M
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    return {
+        r.c_custkey: (md5i(f"{r.c_custkey}#x") % WORLD_M,
+                      md5i(f"{r.c_custkey}#y") % WORLD_M)
+        for r in spark.read.parquet(
+            f"{SF_SMALL}/customer.parquet").select("c_custkey").collect()
+    }
+
+
+def test_spatial_join_matches_quadratic_brute_force(spark):
+    from proxyhouse_spark.operators.spatial import RADIUS_M
+
+    pts = _planar_points(spark)
+    ids = sorted(pts)
+    want = {}
+    for i, a in enumerate(ids):
+        xa, ya = pts[a]
+        for b in ids[i + 1:]:
+            xb, yb = pts[b]
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= RADIUS_M * RADIUS_M:
+                want[(a, b)] = d2
+    got = registry.QUERIES["q_spatial_join"](spark, SF_SMALL).collect()
+    assert {(r.id_a, r.id_b): r.d2 for r in got} == want
+    assert want, "fixture produced no within-radius pairs"
+
+
+def test_spatial_nn_is_argmin_with_null_isolates(spark):
+    from proxyhouse_spark.operators.spatial import RADIUS_M
+
+    pts = _planar_points(spark)
+    got = {r.id: r for r in registry.QUERIES["q_spatial_nn"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(pts)  # every point is a row, isolated included
+    r2 = RADIUS_M * RADIUS_M
+    saw_null = saw_hit = False
+    for a, (xa, ya) in pts.items():
+        cands = []
+        for b, (xb, yb) in pts.items():
+            if b == a:
+                continue
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= r2:
+                cands.append((d2, b))
+        r = got[a]
+        assert (r.x, r.y) == (xa, ya)
+        if cands:
+            d2, b = min(cands)
+            assert (r.neighbor_id, r.d2) == (b, d2)
+            saw_hit = True
+        else:
+            assert r.neighbor_id is None and r.d2 is None
+            saw_null = True
+    assert saw_hit and saw_null  # both contract branches exercised
