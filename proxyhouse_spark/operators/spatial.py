@@ -170,3 +170,91 @@ def spatial_nn_oracle() -> str:
         "//",
         ", unnest(range(-1, 2)) AS t(dx), unnest(range(-1, 2)) AS u(dy)",
     )
+
+
+# ---------------------------------------------------------------------------
+# morans_i — global spatial autocorrelation (Moran's I) of the cell
+# occupancy counts with rook adjacency: the first question after any
+# spatial aggregation — are the dense cells CLUSTERED (I > 0), random
+# (I ≈ −1/(N−1)), or dispersed (I < 0)? md5-placed points should read as
+# spatially random, and the pin verifies I lands near the theoretical
+# null expectation — the audit catching a broken spatial partitioner
+# (which would cluster) IS the behavior under test.
+# Lattice convention: OCCUPIED cells only (documented — empty cells are
+# absent from a count frame by construction; a raster analysis would
+# densify first). Exactness: with s = Σx and N cells, the centered value
+# N·x_i − s is an exact integer, so both quadratic forms (the adjacency
+# cross sum and the variance sum) are exact DECIMAL(38,0) folds; I is
+# ONE double division at the readout.
+# Scale shape: the corpus folds to O(#occupied cells); adjacency is a
+# 4-offset bounded explode equi-joined on the neighbor cell id (the
+# spatial_join discipline, degree-4 graph instead of 3×3 candidates).
+# ---------------------------------------------------------------------------
+
+
+def _morans_sql(md5x: str, md5y: str, idiv: str, explode_4: str) -> str:
+    dec = "DECIMAL(38,0)"
+    return (
+        _pts_sql(md5x, md5y)
+        + f""",
+    cell AS (SELECT CAST(x {idiv} {RADIUS_M} AS BIGINT) AS cx,
+                    CAST(y {idiv} {RADIUS_M} AS BIGINT) AS cy,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM pts GROUP BY CAST(x {idiv} {RADIUS_M} AS BIGINT),
+                               CAST(y {idiv} {RADIUS_M} AS BIGINT)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nc,
+                   CAST(sum(n) AS BIGINT) AS s
+            FROM cell),
+    cen AS (SELECT cx, cy,
+                   CAST(t.nc AS {dec}) * n - t.s AS c
+            FROM cell CROSS JOIN tot t),
+    nbr AS (SELECT a.cx + t.dx AS cx, a.cy + t.dy AS cy, a.c AS ca
+            FROM cen a{explode_4}),
+    cross_sum AS (SELECT CAST(sum(nb.ca * b.c) AS {dec}) AS sw,
+                         CAST(count(*) AS BIGINT) AS w
+                  FROM nbr nb JOIN cen b
+                    ON b.cx = nb.cx AND b.cy = nb.cy),
+    var_sum AS (SELECT CAST(sum(c * c) AS {dec}) AS sv FROM cen)
+    SELECT t.nc AS n_cells, c.w AS n_adjacencies,
+           round(CAST(t.nc AS DOUBLE) * CAST(c.sw AS DOUBLE)
+                 / (CAST(c.w AS DOUBLE) * CAST(v.sv AS DOUBLE)), 6)
+             AS morans_i,
+           round(CAST(-1 AS DOUBLE) / (t.nc - 1), 6) AS null_expectation
+    FROM cross_sum c CROSS JOIN var_sum v CROSS JOIN tot t
+    """
+    )
+
+
+_EXPLODE_4_SPARK = (
+    " LATERAL VIEW explode(array(named_struct('dx', 1, 'dy', 0),"
+    " named_struct('dx', -1, 'dy', 0), named_struct('dx', 0, 'dy', 1),"
+    " named_struct('dx', 0, 'dy', -1))) t0 AS t"
+)
+_EXPLODE_4_DUCK = (
+    ", unnest([struct_pack(dx := 1, dy := 0), struct_pack(dx := -1, dy := 0),"
+    " struct_pack(dx := 0, dy := 1), struct_pack(dx := 0, dy := -1)])"
+    " AS t0(t)"
+)
+
+
+def morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N195: Moran's I of cell occupancy, exact-integer quadratic forms."""
+    _customer(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _morans_sql(
+            _MD5_SPARK.format(salt="x"),
+            _MD5_SPARK.format(salt="y"),
+            "div",
+            _EXPLODE_4_SPARK,
+        )
+    )
+
+
+def morans_i_oracle() -> str:
+    return "WITH " + _morans_sql(
+        _MD5_DUCK.format(salt="x"),
+        _MD5_DUCK.format(salt="y"),
+        "//",
+        _EXPLODE_4_DUCK,
+    )

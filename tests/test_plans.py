@@ -304,6 +304,9 @@ _SCALAR_BNLJ_OK = {
                           # conformal/drift_psi bounded-frame contract
     "q_simpsons_audit",   # 1-row pooled-moments frame crossed back onto
                           # the O(#brands) per-stratum moment fold
+    "q_morans_i",         # 1-row totals frame crossed onto the cell frame
+                          # (≤ (WORLD/R)² = 2500 cells by construction) +
+                          # three 1-row readout crosses
     "q_heavy_changers",   # 1-row midpoint frame crossed into the event
                           # scan (the decay/cuped boundary-anchor shape)
     "q_negative_sampling",  # label-exclusion theta join on the BOUNDED

@@ -3859,3 +3859,31 @@ def test_spatial_nn_is_argmin_with_null_isolates(spark):
             assert r.neighbor_id is None and r.d2 is None
             saw_null = True
     assert saw_hit and saw_null  # both contract branches exercised
+
+
+def test_morans_i_matches_brute_force_and_reads_random(spark):
+    from collections import Counter
+
+    from proxyhouse_spark.operators.spatial import RADIUS_M
+
+    pts = _planar_points(spark)
+    cells = Counter((x // RADIUS_M, y // RADIUS_M) for x, y in pts.values())
+    nc = len(cells)
+    s = sum(cells.values())
+    cen = {k: nc * n - s for k, n in cells.items()}
+    sw = w = 0
+    for (cx, cy), c in cen.items():
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (cx + dx, cy + dy)
+            if nb in cen:
+                sw += c * cen[nb]
+                w += 1
+    sv = sum(c * c for c in cen.values())
+    want = nc * sw / (w * sv)
+    r = registry.QUERIES["q_morans_i"](spark, SF_SMALL).collect()[0]
+    assert (r.n_cells, r.n_adjacencies) == (nc, w)
+    assert abs(r.morans_i - want) < 1e-5
+    assert abs(r.null_expectation - (-1 / (nc - 1))) < 1e-6
+    # md5 placement is spatially random: I must sit near the null value,
+    # far from the |I| ~ 1 clustering/dispersion extremes
+    assert abs(r.morans_i - r.null_expectation) < 0.2
