@@ -258,3 +258,135 @@ def morans_i_oracle() -> str:
         "//",
         _EXPLODE_4_DUCK,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming spatial join — the incremental SPATIAL INDEX (stream_minhash's
+# stored-index pattern in two dimensions): each micro-batch cell-joins its
+# own points against the stored point index (plus itself), emits the
+# verified within-radius pairs, then APPENDS its points to the index —
+# O(batch) work per batch, never an index rewrite. A pair is emitted
+# exactly once, by whichever batch its later-arriving point lands in;
+# the accumulated pair set over any batch partition of the points must
+# hash-match the one-shot batch q_spatial_join (checked against its
+# oracle VERBATIM through the differential gate). Pair emission is
+# append-only with a distinct on read, the batch-id fence absorbs
+# same-batch replays, and a cross-restart re-delivered point is deduped
+# by id on index read — the geometry is idempotent throughout.
+# ---------------------------------------------------------------------------
+
+
+def _merge_spatial(
+    spark: SparkSession, batch_df: DataFrame, base_dir: str, batch_id: int
+) -> None:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .cdc import _snapshot_applied, _snapshot_read
+
+    snap = os.path.join(base_dir, "index")
+    pairs_dir = os.path.join(base_dir, "pairs")
+    if _snapshot_applied(snap, batch_id):
+        return
+    index = _snapshot_read(
+        spark, snap, "id bigint, x bigint, y bigint"
+    ).dropDuplicates(["id"])
+    build = index.unionByName(batch_df.select("id", "x", "y"))
+    cell = build.select(
+        "id", "x", "y",
+        F.expr(f"CAST(x div {RADIUS_M} AS BIGINT)").alias("cx"),
+        F.expr(f"CAST(y div {RADIUS_M} AS BIGINT)").alias("cy"),
+    ).alias("b")
+    probe = (
+        batch_df.select("id", "x", "y")
+        .selectExpr(
+            "id", "x", "y",
+            f"explode(sequence(-1, 1)) AS dx",
+        )
+        .selectExpr(
+            "id", "x", "y",
+            f"CAST(x div {RADIUS_M} AS BIGINT) + dx AS cx",
+            "explode(sequence(-1, 1)) AS dy",
+        )
+        .selectExpr(
+            "id", "x", "y", "cx",
+            f"CAST(y div {RADIUS_M} AS BIGINT) + dy AS cy",
+        )
+        .alias("p")
+    )
+    d2 = (F.col("p.x") - F.col("b.x")) * (F.col("p.x") - F.col("b.x")) + (
+        F.col("p.y") - F.col("b.y")
+    ) * (F.col("p.y") - F.col("b.y"))
+    hits = (
+        probe.hint("shuffle_hash")
+        .join(
+            cell,
+            (F.col("p.cx") == F.col("b.cx"))
+            & (F.col("p.cy") == F.col("b.cy"))
+            & (F.col("p.id") != F.col("b.id")),
+        )
+        .withColumn("d2", d2.cast("long"))
+        .filter(F.col("d2") <= RADIUS_M * RADIUS_M)
+        .select(
+            F.least("p.id", "b.id").alias("id_a"),
+            F.greatest("p.id", "b.id").alias("id_b"),
+            "d2",
+        )
+        .distinct()
+    )
+    hits.write.mode("append").parquet(pairs_dir)
+    # append-only index + idempotency marker (the stream_minhash contract)
+    batch_df.select("id", "x", "y").write.mode("append").parquet(snap)
+    open(os.path.join(snap, f"_applied_{batch_id}"), "w").close()
+
+
+def stream_spatial_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20, oracle-checked: two availableNow passes of the incremental
+    spatial index over parity-split points; the accumulated pair set must
+    hash-match the one-shot batch q_spatial_join (its oracle verbatim)."""
+    import os
+
+    from ..streaming.pipeline import _await_or_raise, _scratch_dir
+
+    base = _scratch_dir("t20_sp_")
+    src = os.path.join(base, "source")
+    ckpt = os.path.join(base, "ckpt")
+    _customer(spark, sf_dir)
+    pts = spark.sql(
+        "WITH "
+        + _pts_sql(
+            _MD5_SPARK.format(salt="x"), _MD5_SPARK.format(salt="y")
+        )
+        + " SELECT id, x, y FROM pts"
+    )
+    pts.filter("id % 2 = 0").coalesce(1).write.parquet(src)
+
+    def one_pass():
+        stream = spark.readStream.schema(
+            "id bigint, x bigint, y bigint"
+        ).parquet(src)
+        return (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, bid: _merge_spatial(spark, df, base, bid))
+            .start()
+        )
+
+    _await_or_raise(one_pass())
+    pts.filter("id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    _await_or_raise(one_pass())
+    return (
+        spark.read.parquet(os.path.join(base, "pairs"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "d2")
+    )
+
+
+def _wrap_stream_spatial():
+    from ..streaming.pipeline import _oracle_stream_conf
+
+    return _oracle_stream_conf(stream_spatial_query)
+
+
+stream_spatial_query = _wrap_stream_spatial()

@@ -1351,6 +1351,9 @@ register("q_spatial_join", spatial.spatial_join_oracle())(
 )
 register("q_spatial_nn", spatial.spatial_nn_oracle())(spatial.spatial_nn)
 register("q_morans_i", spatial.morans_i_oracle())(spatial.morans_i)
+register("q_stream_spatial", spatial.spatial_join_oracle())(
+    spatial.stream_spatial_query
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1435,7 +1438,7 @@ _LEAD = [
     "q_simpsons_audit", "q_stream_changepoint", "q_activity_streaks",
     "q_er_links", "q_preference_pairs", "q_negative_sampling",
     "q_ipf_raking", "q_heavy_changers", "q_knn_rerank", "q_drawdown",
-    "q_spatial_join", "q_spatial_nn", "q_morans_i",
+    "q_spatial_join", "q_spatial_nn", "q_morans_i", "q_stream_spatial",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

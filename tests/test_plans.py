@@ -253,6 +253,7 @@ _EXECUTING = {
     "q_stream_auc",          # foreachBatch passes run at plan time
     "q_stream_growth",       # foreachBatch passes run at plan time
     "q_stream_changepoint",  # foreachBatch passes run at plan time
+    "q_stream_spatial",      # foreachBatch passes run at plan time
     "q_schema_merge",   # writes the two-generation layout at plan time
     "q_bucketed_join",  # writes + checkpoints the bucketed join at plan time
     "q_partition_pruning",  # writes the partitioned layout at plan time

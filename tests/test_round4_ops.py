@@ -3887,3 +3887,16 @@ def test_morans_i_matches_brute_force_and_reads_random(spark):
     # md5 placement is spatially random: I must sit near the null value,
     # far from the |I| ~ 1 clustering/dispersion extremes
     assert abs(r.morans_i - r.null_expectation) < 0.2
+
+
+def test_stream_spatial_accumulates_the_batch_pair_set(spark):
+    batch = sorted(
+        tuple(r) for r in registry.QUERIES["q_spatial_join"](
+            spark, SF_SMALL).collect()
+    )
+    streamed = sorted(
+        tuple(r) for r in registry.QUERIES["q_stream_spatial"](
+            spark, SF_SMALL).collect()
+    )
+    assert streamed == batch
+    assert batch  # non-vacuous: the radius yields real pairs at sf0.001
