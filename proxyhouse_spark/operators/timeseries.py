@@ -453,3 +453,51 @@ def drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def drawdown_oracle() -> str:
     return "WITH " + _drawdown_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# rate_test — did the event RATE change between the two half-periods?
+# The Poisson two-sample test via the variance-stabilizing square-root
+# transform: for counts c, √c has SD ≈ 1/2 regardless of the rate, so
+# with the equal exposures the midpoint split gives by construction,
+# z = (√c₂ − √c₁)·√2 — the ops-monitoring "did the error rate move"
+# answer where Welch (q_welch_metric) tests MEANS of a value, this tests
+# the COUNTING RATE itself. IEEE sqrt is exactly rounded (unlike libm
+# trig), so the float path is bit-identical cross-engine; the rate ratio
+# is published in exact integer basis points.
+# ---------------------------------------------------------------------------
+
+
+def _rate_test_sql(epoch: str, idiv: str) -> str:
+    return f"""
+    ev AS (SELECT event_type, CAST({epoch} AS BIGINT) AS t FROM events),
+    b AS (SELECT CAST((min(t) + max(t)) {idiv} 2 AS BIGINT) AS mid FROM ev),
+    h AS (SELECT event_type,
+                 CAST(sum(CASE WHEN t <= mid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+                 CAST(sum(CASE WHEN t > mid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+          FROM ev CROSS JOIN b GROUP BY event_type)
+    SELECT event_type, c1, c2,
+           CAST(c2 * 10000 {idiv} greatest(c1, 1) AS BIGINT) AS ratio_bp,
+           round((sqrt(CAST(c2 AS DOUBLE)) - sqrt(CAST(c1 AS DOUBLE)))
+                 * sqrt(CAST(2 AS DOUBLE)), 6) AS z_r6
+    FROM h
+    """
+
+
+def rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N196: Poisson rate-change test via the sqrt transform, per type."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _rate_test_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def rate_test_oracle() -> str:
+    return "WITH " + _rate_test_sql("epoch_us(ts)", "//")

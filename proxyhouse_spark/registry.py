@@ -1354,6 +1354,7 @@ register("q_morans_i", spatial.morans_i_oracle())(spatial.morans_i)
 register("q_stream_spatial", spatial.spatial_join_oracle())(
     spatial.stream_spatial_query
 )
+register("q_rate_test", timeseries.rate_test_oracle())(timeseries.rate_test)
 
 
 # ---------------------------------------------------------------------------
@@ -1439,6 +1440,7 @@ _LEAD = [
     "q_er_links", "q_preference_pairs", "q_negative_sampling",
     "q_ipf_raking", "q_heavy_changers", "q_knn_rerank", "q_drawdown",
     "q_spatial_join", "q_spatial_nn", "q_morans_i", "q_stream_spatial",
+    "q_rate_test",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -310,6 +310,7 @@ _SCALAR_BNLJ_OK = {
                           # three 1-row readout crosses
     "q_heavy_changers",   # 1-row midpoint frame crossed into the event
                           # scan (the decay/cuped boundary-anchor shape)
+    "q_rate_test",        # same 1-row midpoint boundary-anchor shape
     "q_negative_sampling",  # label-exclusion theta join on the BOUNDED
                           # O(B×labels) per-bucket-minima frame (32×labels
                           # rows by construction); the corpus-scaled draw

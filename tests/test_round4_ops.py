@@ -3900,3 +3900,32 @@ def test_stream_spatial_accumulates_the_batch_pair_set(spark):
     )
     assert streamed == batch
     assert batch  # non-vacuous: the radius yields real pairs at sf0.001
+
+
+def test_rate_test_matches_brute_force(spark):
+    from collections import Counter
+    from math import sqrt
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "ts").collect()
+
+    def us(ts):
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    ts_us = [us(r.ts) for r in rows]
+    mid = (min(ts_us) + max(ts_us)) // 2
+    c1, c2 = Counter(), Counter()
+    for r, t in zip(rows, ts_us):
+        (c1 if t <= mid else c2)[r.event_type] += 1
+    got = {r.event_type: r for r in registry.QUERIES["q_rate_test"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(c1) | set(c2)
+    for et in got:
+        r = got[et]
+        assert (r.c1, r.c2) == (c1[et], c2[et])
+        assert r.ratio_bp == c2[et] * 10000 // max(c1[et], 1)
+        z = (sqrt(c2[et]) - sqrt(c1[et])) * sqrt(2)
+        assert abs(r.z_r6 - z) < 1e-5
