@@ -501,3 +501,98 @@ def rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rate_test_oracle() -> str:
     return "WITH " + _rate_test_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# holt_linear — Holt's double exponential smoothing (level + trend) per
+# event_type: the forecasting step up from q_ewma — EWMA tracks a LEVEL
+# and lags any trend by construction; Holt carries (l, b) state
+#     l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+#     b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+# and forecasts l + b — the one-step-ahead number a capacity planner
+# actually wants. A TWO-component recurrence exceeds the scalar fold the
+# chi2/ewma scaffold uses, so this op extends it: the accumulator is the
+# 2-ARRAY [l, b] and data enters as [x, 0] arrays of the same type
+# (DuckDB's list_reduce requires accumulator ≡ element type; NOT a
+# struct — DuckDB 1.0 mis-evaluates multi-step struct accumulators,
+# verified by a reduced repro, while list accumulators fold correctly;
+# only the subscript base differs per dialect). Seeded with the standard
+# init l₁ = x₂, b₁ = x₂ − x₁. α = 1/4 and β = 1/2 are exactly binary ⇒
+# the whole float recurrence is bit-identical cross-engine. Types need
+# ≥ 2 observed days (documented; the fold is undefined on one point).
+# ---------------------------------------------------------------------------
+
+
+def _holt_lambda(i1: str, i2: str, mk: str = "array") -> str:
+    """The Holt step as a 2-array fold; ``i1``/``i2`` are the dialect's
+    first/second array subscripts (Spark [] is 0-based, DuckDB 1-based)."""
+    a, na, bt, nb = (
+        "CAST(0.25 AS DOUBLE)", "CAST(0.75 AS DOUBLE)",
+        "CAST(0.5 AS DOUBLE)", "CAST(0.5 AS DOUBLE)",
+    )
+    new_l = f"{a} * e[{i1}] + {na} * (acc[{i1}] + acc[{i2}])"
+    new_b = f"{bt} * ({new_l} - acc[{i1}]) + {nb} * acc[{i2}]"
+    return f"(acc, e) -> {mk}({new_l}, {new_b})"
+
+
+def _holt_sql(
+    epoch: str, idiv: str, arr: str, fold: str, i1: str, i2: str
+) -> str:
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    ord AS (SELECT event_type, day, cents FROM daily),
+    arr AS (SELECT event_type, {arr} AS xs FROM ord GROUP BY event_type),
+    st AS (SELECT event_type, {fold} AS s FROM arr WHERE {{n}} >= 2)
+    SELECT event_type, CAST({{n}} AS BIGINT) AS n_days,
+           round(s[{i1}], 6) AS level_r6,
+           round(s[{i2}], 6) AS trend_r6,
+           round(s[{i1}] + s[{i2}], 6) AS forecast_r6
+    FROM st JOIN arr USING (event_type)
+    """
+    )
+
+
+def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N197: Holt level+trend smoothing as a 2-array sequential fold."""
+    from ..tables import EPOCH_NTZ
+
+    fold = (
+        "aggregate(transform(slice(xs, 3, size(xs) - 2), "
+        "v -> array(v, CAST(0 AS DOUBLE))), "
+        "array(element_at(xs, 2), element_at(xs, 2) - element_at(xs, 1)), "
+        + _holt_lambda("0", "1")
+        + ")"
+    )
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _holt_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            "div",
+            "transform(array_sort(collect_list(struct(day, cents))), "
+            "s -> CAST(s.cents AS DOUBLE))",
+            fold,
+            "0",
+            "1",
+        ).format(n="size(xs)")
+    )
+
+
+def holt_linear_oracle() -> str:
+    fold = (
+        "list_reduce(list_prepend(list_value(xs[2], xs[2] - xs[1]), "
+        "list_transform(list_slice(xs, 3, len(xs)), "
+        "v -> list_value(v, CAST(0 AS DOUBLE)))), "
+        + _holt_lambda("1", "2", "list_value")
+        + ")"
+    )
+    return "WITH " + _holt_sql(
+        "epoch_us(ts)",
+        "//",
+        "list_transform(list_sort(list(struct_pack(day := day, "
+        "cents := cents))), s -> CAST(s.cents AS DOUBLE))",
+        fold,
+        "1",
+        "2",
+    ).format(n="len(xs)")

@@ -3929,3 +3929,26 @@ def test_rate_test_matches_brute_force(spark):
         assert r.ratio_bp == c2[et] * 10000 // max(c1[et], 1)
         z = (sqrt(c2[et]) - sqrt(c1[et])) * sqrt(2)
         assert abs(r.z_r6 - z) < 1e-5
+
+
+def test_holt_linear_matches_sequential_recurrence(spark):
+    daily = _daily_frames(spark)
+    by_type = {}
+    for (et, d), (_, cents) in daily.items():
+        by_type.setdefault(et, []).append((d, cents))
+    got = {r.event_type: r for r in registry.QUERIES["q_holt_linear"](
+        spark, SF_SMALL).collect()}
+    want_types = {et for et, s in by_type.items() if len(s) >= 2}
+    assert set(got) == want_types
+    for et in want_types:
+        xs = [float(c) for _, c in sorted(by_type[et])]
+        l, b = xs[1], xs[1] - xs[0]
+        for x in xs[2:]:
+            nl = 0.25 * x + 0.75 * (l + b)
+            b = 0.5 * (nl - l) + 0.5 * b
+            l = nl
+        r = got[et]
+        assert r.n_days == len(xs)
+        assert abs(r.level_r6 - l) < 1e-5
+        assert abs(r.trend_r6 - b) < 1e-5
+        assert abs(r.forecast_r6 - (l + b)) < 1e-5
