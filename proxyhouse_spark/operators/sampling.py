@@ -616,3 +616,69 @@ def neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def neyman_alloc_oracle() -> str:
     return "WITH " + _neyman_sql()
+
+
+# ---------------------------------------------------------------------------
+# gapfill_interp — the LINEAR-INTERPOLATION sibling of gapfill_locf
+# (TimescaleDB's interpolate() next to locf()): carry-forward is right
+# for state-like series (a price holds until it changes); interpolation
+# is right for flow-like series (a sensor that kept moving while
+# unobserved). For every gap between consecutive observed hourly buckets
+# the missing buckets get cents + (Δ·k) div gap — EXACT integer
+# arithmetic with the division spelled sign-split (sign(Δ)·(|Δ|·k div
+# gap)) because DuckDB's // floors negatives while Spark's div truncates
+# toward zero; non-negative operands make them agree.
+# Scale: same contract as locf — the data-sized work is one (type, hour)
+# map-side-combinable fold; the gap explode is bounded by the wall-clock
+# span (O(series × buckets)), never by data volume.
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+
+
+def _gapfill_interp_sql(epoch: str, idiv: str, explode_k: str) -> str:
+    return f"""
+    hourly AS (SELECT event_type,
+                      CAST({epoch} {idiv} {HOUR_US} AS BIGINT) AS h,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM events GROUP BY event_type,
+                                    CAST({epoch} {idiv} {HOUR_US} AS BIGINT)),
+    nxt AS (SELECT event_type, h, cents,
+                   lead(h) OVER (PARTITION BY event_type ORDER BY h) AS h2,
+                   lead(cents) OVER (PARTITION BY event_type ORDER BY h)
+                     AS c2
+            FROM hourly),
+    gaps AS (SELECT event_type, h, cents, h2, c2, h2 - h AS gap
+             FROM nxt WHERE h2 IS NOT NULL AND h2 - h > 1),
+    filled AS (SELECT event_type, h + t.k AS h,
+                      cents + CAST(sign(c2 - cents) AS BIGINT)
+                              * (abs(c2 - cents) * t.k {idiv} gap)
+                        AS cents,
+                      true AS interpolated
+               FROM gaps{explode_k})
+    SELECT event_type, h AS hour, cents, interpolated FROM filled
+    UNION ALL
+    SELECT event_type, h AS hour, cents, false AS interpolated FROM hourly
+    """
+
+
+def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N198: exact-integer linear interpolation across hourly gaps."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _gapfill_interp_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            "div",
+            " LATERAL VIEW explode(sequence(1, CAST(gap - 1 AS INT))) t AS k",
+        )
+    )
+
+
+def gapfill_interp_oracle() -> str:
+    return "WITH " + _gapfill_interp_sql(
+        "epoch_us(ts)", "//", ", unnest(range(1, gap)) AS t(k)"
+    )

@@ -1358,6 +1358,9 @@ register("q_rate_test", timeseries.rate_test_oracle())(timeseries.rate_test)
 register("q_holt_linear", timeseries.holt_linear_oracle())(
     timeseries.holt_linear
 )
+register("q_gapfill_interp", sampling.gapfill_interp_oracle())(
+    sampling.gapfill_interp
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1443,7 +1446,7 @@ _LEAD = [
     "q_er_links", "q_preference_pairs", "q_negative_sampling",
     "q_ipf_raking", "q_heavy_changers", "q_knn_rerank", "q_drawdown",
     "q_spatial_join", "q_spatial_nn", "q_morans_i", "q_stream_spatial",
-    "q_rate_test", "q_holt_linear",
+    "q_rate_test", "q_holt_linear", "q_gapfill_interp",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

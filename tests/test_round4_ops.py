@@ -3952,3 +3952,41 @@ def test_holt_linear_matches_sequential_recurrence(spark):
         assert abs(r.level_r6 - l) < 1e-5
         assert abs(r.trend_r6 - b) < 1e-5
         assert abs(r.forecast_r6 - (l + b)) < 1e-5
+
+
+def test_gapfill_interp_matches_brute_force(spark):
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "ts", "value").collect()
+
+    def us(ts):
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    hourly = defaultdict(int)
+    for r in rows:
+        hourly[(r.event_type, us(r.ts) // 3_600_000_000)] += int(
+            round(r.value * 100))
+    want = {k: (c, False) for k, c in hourly.items()}
+    by_type = defaultdict(list)
+    for (et, h), c in hourly.items():
+        by_type[et].append((h, c))
+    n_interp = 0
+    for et, series in by_type.items():
+        series.sort()
+        for (h1, c1), (h2, c2) in zip(series, series[1:]):
+            gap = h2 - h1
+            for k in range(1, gap):
+                d = c2 - c1
+                sign = (d > 0) - (d < 0)
+                want[(et, h1 + k)] = (c1 + sign * (abs(d) * k // gap), True)
+                n_interp += 1
+    got = {(r.event_type, r.hour): r for r in registry.QUERIES[
+        "q_gapfill_interp"](spark, SF_SMALL).collect()}
+    assert set(got) == set(want)
+    for k, (c, interp) in want.items():
+        assert (got[k].cents, got[k].interpolated) == (c, interp), k
+    assert n_interp > 0  # the hourly grid really has gaps at sf0.001
