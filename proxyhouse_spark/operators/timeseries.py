@@ -596,3 +596,76 @@ def holt_linear_oracle() -> str:
         "1",
         "2",
     ).format(n="len(xs)")
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose — the additive trend/seasonal/residual split
+# (classical decomposition, STL's cheap ancestor) per event_type at the
+# daily grain: trend = centered 7-day mean (the rolling_median explode
+# discipline, offsets −3..+3, partial support at the series edges
+# reported in n_win, not silently imputed), seasonal = per-weekday mean
+# of the detrended series, residual = the rest. q_seasonality_strength
+# MEASURES how seasonal a series is; this op SHOWS the components a
+# dashboard actually plots.
+# Float discipline: the trend is the exact rational num/den (integer
+# window sums); detrended values are rounded to 9 dp DECIMAL(38,9)
+# before the per-weekday mean (exact sums — addition order never
+# matters, the ipf/embedding_drift lesson), and each published value is
+# one deterministic double chain off those exact carriers. The residual
+# adds +0.0 before publishing: a perfectly-explained day rounds to
+# IEEE negative zero on one engine and positive zero on the other —
+# x + 0.0 canonicalizes both to +0.0 (new cross-engine trap, logged).
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_decompose_sql(epoch: str, idiv: str, explode_k: str) -> str:
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    win AS (SELECT d.event_type, d.day + t.k AS day, d.n
+            FROM daily d{explode_k}),
+    trend AS (SELECT event_type, day,
+                     CAST(sum(n) AS BIGINT) AS num,
+                     CAST(count(*) AS BIGINT) AS den
+              FROM win GROUP BY event_type, day),
+    det AS (SELECT d.event_type, d.day, (d.day + 4) % 7 AS dow, d.n,
+                   t.num, t.den,
+                   CAST(round(d.n - CAST(t.num AS DOUBLE) / t.den, 9)
+                        AS DECIMAL(38, 9)) AS det_d
+            FROM daily d JOIN trend t
+              ON t.event_type = d.event_type AND t.day = d.day),
+    seas AS (SELECT event_type, dow,
+                    CAST(sum(det_d) AS DECIMAL(38, 9)) AS s_sum,
+                    CAST(count(*) AS BIGINT) AS k
+             FROM det GROUP BY event_type, dow)
+    SELECT d.event_type, d.day, d.dow, d.n, d.den AS n_win,
+           round(CAST(d.num AS DOUBLE) / d.den, 6) AS trend_r6,
+           round(CAST(s.s_sum AS DOUBLE) / s.k, 6) AS seasonal_r6,
+           round(d.n - CAST(d.num AS DOUBLE) / d.den
+                 - CAST(s.s_sum AS DOUBLE) / s.k, 6)
+             + CAST(0 AS DOUBLE) AS resid_r6
+    FROM det d JOIN seas s
+      ON s.event_type = d.event_type AND s.dow = d.dow
+    """
+    )
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N199: additive trend/seasonal/residual decomposition per type."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _seasonal_decompose_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            "div",
+            " LATERAL VIEW explode(sequence(-3, 3)) t AS k",
+        )
+    )
+
+
+def seasonal_decompose_oracle() -> str:
+    return "WITH " + _seasonal_decompose_sql(
+        "epoch_us(ts)", "//", ", unnest(range(-3, 4)) AS t(k)"
+    )

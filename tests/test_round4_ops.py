@@ -3990,3 +3990,35 @@ def test_gapfill_interp_matches_brute_force(spark):
     for k, (c, interp) in want.items():
         assert (got[k].cents, got[k].interpolated) == (c, interp), k
     assert n_interp > 0  # the hourly grid really has gaps at sf0.001
+
+
+def test_seasonal_decompose_matches_brute_force_and_reconstructs(spark):
+    daily = _daily_frames(spark)
+    by_type = {}
+    for (et, d), (n, _) in daily.items():
+        by_type.setdefault(et, {})[d] = n
+    got = {(r.event_type, r.day): r for r in registry.QUERIES[
+        "q_seasonal_decompose"](spark, SF_SMALL).collect()}
+    assert set(got) == set(daily)
+    for et, series in by_type.items():
+        trend = {}
+        for d in series:
+            win = [series[k] for k in range(d - 3, d + 4) if k in series]
+            trend[d] = (sum(win), len(win))
+        det = {d: series[d] - num / den
+               for d, (num, den) in trend.items()}
+        seas = {}
+        for d, v in det.items():
+            seas.setdefault((d + 4) % 7, []).append(round(v, 9))
+        seas = {dow: sum(vs) / len(vs) for dow, vs in seas.items()}
+        for d in series:
+            r = got[(et, d)]
+            num, den = trend[d]
+            assert r.n == series[d]
+            assert r.n_win == den
+            assert r.dow == (d + 4) % 7
+            assert abs(r.trend_r6 - num / den) < 1e-5
+            assert abs(r.seasonal_r6 - seas[(d + 4) % 7]) < 1e-5
+            # the decomposition must reconstruct the observation
+            assert abs(r.trend_r6 + r.seasonal_r6 + r.resid_r6
+                       - series[d]) < 1e-4
