@@ -1453,3 +1453,169 @@ def er_links_oracle() -> str:
     from .textops import _NORM_DUCK
 
     return _er_links_sql(_NORM_DUCK.format(t="text"), True, "//")
+
+
+# ---------------------------------------------------------------------------
+# lsh_s_curve — does the shipped LSH banding behave like the THEORY says?
+# For a MinHash scheme with b bands of r rows, a pair with true Jaccard j
+# becomes a candidate with probability 1 − (1 − jʳ)ᵇ — the S-curve every
+# banding parameter choice is made from. This audit builds a deterministic
+# pair sample that actually SPANS the curve — random md5 pairs for the
+# j ≈ 0 tail plus PREFIX-TRUNCATED copies (drop 0–45% of tokens, cut
+# depth keyed to the sample index) for the j ≈ 0.5–1.0 arm — computes
+# each pair's EXACT shingle Jaccard and whether its minhash signatures
+# actually band-collide, and compares the measured collision rate per
+# Jaccard decile with the mean theoretical curve. dedup_recall audits
+# RECALL on planted pairs; this audits the PROBABILITY MODEL itself —
+# the calibration a dedup platform runs before trusting (b, r) at a new
+# threshold.
+# Exactness: collisions are integer band-key equalities; per-pair theory
+# is pure mul/sub on the exact-division Jaccard double (no pow — libm
+# pow is not exactly rounded); bucket means via the 9 dp DECIMAL
+# exact-sum discipline; the truncation start index is an exact integer
+# division.
+# Scale: the pair sample is CONSTANT-sized (SC_PAIRS); the corpus ∪
+# mutants frame is sketched ONCE and each pair leg equi-joins it by
+# doc_id — the corpus never self-joins.
+# ---------------------------------------------------------------------------
+
+SC_PAIRS = 400  # half mutated-copy pairs, half random pairs
+_SC_MUT_BASE = 10_000_000
+
+
+def _sc_band_collide() -> str:
+    b0 = " AND ".join(f"x.m{s} = y.m{s}" for s in range(T.BAND_SIZE))
+    b1 = " AND ".join(
+        f"x.m{s} = y.m{s}" for s in range(T.BAND_SIZE, T.N_HASHES)
+    )
+    return f"(({b0}) OR ({b1}))"
+
+
+def _sc_sample_sql(md5a: str, md5b: str, gen_i: str, idiv: str) -> str:
+    """Shared sample CTEs: ``samp`` (mutated-copy pairs: source doc a,
+    cut decile, mutant id) and ``spl`` (all scored pairs a, b)."""
+    half = SC_PAIRS // 2
+    return f"""
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    gen AS (SELECT i FROM {gen_i}),
+    samp AS (SELECT g.i, {md5a} % nn.n AS a,
+                    CAST(g.i % 10 AS BIGINT) AS cut
+             FROM (SELECT i FROM gen WHERE i < {half}) g CROSS JOIN nn),
+    rnd AS (SELECT DISTINCT least({md5a} % nn.n, {md5b} % nn.n) AS a,
+                   greatest({md5a} % nn.n, {md5b} % nn.n) AS b
+            FROM (SELECT i FROM gen WHERE i >= {half}) g CROSS JOIN nn),
+    spl AS (SELECT a, CAST({_SC_MUT_BASE} + i AS BIGINT) AS b FROM samp
+            UNION ALL
+            SELECT a, b FROM rnd WHERE a <> b)
+    """
+
+
+def _sc_mut_sql(toks: str, slicer: str, joiner: str, idiv: str) -> str:
+    """The mutant corpus: drop the first cut/20 fraction of tokens."""
+    start = f"1 + (({slicer.format(toks=toks)}) * s.cut) {idiv} 20"
+    return f"""
+    mut AS (SELECT CAST({_SC_MUT_BASE} + s.i AS BIGINT) AS doc_id,
+                   {joiner.format(toks=toks, start=start)} AS text
+            FROM samp s JOIN documents d ON d.doc_id = s.a),
+    corpus AS (SELECT doc_id, text FROM documents
+               UNION ALL SELECT doc_id, text FROM mut)
+    """
+
+
+def _sc_tail_sql(jac: str, idiv: str) -> str:
+    theory = (
+        "(CAST(1 AS DOUBLE) - (CAST(1 AS DOUBLE) - j4) "
+        "* (CAST(1 AS DOUBLE) - j4))"
+    )
+    return f"""
+    scored AS (SELECT p.a, p.b, {jac} AS jac,
+                      CASE WHEN {_sc_band_collide()} THEN 1 ELSE 0 END
+                        AS collide
+               FROM spl p JOIN sig x ON x.doc_id = p.a
+                          JOIN sig y ON y.doc_id = p.b),
+    terms AS (SELECT least(CAST(floor(jac * 10) AS BIGINT),
+                           CAST(9 AS BIGINT)) AS bucket,
+                     collide,
+                     CAST(round(jac, 9) AS DECIMAL(38, 9)) AS jac_d,
+                     CAST(round({theory}, 9) AS DECIMAL(38, 9)) AS th_d
+              FROM (SELECT a, b, jac, collide, jac * jac * jac * jac AS j4
+                    FROM scored) s)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(collide) AS BIGINT) AS n_collide,
+           CAST(sum(collide) * 10000 {idiv} count(*) AS BIGINT)
+             AS rate_bp,
+           round(CAST(sum(jac_d) AS DOUBLE) / count(*), 6) AS mean_j_r6,
+           round(CAST(sum(th_d) AS DOUBLE) / count(*), 6) AS theory_r6
+    FROM terms GROUP BY bucket
+    """
+
+
+def lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N200: measured vs theoretical LSH S-curve on a spanning pair sample."""
+    from ..tables import table
+
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    md5a = (
+        "CAST(conv(substr(md5(concat('sc-a#', CAST(g.i AS STRING))), "
+        "1, 12), 16, 10) AS BIGINT)"
+    )
+    md5b = (
+        "CAST(conv(substr(md5(concat('sc-b#', CAST(g.i AS STRING))), "
+        "1, 12), 16, 10) AS BIGINT)"
+    )
+    gen = f"(SELECT explode(sequence(0, {SC_PAIRS - 1})) AS i) t"
+    sample = _sc_sample_sql(md5a, md5b, gen, "div")
+    mut = _sc_mut_sql(
+        "split(d.text, ' ', -1)",
+        "size({toks})",
+        "concat_ws(' ', slice({toks}, CAST(({start}) AS INT), 1000000))",
+        "div",
+    )
+    corpus = spark.sql(
+        "WITH " + sample + "," + mut + " SELECT doc_id, text FROM corpus"
+    )
+    sig, _ = _sketch_frames(corpus, [], [], "scurve")
+    sig.createOrReplaceTempView("sig")
+    jac = (
+        "CAST(size(array_intersect(x.sh, y.sh)) AS DOUBLE) "
+        "/ size(array_union(x.sh, y.sh))"
+    )
+    return spark.sql(
+        "WITH " + sample + "," + _sc_tail_sql(jac, "div")
+    )
+
+
+def lsh_s_curve_oracle() -> str:
+    md5a = (
+        "CAST(concat('0x', substr(md5(concat('sc-a#', "
+        "CAST(g.i AS VARCHAR))), 1, 12)) AS BIGINT)"
+    )
+    md5b = (
+        "CAST(concat('0x', substr(md5(concat('sc-b#', "
+        "CAST(g.i AS VARCHAR))), 1, 12)) AS BIGINT)"
+    )
+    gen = f"(SELECT unnest(range(0, {SC_PAIRS})) AS i) t"
+    sample = _sc_sample_sql(md5a, md5b, gen, "//")
+    mut = _sc_mut_sql(
+        "string_split(d.text, ' ')",
+        "len({toks})",
+        "array_to_string(list_slice({toks}, CAST(({start}) AS BIGINT), "
+        "100000000), ' ')",
+        "//",
+    )
+    jac = (
+        "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(x.sh, y.sh)))"
+    )
+    return (
+        "WITH "
+        + sample
+        + ","
+        + mut
+        + f", tk AS (SELECT doc_id, text, {T.TOKS_DUCK} AS toks "
+        "FROM corpus),"
+        + _sketch_ctes_duck()
+        + ","
+        + _sc_tail_sql(jac, "//")
+    )

@@ -4022,3 +4022,65 @@ def test_seasonal_decompose_matches_brute_force_and_reconstructs(spark):
             # the decomposition must reconstruct the observation
             assert abs(r.trend_r6 + r.seasonal_r6 + r.resid_r6
                        - series[d]) < 1e-4
+
+
+def test_lsh_s_curve_jaccards_and_shape(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from proxyhouse_spark.operators.dedup import SC_PAIRS, _SC_MUT_BASE
+
+    docs = {r.doc_id: r.text for r in spark.read.parquet(
+        f"{SF_SMALL}/documents.parquet").collect()}
+    n = len(docs)
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def shingles(text):
+        toks = text.split(" ")
+        if len(toks) >= 3:
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        return {text}
+
+    half = SC_PAIRS // 2
+    jac_by_pair = {}
+    for i in range(half):  # mutated-copy arm
+        a = md5i(f"sc-a#{i}") % n
+        cut = i % 10
+        toks = docs[a].split(" ")
+        start = (len(toks) * cut) // 20
+        mut = " ".join(toks[start:])
+        sa, sb = shingles(docs[a]), shingles(mut)
+        jac_by_pair[(a, _SC_MUT_BASE + i)] = (
+            len(sa & sb) / len(sa | sb))
+    rnd = set()
+    for i in range(half, SC_PAIRS):  # random arm
+        a, b = md5i(f"sc-a#{i}") % n, md5i(f"sc-b#{i}") % n
+        if a != b:
+            rnd.add((min(a, b), max(a, b)))
+    for a, b in rnd:
+        sa, sb = shingles(docs[a]), shingles(docs[b])
+        jac_by_pair[(a, b)] = len(sa & sb) / len(sa | sb)
+    buckets = defaultdict(list)
+    for j in jac_by_pair.values():
+        buckets[min(int(j * 10), 9)].append(j)
+    got = {r.bucket: r for r in registry.QUERIES["q_lsh_s_curve"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(buckets)
+    for bkt, js in buckets.items():
+        r = got[bkt]
+        assert r.n_pairs == len(js)
+        # the exact-Jaccard computation matches token-level brute force
+        assert abs(r.mean_j_r6 - sum(round(j, 9) for j in js) / len(js)) < 1e-5
+        # theory column is the mean per-pair S-curve value
+        th = [1 - (1 - j ** 4) ** 2 for j in js]
+        assert abs(r.theory_r6 - sum(round(t, 9) for t in th) / len(th)) < 1e-5
+        assert 0 <= r.n_collide <= r.n_pairs
+    # S-curve shape: the j~0 tail never collides; the j~1 head almost
+    # always does; measured rate is monotone in the Jaccard bucket
+    assert got[0].n_collide == 0
+    top = max(buckets)
+    assert got[top].rate_bp >= 9000
+    rates = [got[b].rate_bp for b in sorted(buckets) if b > 0]
+    assert rates == sorted(rates)
