@@ -1392,3 +1392,54 @@ def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def recursive_hierarchy_oracle() -> str:
     return _recursive_hierarchy_sql("//")
+
+
+# ---------------------------------------------------------------------------
+# histogram_eqd — the EQUI-DEPTH histogram (quantile-bucketed), the other
+# classic next to q_histogram's equi-width: every database optimizer's
+# column statistic, because equal-population buckets bound selectivity
+# estimation error where equal-width buckets collapse under skew.
+# Spelled the scale-correct way (the rfm_segments discipline): the 9
+# decile boundaries are EXACT interpolated percentiles computed in a
+# 1-row frame (percentile ≡ quantile_cont identity on the integer cents
+# carrier) and broadcast-classified back over the corpus — no global
+# sort, no ntile window. Depths are equal up to boundary TIES
+# (documented: a value equal to a boundary belongs to the right bucket;
+# heavy ties make depths uneven, which is itself the signal an optimizer
+# reads from such a histogram).
+# ---------------------------------------------------------------------------
+
+EQD_BUCKETS = 10
+
+
+def _histogram_eqd_sql(pct: str, idiv: str) -> str:
+    qs = ", ".join(
+        f"{pct}(cents, 0.{k}) AS q{k}" for k in range(1, EQD_BUCKETS)
+    )
+    case = " ".join(
+        f"WHEN cents < b.q{k} THEN {k - 1}" for k in range(1, EQD_BUCKETS)
+    )
+    return f"""
+    v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    b AS (SELECT {qs} FROM v),
+    cls AS (SELECT cents,
+                   CASE {case} ELSE {EQD_BUCKETS - 1} END AS bucket
+            FROM v CROSS JOIN b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+    SELECT c.bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(c.cents) AS BIGINT) AS lo_cents,
+           CAST(max(c.cents) AS BIGINT) AS hi_cents,
+           CAST(count(*) * 10000 {idiv} t.n AS BIGINT) AS share_bp
+    FROM cls c CROSS JOIN tot t GROUP BY c.bucket, t.n
+    """
+
+
+def histogram_eqd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N201: equi-depth histogram via broadcast exact decile boundaries."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("WITH " + _histogram_eqd_sql("percentile", "div"))
+
+
+def histogram_eqd_oracle() -> str:
+    return "WITH " + _histogram_eqd_sql("quantile_cont", "//")

@@ -311,6 +311,9 @@ _SCALAR_BNLJ_OK = {
     "q_heavy_changers",   # 1-row midpoint frame crossed into the event
                           # scan (the decay/cuped boundary-anchor shape)
     "q_rate_test",        # same 1-row midpoint boundary-anchor shape
+    "q_histogram_eqd",    # 1-row decile-boundary frame + 1-row total
+                          # crossed into the scan (the rfm_segments /
+                          # skew_report boundary-broadcast shape)
     "q_lsh_s_curve",      # 1-row corpus-count frame crossed into the
                           # CONSTANT SC_PAIRS sample generator; scoring
                           # legs stay equi-joins on doc_id

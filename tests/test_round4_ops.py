@@ -4084,3 +4084,43 @@ def test_lsh_s_curve_jaccards_and_shape(spark):
     assert got[top].rate_bp >= 9000
     rates = [got[b].rate_bp for b in sorted(buckets) if b > 0]
     assert rates == sorted(rates)
+
+
+def test_histogram_eqd_matches_brute_force(spark):
+    from proxyhouse_spark.operators.relational import EQD_BUCKETS
+
+    cents = sorted(
+        int(round(r.value * 100)) for r in spark.read.parquet(
+            f"{SF_SMALL}/events.parquet").select("value").collect())
+    n = len(cents)
+
+    def interp_pct(q):
+        pos = (n - 1) * q
+        lo = int(pos)
+        frac = pos - lo
+        return cents[lo] + (cents[lo + 1] - cents[lo]) * frac
+
+    bounds = [interp_pct(k / 10) for k in range(1, EQD_BUCKETS)]
+    want = {}
+    for c in cents:
+        b = EQD_BUCKETS - 1
+        for k, q in enumerate(bounds):
+            if c < q:
+                b = k
+                break
+        if b not in want:
+            want[b] = [0, c, c]
+        cell = want[b]
+        cell[0] += 1
+        cell[1] = min(cell[1], c)
+        cell[2] = max(cell[2], c)
+    got = {r.bucket: r for r in registry.QUERIES["q_histogram_eqd"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(want)
+    for b, (cnt, lo, hi) in want.items():
+        r = got[b]
+        assert (r.n, r.lo_cents, r.hi_cents) == (cnt, lo, hi)
+        assert r.share_bp == cnt * 10000 // n
+        # equi-depth contract: every bucket within 2x of the ideal depth
+        # (boundary ties can skew, but the fixture's values are smooth)
+        assert 0.5 * n / EQD_BUCKETS <= cnt <= 2 * n / EQD_BUCKETS
