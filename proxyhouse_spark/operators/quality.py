@@ -1162,3 +1162,62 @@ def simpsons_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simpsons_audit_oracle() -> str:
     return "WITH " + _simpsons_sql()
+
+
+# ---------------------------------------------------------------------------
+# filter_parity — subgroup FAIRNESS audit of the quality filter: does the
+# pass rate differ across languages enough to skew the corpus mix? The
+# four-fifths (80%) rule from disparate-impact testing, applied where a
+# training-data pipeline actually needs it — a filter that passes one
+# language at half another's rate silently rewrites the data mix, and
+# nobody reviews that decision unless an audit emits it. Threshold =
+# the corpus MEDIAN quality score (data-derived, so the audit stays
+# non-degenerate at every scale factor); pass = strictly above. All
+# rates exact integer basis points; parity compares each group against
+# the MOST-FAVORED group (the rule's definition), flag at < 8000 bp.
+# Scale: one narrow scan → the 1-row median frame (boundary-broadcast
+# discipline) → one lang-keyed fold → a 1-row max-rate frame crossed
+# back. Nothing data-scaled re-shuffles.
+# ---------------------------------------------------------------------------
+
+
+def _filter_parity_sql(quality: str, pct: str, idiv: str) -> str:
+    return f"""
+    q AS (SELECT doc_id, lang, {quality} AS qual FROM tk),
+    thr AS (SELECT {pct}(qual, 0.5) AS med FROM q),
+    flags AS (SELECT lang,
+                     CASE WHEN qual > t.med THEN 1 ELSE 0 END AS pass
+              FROM q CROSS JOIN thr t),
+    g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(pass) AS BIGINT) AS n_pass,
+                 CAST(sum(pass) * 10000 {idiv} count(*) AS BIGINT)
+                   AS pass_bp
+          FROM flags GROUP BY lang),
+    mx AS (SELECT CAST(max(pass_bp) AS BIGINT) AS max_bp FROM g)
+    SELECT g.lang, g.n_docs, g.n_pass, g.pass_bp, m.max_bp,
+           CAST(g.pass_bp * 10000 {idiv} greatest(m.max_bp, 1) AS BIGINT)
+             AS parity_bp,
+           g.pass_bp * 10000 {idiv} greatest(m.max_bp, 1) < 8000
+             AS four_fifths_flag
+    FROM g CROSS JOIN mx m
+    """
+
+
+def filter_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N202: four-fifths-rule parity audit of the quality filter by lang."""
+    from ..functions import text as T
+
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        f"WITH tk AS (SELECT *, {T.TOKS_SPARK} AS toks FROM documents),"
+        + _filter_parity_sql(T.quality_spark(), "percentile", "div")
+    )
+
+
+def filter_parity_oracle() -> str:
+    from ..functions import text as T
+
+    return (
+        f"WITH tk AS (SELECT *, {T.TOKS_DUCK} AS toks FROM documents),"
+        + _filter_parity_sql(T.quality_duck(), "quantile_cont", "//")
+    )

@@ -314,6 +314,8 @@ _SCALAR_BNLJ_OK = {
     "q_histogram_eqd",    # 1-row decile-boundary frame + 1-row total
                           # crossed into the scan (the rfm_segments /
                           # skew_report boundary-broadcast shape)
+    "q_filter_parity",    # 1-row median-threshold + 1-row max-rate
+                          # frames crossed back (same boundary shape)
     "q_lsh_s_curve",      # 1-row corpus-count frame crossed into the
                           # CONSTANT SC_PAIRS sample generator; scoring
                           # legs stay equi-joins on doc_id

@@ -4124,3 +4124,32 @@ def test_histogram_eqd_matches_brute_force(spark):
         # equi-depth contract: every bucket within 2x of the ideal depth
         # (boundary ties can skew, but the fixture's values are smooth)
         assert 0.5 * n / EQD_BUCKETS <= cnt <= 2 * n / EQD_BUCKETS
+
+
+def test_filter_parity_matches_brute_force(spark):
+    from collections import defaultdict
+
+    quals = {r.doc_id: r.quality for r in registry.QUERIES[
+        "q_quality_score"](spark, SF_SMALL).collect()}
+    langs = {r.doc_id: r.lang for r in spark.read.parquet(
+        f"{SF_SMALL}/documents.parquet").select("doc_id", "lang").collect()}
+    med = _interp_pct(sorted(quals.values()), 0.5)
+    by_lang = defaultdict(lambda: [0, 0])
+    for d, q in quals.items():
+        cell = by_lang[langs[d]]
+        cell[0] += 1
+        cell[1] += q > med
+    rates = {la: p * 10000 // n for la, (n, p) in by_lang.items()}
+    mx = max(rates.values())
+    got = {r.lang: r for r in registry.QUERIES["q_filter_parity"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(by_lang)
+    for la, (n, p) in by_lang.items():
+        r = got[la]
+        assert (r.n_docs, r.n_pass, r.pass_bp, r.max_bp) == (
+            n, p, rates[la], mx)
+        parity = rates[la] * 10000 // max(mx, 1)
+        assert r.parity_bp == parity
+        assert r.four_fifths_flag == (parity < 8000)
+    # the most-favored group is its own reference: parity exactly 10000
+    assert any(r.parity_bp == 10000 for r in got.values())
