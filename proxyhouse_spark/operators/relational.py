@@ -1443,3 +1443,59 @@ def histogram_eqd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def histogram_eqd_oracle() -> str:
     return "WITH " + _histogram_eqd_sql("quantile_cont", "//")
+
+
+# ---------------------------------------------------------------------------
+# pareto_cut — contribution analysis ("which brands are 80% of
+# revenue?"): per-brand exact-micro revenue, ranked, cumulative share,
+# and the Pareto flag marking the smallest prefix covering ≥ 80% — the
+# BI waterfall/concentration readout every revenue review starts from,
+# and the relational sibling of q_gini (Gini summarizes concentration in
+# one number; this names the members). Exact integers end to end: the
+# basis-point shares are DECIMAL(38,0)·10000 with the mod-subtract exact
+# division ((x − x%d)/d — divisible by construction, immune to the
+# DuckDB-rounds-vs-Spark-truncates DECIMAL division split, and to the
+# BIGINT overflow a plain rev·10000 hits at 10× scale), and the flag
+# comparison is cross-multiplied (cum·5 vs 4·total) so no float ever
+# decides membership. The ranking window is unpartitioned but runs on
+# the O(#brands) fold — bounded by the dimension, never data
+# (whitelisted).
+# ---------------------------------------------------------------------------
+
+
+def _bp_exact(x: str, d: str) -> str:
+    """Exact truncating (x·10000)/d over DECIMAL(38,0) carriers."""
+    prod = f"(CAST({x} AS DECIMAL(38,0)) * 10000)"
+    return f"CAST(({prod} - {prod} % {d}) / {d} AS BIGINT)"
+
+
+def _pareto_cut_sql() -> str:
+    return f"""
+    b AS (SELECT p.p_brand AS brand,
+                 CAST(sum(CAST(round(l.l_extendedprice * 1000) AS BIGINT)
+                          * (1000 - CAST(round(l.l_discount * 1000)
+                                         AS BIGINT))) AS BIGINT) AS rev
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          GROUP BY p.p_brand),
+    r AS (SELECT brand, rev,
+                 row_number() OVER (ORDER BY rev DESC, brand) AS rk,
+                 sum(rev) OVER (ORDER BY rev DESC, brand) AS cum,
+                 sum(rev) OVER () AS total
+          FROM b)
+    SELECT brand, rk, rev,
+           {_bp_exact('rev', 'total')} AS share_bp,
+           {_bp_exact('cum', 'total')} AS cum_bp,
+           (cum - rev) * 5 < 4 * total AS in_top80
+    FROM r
+    """
+
+
+def pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N203: exact-integer Pareto (80%) revenue-concentration cut."""
+    for t in ("lineitem", "part"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("WITH " + _pareto_cut_sql())
+
+
+def pareto_cut_oracle() -> str:
+    return "WITH " + _pareto_cut_sql()

@@ -413,6 +413,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "q_hill_tail",    # rank over the LIMIT-(k+1) TakeOrdered frame —
                       # bounded by construction
     "q_mom_growth",   # lag over the O(#months) monthly-revenue frame
+    "q_pareto_cut",   # rank/cumsum over the O(#brands) revenue fold —
+                      # bounded by the dimension, never data
     "q_pack_global",  # prefix sum over the O(#buckets) bucket-total frame —
                       # phase 1 of the documented two-phase distributed scan
     "q_skyline",      # min over the O(#buckets) bucket-minima frame (phase 2

@@ -4153,3 +4153,35 @@ def test_filter_parity_matches_brute_force(spark):
         assert r.four_fifths_flag == (parity < 8000)
     # the most-favored group is its own reference: parity exactly 10000
     assert any(r.parity_bp == 10000 for r in got.values())
+
+
+def test_pareto_cut_matches_brute_force(spark):
+    from collections import defaultdict
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice", "l_discount").collect()
+    brand = {r.p_partkey: r.p_brand for r in spark.read.parquet(
+        f"{SF_SMALL}/part.parquet").collect()}
+    rev = defaultdict(int)
+    for r in li:
+        rev[brand[r.l_partkey]] += (
+            int(round(r.l_extendedprice * 1000))
+            * (1000 - int(round(r.l_discount * 1000))))
+    total = sum(rev.values())
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = {r.brand: r for r in registry.QUERIES["q_pareto_cut"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(rev)
+    cum = 0
+    for rk, (b, v) in enumerate(ranked, start=1):
+        before = cum
+        cum += v
+        r = got[b]
+        assert (r.rk, r.rev) == (rk, v)
+        assert r.share_bp == v * 10000 // total
+        assert r.cum_bp == cum * 10000 // total
+        # in the 80% prefix iff the mass BEFORE this brand is < 80%
+        assert r.in_top80 == (before * 5 < 4 * total)
+    # sanity: the cut is a proper subset — some brands are in, some out
+    flags = {r.in_top80 for r in got.values()}
+    assert flags == {True, False}
