@@ -669,3 +669,79 @@ def seasonal_decompose_oracle() -> str:
     return "WITH " + _seasonal_decompose_sql(
         "epoch_us(ts)", "//", ", unnest(range(-3, 4)) AS t(k)"
     )
+
+
+# ---------------------------------------------------------------------------
+# cross_corr — lead-lag CROSS-CORRELATION between the click and purchase
+# daily series: Pearson r of (clicks on day d, purchases on day d+lag)
+# for lags −7..+7 — the "which series LEADS" discovery every forecasting
+# and attribution discussion eventually needs (the funnel family says
+# click→purchase takes days; this measures the aggregate-series echo of
+# that delay and flags the lag where it peaks). Exactness: per-lag
+# moment sums are integers assembled into DECIMAL(38,0) covariance /
+# variance numerators (the corr_matrix discipline — BIGINT dies on
+# squared sums at 10×); r is one double chain off those exact carriers,
+# so the peak flag (r = max r) compares bit-identical doubles.
+# Scale shape: two daily-grain folds; the lag explode is a bounded 15×
+# on the O(days) frame, the pair join equi-keyed on the shifted day.
+# ---------------------------------------------------------------------------
+
+CCF_MAX_LAG = 7
+
+
+def _cross_corr_sql(epoch: str, idiv: str, explode_lag: str) -> str:
+    dec = "DECIMAL(38,0)"
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    a AS (SELECT day, n FROM daily WHERE event_type = 'click'),
+    b AS (SELECT day, n FROM daily WHERE event_type = 'purchase'),
+    sh AS (SELECT t.lag, a.day + t.lag AS day, a.n
+           FROM a{explode_lag}),
+    p AS (SELECT sh.lag, sh.n AS x, b.n AS y
+          FROM sh JOIN b ON b.day = sh.day),
+    m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(CAST(x AS {dec}) * y) AS {dec}) AS sxy,
+                 CAST(sum(CAST(x AS {dec}) * x) AS {dec}) AS sxx,
+                 CAST(sum(CAST(y AS {dec}) * y) AS {dec}) AS syy
+          FROM p GROUP BY lag),
+    r AS (SELECT lag, n,
+                 (CAST(CAST(n AS {dec}) * sxy
+                       - CAST(sx AS {dec}) * sy AS DOUBLE))
+                 / sqrt(CAST(CAST(n AS {dec}) * sxx
+                             - CAST(sx AS {dec}) * sx AS DOUBLE)
+                        * CAST(CAST(n AS {dec}) * syy
+                               - CAST(sy AS {dec}) * sy AS DOUBLE)) AS cc
+          FROM m),
+    best AS (SELECT max(cc) AS peak FROM r)
+    SELECT r.lag, r.n, round(r.cc, 6) AS r_r6,
+           r.cc = b.peak AS is_peak
+    FROM r CROSS JOIN best b
+    """
+    )
+
+
+def cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N204: click→purchase lead-lag cross-correlation, exact interiors."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _cross_corr_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            "div",
+            f" LATERAL VIEW explode(sequence({-CCF_MAX_LAG}, "
+            f"{CCF_MAX_LAG})) t AS lag",
+        )
+    )
+
+
+def cross_corr_oracle() -> str:
+    return "WITH " + _cross_corr_sql(
+        "epoch_us(ts)",
+        "//",
+        f", unnest(range({-CCF_MAX_LAG}, {CCF_MAX_LAG + 1})) AS t(lag)",
+    )

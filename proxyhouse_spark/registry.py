@@ -1374,6 +1374,9 @@ register("q_filter_parity", quality.filter_parity_oracle())(
 register("q_pareto_cut", relational.pareto_cut_oracle())(
     relational.pareto_cut
 )
+register("q_cross_corr", timeseries.cross_corr_oracle())(
+    timeseries.cross_corr
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1461,7 +1464,7 @@ _LEAD = [
     "q_spatial_join", "q_spatial_nn", "q_morans_i", "q_stream_spatial",
     "q_rate_test", "q_holt_linear", "q_gapfill_interp",
     "q_seasonal_decompose", "q_lsh_s_curve", "q_histogram_eqd",
-    "q_filter_parity", "q_pareto_cut",
+    "q_filter_parity", "q_pareto_cut", "q_cross_corr",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -316,6 +316,8 @@ _SCALAR_BNLJ_OK = {
                           # skew_report boundary-broadcast shape)
     "q_filter_parity",    # 1-row median-threshold + 1-row max-rate
                           # frames crossed back (same boundary shape)
+    "q_cross_corr",       # 1-row peak-r frame crossed onto the 15-row
+                          # lag table for the is_peak flag
     "q_lsh_s_curve",      # 1-row corpus-count frame crossed into the
                           # CONSTANT SC_PAIRS sample generator; scoring
                           # legs stay equi-joins on doc_id

@@ -4185,3 +4185,34 @@ def test_pareto_cut_matches_brute_force(spark):
     # sanity: the cut is a proper subset — some brands are in, some out
     flags = {r.in_top80 for r in got.values()}
     assert flags == {True, False}
+
+
+def test_cross_corr_matches_brute_force(spark):
+    from math import sqrt
+
+    from proxyhouse_spark.operators.timeseries import CCF_MAX_LAG
+
+    daily = _daily_frames(spark)
+    a = {d: n for (et, d), (n, _) in daily.items() if et == "click"}
+    b = {d: n for (et, d), (n, _) in daily.items() if et == "purchase"}
+    want = {}
+    for lag in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1):
+        pairs = [(a[d], b[d + lag]) for d in a if d + lag in b]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs)
+        syy = sum(y * y for _, y in pairs)
+        want[lag] = (n, (n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    peak = max(r for _, r in want.values())
+    got = {r.lag: r for r in registry.QUERIES["q_cross_corr"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(want)
+    for lag, (n, r) in want.items():
+        row = got[lag]
+        assert row.n == n
+        assert abs(row.r_r6 - r) < 1e-5
+        assert row.is_peak == (abs(r - peak) < 1e-12)
+    assert sum(1 for r in got.values() if r.is_peak) == 1
