@@ -1499,3 +1499,60 @@ def pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pareto_cut_oracle() -> str:
     return "WITH " + _pareto_cut_sql()
+
+
+# ---------------------------------------------------------------------------
+# hhi — the Herfindahl-Hirschman concentration index of revenue by
+# customer, per market segment: the antitrust/portfolio-risk one-number
+# summary q_pareto_cut's prefix view and q_gini's inequality view both
+# orbit (HHI weights LARGE shares quadratically — the "one whale"
+# signal). Spelled with exact carriers: HHI = Σ rev_i² / (Σ rev_i)² —
+# both the squared-revenue sum and the squared total are exact
+# DECIMAL(38,0)/DECIMAL(38,0) compositions of integer micros, and the
+# index is ONE double division at the readout; also published ×10⁴
+# (the conventional 0–10000 scale) and with the equivalent-firm count
+# 1/HHI.
+# Scale: ONE customer-keyed fold then ONE segment fold — both map-side
+# combinable; no windows, no pair surface.
+# ---------------------------------------------------------------------------
+
+
+def _hhi_sql() -> str:
+    dec = "DECIMAL(38,0)"
+    return f"""
+    cust AS (SELECT c.c_mktsegment AS segment, o.o_custkey AS cust,
+                    CAST(sum(CAST(round(l.l_extendedprice * 1000)
+                                  AS BIGINT)
+                             * (1000 - CAST(round(l.l_discount * 1000)
+                                            AS BIGINT))) AS BIGINT) AS rev
+             FROM lineitem l
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             GROUP BY c.c_mktsegment, o.o_custkey),
+    seg AS (SELECT segment,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(rev) AS BIGINT) AS total,
+                   CAST(sum(CAST(rev AS {dec}) * rev) AS {dec}) AS sq
+            FROM cust GROUP BY segment)
+    SELECT segment, n_customers,
+           round(CAST(sq AS DOUBLE)
+                 / CAST(CAST(total AS {dec}) * total AS DOUBLE), 9)
+             AS hhi_r9,
+           round(10000 * CAST(sq AS DOUBLE)
+                 / CAST(CAST(total AS {dec}) * total AS DOUBLE), 4)
+             AS hhi_scaled_r4,
+           round(CAST(CAST(total AS {dec}) * total AS DOUBLE)
+                 / CAST(sq AS DOUBLE), 4) AS equiv_firms_r4
+    FROM seg
+    """
+
+
+def hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N206: Herfindahl revenue concentration per segment, exact carriers."""
+    for t in ("lineitem", "orders", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("WITH " + _hhi_sql())
+
+
+def hhi_oracle() -> str:
+    return "WITH " + _hhi_sql()

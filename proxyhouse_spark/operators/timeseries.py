@@ -745,3 +745,91 @@ def cross_corr_oracle() -> str:
         "//",
         f", unnest(range({-CCF_MAX_LAG}, {CCF_MAX_LAG + 1})) AS t(lag)",
     )
+
+
+# ---------------------------------------------------------------------------
+# anova_dow — one-way ANOVA of the event value by weekday, per
+# event_type: "does the metric actually differ by day of week?" — the
+# variance-decomposition F = (SSB/(k−1)) / (SSW/(N−k)) that separates a
+# real weekday effect from noise; q_chi2 asks the same question about
+# COUNTS, this asks it about the VALUE distribution (the parametric
+# sibling of q_mannwhitney's two-group rank test, generalized to k
+# groups). Exactness: per-(type, dow) sums and squared sums of the cents
+# carrier assembled in DECIMAL(38,0) (squared sums die in BIGINT at
+# 10×); SSB and SSW are exact-integer compositions of those (scaled by
+# N to avoid per-group rational means), and F is ONE double chain at the
+# readout — bit-identical cross-engine.
+#   SSB·N = Σ_g (N·S_g² / n_g) − (Σ_g S_g)²   [exact if N·S_g² div n_g?]
+# — the per-group division is rational, so instead both sums are kept as
+# exact DECIMAL numerators over the COMMON denominator Π? No: the
+# standard cross-multiplied form used here is
+#   SSB = Σ S_g²/n_g − T²/N,  SSW = Σ Q_g − Σ S_g²/n_g
+# with each S_g²/n_g evaluated as a double from exact DECIMAL operands —
+# a fixed per-group expression, deterministic both engines, then summed
+# over the BOUNDED 7-row weekday frame where addition order is fixed by
+# a sorted-array sequential fold (the chi2 discipline).
+# ---------------------------------------------------------------------------
+
+
+def _anova_sql(epoch: str, idiv: str, fold: str, arr: str) -> str:
+    dec = "DECIMAL(38,0)"
+    return f"""
+    ev AS (SELECT event_type,
+                  (CAST({epoch} {idiv} 86400000000 AS BIGINT) + 4) % 7
+                    AS dow,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+    g AS (SELECT event_type, dow,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s,
+                 CAST(sum(CAST(cents AS {dec}) * cents) AS {dec}) AS q
+          FROM ev GROUP BY event_type, dow),
+    terms AS (SELECT event_type, dow, n, s, q,
+                     CAST(CAST(s AS {dec}) * s AS DOUBLE) / n AS sg
+              FROM g),
+    folded AS (SELECT event_type,
+                      CAST(sum(n) AS BIGINT) AS nn,
+                      CAST(count(*) AS BIGINT) AS k,
+                      CAST(sum(s) AS BIGINT) AS t,
+                      CAST(sum(q) AS {dec}) AS qq,
+                      {fold} AS ssg
+               FROM (SELECT event_type, dow, n, s, q, {arr} AS pair
+                     FROM terms) x
+               GROUP BY event_type)
+    SELECT event_type, nn AS n_rows, k AS n_groups,
+           round((ssg - CAST(CAST(t AS {dec}) * t AS DOUBLE) / nn)
+                 / (k - 1), 6) AS msb_r6,
+           round((CAST(qq AS DOUBLE) - ssg) / (nn - k), 6) AS msw_r6,
+           round(((ssg - CAST(CAST(t AS {dec}) * t AS DOUBLE) / nn)
+                  / (k - 1))
+                 / ((CAST(qq AS DOUBLE) - ssg) / (nn - k)), 6) AS f_r6
+    FROM folded
+    """
+
+
+def anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N205: one-way weekday ANOVA of the value, exact DECIMAL interiors."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _anova_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            "div",
+            "aggregate(array_sort(collect_list(pair)), "
+            "CAST(0 AS DOUBLE), (acc, p) -> acc + p.sg)",
+            "named_struct('dow', dow, 'sg', sg)",
+        )
+    )
+
+
+def anova_dow_oracle() -> str:
+    return "WITH " + _anova_sql(
+        "epoch_us(ts)",
+        "//",
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_sort(list(pair)), p -> p.sg)), "
+        "(acc, v) -> acc + v)",
+        "struct_pack(dow := dow, sg := sg)",
+    )

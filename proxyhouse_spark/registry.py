@@ -1377,6 +1377,8 @@ register("q_pareto_cut", relational.pareto_cut_oracle())(
 register("q_cross_corr", timeseries.cross_corr_oracle())(
     timeseries.cross_corr
 )
+register("q_anova_dow", timeseries.anova_dow_oracle())(timeseries.anova_dow)
+register("q_hhi", relational.hhi_oracle())(relational.hhi)
 
 
 # ---------------------------------------------------------------------------
@@ -1464,7 +1466,8 @@ _LEAD = [
     "q_spatial_join", "q_spatial_nn", "q_morans_i", "q_stream_spatial",
     "q_rate_test", "q_holt_linear", "q_gapfill_interp",
     "q_seasonal_decompose", "q_lsh_s_curve", "q_histogram_eqd",
-    "q_filter_parity", "q_pareto_cut", "q_cross_corr",
+    "q_filter_parity", "q_pareto_cut", "q_cross_corr", "q_anova_dow",
+    "q_hhi",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

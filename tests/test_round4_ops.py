@@ -4216,3 +4216,77 @@ def test_cross_corr_matches_brute_force(spark):
         assert abs(row.r_r6 - r) < 1e-5
         assert row.is_peak == (abs(r - peak) < 1e-12)
     assert sum(1 for r in got.values() if r.is_peak) == 1
+
+
+def test_anova_dow_matches_brute_force(spark):
+    from collections import defaultdict
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "ts", "value").collect()
+
+    def us(ts):
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    groups = defaultdict(list)
+    for r in rows:
+        dow = (us(r.ts) // 86_400_000_000 + 4) % 7
+        groups[(r.event_type, dow)].append(int(round(r.value * 100)))
+    by_type = defaultdict(dict)
+    for (et, dow), vals in groups.items():
+        by_type[et][dow] = vals
+    got = {r.event_type: r for r in registry.QUERIES["q_anova_dow"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(by_type)
+    for et, gs in by_type.items():
+        nn = sum(len(v) for v in gs.values())
+        k = len(gs)
+        t = sum(sum(v) for v in gs.values())
+        qq = sum(x * x for v in gs.values() for x in v)
+        # sum the per-group terms in sorted-dow order (the fold's order)
+        ssg = 0.0
+        for dow in sorted(gs):
+            s = sum(gs[dow])
+            ssg += float(s * s) / len(gs[dow])
+        ssb = ssg - float(t * t) / nn
+        ssw = float(qq) - ssg
+        r = got[et]
+        assert (r.n_rows, r.n_groups) == (nn, k)
+        assert abs(r.msb_r6 - ssb / (k - 1)) < 1e-4
+        assert abs(r.msw_r6 - ssw / (nn - k)) < 1e-4
+        assert abs(r.f_r6 - (ssb / (k - 1)) / (ssw / (nn - k))) < 1e-4
+
+
+def test_hhi_matches_brute_force(spark):
+    from collections import defaultdict
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_discount").collect()
+    cust_of = {r.o_orderkey: r.o_custkey for r in spark.read.parquet(
+        f"{SF_SMALL}/orders.parquet").collect()}
+    seg_of = {r.c_custkey: r.c_mktsegment for r in spark.read.parquet(
+        f"{SF_SMALL}/customer.parquet").collect()}
+    rev = defaultdict(int)
+    for r in li:
+        c = cust_of[r.l_orderkey]
+        rev[(seg_of[c], c)] += (
+            int(round(r.l_extendedprice * 1000))
+            * (1000 - int(round(r.l_discount * 1000))))
+    segs = defaultdict(list)
+    for (s, _), v in rev.items():
+        segs[s].append(v)
+    got = {r.segment: r for r in registry.QUERIES["q_hhi"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(segs)
+    for s, vals in segs.items():
+        total = sum(vals)
+        hhi = sum(v * v for v in vals) / (total * total)
+        r = got[s]
+        assert r.n_customers == len(vals)
+        assert abs(r.hhi_r9 - hhi) < 1e-8
+        assert abs(r.hhi_scaled_r4 - 10000 * hhi) < 1e-3
+        assert abs(r.equiv_firms_r4 - 1 / hhi) < 1e-2
+        # HHI bounds: 1/n (perfect equality) <= HHI <= 1 (monopoly)
+        assert 1 / len(vals) - 1e-9 <= hhi <= 1
