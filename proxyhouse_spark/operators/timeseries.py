@@ -833,3 +833,146 @@ def anova_dow_oracle() -> str:
         "(acc, v) -> acc + v)",
         "struct_pack(dow := dow, sg := sg)",
     )
+
+
+# ---------------------------------------------------------------------------
+# spearman — Spearman rank correlation between the click and purchase
+# daily series: Pearson on RANKS — monotone-robust where raw Pearson
+# (q_corr_matrix) chases outliers, and the effect-size complement to
+# q_mann_kendall's per-series trend test. Tie discipline: the average
+# rank is carried ×2 so it stays an exact INTEGER — rank2 = 2·rank_min +
+# (tie_count − 1) — and the whole Pearson-on-ranks computation runs on
+# DECIMAL(38,0) moments of those integers; ρ is one double chain.
+# The ranking windows are unpartitioned but run on the O(#days) joined
+# daily frame — calendar-bounded, never data-scaled (whitelisted).
+# ---------------------------------------------------------------------------
+
+
+def _spearman_sql(epoch: str, idiv: str) -> str:
+    dec = "DECIMAL(38,0)"
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    a AS (SELECT day, n FROM daily WHERE event_type = 'click'),
+    b AS (SELECT day, n FROM daily WHERE event_type = 'purchase'),
+    j AS (SELECT a.day, a.n AS x, b.n AS y
+          FROM a JOIN b ON b.day = a.day),
+    rk AS (SELECT day, x, y,
+                  2 * rank() OVER (ORDER BY x)
+                    + count(*) OVER (PARTITION BY x) - 1 AS rx2,
+                  2 * rank() OVER (ORDER BY y)
+                    + count(*) OVER (PARTITION BY y) - 1 AS ry2
+           FROM j),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rx2) AS BIGINT) AS sx,
+                 CAST(sum(ry2) AS BIGINT) AS sy,
+                 CAST(sum(CAST(rx2 AS {dec}) * ry2) AS {dec}) AS sxy,
+                 CAST(sum(CAST(rx2 AS {dec}) * rx2) AS {dec}) AS sxx,
+                 CAST(sum(CAST(ry2 AS {dec}) * ry2) AS {dec}) AS syy
+          FROM rk)
+    SELECT n,
+           round(CAST(CAST(n AS {dec}) * sxy
+                      - CAST(sx AS {dec}) * sy AS DOUBLE)
+                 / sqrt(CAST(CAST(n AS {dec}) * sxx
+                             - CAST(sx AS {dec}) * sx AS DOUBLE)
+                        * CAST(CAST(n AS {dec}) * syy
+                               - CAST(sy AS {dec}) * sy AS DOUBLE)), 6)
+             AS rho_r6
+    FROM m
+    """
+    )
+
+
+def spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N207: tie-aware Spearman rank correlation on exact integer ranks."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _spearman_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def spearman_oracle() -> str:
+    return "WITH " + _spearman_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# partial_corr — the click↔purchase daily correlation CONTROLLING for
+# views: r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) — the
+# first-order confound check every "clicks drive purchases" claim needs
+# when overall traffic moves everything together (a shared driver
+# inflates the raw r; the partial strips the part views explain).
+# Exactness: all three pairwise r's are single double chains off exact
+# DECIMAL(38,0) integer moments of the same joined daily frame; the
+# partial formula is a fixed mul/sub/div/sqrt chain on those —
+# bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def _pc_moments(dec: str) -> str:
+    cols = []
+    for u, v in (("x", "y"), ("x", "z"), ("y", "z")):
+        cols.append(f"CAST(sum(CAST({u} AS {dec}) * {v}) AS {dec}) AS s{u}{v}")
+    for u in ("x", "y", "z"):
+        cols.append(f"CAST(sum({u}) AS BIGINT) AS s{u}")
+        cols.append(f"CAST(sum(CAST({u} AS {dec}) * {u}) AS {dec}) AS s{u}{u}")
+    return ", ".join(cols)
+
+
+def _pc_r(dec: str, u: str, v: str) -> str:
+    return (
+        f"(CAST(CAST(n AS {dec}) * s{u}{v}"
+        f" - CAST(s{u} AS {dec}) * s{v} AS DOUBLE)"
+        f" / sqrt(CAST(CAST(n AS {dec}) * s{u}{u}"
+        f" - CAST(s{u} AS {dec}) * s{u} AS DOUBLE)"
+        f" * CAST(CAST(n AS {dec}) * s{v}{v}"
+        f" - CAST(s{v} AS {dec}) * s{v} AS DOUBLE)))"
+    )
+
+
+def _partial_corr_sql(epoch: str, idiv: str) -> str:
+    dec = "DECIMAL(38,0)"
+    rxy, rxz, ryz = (
+        _pc_r(dec, "x", "y"), _pc_r(dec, "x", "z"), _pc_r(dec, "y", "z")
+    )
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    a AS (SELECT day, n FROM daily WHERE event_type = 'click'),
+    b AS (SELECT day, n FROM daily WHERE event_type = 'purchase'),
+    c AS (SELECT day, n FROM daily WHERE event_type = 'view'),
+    j AS (SELECT a.day, a.n AS x, b.n AS y, c.n AS z
+          FROM a JOIN b ON b.day = a.day JOIN c ON c.day = a.day),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n, {_pc_moments(dec)} FROM j)
+    SELECT n,
+           round({rxy}, 6) AS r_xy_r6,
+           round({rxz}, 6) AS r_xz_r6,
+           round({ryz}, 6) AS r_yz_r6,
+           round(({rxy} - {rxz} * {ryz})
+                 / sqrt((CAST(1 AS DOUBLE) - {rxz} * {rxz})
+                        * (CAST(1 AS DOUBLE) - {ryz} * {ryz})), 6)
+             AS r_xy_given_z_r6
+    FROM m
+    """
+    )
+
+
+def partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N208: click↔purchase correlation controlling for views."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _partial_corr_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def partial_corr_oracle() -> str:
+    return "WITH " + _partial_corr_sql("epoch_us(ts)", "//")

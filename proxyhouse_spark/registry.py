@@ -1379,6 +1379,10 @@ register("q_cross_corr", timeseries.cross_corr_oracle())(
 )
 register("q_anova_dow", timeseries.anova_dow_oracle())(timeseries.anova_dow)
 register("q_hhi", relational.hhi_oracle())(relational.hhi)
+register("q_spearman", timeseries.spearman_oracle())(timeseries.spearman)
+register("q_partial_corr", timeseries.partial_corr_oracle())(
+    timeseries.partial_corr
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1467,7 +1471,7 @@ _LEAD = [
     "q_rate_test", "q_holt_linear", "q_gapfill_interp",
     "q_seasonal_decompose", "q_lsh_s_curve", "q_histogram_eqd",
     "q_filter_parity", "q_pareto_cut", "q_cross_corr", "q_anova_dow",
-    "q_hhi",
+    "q_hhi", "q_spearman", "q_partial_corr",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

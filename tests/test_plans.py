@@ -414,6 +414,8 @@ _UNPARTITIONED_WINDOW_OK = {
     "q_knn_rerank",   # same codebook-seed row_number (shares _pq_ctes)
     "q_hill_tail",    # rank over the LIMIT-(k+1) TakeOrdered frame —
                       # bounded by construction
+    "q_spearman",     # rank windows over the O(#days) joined daily frame —
+                      # calendar-bounded, never data-scaled
     "q_mom_growth",   # lag over the O(#months) monthly-revenue frame
     "q_pareto_cut",   # rank/cumsum over the O(#brands) revenue fold —
                       # bounded by the dimension, never data

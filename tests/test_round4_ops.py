@@ -4290,3 +4290,65 @@ def test_hhi_matches_brute_force(spark):
         assert abs(r.equiv_firms_r4 - 1 / hhi) < 1e-2
         # HHI bounds: 1/n (perfect equality) <= HHI <= 1 (monopoly)
         assert 1 / len(vals) - 1e-9 <= hhi <= 1
+
+
+def test_spearman_matches_scipy_style_brute_force(spark):
+    daily = _daily_frames(spark)
+    a = {d: n for (et, d), (n, _) in daily.items() if et == "click"}
+    b = {d: n for (et, d), (n, _) in daily.items() if et == "purchase"}
+    days = sorted(set(a) & set(b))
+    xs = [a[d] for d in days]
+    ys = [b[d] for d in days]
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + j + 1) / 2  # average of 1-based ranks i+1..j
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(days)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((u - mx) * (v - my) for u, v in zip(rx, ry))
+    den = (sum((u - mx) ** 2 for u in rx)
+           * sum((v - my) ** 2 for v in ry)) ** 0.5
+    r = registry.QUERIES["q_spearman"](spark, SF_SMALL).collect()[0]
+    assert r.n == n
+    assert abs(r.rho_r6 - num / den) < 1e-5
+
+
+def test_partial_corr_matches_brute_force(spark):
+    daily = _daily_frames(spark)
+    series = {}
+    for et in ("click", "purchase", "view"):
+        series[et] = {d: n for (e, d), (n, _) in daily.items() if e == et}
+    days = sorted(set.intersection(*map(set, series.values())))
+
+    def pearson(u, v):
+        n = len(days)
+        xs = [series[u][d] for d in days]
+        ys = [series[v][d] for d in days]
+        mx, my = sum(xs) / n, sum(ys) / n
+        num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        den = (sum((x - mx) ** 2 for x in xs)
+               * sum((y - my) ** 2 for y in ys)) ** 0.5
+        return num / den
+
+    rxy = pearson("click", "purchase")
+    rxz = pearson("click", "view")
+    ryz = pearson("purchase", "view")
+    part = (rxy - rxz * ryz) / ((1 - rxz ** 2) * (1 - ryz ** 2)) ** 0.5
+    r = registry.QUERIES["q_partial_corr"](spark, SF_SMALL).collect()[0]
+    assert r.n == len(days)
+    assert abs(r.r_xy_r6 - rxy) < 1e-5
+    assert abs(r.r_xz_r6 - rxz) < 1e-5
+    assert abs(r.r_yz_r6 - ryz) < 1e-5
+    assert abs(r.r_xy_given_z_r6 - part) < 1e-5
