@@ -976,3 +976,61 @@ def partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def partial_corr_oracle() -> str:
     return "WITH " + _partial_corr_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# rolling_vol — trailing-7-day VOLATILITY (sample std) of the daily value
+# per event_type: the companion band to q_rolling_median's robust center
+# (center says where the series is; vol says how wide "normal" is — the
+# pair every alerting threshold is built from). Same scale-first
+# spelling: the bounded 7-offset explode contributes each day to its 7
+# trailing windows, per-window moments (n, Σx, Σx²) are EXACT integers
+# (squared sums in DECIMAL(38,0)), and the std is one double chain:
+# √((n·Σx² − (Σx)²) / (n·(n−1))). Windows with a single observation
+# report NULL vol (sample std undefined — published honestly, not 0).
+# ---------------------------------------------------------------------------
+
+
+def _rolling_vol_sql(epoch: str, idiv: str, explode_k: str) -> str:
+    dec = "DECIMAL(38,0)"
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    win AS (SELECT d.event_type, d.day + t.k AS day, d.cents
+            FROM daily d{explode_k}),
+    mom AS (SELECT event_type, day,
+                   CAST(count(*) AS BIGINT) AS n_win,
+                   CAST(sum(cents) AS BIGINT) AS s,
+                   CAST(sum(CAST(cents AS {dec}) * cents) AS {dec}) AS q
+            FROM win GROUP BY event_type, day)
+    SELECT m.event_type, m.day, d.cents, m.n_win,
+           CASE WHEN m.n_win > 1 THEN
+             round(sqrt(CAST(CAST(m.n_win AS {dec}) * m.q
+                             - CAST(m.s AS {dec}) * m.s AS DOUBLE)
+                        / (CAST(m.n_win AS DOUBLE) * (m.n_win - 1))), 6)
+           END AS vol_r6
+    FROM mom m JOIN daily d
+      ON d.event_type = m.event_type AND d.day = m.day
+    """
+    )
+
+
+def rolling_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N209: trailing-7d sample std from exact integer window moments."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _rolling_vol_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            "div",
+            " LATERAL VIEW explode(sequence(0, 6)) t AS k",
+        )
+    )
+
+
+def rolling_vol_oracle() -> str:
+    return "WITH " + _rolling_vol_sql(
+        "epoch_us(ts)", "//", ", unnest(range(0, 7)) AS t(k)"
+    )

@@ -1383,6 +1383,9 @@ register("q_spearman", timeseries.spearman_oracle())(timeseries.spearman)
 register("q_partial_corr", timeseries.partial_corr_oracle())(
     timeseries.partial_corr
 )
+register("q_rolling_vol", timeseries.rolling_vol_oracle())(
+    timeseries.rolling_vol
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1471,7 +1474,7 @@ _LEAD = [
     "q_rate_test", "q_holt_linear", "q_gapfill_interp",
     "q_seasonal_decompose", "q_lsh_s_curve", "q_histogram_eqd",
     "q_filter_parity", "q_pareto_cut", "q_cross_corr", "q_anova_dow",
-    "q_hhi", "q_spearman", "q_partial_corr",
+    "q_hhi", "q_spearman", "q_partial_corr", "q_rolling_vol",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

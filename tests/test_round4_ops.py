@@ -4352,3 +4352,26 @@ def test_partial_corr_matches_brute_force(spark):
     assert abs(r.r_xz_r6 - rxz) < 1e-5
     assert abs(r.r_yz_r6 - ryz) < 1e-5
     assert abs(r.r_xy_given_z_r6 - part) < 1e-5
+
+
+def test_rolling_vol_matches_brute_force(spark):
+    from math import sqrt
+
+    daily = _daily_frames(spark)
+    cents = {(et, d): c for (et, d), (_, c) in daily.items()}
+    got = {(r.event_type, r.day): r for r in registry.QUERIES[
+        "q_rolling_vol"](spark, SF_SMALL).collect()}
+    assert set(got) == set(cents)
+    for (et, d), c in cents.items():
+        window = [cents[(et, k)] for k in range(d - 6, d + 1)
+                  if (et, k) in cents]
+        r = got[(et, d)]
+        assert r.cents == c
+        assert r.n_win == len(window)
+        if len(window) > 1:
+            n = len(window)
+            s, q = sum(window), sum(x * x for x in window)
+            vol = sqrt((n * q - s * s) / (n * (n - 1)))
+            assert abs(r.vol_r6 - vol) < 1e-4
+        else:
+            assert r.vol_r6 is None
