@@ -1034,3 +1034,79 @@ def rolling_vol_oracle() -> str:
     return "WITH " + _rolling_vol_sql(
         "epoch_us(ts)", "//", ", unnest(range(0, 7)) AS t(k)"
     )
+
+
+# ---------------------------------------------------------------------------
+# runs_test — the Wald-Wolfowitz RUNS test on the daily value moves per
+# event_type: are up/down days randomly ordered, or does the series
+# streak (momentum) or alternate (mean-reversion/oscillation)? The
+# distribution-free randomness check that completes the trend pair —
+# q_mann_kendall asks "is there a monotone drift", this asks "is the
+# ORDERING itself non-random" (a perfectly trendless series can still
+# fail it by oscillating). Zero moves are dropped (standard convention,
+# documented; n_zero reported). Exactness: runs R, n₊, n₋ are integers
+# from a lag comparison over the type-partitioned daily frame;
+# E[R] = 2n₊n₋/n + 1 and Var[R] = 2n₊n₋(2n₊n₋−n)/(n²(n−1)) enter the z
+# readout as one double chain over exact integer products (DECIMAL(38,0)
+# where squared) — bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def _runs_test_sql(epoch: str, idiv: str) -> str:
+    dec = "DECIMAL(38,0)"
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    mv AS (SELECT event_type, day,
+                  cents - lag(cents) OVER (PARTITION BY event_type
+                                           ORDER BY day) AS diff
+           FROM daily),
+    sgn AS (SELECT event_type, day,
+                   CAST(sign(diff) AS BIGINT) AS s
+            FROM mv WHERE diff IS NOT NULL),
+    nz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_zero
+           FROM sgn WHERE s = 0 GROUP BY event_type),
+    runs AS (SELECT event_type, day, s,
+                    lag(s) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS prev
+             FROM sgn WHERE s <> 0),
+    agg AS (SELECT event_type,
+                   CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_up,
+                   CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_down,
+                   CAST(sum(CASE WHEN prev IS NULL OR s <> prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS r
+            FROM runs GROUP BY event_type)
+    SELECT a.event_type, a.n_up, a.n_down, a.r AS n_runs,
+           CAST(coalesce(z.n_zero, 0) AS BIGINT) AS n_zero,
+           round(CAST(2 AS DOUBLE) * a.n_up * a.n_down
+                 / (a.n_up + a.n_down) + 1, 6) AS expected_r6,
+           round((a.r - (CAST(2 AS DOUBLE) * a.n_up * a.n_down
+                         / (a.n_up + a.n_down) + 1))
+                 / sqrt(CAST(CAST(2 AS {dec}) * a.n_up * a.n_down
+                             * (CAST(2 AS {dec}) * a.n_up * a.n_down
+                                - (a.n_up + a.n_down)) AS DOUBLE)
+                        / (CAST(CAST(a.n_up + a.n_down AS {dec})
+                                * (a.n_up + a.n_down) AS DOUBLE)
+                           * (a.n_up + a.n_down - 1))), 6) AS z_r6
+    FROM agg a LEFT JOIN nz z ON z.event_type = a.event_type
+    """
+    )
+
+
+def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N210: Wald-Wolfowitz runs test on daily up/down moves per type."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _runs_test_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def runs_test_oracle() -> str:
+    return "WITH " + _runs_test_sql("epoch_us(ts)", "//")

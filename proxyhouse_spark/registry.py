@@ -1386,6 +1386,7 @@ register("q_partial_corr", timeseries.partial_corr_oracle())(
 register("q_rolling_vol", timeseries.rolling_vol_oracle())(
     timeseries.rolling_vol
 )
+register("q_runs_test", timeseries.runs_test_oracle())(timeseries.runs_test)
 
 
 # ---------------------------------------------------------------------------
@@ -1475,6 +1476,7 @@ _LEAD = [
     "q_seasonal_decompose", "q_lsh_s_curve", "q_histogram_eqd",
     "q_filter_parity", "q_pareto_cut", "q_cross_corr", "q_anova_dow",
     "q_hhi", "q_spearman", "q_partial_corr", "q_rolling_vol",
+    "q_runs_test",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

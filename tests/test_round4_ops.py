@@ -4375,3 +4375,32 @@ def test_rolling_vol_matches_brute_force(spark):
             assert abs(r.vol_r6 - vol) < 1e-4
         else:
             assert r.vol_r6 is None
+
+
+def test_runs_test_matches_brute_force(spark):
+    from math import sqrt
+
+    daily = _daily_frames(spark)
+    by_type = {}
+    for (et, d), (_, c) in daily.items():
+        by_type.setdefault(et, []).append((d, c))
+    got = {r.event_type: r for r in registry.QUERIES["q_runs_test"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(by_type)
+    for et, series in by_type.items():
+        series.sort()
+        moves = [b - a for (_, a), (_, b) in zip(series, series[1:])]
+        signs = [1 if m > 0 else -1 for m in moves if m != 0]
+        n_zero = sum(1 for m in moves if m == 0)
+        n_up = signs.count(1)
+        n_down = signs.count(-1)
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        n = n_up + n_down
+        e = 2 * n_up * n_down / n + 1
+        var = (2 * n_up * n_down * (2 * n_up * n_down - n)
+               / (n * n * (n - 1)))
+        r = got[et]
+        assert (r.n_up, r.n_down, r.n_runs, r.n_zero) == (
+            n_up, n_down, runs, n_zero)
+        assert abs(r.expected_r6 - e) < 1e-5
+        assert abs(r.z_r6 - (runs - e) / sqrt(var)) < 1e-4
