@@ -814,3 +814,93 @@ def isotonic_calibration_oracle() -> str:
         ),
         "//",
     )
+
+
+# ---------------------------------------------------------------------------
+# classifier_agreement — Cohen's κ + McNemar between the repo's two
+# en-detectors: the stopword-ratio heuristic (functions.text.lang_id)
+# and the basis-point score thresholded at its own median (the
+# calibration/auc scorer as a classifier). The two questions every
+# model-replacement review asks, answered exactly: κ — do they AGREE
+# beyond chance (swap-safety: high κ means downstream sees few flips);
+# McNemar — is one actually MORE ACCURATE against truth (only the
+# discordant cells b, c carry signal; z = (b−c)/√(b+c)). Everything
+# integer until the final divisions: κ's numerator and denominator are
+# exact DECIMAL(38,0) count compositions (n·agree − chance vs n² −
+# chance), and the discordant counts are plain sums. The median
+# threshold is the 1-row boundary-broadcast frame (filter_parity
+# discipline).
+# ---------------------------------------------------------------------------
+
+
+def _agreement_sql(score: str, lang_pred: str, pct: str) -> str:
+    dec = "DECIMAL(38,0)"
+    return (
+        score
+        + f""",
+    preds AS (SELECT s.doc_id,
+                     CASE WHEN s.pos = 1 THEN 1 ELSE 0 END AS truth,
+                     CASE WHEN tk2.pred = 'en' THEN 1 ELSE 0 END AS a,
+                     CASE WHEN s.score_bp > t.med THEN 1 ELSE 0 END AS b
+              FROM s
+              JOIN (SELECT doc_id, {lang_pred} AS pred FROM tk) tk2
+                ON tk2.doc_id = s.doc_id
+              CROSS JOIN (SELECT {pct}(score_bp, 0.5) AS med FROM s) t),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a) AS BIGINT) AS na,
+                 CAST(sum(b) AS BIGINT) AS nb,
+                 CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS agree,
+                 CAST(sum(CASE WHEN a = truth AND b <> truth
+                               THEN 1 ELSE 0 END) AS BIGINT) AS disc_a,
+                 CAST(sum(CASE WHEN b = truth AND a <> truth
+                               THEN 1 ELSE 0 END) AS BIGINT) AS disc_b
+          FROM preds)
+    SELECT n, na, nb, agree, disc_a, disc_b,
+           CAST(agree * 10000 {{idiv}} n AS BIGINT) AS po_bp,
+           round(CAST(CAST(n AS {dec}) * agree
+                      - (CAST(na AS {dec}) * nb
+                         + CAST(n - na AS {dec}) * (n - nb)) AS DOUBLE)
+                 / CAST(CAST(n AS {dec}) * n
+                        - (CAST(na AS {dec}) * nb
+                           + CAST(n - na AS {dec}) * (n - nb)) AS DOUBLE),
+                 6) AS kappa_r6,
+           CASE WHEN disc_a + disc_b = 0 THEN CAST(0 AS DOUBLE)
+                ELSE round((disc_a - disc_b)
+                           / sqrt(CAST(disc_a + disc_b AS DOUBLE)), 6)
+           END AS mcnemar_z_r6
+    FROM c
+    """
+    )
+
+
+def classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N211: Cohen's kappa + McNemar between the two en-detectors."""
+    from ..functions.text import lang_id_spark
+
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _agreement_sql(
+            _score_sql("size", "filter", "div").format(
+                toks="split(text, ' ', -1)"
+            ),
+            lang_id_spark("toks"),
+            "percentile",
+        ).format(idiv="div")
+    )
+
+
+def classifier_agreement_oracle() -> str:
+    from ..functions.text import lang_id_duck
+
+    return (
+        "WITH "
+        + _agreement_sql(
+            _score_sql("len", "list_filter", "//").format(
+                toks="string_split(text, ' ')"
+            ),
+            lang_id_duck("toks"),
+            "quantile_cont",
+        ).format(idiv="//")
+    )

@@ -318,6 +318,9 @@ _SCALAR_BNLJ_OK = {
                           # frames crossed back (same boundary shape)
     "q_cross_corr",       # 1-row peak-r frame crossed onto the 15-row
                           # lag table for the is_peak flag
+    "q_classifier_agreement",  # 1-row median-threshold frame crossed
+                          # into the per-doc predictor join (the
+                          # filter_parity boundary shape)
     "q_lsh_s_curve",      # 1-row corpus-count frame crossed into the
                           # CONSTANT SC_PAIRS sample generator; scoring
                           # legs stay equi-joins on doc_id

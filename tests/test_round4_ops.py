@@ -4404,3 +4404,36 @@ def test_runs_test_matches_brute_force(spark):
             n_up, n_down, runs, n_zero)
         assert abs(r.expected_r6 - e) < 1e-5
         assert abs(r.z_r6 - (runs - e) / sqrt(var)) < 1e-4
+
+
+def test_classifier_agreement_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text", "lang").collect()
+    stop = {"the", "a", "of", "in", "and", "to", "is"}
+    rows = []
+    for d in docs:
+        toks = d.text.split(" ")
+        hits = sum(1 for t in toks if t in stop)
+        score = 10000 * hits // max(len(toks), 1)
+        a = 1 if hits >= 0.02 * len(toks) else 0
+        rows.append((1 if d.lang == "en" else 0, a, score))
+    med = _interp_pct(sorted(s for _, _, s in rows), 0.5)
+    n = len(rows)
+    na = sum(a for _, a, _ in rows)
+    nb = sum(1 for _, _, s in rows if s > med)
+    agree = sum(1 for _, a, s in rows if a == (s > med))
+    disc_a = sum(1 for t, a, s in rows if a == t and (s > med) != t)
+    disc_b = sum(1 for t, a, s in rows if (s > med) == t and a != t)
+    r = registry.QUERIES["q_classifier_agreement"](
+        spark, SF_SMALL).collect()[0]
+    assert (r.n, r.na, r.nb, r.agree) == (n, na, nb, agree)
+    assert (r.disc_a, r.disc_b) == (disc_a, disc_b)
+    assert r.po_bp == agree * 10000 // n
+    pe_num = na * nb + (n - na) * (n - nb)
+    kappa = (n * agree - pe_num) / (n * n - pe_num)
+    assert abs(r.kappa_r6 - kappa) < 1e-5
+    if disc_a + disc_b:
+        z = (disc_a - disc_b) / (disc_a + disc_b) ** 0.5
+        assert abs(r.mcnemar_z_r6 - z) < 1e-5
+    else:
+        assert r.mcnemar_z_r6 == 0.0
