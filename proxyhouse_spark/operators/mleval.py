@@ -904,3 +904,80 @@ def classifier_agreement_oracle() -> str:
             "quantile_cont",
         ).format(idiv="//")
     )
+
+
+# ---------------------------------------------------------------------------
+# gains_table — cumulative gains / lift by score decile: sort the corpus
+# by the scorer descending, cut into population deciles, and report per
+# decile the positives captured, cumulative capture rate, and lift vs
+# base rate — the campaign-targeting readout ("mail the top 20%, get
+# 45% of responders") that q_auc summarizes into one number and
+# q_pr_curve slices by threshold. Spelled scale-first: no global sort —
+# the decile boundaries are exact interpolated score percentiles in a
+# 1-row frame (histogram_eqd discipline), broadcast-classified back;
+# capture/lift are exact integer basis points via cross-multiplied
+# integer arithmetic (lift_bp = captured·N·10000 div (decile_n·P)).
+# Decile populations are equal only up to score TIES (same note as
+# histogram_eqd — the coarse integer score makes ties real, and the
+# n column reports them honestly).
+# ---------------------------------------------------------------------------
+
+
+def _gains_sql(score: str, pct: str, idiv: str) -> str:
+    qs = ", ".join(f"{pct}(score_bp, 0.{k}) AS q{k}" for k in range(1, 10))
+    # decile 0 = the HIGHEST scores (descending cut: score > q9 → 0, ...)
+    case = " ".join(
+        f"WHEN score_bp > b.q{10 - k} THEN {k - 1}" for k in range(1, 10)
+    )
+    dec = "DECIMAL(38,0)"
+    return (
+        score
+        + f""",
+    b AS (SELECT {qs} FROM s),
+    cls AS (SELECT CASE {case} ELSE 9 END AS decile, pos
+            FROM s CROSS JOIN b),
+    g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(pos) AS BIGINT) AS n_pos
+          FROM cls GROUP BY decile),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(n_pos) AS BIGINT) AS pp FROM g),
+    cum AS (SELECT decile, n, n_pos,
+                   sum(n) OVER (ORDER BY decile) AS cn,
+                   sum(n_pos) OVER (ORDER BY decile) AS cp
+            FROM g)
+    SELECT c.decile, c.n, c.n_pos,
+           CAST(c.cp * 10000 {idiv} t.pp AS BIGINT) AS cum_capture_bp,
+           CAST(c.cn * 10000 {idiv} t.nn AS BIGINT) AS cum_pop_bp,
+           CAST(((CAST(c.cp AS {dec}) * t.nn * 10000)
+                 - (CAST(c.cp AS {dec}) * t.nn * 10000)
+                   % (CAST(c.cn AS {dec}) * t.pp))
+                / (CAST(c.cn AS {dec}) * t.pp) AS BIGINT)
+             AS cum_lift_bp
+    FROM cum c CROSS JOIN tot t
+    """
+    )
+
+
+def gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N212: cumulative gains/lift by score decile, boundary-broadcast."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _gains_sql(
+            _score_sql("size", "filter", "div").format(
+                toks="split(text, ' ', -1)"
+            ),
+            "percentile",
+            "div",
+        )
+    )
+
+
+def gains_table_oracle() -> str:
+    return "WITH " + _gains_sql(
+        _score_sql("len", "list_filter", "//").format(
+            toks="string_split(text, ' ')"
+        ),
+        "quantile_cont",
+        "//",
+    )

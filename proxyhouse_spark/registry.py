@@ -1390,6 +1390,7 @@ register("q_runs_test", timeseries.runs_test_oracle())(timeseries.runs_test)
 register("q_classifier_agreement", mleval.classifier_agreement_oracle())(
     mleval.classifier_agreement
 )
+register("q_gains_table", mleval.gains_table_oracle())(mleval.gains_table)
 
 
 # ---------------------------------------------------------------------------
@@ -1479,7 +1480,7 @@ _LEAD = [
     "q_seasonal_decompose", "q_lsh_s_curve", "q_histogram_eqd",
     "q_filter_parity", "q_pareto_cut", "q_cross_corr", "q_anova_dow",
     "q_hhi", "q_spearman", "q_partial_corr", "q_rolling_vol",
-    "q_runs_test", "q_classifier_agreement",
+    "q_runs_test", "q_classifier_agreement", "q_gains_table",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

@@ -321,6 +321,8 @@ _SCALAR_BNLJ_OK = {
     "q_classifier_agreement",  # 1-row median-threshold frame crossed
                           # into the per-doc predictor join (the
                           # filter_parity boundary shape)
+    "q_gains_table",      # 1-row decile-boundary + 1-row totals frames
+                          # crossed (the histogram_eqd boundary shape)
     "q_lsh_s_curve",      # 1-row corpus-count frame crossed into the
                           # CONSTANT SC_PAIRS sample generator; scoring
                           # legs stay equi-joins on doc_id
@@ -419,6 +421,8 @@ _UNPARTITIONED_WINDOW_OK = {
                       # bounded by construction
     "q_spearman",     # rank windows over the O(#days) joined daily frame —
                       # calendar-bounded, never data-scaled
+    "q_gains_table",  # cumulative sums over the ≤10-row decile frame
+                      # (policy-bounded by construction)
     "q_mom_growth",   # lag over the O(#months) monthly-revenue frame
     "q_pareto_cut",   # rank/cumsum over the O(#brands) revenue fold —
                       # bounded by the dimension, never data

@@ -4437,3 +4437,45 @@ def test_classifier_agreement_matches_brute_force(spark):
         assert abs(r.mcnemar_z_r6 - z) < 1e-5
     else:
         assert r.mcnemar_z_r6 == 0.0
+
+
+def test_gains_table_matches_brute_force(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "text", "lang").collect()
+    stop = {"the", "a", "of", "in", "and", "to", "is"}
+    scored = []
+    for d in docs:
+        toks = d.text.split(" ")
+        hits = sum(1 for t in toks if t in stop)
+        scored.append((10000 * hits // max(len(toks), 1),
+                       1 if d.lang == "en" else 0))
+    svals = sorted(s for s, _ in scored)
+    bounds = [_interp_pct(svals, k / 10) for k in range(1, 10)]
+    cells = {}
+    for s, pos in scored:
+        dec = 9
+        for k in range(1, 10):  # decile 0 = highest scores
+            if s > bounds[10 - k - 1]:
+                dec = k - 1
+                break
+        cell = cells.setdefault(dec, [0, 0])
+        cell[0] += 1
+        cell[1] += pos
+    nn = len(scored)
+    pp = sum(p for _, p in scored)
+    got = {r.decile: r for r in registry.QUERIES["q_gains_table"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(cells)
+    cn = cp = 0
+    for dec in sorted(cells):
+        n, np_ = cells[dec]
+        cn += n
+        cp += np_
+        r = got[dec]
+        assert (r.n, r.n_pos) == (n, np_)
+        assert r.cum_capture_bp == cp * 10000 // pp
+        assert r.cum_pop_bp == cn * 10000 // nn
+        assert r.cum_lift_bp == cp * nn * 10000 // (cn * pp)
+    # gains curve sanity: the last decile captures everything
+    last = got[max(cells)]
+    assert last.cum_capture_bp == 10000 and last.cum_pop_bp == 10000
