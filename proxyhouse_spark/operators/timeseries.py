@@ -1110,3 +1110,81 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def runs_test_oracle() -> str:
     return "WITH " + _runs_test_sql("epoch_us(ts)", "//")
+
+
+# ---------------------------------------------------------------------------
+# forecast_eval — walk-forward ONE-STEP evaluation of the EWMA
+# forecaster against the naive carry-forward baseline: the family's
+# missing closing loop (q_ewma/q_holt_linear PRODUCE forecasts; nothing
+# measured them). For every day t ≥ 2 the EWMA state through t−1
+# predicts day t; the naive baseline predicts x_{t−1}; skill =
+# 1 − MAE_ewma/MAE_naive (positive = smoothing beats persistence — on a
+# noisy series it should; on a random walk it cannot, which is exactly
+# what the number is for). Per-day EWMA states come from the q_ewma
+# prefix-fold scaffold; naive errors are EXACT integers; EWMA errors are
+# rounded to 9 dp DECIMAL before the mean (exact sums, the family
+# discipline), and skill is one double chain.
+# ---------------------------------------------------------------------------
+
+
+def _forecast_eval_sql(epoch: str, idiv: str, arr: str, fold_prev: str) -> str:
+    dec9 = "DECIMAL(38,9)"
+    return (
+        _daily_sql(epoch, idiv)
+        + f""",
+    ord AS (SELECT event_type, day, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS i,
+                   lag(cents) OVER (PARTITION BY event_type
+                                    ORDER BY day) AS prev
+            FROM daily),
+    arr AS (SELECT event_type, {arr} AS xs FROM ord GROUP BY event_type),
+    err AS (SELECT o.event_type,
+                   CAST(abs(o.cents - o.prev) AS BIGINT) AS naive_err,
+                   CAST(round(abs(o.cents - ({fold_prev})), 9)
+                        AS {dec9}) AS ewma_err
+            FROM ord o JOIN arr a ON a.event_type = o.event_type
+            WHERE o.i >= 2)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_evals,
+           CAST(sum(naive_err) AS BIGINT) AS naive_abs_err_cents,
+           round(CAST(sum(naive_err) AS DOUBLE) / count(*), 6)
+             AS mae_naive_r6,
+           round(CAST(sum(ewma_err) AS DOUBLE) / count(*), 6)
+             AS mae_ewma_r6,
+           round(CAST(1 AS DOUBLE)
+                 - (CAST(sum(ewma_err) AS DOUBLE) / count(*))
+                   / (CAST(sum(naive_err) AS DOUBLE) / count(*)), 6)
+             AS skill_r6
+    FROM err GROUP BY event_type
+    """
+    )
+
+
+def forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N213: walk-forward EWMA-vs-naive one-step forecast skill."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _forecast_eval_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)",
+            "div",
+            "transform(array_sort(collect_list(struct(day, cents))), "
+            "s -> CAST(s.cents AS DOUBLE))",
+            "aggregate(slice(a.xs, 2, o.i - 2), element_at(a.xs, 1), "
+            "(acc, v) -> acc + CAST(0.25 AS DOUBLE) * (v - acc))",
+        )
+    )
+
+
+def forecast_eval_oracle() -> str:
+    return "WITH " + _forecast_eval_sql(
+        "epoch_us(ts)",
+        "//",
+        "list_transform(list_sort(list(struct_pack(day := day, "
+        "cents := cents))), s -> CAST(s.cents AS DOUBLE))",
+        "list_reduce(list_prepend(a.xs[1], list_slice(a.xs, 2, o.i - 1)), "
+        "(acc, v) -> acc + CAST(0.25 AS DOUBLE) * (v - acc))",
+    )

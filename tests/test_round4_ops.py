@@ -4479,3 +4479,31 @@ def test_gains_table_matches_brute_force(spark):
     # gains curve sanity: the last decile captures everything
     last = got[max(cells)]
     assert last.cum_capture_bp == 10000 and last.cum_pop_bp == 10000
+
+
+def test_forecast_eval_matches_walk_forward_brute_force(spark):
+    daily = _daily_frames(spark)
+    by_type = {}
+    for (et, d), (_, cents) in daily.items():
+        by_type.setdefault(et, []).append((d, cents))
+    got = {r.event_type: r for r in registry.QUERIES["q_forecast_eval"](
+        spark, SF_SMALL).collect()}
+    assert set(got) == set(by_type)
+    for et, series in by_type.items():
+        series.sort()
+        xs = [float(c) for _, c in series]
+        naive = []
+        ewma = []
+        acc = xs[0]
+        for i in range(1, len(xs)):
+            naive.append(abs(xs[i] - xs[i - 1]))
+            ewma.append(round(abs(xs[i] - acc), 9))
+            acc = acc + 0.25 * (xs[i] - acc)
+        r = got[et]
+        assert r.n_evals == len(naive)
+        assert r.naive_abs_err_cents == int(sum(naive))
+        mae_n = sum(naive) / len(naive)
+        mae_e = sum(ewma) / len(ewma)
+        assert abs(r.mae_naive_r6 - mae_n) < 1e-4
+        assert abs(r.mae_ewma_r6 - mae_e) < 1e-4
+        assert abs(r.skill_r6 - (1 - mae_e / mae_n)) < 1e-5
