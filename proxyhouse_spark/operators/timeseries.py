@@ -1188,3 +1188,66 @@ def forecast_eval_oracle() -> str:
         "list_reduce(list_prepend(a.xs[1], list_slice(a.xs, 2, o.i - 1)), "
         "(acc, v) -> acc + CAST(0.25 AS DOUBLE) * (v - acc))",
     )
+
+
+# ---------------------------------------------------------------------------
+# tv_distance — TOTAL-VARIATION distance between the first- and second-
+# half value distributions per event_type: TV = ½·Σ_v |p(v) − q(v)|, the
+# third member of the drift triad and the only one that is EXACT with no
+# modeling choices — q_drift_psi needs a binning policy, q_ks_test takes
+# a supremum (sensitive only to the worst point); TV integrates ALL the
+# mass that moved and is the tightest bound on how differently any
+# detector could behave across the halves. Fully integer: per-value
+# counts cross-multiplied over the common denominator (|c₁·N₂ − c₂·N₁|
+# in DECIMAL(38,0), sum exact), published in basis points via the
+# mod-subtract exact division. The value domain is the integer cents
+# grid — no bins to choose, the histogram IS the distribution.
+# ---------------------------------------------------------------------------
+
+
+def _tv_distance_sql(epoch: str, idiv: str) -> str:
+    dec = "DECIMAL(38,0)"
+    num = "(tv.s * 10000)"
+    den = f"(CAST(2 AS {dec}) * tv.n1 * tv.n2)"
+    return f"""
+    ev AS (SELECT event_type, CAST({epoch} AS BIGINT) AS t,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+    b AS (SELECT CAST((min(t) + max(t)) {idiv} 2 AS BIGINT) AS mid FROM ev),
+    h AS (SELECT event_type, cents,
+                 CAST(sum(CASE WHEN t <= mid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+                 CAST(sum(CASE WHEN t > mid THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+          FROM ev CROSS JOIN b GROUP BY event_type, cents),
+    tot AS (SELECT event_type,
+                   CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2
+            FROM h GROUP BY event_type),
+    tv AS (SELECT h.event_type, t.n1, t.n2,
+                  CAST(count(*) AS BIGINT) AS n_values,
+                  CAST(sum(abs(CAST(h.c1 AS {dec}) * t.n2
+                               - CAST(h.c2 AS {dec}) * t.n1)) AS {dec}) AS s
+           FROM h JOIN tot t ON t.event_type = h.event_type
+           GROUP BY h.event_type, t.n1, t.n2)
+    SELECT event_type, n1, n2, n_values,
+           CAST(({num} - {num} % {den}) / {den} AS BIGINT) AS tv_bp
+    FROM tv
+    """
+
+
+def tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N214: exact total-variation drift between half-period distributions."""
+    from ..tables import EPOCH_NTZ
+
+    _events(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _tv_distance_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div"
+        )
+    )
+
+
+def tv_distance_oracle() -> str:
+    return "WITH " + _tv_distance_sql("epoch_us(ts)", "//")

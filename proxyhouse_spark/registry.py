@@ -1394,6 +1394,9 @@ register("q_gains_table", mleval.gains_table_oracle())(mleval.gains_table)
 register("q_forecast_eval", timeseries.forecast_eval_oracle())(
     timeseries.forecast_eval
 )
+register("q_tv_distance", timeseries.tv_distance_oracle())(
+    timeseries.tv_distance
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1484,7 +1487,7 @@ _LEAD = [
     "q_filter_parity", "q_pareto_cut", "q_cross_corr", "q_anova_dow",
     "q_hhi", "q_spearman", "q_partial_corr", "q_rolling_vol",
     "q_runs_test", "q_classifier_agreement", "q_gains_table",
-    "q_forecast_eval",
+    "q_forecast_eval", "q_tv_distance",
     "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",

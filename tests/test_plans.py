@@ -311,6 +311,7 @@ _SCALAR_BNLJ_OK = {
     "q_heavy_changers",   # 1-row midpoint frame crossed into the event
                           # scan (the decay/cuped boundary-anchor shape)
     "q_rate_test",        # same 1-row midpoint boundary-anchor shape
+    "q_tv_distance",      # same 1-row midpoint boundary-anchor shape
     "q_histogram_eqd",    # 1-row decile-boundary frame + 1-row total
                           # crossed into the scan (the rfm_segments /
                           # skew_report boundary-broadcast shape)

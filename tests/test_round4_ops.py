@@ -4507,3 +4507,39 @@ def test_forecast_eval_matches_walk_forward_brute_force(spark):
         assert abs(r.mae_naive_r6 - mae_n) < 1e-4
         assert abs(r.mae_ewma_r6 - mae_e) < 1e-4
         assert abs(r.skill_r6 - (1 - mae_e / mae_n)) < 1e-5
+
+
+def test_tv_distance_matches_brute_force(spark):
+    from collections import Counter
+
+    rows = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type", "ts", "value").collect()
+
+    def us(ts):
+        epoch = ts.replace(year=1970, month=1, day=1, hour=0, minute=0,
+                           second=0, microsecond=0)
+        td = ts - epoch
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    ts_us = [us(r.ts) for r in rows]
+    mid = (min(ts_us) + max(ts_us)) // 2
+    h1, h2 = {}, {}
+    for r, t in zip(rows, ts_us):
+        c = int(round(r.value * 100))
+        tgt = h1 if t <= mid else h2
+        tgt.setdefault(r.event_type, Counter())[c] += 1
+    got = {r.event_type: r for r in registry.QUERIES["q_tv_distance"](
+        spark, SF_SMALL).collect()}
+    types = set(h1) | set(h2)
+    assert set(got) == types
+    for et in types:
+        a = h1.get(et, Counter())
+        b = h2.get(et, Counter())
+        n1, n2 = sum(a.values()), sum(b.values())
+        vals = set(a) | set(b)
+        s = sum(abs(a[v] * n2 - b[v] * n1) for v in vals)
+        r = got[et]
+        assert (r.n1, r.n2, r.n_values) == (n1, n2, len(vals))
+        assert r.tv_bp == s * 10000 // (2 * n1 * n2)
+        # TV bounds: 0 <= TV <= 1 (10000 bp)
+        assert 0 <= r.tv_bp <= 10000
