@@ -942,7 +942,7 @@ _TRIANGLES = """
     estats AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
     SELECT g.n_nodes, e.n_edges, CAST(g.wedges2 / 2 AS BIGINT) AS n_wedges,
            t.n_triangles,
-           round(6.0 * t.n_triangles / g.wedges2, 6) AS clustering_coeff
+           round(6.0e0 * t.n_triangles / g.wedges2, 6) AS clustering_coeff
     FROM gstats g, estats e, tri t
     """
 
@@ -1005,7 +1005,7 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         estats AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM oriented_v)
         SELECT g.n_nodes, e.n_edges, CAST(g.wedges2 / 2 AS BIGINT) AS n_wedges,
                t.n_triangles,
-               round(6.0 * t.n_triangles / g.wedges2, 6) AS clustering_coeff
+               round(6.0e0 * t.n_triangles / g.wedges2, 6) AS clustering_coeff
         FROM gstats g, estats e, tri t
         """
     )
@@ -1218,7 +1218,7 @@ def stream_triangles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM tri_deltas)
         SELECT g.n_nodes, e.n_edges, CAST(g.wedges2 / 2 AS BIGINT) AS n_wedges,
                t.n_triangles,
-               round(6.0 * t.n_triangles / g.wedges2, 6) AS clustering_coeff
+               round(6.0e0 * t.n_triangles / g.wedges2, 6) AS clustering_coeff
         FROM gstats g, estats e, tri t
         """
     )
@@ -2072,7 +2072,7 @@ def _mw_sql(md5pick: str, idiv: str) -> str:
                    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
             FROM ranked)
     SELECT n_a, n_b,
-           CAST((r2a - 2 * ((n_a * (n_a + 1)) {idiv} 2)) AS DECIMAL(19, 1))
+           CAST(r2a - 2 * ((n_a * (n_a + 1)) {idiv} 2) AS DOUBLE)
              / 2 AS u_a,
            round(((CAST(r2a AS DOUBLE) - n_a * (n_a + 1)) / 2
                   - CAST(n_a AS DOUBLE) * n_b / 2)

@@ -70,7 +70,8 @@ ranked AS (
   FROM changelog
 )
 SELECT o_orderkey, o_custkey, o_orderstatus,
-       cents / 100.0 AS o_totalprice, o_orderpriority, n_versions
+       CAST(cents AS DOUBLE) / 100.0 AS o_totalprice, o_orderpriority,
+       n_versions
 FROM ranked
 WHERE rn = 1 AND op <> 'D'
 """
@@ -290,8 +291,8 @@ def stream_cdc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         nv AS (SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_versions
                FROM changelog GROUP BY o_orderkey)
         SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
-               s.cents / 100.0 AS o_totalprice, s.o_orderpriority,
-               nv.n_versions
+               CAST(s.cents AS DOUBLE) / 100.0 AS o_totalprice,
+               s.o_orderpriority, nv.n_versions
         FROM snap s JOIN nv ON s.o_orderkey = nv.o_orderkey
         WHERE s.op <> 'D'
         """

@@ -332,8 +332,8 @@ def _silhouette_sql(embc: str, duck: bool) -> str:
                          END * 1000000) AS BIGINT) AS sil_u
       FROM ab)
     SELECT own AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
-           round(sum(sil_u) / count(*) / 1000000.0, 6) AS avg_silhouette,
-           round(min(sil_u) / 1000000.0, 6) AS min_silhouette
+           round(sum(sil_u) / count(*) / 1000000.0e0, 6) AS avg_silhouette,
+           round(min(sil_u) / 1000000.0e0, 6) AS min_silhouette
     FROM s GROUP BY own
     """
 

@@ -555,7 +555,8 @@ def _leakage_sql(ex: str) -> str:
       FROM cell),
     chi AS (SELECT tok, max(n_tok) AS n_tok, sum(t) AS chi2
             FROM term GROUP BY tok)
-    SELECT tok, n_tok, CAST(chi2 AS DECIMAL(18, 6)) AS chi2
+    SELECT tok, n_tok,
+           CAST(CAST(chi2 AS DECIMAL(18, 6)) AS DOUBLE) AS chi2
     FROM chi ORDER BY chi2 DESC, tok LIMIT {LEAKAGE_TOP}
     """
 

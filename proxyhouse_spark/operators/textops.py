@@ -520,6 +520,9 @@ def winnow_oracle() -> str:
 # Exactness: all counts BIGINT; the only float is the final log10 of a
 # ratio of exact integers, rounded to 6 dp then DECIMAL-cast — the
 # unigram_logprob discipline that holds bit-identical across engines.
+# The published column is CAST back to DOUBLE: a DECIMAL output renders
+# with trailing zeros on the Spark side while DuckDB fetch paths hand
+# back float64, a guaranteed driver hash mismatch (VERDICT r04 #1).
 #
 # At 100 TB: presence explode is a narrow scan; the per-doc pair join
 # shuffles on doc_id once; pair counts are map-side combinable into an
@@ -546,9 +549,9 @@ def _pmi_sql(ex: str) -> str:
                 ON a.doc_id = b.doc_id AND a.tok < b.tok
               GROUP BY a.tok, b.tok)
     SELECT tok_a, tok_b, n_ab, n_a, n_b,
-           CAST(round(log10(CAST(n_ab AS DOUBLE) * (SELECT n_docs FROM n)
-                            / (n_a * n_b)),
-                      6) AS DECIMAL(18, 6)) AS pmi
+           CAST(CAST(round(log10(CAST(n_ab AS DOUBLE) * (SELECT n_docs FROM n)
+                                 / (n_a * n_b)),
+                           6) AS DECIMAL(18, 6)) AS DOUBLE) AS pmi
     FROM pairs
     ORDER BY pmi DESC, tok_a, tok_b LIMIT 20
     """

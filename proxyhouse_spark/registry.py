@@ -1457,7 +1457,7 @@ _LEAD = [
     "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
     "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
     "q_stream_triangles", "q_kcore", "q_cooccur_pmi", "q_label_leakage",
-    "q_stream_kmeans", "q_join_asof_tolerance", "q_dp_counts",
+    "q_stream_kmeans", "q_cdc_upsert", "q_join_asof_tolerance", "q_dp_counts",
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
@@ -1492,41 +1492,68 @@ _LEAD = [
     "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
     "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",
     "q_tfidf", "q_corpus_pipeline", "q_sequence_pack", "q_scd2",
-    "q_cdc_upsert", "q_sessionize", "q_mom_growth", "q_freshness_audit",
+    "q_sessionize", "q_mom_growth", "q_freshness_audit",
     "q_unigram_logprob", "q_skew_report",
 ]
 
 
-def _confirmed() -> set[str]:
-    """Baseline ∪ every CORRECTNESS_r*.json key the driver has recorded
-    (only entries the gate actually PASSED or row-checked — err == null)."""
+def _gate_results() -> tuple[set[str], list[str]]:
+    """Read every CORRECTNESS_r*.json and split sampled keys into
+    (confirmed, failed).
+
+    Confirmed = the gate actually PASSED: ``hash_match == true``, or the
+    designed rows-only path (``err == "no_oracle"`` with a row count).
+    Failed = sampled in some round but never confirmed in ANY round —
+    hash mismatches and harness errors.  Round 4's bug was unioning ALL
+    sampled keys as confirmed, which rotated the 4 hash-FAILED queries
+    out of the driver's 50-key window so their fixes would never be
+    re-verified (VERDICT r04 finding #3).  Failed keys now go back to
+    the FRONT of the window instead.
+    """
     import glob as _glob
     import json as _json
     import os as _os
 
-    seen = set(_DRIVER_CONFIRMED)
+    passed: set[str] = set()
+    sampled: list[str] = []
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    for path in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path, encoding="utf-8") as f:
                 data = _json.load(f)
-            if isinstance(data, dict):
-                seen.update(k for k in data if isinstance(k, str))
         except (OSError, ValueError):
             continue  # a malformed/partial file must never break imports
-    return seen
+        if not isinstance(data, dict):
+            continue
+        for k, v in data.items():
+            if not (isinstance(k, str) and isinstance(v, dict)):
+                continue
+            if k not in sampled:
+                sampled.append(k)
+            if v.get("hash_match") is True:
+                passed.add(k)
+            elif v.get("err") == "no_oracle" and v.get("spark_rows") is not None:
+                passed.add(k)  # rows-only by documented design
+    failed = [k for k in sampled if k not in passed]
+    return passed, failed
 
 
 def _rotated(keys: list[str]) -> list[str]:
-    confirmed = _confirmed()
-    lead = [k for k in _LEAD if k in QUERIES and k not in confirmed]
-    lead_set = set(lead)
+    passed, failed = _gate_results()
+    confirmed = (set(_DRIVER_CONFIRMED) | passed) - set(failed)
+    relead = [k for k in failed if k in QUERIES]
+    relead_set = set(relead)
+    lead = [
+        k for k in _LEAD
+        if k in QUERIES and k not in confirmed and k not in relead_set
+    ]
+    lead_set = relead_set | set(lead)
     rest_unseen = [
         k for k in keys
         if k not in confirmed and k not in lead_set
     ]
     seen = [k for k in keys if k in confirmed]
-    return lead + rest_unseen + seen
+    return relead + lead + rest_unseen + seen
 
 
 _order = _rotated(list(QUERIES))

@@ -33,21 +33,32 @@ def _send_rows(rows) -> Iterator[tuple[str, bool, int]]:
         )
         try:
             with urllib.request.urlopen(req, timeout=TIMEOUT_S) as resp:
-                yield (r.uri, resp.status == 200, resp.status)
+                yield (r.send_key, resp.status == 200, resp.status)
         except urllib.error.HTTPError as e:  # non-2xx — the non-200 branch
-            yield (r.uri, False, e.code)
+            yield (r.send_key, False, e.code)
         except Exception:  # connection refused / timeout / DNS
-            yield (r.uri, False, -1)
+            yield (r.send_key, False, -1)
 
 
 def http_send(flush_frame: DataFrame) -> dict[str, bool]:
     """Deliver a sink frame (uri, target_url, buffer, ...) over HTTP.
-    Returns {uri: delivered} — the caller (FlushPipeline) spills failures
-    to the DLQ exactly as for any other sink error."""
-    statuses = flush_frame.select("uri", "target_url", "buffer").rdd.mapPartitions(
-        _send_rows
+    Returns {key: delivered} — the caller (FlushPipeline) spills failures
+    to the DLQ exactly as for any other sink error.
+
+    The status key is ``packet_id`` when the frame carries one (the DLQ
+    replay path, where distinct packets share a uri and a uri-keyed dict
+    would collapse their outcomes), else ``uri`` (the flush path, one row
+    per key by construction)."""
+    from pyspark.sql import functions as F
+
+    key = "packet_id" if "packet_id" in flush_frame.columns else "uri"
+    statuses = (
+        flush_frame.select(
+            F.col(key).alias("send_key"), "target_url", "buffer"
+        )
+        .rdd.mapPartitions(_send_rows)
     )
-    return {uri: ok for uri, ok, _ in statuses.collect()}
+    return {k: ok for k, ok, _ in statuses.collect()}
 
 
 # NOTE: the DLQ replay path (streaming/pipeline.py replay_dlq) reuses

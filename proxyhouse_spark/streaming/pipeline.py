@@ -54,19 +54,25 @@ def _split_by_failure(grouped: DataFrame, fail_predicate: Column | None):
 
 
 def _split_by_statuses(
-    eligible: DataFrame, statuses: dict[str, bool]
+    eligible: DataFrame, statuses: dict[str, bool], key: str = "uri"
 ) -> tuple[DataFrame, DataFrame]:
-    """Split the queue by per-uri delivery status WITHOUT an IN-literal:
+    """Split the queue by per-``key`` delivery status WITHOUT an IN-literal:
     `isin([...ok_keys...])` inlines every key into the plan — a plan-size
     hazard the moment the queue isn't tiny. A broadcast left join against a
     two-column statuses frame keeps the plan O(1) at any queue length
-    (undelivered/unknown uris count as failed)."""
+    (undelivered/unknown keys count as failed).
+
+    ``key`` is "uri" on the flush path (one row per key by construction)
+    but MUST be a per-packet identity on the replay path: distinct queued
+    packets share a uri, and a uri-keyed dict collapses them — a packet
+    that failed could inherit a later same-uri success and silently drop
+    from the queue (data loss)."""
     spark = eligible.sparkSession
     status_df = spark.createDataFrame(
         [(u, bool(d)) for u, d in statuses.items()],
-        "uri string, delivered boolean",
+        f"{key} string, delivered boolean",
     )
-    joined = eligible.join(F.broadcast(status_df), "uri", "left")
+    joined = eligible.join(F.broadcast(status_df), key, "left")
     delivered = F.coalesce(F.col("delivered"), F.lit(False))
     return (
         joined.filter(delivered).drop("delivered"),
@@ -389,15 +395,19 @@ def replay_dlq(
         # order. The unpartitioned row_number is bounded by failure volume
         # (the same justification as q_dlq_replay_order's plan whitelist);
         # payloads stay on executors — the driver sees only row COUNT and
-        # per-chunk (uri, delivered) statuses.
-        seqd = eligible.select(
-            F.row_number()
-            .over(Window.orderBy("level", "created_ns"))
-            .alias("seq"),
-            "uri",
-            url_rewrite(F.col("uri"), fwd, repl).alias("target_url"),
-            F.col("body").alias("buffer"),
-        ).cache()
+        # per-chunk (packet_id, delivered) statuses. The seq doubles as the
+        # per-packet delivery identity: distinct packets share a uri, so a
+        # uri-keyed status dict would collapse them (a failed packet could
+        # inherit a later same-uri success and vanish from the queue).
+        seqd = (
+            eligible.withColumn(
+                "seq", F.row_number().over(Window.orderBy("level", "created_ns"))
+            )
+            .withColumn("packet_id", F.col("seq").cast("string"))
+            .withColumn("target_url", url_rewrite(F.col("uri"), fwd, repl))
+            .withColumn("buffer", F.col("body"))
+            .cache()
+        )
         n_eligible = seqd.count()
         statuses: dict[str, bool] = {}
         for start in range(1, n_eligible + 1, replay_batch_size):
@@ -405,14 +415,16 @@ def replay_dlq(
                 seqd.filter(
                     F.col("seq").between(start, start + replay_batch_size - 1)
                 )
+                .select("seq", "packet_id", "uri", "target_url", "buffer")
                 .coalesce(1)  # one task → in-order, connection-reusing send
                 .sortWithinPartitions("seq")
             )
             statuses.update(sender(chunk))
             if throttle_seconds and start + replay_batch_size <= n_eligible:
                 _time.sleep(throttle_seconds)
-        seqd.unpersist()
-        ok, failed = _split_by_statuses(eligible, statuses)
+        ok, failed = _split_by_statuses(seqd, statuses, key="packet_id")
+        helper = ["seq", "packet_id", "target_url", "buffer"]
+        ok, failed = ok.drop(*helper), failed.drop(*helper)
     else:
         ok, failed = _split_by_failure(eligible, fail_predicate)
     delivered = ok.select(
@@ -443,6 +455,8 @@ def replay_dlq(
     tmp = dlq_dir.rstrip("/") + ".tmp"
     new_dlq.repartition("level").write.mode("overwrite").parquet(tmp)
     dlq.unpersist()
+    if sender is not None:
+        seqd.unpersist()  # ok/failed derive from it — keep cached until here
     import shutil
 
     old = dlq_dir.rstrip("/") + ".old"

@@ -16,11 +16,14 @@ from tests.test_streaming import COLS, _req
 class _Collector(BaseHTTPRequestHandler):
     received: list[tuple[str, str]] = []
     fail_substring = "bad"
+    fail_body_substring: str | None = None
 
     def do_POST(self):  # noqa: N802
         body = self.rfile.read(int(self.headers["Content-Length"])).decode()
         type(self).received.append((self.path, body))
-        if self.fail_substring in self.path:
+        if self.fail_substring in self.path or (
+            self.fail_body_substring and self.fail_body_substring in body
+        ):
             self.send_response(503)  # ClickHouse down for this table
         else:
             self.send_response(200)
@@ -33,6 +36,7 @@ class _Collector(BaseHTTPRequestHandler):
 @pytest.fixture()
 def http_server():
     _Collector.received = []
+    _Collector.fail_body_substring = None
     server = HTTPServer(("127.0.0.1", 0), _Collector)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -133,3 +137,42 @@ def test_http_replay_is_executor_side_ordered_and_chunked(
     # delivery order matches the reference's lexicographic replay order
     assert [b for _, b in _Collector.received] == ["(1)", "(2)", "(3)"]
     assert spark.read.parquet(dlq).count() == 0
+
+
+def test_http_replay_same_uri_packets_keep_distinct_outcomes(
+    spark, tmp_path, http_server
+):
+    """Delivery status is keyed per PACKET, not per uri (ADVICE r04): two
+    queued packets sharing a uri must keep independent outcomes. Before
+    the fix, the uri-keyed status dict let a later same-uri success
+    overwrite an earlier failure — the failed packet was marked delivered
+    and silently dropped from the queue (data loss)."""
+    from proxyhouse_spark.streaming.pipeline import replay_dlq
+
+    dlq = str(tmp_path / "dlq")
+    sink = str(tmp_path / "sink")
+    cols = "uri string, body string, level int, created_ns bigint"
+    spark.createDataFrame(
+        [
+            ("/?query=t", "(poison)", 0, 100),  # replays FIRST, server 503s it
+            ("/?query=t", "(2)", 0, 200),       # same uri, replays second, 200
+        ],
+        cols,
+    ).coalesce(1).write.parquet(dlq)
+
+    _Collector.fail_substring = "\x00never"
+    _Collector.fail_body_substring = "poison"
+    try:
+        counts = replay_dlq(
+            spark, dlq, sink, sender=http_send, fwd=http_server
+        )
+    finally:
+        _Collector.fail_substring = "bad"
+        _Collector.fail_body_substring = None
+    assert counts == {"replayed": 1, "requeued": 1, "quarantined": 0}
+    left = spark.read.parquet(dlq).collect()
+    assert len(left) == 1  # the failed packet is requeued, not dropped...
+    assert left[0].body == "(poison)"  # ...and it is the RIGHT packet
+    assert left[0].level == 1  # escalated one retry level
+    delivered = spark.read.parquet(f"{sink}/replayed").collect()
+    assert [r.buffer for r in delivered] == ["(2)"]

@@ -984,3 +984,44 @@ def test_partition_pruning_scan_reads_only_matching_directories(spark):
     n_dirs = len([d for d in os.listdir(loc) if d.startswith("day=")])
     n_kept = pruned.select("day").distinct().count()
     assert n_kept < n_dirs  # pruning must actually drop partitions
+
+
+def test_no_query_emits_decimal_output(spark):
+    """Global output-type sweep: a DECIMAL column in any registered query's
+    result is a guaranteed (or trailing-zero-lucky) driver hash mismatch —
+    Spark collects DECIMAL(p,6) as Decimal("123.456000") while the driver
+    fetches the DuckDB oracle via pandas, which hands back float64
+    "123.456".  This caused the four round-4 driver hash-fails
+    (q_stream_cdc, q_silhouette, q_cooccur_pmi, q_label_leakage — VERDICT
+    r04 finding #1).  Fix pattern: keep DECIMAL carriers for exact
+    intermediate arithmetic, but CAST the final projection to DOUBLE (or
+    use double literals: 6.0e0, 1000000.0e0).  Plan-only — schemas resolve
+    without execution; the known-executing callables are covered by their
+    own differential tests, whose check.py::norm() now fails outright on
+    any Decimal value."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    def has_decimal(dtype) -> bool:
+        if isinstance(dtype, DecimalType):
+            return True
+        if isinstance(dtype, ArrayType):
+            return has_decimal(dtype.elementType)
+        if isinstance(dtype, MapType):
+            return has_decimal(dtype.keyType) or has_decimal(dtype.valueType)
+        if isinstance(dtype, StructType):
+            return any(has_decimal(f.dataType) for f in dtype.fields)
+        return False
+
+    offenders = {}
+    for name in sorted(registry.QUERIES):
+        if name in _EXECUTING:
+            continue
+        df = registry.QUERIES[name](spark, SF_SMALL)
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if has_decimal(f.dataType)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

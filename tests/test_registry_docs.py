@@ -42,3 +42,23 @@ def test_every_query_is_documented():
     )
     missing = sorted(q for q in registry.QUERIES if q not in text)
     assert not missing, f"undocumented queries: {missing}"
+
+
+def test_check_norm_rejects_decimal_outright():
+    """The local differential gate must be at least as strict as the
+    driver: round 4's norm() coerced Decimal → float, masking the Spark
+    DECIMAL vs DuckDB-via-pandas float64 rendering divergence that the
+    driver hashes differently (4 r04 hash-fails). norm() now fails any
+    Decimal value loudly instead of quietly reformatting it."""
+    import sys
+    from decimal import Decimal
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tools")
+    import importlib
+
+    check = importlib.import_module("check")
+    with pytest.raises(TypeError, match="DOUBLE"):
+        check.norm(Decimal("123.456000"))
+    assert check.norm(123.456) == "123.456"  # floats unaffected

@@ -35,7 +35,15 @@ def norm(v) -> str:
             return "NaN"
         return f"{v:.9g}"
     if isinstance(v, Decimal):
-        return f"{float(v):.9g}"
+        # STRICTER than the driver on purpose: a Decimal output column is
+        # a latent driver hash-fail (Spark renders "123.456000", DuckDB
+        # fetch paths hand back float64 "123.456"). Coercing to float here
+        # masked exactly that divergence in round 4 (4 driver hash-fails
+        # while SELFCHECK was green). Fail the query outright instead.
+        raise TypeError(
+            "Decimal output column detected — cast the final projection to "
+            f"DOUBLE (value: {v!r}). See VERDICT.md r04 finding #1."
+        )
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
