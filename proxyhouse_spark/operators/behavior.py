@@ -2647,8 +2647,9 @@ def qte_oracle() -> str:
 # arithmetic on identical inputs (no libm), so the > 3.5 cut cannot
 # flip across engines. A zero MAD (>50% ties) is routed to zero
 # outliers rather than a division. Two exact-percentile passes — the
-# documented per-group-sort caveat applies; the t-digest swap
-# (q_approx_percentiles) is the scale path for both.
+# documented per-group-sort caveat applies; q_mad_outliers_approx below
+# is the shipped sketch swap (the q_percentiles/q_approx_percentiles
+# pairing), accuracy pinned against this exact op in pytest.
 # ---------------------------------------------------------------------------
 
 MAD_K = 0.6745  # consistency constant: MAD * 1/K estimates sigma
@@ -2691,6 +2692,23 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mad_outliers_oracle() -> str:
     return "WITH " + _mad_sql("quantile_cont")
+
+
+def mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N122b: the scale path of q_mad_outliers — both medians via
+    `approx_percentile` (mergeable quantile sketch: map-side partial
+    aggregation, O(sketch) shuffle bytes per group) instead of the exact
+    `percentile`, which sorts every group's values. Same screen, same
+    thresholds, same output columns; only the quantile estimator changes
+    — textually the same CTE chain, so the two ops cannot drift.
+
+    Rows-only by design (the q_approx_percentiles treatment): sketch
+    answers are engine-specific, so there is no cross-engine oracle.
+    tests/test_round5_ops.py pins the accuracy contract against the
+    exact op instead: identical group set, medians/MADs within the
+    sketch's rank-error bound, and the outlier counts near-identical."""
+    _events(spark, sf_dir)
+    return spark.sql("WITH " + _mad_sql("approx_percentile"))
 
 
 # ---------------------------------------------------------------------------

@@ -1112,6 +1112,7 @@ register("q_qte", behavior.qte_oracle())(behavior.qte)
 register("q_mad_outliers", behavior.mad_outliers_oracle())(
     behavior.mad_outliers
 )
+register("q_mad_outliers_approx")(behavior.mad_outliers_approx)
 register("q_burstiness", behavior.burstiness_oracle())(
     behavior.burstiness
 )
@@ -1461,7 +1462,7 @@ _LEAD = [
     "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
     "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
     "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge", "q_redundancy", "q_bucketed_join", "q_partition_pruning",
+    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_mad_outliers_approx", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge", "q_redundancy", "q_bucketed_join", "q_partition_pruning",
     "q_window_funnel", "q_sequence_count", "q_max_intersections",
     "q_theil_sen", "q_chi2", "q_entropy_rate", "q_heaps_law",
     "q_corr_matrix", "q_mutual_info", "q_source_diversity",
