@@ -82,6 +82,7 @@ def main() -> None:
     # noise was measured at 2-4x on individual runs — it is the number the
     # 100 TB projection scales from.
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -92,8 +93,14 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         samples.sort()
         timings[name] = round(samples[1], 3)
+        # run-to-run spread of the 3 timed samples, as a fraction of the
+        # median — quantifies host-scheduler noise so round-over-round
+        # comparisons can tell drift from regression (VERDICT r04 item #5:
+        # the +12% r03→r04 delta was uniform across untouched queries).
+        spreads[name] = round((samples[2] - samples[0]) / samples[1], 3)
 
     total = round(sum(timings.values()), 3)
+    spread_vals = sorted(spreads.values())
     print(
         json.dumps(
             {
@@ -102,6 +109,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spread": spreads,
+                "spread_median": spread_vals[len(spread_vals) // 2],
             }
         )
     )
