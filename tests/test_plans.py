@@ -1025,3 +1025,67 @@ def test_no_query_emits_decimal_output(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_output_type_categories_match_oracle(spark):
+    """Global output-type parity sweep vs the DuckDB oracle — the
+    generalization of the decimal ban above.  The driver compares results
+    by stringify-then-hash, so a column Spark types DOUBLE where the
+    oracle returns BIGINT renders "5.0" vs "5": the same divergence class
+    as round 4's DECIMAL hash-fails, and one that value-level
+    normalization (%.9g) masks.  Both sides are inspected LAZILY — Spark
+    schema resolution and DuckDB bind-time relation types — so this runs
+    plan-only for every non-executing query; the executing callables are
+    covered by tools/type_sweep.py (320/320 clean, 2026-08-15)."""
+    import duckdb
+
+    from proxyhouse_spark import registry as reg
+    from proxyhouse_spark.tables import TABLES
+
+    spark_cat = {
+        "byte": "int", "short": "int", "integer": "int", "long": "int",
+        "float": "float", "double": "float", "string": "string",
+        "boolean": "bool", "binary": "binary", "date": "date",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    }
+    duck_cat = {
+        "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+        "BIGINT": "int", "HUGEINT": "int", "UTINYINT": "int",
+        "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+        "UHUGEINT": "int", "FLOAT": "float", "DOUBLE": "float",
+        "VARCHAR": "string", "BOOLEAN": "bool", "BLOB": "binary",
+        "DATE": "date", "TIMESTAMP": "timestamp",
+        "TIMESTAMP_NS": "timestamp", "TIMESTAMP_MS": "timestamp",
+        "TIMESTAMP_S": "timestamp",
+        "TIMESTAMP WITH TIME ZONE": "timestamp",
+    }
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    offenders = {}
+    for name in sorted(reg.QUERIES):
+        if name in _EXECUTING or name not in reg.ORACLES:
+            continue
+        sdf = reg.QUERIES[name](spark, SF_SMALL)
+        stypes = {
+            f.name: spark_cat.get(f.dataType.typeName(), f.dataType.typeName())
+            for f in sdf.schema.fields
+        }
+        rel = con.sql(reg.ORACLES[name])
+        otypes = {
+            c: ("decimal" if str(t).startswith("DECIMAL")
+                else duck_cat.get(str(t), str(t)))
+            for c, t in zip(rel.columns, rel.types)
+        }
+        bad = [
+            f"{col}: spark={stypes.get(col)} duck={otypes.get(col)}"
+            for col in sorted(set(stypes) | set(otypes))
+            if stypes.get(col) != otypes.get(col)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
