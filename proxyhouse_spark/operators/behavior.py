@@ -2293,7 +2293,14 @@ def kaplan_meier_oracle() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _acf_sql(epoch: str, idiv: str) -> str:
+def _acf_sql(epoch: str, idiv: str, wide: str) -> str:
+    # ``wide`` is the engine's exact >64-bit integer carrier: Spark has no
+    # int128 so it rides DECIMAL(38,0); DuckDB's DECIMAL multiply binds the
+    # RESULT to the operands' combined width, and at sf0.1 a single day's
+    # milli-value sum passes 1e9 — the x·x products overflow the int64
+    # fast path ("Overflow in multiplication of DECIMAL(18)") — so the
+    # oracle multiplies in HUGEINT (native int128, caught by the round-5
+    # full-registry sf0.1 differential).
     day = 86_400_000_000
     return f"""
     d AS (SELECT event_type,
@@ -2304,21 +2311,23 @@ def _acf_sql(epoch: str, idiv: str) -> str:
     m AS (SELECT event_type,
                  CAST(min(d) AS BIGINT) AS dmin,
                  CAST(max(d) AS BIGINT) AS dmax,
-                 CAST(max(d) - min(d) + 1 AS DECIMAL(18,0)) AS n,
-                 CAST(sum(x) AS DECIMAL(18,0)) AS s,
-                 CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+                 CAST(max(d) - min(d) + 1 AS {wide}) AS n,
+                 CAST(sum(x) AS {wide}) AS s,
+                 CAST(sum(CAST(x AS {wide}) * CAST(x AS {wide}))
+                      AS {wide}) AS sxx
           FROM d GROUP BY event_type),
     ks AS (SELECT CAST(1 AS BIGINT) AS lag
            UNION ALL SELECT CAST(7 AS BIGINT)),
     pk AS (SELECT m.event_type, ks.lag, m.n, m.s, m.sxx,
                   CAST(m.dmax - m.dmin + 1 AS BIGINT) AS n_days,
-                  CAST(coalesce(sum(a.x * b.x), 0) AS DECIMAL(38,0)) AS p,
+                  CAST(coalesce(sum(CAST(a.x AS {wide}) * CAST(b.x AS {wide})),
+                                0) AS {wide}) AS p,
                   CAST(coalesce(sum(CASE WHEN a.d <= m.dmax - ks.lag
                                          THEN a.x END), 0)
-                       AS DECIMAL(18,0)) AS h,
+                       AS {wide}) AS h,
                   CAST(coalesce(sum(CASE WHEN a.d >= m.dmin + ks.lag
                                          THEN a.x END), 0)
-                       AS DECIMAL(18,0)) AS t
+                       AS {wide}) AS t
            FROM m, ks
            JOIN d a ON a.event_type = m.event_type
            LEFT JOIN d b ON b.event_type = a.event_type
@@ -2342,12 +2351,15 @@ def autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     _events(spark, sf_dir)
     return spark.sql(
         "WITH "
-        + _acf_sql(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div")
+        + _acf_sql(
+            f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts)", "div",
+            "DECIMAL(38,0)",
+        )
     )
 
 
 def autocorr_oracle() -> str:
-    return "WITH " + _acf_sql("epoch_us(ts)", "//")
+    return "WITH " + _acf_sql("epoch_us(ts)", "//", "HUGEINT")
 
 
 # ---------------------------------------------------------------------------
