@@ -128,11 +128,14 @@ def main() -> int:
         if not entry_rows:
             print("entry(): FAIL (0 rows)")
             return 1
+    import os as _os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
+        p = f"{args.sf}/{t}.parquet"
+        if _os.path.isdir(p):  # Spark-written table (e.g. the ~sf1 scratch)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
     results: dict[str, dict] = {}
