@@ -783,29 +783,37 @@ def window_range_oracle() -> str:
 # ---------------------------------------------------------------------------
 # agg_argminmax — min_by / max_by (DuckDB arg_min / arg_max): which user
 # leads/trails each event type by total spend. The argmax KEY packs the
-# tiebreak into the ordering value (total·1e5 ± user_id) because struct/
+# tiebreak into the ordering value (total·1e10 ± user_id) because struct/
 # tuple ordering inside max_by is where the two engines' dialects
-# diverge; the packing is exact while user_id < 1e5 and totals < 9e13
-# cents (both true at every fixture SF — production widens the radix or
-# pre-ranks with a window). One map-side-combinable shuffle on
-# (type, user), then an O(users) fold per type.
+# diverge. The packing rides each engine's exact >64-bit integer carrier
+# (Spark DECIMAL(38,0) — no int128 type; DuckDB HUGEINT), so it is exact
+# for ANY BIGINT total and user_id < 1e10 — the original BIGINT packing
+# (radix 1e5) tripped its own guard the moment the 100× scale probe's
+# key-shifted users passed 1e5, which is exactly what the guard was for.
+# The guard stays, at the new bound, so a >10-billion-user estate still
+# fails loudly instead of silently mis-ranking. One map-side-combinable
+# shuffle on (type, user), then an O(users) fold per type — no window,
+# no second shuffle.
 # ---------------------------------------------------------------------------
 
 _ARGMM_BODY = """
 t0 AS (SELECT event_type, user_id,
               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
        FROM events GROUP BY event_type, user_id),
-t AS (SELECT event_type, user_id, total
+t AS (SELECT event_type, user_id, CAST(total AS {wide}) AS total
       FROM t0
-      WHERE CASE WHEN user_id < 100000 AND total < 92233720368000 THEN true
+      WHERE CASE WHEN user_id >= 0 AND user_id < 10000000000 THEN true
                  ELSE {raise_fn}(
                    'argminmax radix bound exceeded: widen the packing')
                    IS NOT NULL END)
 SELECT event_type,
-       {maxby}(user_id, total * 100000 + (99999 - user_id)) AS top_user,
-       {maxby}(total, total * 100000 + (99999 - user_id)) AS top_cents,
-       {minby}(user_id, total * 100000 + user_id) AS low_user,
-       {minby}(total, total * 100000 + user_id) AS low_cents
+       {maxby}(user_id, total * 10000000000 + (9999999999 - user_id))
+         AS top_user,
+       CAST({maxby}(total, total * 10000000000 + (9999999999 - user_id))
+            AS BIGINT) AS top_cents,
+       {minby}(user_id, total * 10000000000 + user_id) AS low_user,
+       CAST({minby}(total, total * 10000000000 + user_id) AS BIGINT)
+         AS low_cents
 FROM t GROUP BY event_type
 """
 
@@ -815,14 +823,15 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH "
         + _ARGMM_BODY.format(
-            maxby="max_by", minby="min_by", raise_fn="raise_error"
+            maxby="max_by", minby="min_by", raise_fn="raise_error",
+            wide="DECIMAL(38,0)",
         )
     )
 
 
 def agg_argminmax_oracle() -> str:
     return "WITH " + _ARGMM_BODY.format(
-        maxby="arg_max", minby="arg_min", raise_fn="error"
+        maxby="arg_max", minby="arg_min", raise_fn="error", wide="HUGEINT"
     )
 
 
