@@ -113,8 +113,15 @@ def cohort_retention_oracle() -> str:
 # anomaly_p99 — per-event-type outliers above the exact p99 threshold.
 # Percentile-threshold anomaly flagging instead of z-scores on purpose:
 # exact interpolating percentiles are bit-identical between Spark's
-# `percentile` and DuckDB's `quantile_cont` (proven by q_percentiles),
-# while stddev of a double column is summation-order-sensitive.
+# `percentile` and DuckDB's `quantile_cont` — but only over EXACT inputs
+# (the q_percentiles identity is proven over milli-unit integers). The
+# original spelling took the percentile of the raw double column; the
+# two engines' interpolation arithmetic differs by an ulp there, and the
+# 100× differential caught it: at ~sf1 every value repeats (the probe's
+# key-shift leaves `value` unchanged), the p99 lands ON a repeated
+# value, and a one-ulp threshold difference flipped all 10 copies
+# through the `>` cut (9980 vs 9990 rows). The threshold and the cut now
+# both live in exact milli-units; p99 is reported in original units.
 #
 # Scale (100 TB): pass 1 computes 5 thresholds (one tiny row per type,
 # exact percentile needs the per-group sort — at scale swap in
@@ -122,30 +129,24 @@ def cohort_retention_oracle() -> str:
 # broadcast-join filter, shuffle-free on the fact side.
 # ---------------------------------------------------------------------------
 
+_ANOM_P99 = """
+m AS (SELECT event_id, event_type, value,
+             CAST(round(value * 1000) AS BIGINT) AS mv FROM events),
+p AS (SELECT event_type, {pctl}(mv, 0.99) AS p99m FROM m GROUP BY event_type)
+SELECT m.event_id, m.event_type, round(m.value, 2) AS value,
+       round(p.p99m / 1000.0e0, 4) AS p99
+FROM m JOIN p ON m.event_type = p.event_type
+WHERE m.mv > p.p99m
+"""
+
 
 def anomaly_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
     _events(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH p AS (SELECT event_type, percentile(value, 0.99) AS p99
-                   FROM events GROUP BY event_type)
-        SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
-               round(p.p99, 4) AS p99
-        FROM events e JOIN p ON e.event_type = p.event_type
-        WHERE e.value > p.p99
-        """
-    )
+    return spark.sql("WITH " + _ANOM_P99.format(pctl="percentile"))
 
 
 def anomaly_p99_oracle() -> str:
-    return """
-    WITH p AS (SELECT event_type, quantile_cont(value, 0.99) AS p99
-               FROM events GROUP BY event_type)
-    SELECT e.event_id, e.event_type, round(e.value, 2) AS value,
-           round(p.p99, 4) AS p99
-    FROM events e JOIN p ON e.event_type = p.event_type
-    WHERE e.value > p.p99
-    """
+    return "WITH " + _ANOM_P99.format(pctl="quantile_cont")
 
 
 # ---------------------------------------------------------------------------

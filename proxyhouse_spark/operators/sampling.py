@@ -348,10 +348,16 @@ WSAMPLE_K = 25  # kept per language stratum
 def _wsample_sql(md5int: str) -> str:
     # u in (0, 1]: 48-bit md5 slice scaled; +1 avoids ln(0)
     u = f"(({md5int}) + 1) / 281474976710656.0"
+    # ``+ 0.0e0`` canonicalizes negative zero: when u is within 5e-7·w of
+    # 1 the rounded priority is zero, and Spark's round() (BigDecimal
+    # path) hands back +0.0 while DuckDB's (libm path) keeps -0.0 — a
+    # "-0" vs "0" rendering split under stringify-then-hash. IEEE
+    # guarantees -0.0 + 0.0 = +0.0 and x + 0.0 = x otherwise, on both
+    # engines. Found by the 100× differential (~1-in-2e6 docs trip it).
     return f"""
     WITH w AS (
       SELECT doc_id, lang, n_chars,
-             round(ln({u}) / n_chars, 6) AS priority
+             round(ln({u}) / n_chars, 6) + 0.0e0 AS priority
       FROM documents),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY lang
