@@ -792,20 +792,31 @@ register("q_stream_session_window", _VALID + """
 -- update max event time), so it ranges over ALL valid rows
 w2 AS (SELECT date_trunc('milliseconds', max(recv_ts)) - INTERVAL 10 MINUTE AS w
        FROM valid),
-evens AS (SELECT uri, recv_ts FROM valid WHERE event_id % 2 = 0),
+evens AS (SELECT uri, recv_ts, event_id FROM valid WHERE event_id % 2 = 0),
 -- phase 1: sessionize the evens; sessions closed by w1 are emitted and
--- their state evicted; rows of still-open sessions survive into phase 2
+-- their state evicted; rows of still-open sessions survive into phase 2.
+-- Every window below orders by (recv_ts, event_id): the session-flag and
+-- the running-sum are SEPARATE window passes, and with recv_ts TIES an
+-- unstable parallel sort may order a tie block differently in each pass,
+-- splitting tied rows across adjacent sessions (observed at the ~sf1
+-- scratch, where copy-collapse creates identical (uri, recv_ts) rows:
+-- five DuckDB runs returned five different row counts). The tiebreak
+-- makes the order total; tied rows share an instant, so WHICH total
+-- order is irrelevant to session membership.
 e_marked AS (
-  SELECT uri, recv_ts,
-         CASE WHEN lag(recv_ts) OVER (PARTITION BY uri ORDER BY recv_ts)
+  SELECT uri, recv_ts, event_id,
+         CASE WHEN lag(recv_ts) OVER (PARTITION BY uri
+                                      ORDER BY recv_ts, event_id)
                    IS NULL
-              OR recv_ts - lag(recv_ts) OVER (PARTITION BY uri ORDER BY recv_ts)
+              OR recv_ts - lag(recv_ts) OVER (PARTITION BY uri
+                                              ORDER BY recv_ts, event_id)
                    > INTERVAL 4 HOUR
               THEN 1 ELSE 0 END AS new_session
   FROM evens),
 e_sid AS (
-  SELECT uri, recv_ts,
-         sum(new_session) OVER (PARTITION BY uri ORDER BY recv_ts
+  SELECT uri, recv_ts, event_id,
+         sum(new_session) OVER (PARTITION BY uri
+                                ORDER BY recv_ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS s
   FROM e_marked),
 e_sess AS (
@@ -816,7 +827,7 @@ e_sess AS (
 e1 AS (SELECT uri, session_start, session_end, n_requests
        FROM e_sess WHERE session_end <= (SELECT w FROM w1)),
 open_rows AS (
-  SELECT r.uri, r.recv_ts
+  SELECT r.uri, r.recv_ts, r.event_id
   FROM e_sid r JOIN e_sess g ON r.uri = g.uri AND r.s = g.s
   WHERE g.session_end > (SELECT w FROM w1)),
 -- phase 2: surviving state plus the odd rows that are not late. The late
@@ -825,22 +836,25 @@ open_rows AS (
 -- within the gap of it is KEPT (it seeds state; it can only appear in
 -- the output if its session closes by w2)
 p2 AS (
-  SELECT uri, recv_ts FROM open_rows
+  SELECT uri, recv_ts, event_id FROM open_rows
   UNION ALL
-  SELECT uri, recv_ts FROM valid
+  SELECT uri, recv_ts, event_id FROM valid
   WHERE event_id % 2 = 1
     AND recv_ts + INTERVAL 4 HOUR > (SELECT w FROM w1)),
 p_marked AS (
-  SELECT uri, recv_ts,
-         CASE WHEN lag(recv_ts) OVER (PARTITION BY uri ORDER BY recv_ts)
+  SELECT uri, recv_ts, event_id,
+         CASE WHEN lag(recv_ts) OVER (PARTITION BY uri
+                                      ORDER BY recv_ts, event_id)
                    IS NULL
-              OR recv_ts - lag(recv_ts) OVER (PARTITION BY uri ORDER BY recv_ts)
+              OR recv_ts - lag(recv_ts) OVER (PARTITION BY uri
+                                              ORDER BY recv_ts, event_id)
                    > INTERVAL 4 HOUR
               THEN 1 ELSE 0 END AS new_session
   FROM p2),
 p_sid AS (
   SELECT uri, recv_ts,
-         sum(new_session) OVER (PARTITION BY uri ORDER BY recv_ts
+         sum(new_session) OVER (PARTITION BY uri
+                                ORDER BY recv_ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS s
   FROM p_marked),
 p_sess AS (
