@@ -1,6 +1,8 @@
 """Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints two
+JSON lines: a verbose record (with the per-query spread map), then LAST a
+compact {"metric", "value", "unit", "queries", "sf", "spread_median"} line
+sized to survive the driver's 2000-char stdout-tail capture.
 
 Each query materializes through the `noop` sink — full computation, no
 driver collect. One warmup of a small action amortizes JVM/codegen startup
@@ -11,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -100,7 +103,30 @@ def main() -> None:
         spreads[name] = round((samples[2] - samples[0]) / samples[1], 3)
 
     total = round(sum(timings.values()), 3)
-    spread_vals = sorted(spreads.values())
+    # statistics.median (not the upper-middle element) and an empty-suite
+    # guard — this number is the documented noise floor (ADVICE r05 #2).
+    spread_median = round(statistics.median(spreads.values()), 3) if spreads else None
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Verbose record first (per-query spread map for noise analysis) ...
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds_verbose",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "spread": spreads,
+                "spread_median": spread_median,
+            }
+        )
+    )
+    # ... then the canonical compact line LAST: the driver records only the
+    # final ~2000 chars of stdout, and BENCH_r05's single long line was
+    # truncated from the front ("parsed": null, headline total lost —
+    # VERDICT r05 next-round #2). This line stays well under 2000 chars so
+    # the tail always contains one complete, parseable JSON record with the
+    # total and every per-query timing.
     print(
         json.dumps(
             {
@@ -108,9 +134,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "spread": spreads,
-                "spread_median": spread_vals[len(spread_vals) // 2],
+                "sf": sf_val,
+                "spread_median": spread_median,
             }
         )
     )

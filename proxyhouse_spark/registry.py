@@ -1447,68 +1447,59 @@ _DRIVER_CONFIRMED = {
     "q_window_lag", "q_window_rank", "q_window_running_sum",
 }
 
-# Hand-picked first window: every streaming oracle, the full decision-support
-# tail, the bench TPC-H adds, and the flagship N-family — exactly the groups
-# the r3 verdict called out as never driver-confirmed.
+# Round-6 rotation priority (VERDICT r05 next-round #1/#6): all 178
+# never-driver-sampled keys, grouped family-first so each 50-key window
+# confirms whole zero-confirmation families.  Window 1 = timeseries(17) +
+# mleval(11) + pipeline_ops(9) + spatial(4) + features(3) +
+# observability(2, incl. rows-only q_gelf_packet) + rows-only
+# q_approx_percentiles + retrieval head(3).  Confirmed keys are filtered
+# out by _rotated(), so this list self-consumes as CORRECTNESS files land.
 _LEAD = [
-    # streaming merge-algebra + trigger/replay oracles
-    "q_stream_minhash", "q_stream_cdc", "q_stream_windowed",
-    "q_stream_sessionize", "q_stream_coverage", "q_stream_cumulative",
-    "q_stream_dedup", "q_stream_session_window", "q_stream_interval_join",
-    "q_stream_enrich", "q_stream_drift", "q_stream_skyline", "q_stream_topk",
-    "q_flush_trigger", "q_dlq_replay",
-    # decision-support tail
-    "q_forecast_revenue", "q_volume_shipping", "q_market_share",
-    "q_product_profit", "q_customer_distribution", "q_top_supplier",
-    "q_parts_supplier_count", "q_small_qty_revenue", "q_large_orders",
-    "q_waiting_suppliers", "q_sales_opportunity",
-    # bench TPC-H adds
-    "q_shipping_priority", "q_order_priority", "q_promo_revenue",
-    "q_special_parts",
-    # flagship N-family / CDC / quality
-    "q_dedup_keep_best", "q_mix_materialize", "q_corpus_shuffle",
-    "q_tokenizer_fertility", "q_stream_constraint_audit",
-    "q_substring_dedup", "q_containment_dedup", "q_ann_recall",
-    "q_silhouette", "q_triangles", "q_stream_substring", "q_winnow",
-    "q_stream_ann", "q_kanon_audit", "q_hits", "q_jl_project",
-    "q_stream_triangles", "q_kcore", "q_cooccur_pmi", "q_label_leakage",
-    "q_stream_kmeans", "q_cdc_upsert", "q_join_asof_tolerance", "q_dp_counts",
-    "q_bigram_logprob", "q_assortativity", "q_bpe_apply", "q_bfs_hops",
-    "q_ab_test", "q_cuped", "q_seasonal_anomaly", "q_welch_metric",
-    "q_bootstrap_ci", "q_mannwhitney", "q_ks_test", "q_kaplan_meier",
-    "q_autocorr", "q_cusum", "q_benford", "q_gini", "q_bloom_join", "q_ndcg", "q_twap", "q_profile", "q_cohort_ltv", "q_qte", "q_mad_outliers", "q_mad_outliers_approx", "q_zipf_fit", "q_knn_eval", "q_stream_extrema", "q_burstiness", "q_percentile_bands", "q_neyman_alloc", "q_decay", "q_seasonality_strength", "q_gap_percentiles", "q_hill_tail", "q_audio_vad", "q_schema_merge", "q_redundancy", "q_bucketed_join", "q_partition_pruning",
-    "q_window_funnel", "q_sequence_count", "q_max_intersections",
-    "q_theil_sen", "q_chi2", "q_entropy_rate", "q_heaps_law",
-    "q_corr_matrix", "q_mutual_info", "q_source_diversity",
-    "q_vocab_overlap", "q_rrf_fusion", "q_markov_stationary",
-    "q_recursive_hierarchy", "q_stream_mutual_info", "q_winsorize",
-    "q_ratio_metric_delta", "q_calibration", "q_auc", "q_pr_curve",
-    "q_stream_auc", "q_did", "q_mde", "q_funnel_ttc", "q_modularity",
-    "q_phash_neardup", "q_format_scan", "q_lag_features",
-    "q_target_encoding", "q_woe_iv", "q_lateness_profile", "q_novelty",
-    "q_price_elasticity", "q_cross_validation", "q_ngram_lm_interp",
-    "q_growth_accounting", "q_churn_label", "q_hamming_sweep",
-    "q_fulfillment_lag", "q_embedding_drift", "q_stream_growth",
-    "q_char_lang_id", "q_basket_rules", "q_split_half", "q_conformal",
-    "q_repurchase_gap", "q_attribution_linear",
     "q_rolling_median", "q_changepoint", "q_ewma", "q_mann_kendall",
-    "q_heavy_hitters_cms", "q_feature_hashing", "q_isotonic_calibration",
-    "q_simpsons_audit", "q_stream_changepoint", "q_activity_streaks",
-    "q_er_links", "q_preference_pairs", "q_negative_sampling",
-    "q_ipf_raking", "q_heavy_changers", "q_knn_rerank", "q_drawdown",
-    "q_spatial_join", "q_spatial_nn", "q_morans_i", "q_stream_spatial",
-    "q_rate_test", "q_holt_linear", "q_gapfill_interp",
-    "q_seasonal_decompose", "q_lsh_s_curve", "q_histogram_eqd",
-    "q_filter_parity", "q_pareto_cut", "q_cross_corr", "q_anova_dow",
-    "q_hhi", "q_spearman", "q_partial_corr", "q_rolling_vol",
-    "q_runs_test", "q_classifier_agreement", "q_gains_table",
-    "q_forecast_eval", "q_tv_distance",
-    "q_semantic_dedup", "q_dedup_clusters", "q_pack_global",
-    "q_constraint_audit", "q_kmeans_embed", "q_simhash_wide",
-    "q_minhash_incremental", "q_pagerank", "q_fuzzy_match", "q_bm25",
-    "q_tfidf", "q_corpus_pipeline", "q_sequence_pack", "q_scd2",
-    "q_sessionize", "q_mom_growth", "q_freshness_audit",
-    "q_unigram_logprob", "q_skew_report",
+    "q_stream_changepoint", "q_drawdown", "q_rate_test", "q_holt_linear",
+    "q_seasonal_decompose", "q_cross_corr", "q_anova_dow", "q_spearman",
+    "q_partial_corr", "q_rolling_vol", "q_runs_test", "q_forecast_eval",
+    "q_tv_distance", "q_calibration", "q_auc", "q_pr_curve",
+    "q_stream_auc", "q_cross_validation", "q_char_lang_id", "q_split_half",
+    "q_conformal", "q_isotonic_calibration", "q_classifier_agreement", "q_gains_table",
+    "q_corpus_pipeline", "q_sequence_pack", "q_doc_chunk", "q_hash_split",
+    "q_dedup_url", "q_ngram_stats", "q_length_filter", "q_chunk_dedup",
+    "q_span_corruption", "q_spatial_join", "q_spatial_nn", "q_morans_i",
+    "q_stream_spatial", "q_lag_features", "q_target_encoding", "q_woe_iv",
+    "q_gelf_format", "q_gelf_packet", "q_approx_percentiles", "q_rrf_fusion",
+    "q_ngram_lm_interp", "q_bm25", "q_tfidf", "q_unigram_logprob",
+    "q_inverted_index", "q_decontaminate", "q_domain_stats", "q_phash_neardup",
+    "q_multimodal_meta", "q_multimodal_features", "q_frame_sample", "q_multimodal_resize",
+    "q_embedding_drift", "q_negative_sampling", "q_knn_rerank", "q_knn_cosine",
+    "q_knn_lsh", "q_knn_ivf", "q_knn_batch", "q_ts_similarity",
+    "q_embedding_stats", "q_knn_pq", "q_gapfill_interp", "q_range_join",
+    "q_hyper_rollup", "q_stratified_sample", "q_mix_temperature", "q_repetition_filter",
+    "q_weighted_sample", "q_incremental_rollup", "q_gapfill_locf", "q_corr_matrix",
+    "q_mutual_info", "q_stream_mutual_info", "q_simpsons_audit", "q_filter_parity",
+    "q_constraint_audit", "q_freshness_audit", "q_hamming_sweep", "q_er_links",
+    "q_lsh_s_curve", "q_dedup_clusters", "q_simhash_wide", "q_minhash_incremental",
+    "q_fuzzy_match", "q_simhash", "q_simhash_neardup", "q_embedding_neardup",
+    "q_embedding_neardup_lsh", "q_dedup_recall", "q_entropy_rate", "q_heaps_law",
+    "q_source_diversity", "q_vocab_overlap", "q_novelty", "q_heavy_hitters_cms",
+    "q_feature_hashing", "q_preference_pairs", "q_text_stats", "q_lang_id",
+    "q_quality_score", "q_token_count", "q_doc_fingerprint", "q_pii_scan",
+    "q_text_normalize", "q_gopher_rules", "q_token_entropy", "q_vocab_coverage",
+    "q_theil_sen", "q_chi2", "q_markov_stationary", "q_winsorize",
+    "q_ratio_metric_delta", "q_did", "q_mde", "q_funnel_ttc",
+    "q_modularity", "q_lateness_profile", "q_growth_accounting", "q_churn_label",
+    "q_stream_growth", "q_basket_rules", "q_attribution_linear", "q_activity_streaks",
+    "q_ipf_raking", "q_heavy_changers", "q_pagerank", "q_sessionize",
+    "q_mom_growth", "q_event_funnel", "q_cohort_retention", "q_anomaly_p99",
+    "q_linreg_by_group", "q_rfm_segments", "q_dau_mau", "q_basket_pairs",
+    "q_attribution", "q_drift_psi", "q_interval_coverage", "q_event_transitions",
+    "q_top_paths", "q_recursive_hierarchy", "q_histogram_eqd", "q_pareto_cut",
+    "q_hhi", "q_scd2", "q_scd2_lookup", "q_join_salted",
+    "q_join_full_outer", "q_unpivot", "q_window_range", "q_argminmax",
+    "q_skyline", "q_window_ntile", "q_join_asof_forward", "q_price_elasticity",
+    "q_fulfillment_lag", "q_repurchase_gap", "q_format_scan", "q_skew_report",
+    "q_zorder_stats", "q_semantic_dedup", "q_kmeans_embed", "q_pack_global",
+    "q_bpe_pairs", "q_groupby_concat_salted", "q_values_parse", "q_lines_parse",
+    "q_snapshot_diff", "q_replica_audit",
 ]
 
 

@@ -1041,24 +1041,7 @@ def test_output_type_categories_match_oracle(spark):
 
     from proxyhouse_spark import registry as reg
     from proxyhouse_spark.tables import TABLES
-
-    spark_cat = {
-        "byte": "int", "short": "int", "integer": "int", "long": "int",
-        "float": "float", "double": "float", "string": "string",
-        "boolean": "bool", "binary": "binary", "date": "date",
-        "timestamp": "timestamp", "timestamp_ntz": "timestamp",
-    }
-    duck_cat = {
-        "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
-        "BIGINT": "int", "HUGEINT": "int", "UTINYINT": "int",
-        "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
-        "UHUGEINT": "int", "FLOAT": "float", "DOUBLE": "float",
-        "VARCHAR": "string", "BOOLEAN": "bool", "BLOB": "binary",
-        "DATE": "date", "TIMESTAMP": "timestamp",
-        "TIMESTAMP_NS": "timestamp", "TIMESTAMP_MS": "timestamp",
-        "TIMESTAMP_S": "timestamp",
-        "TIMESTAMP WITH TIME ZONE": "timestamp",
-    }
+    from proxyhouse_spark.typecats import duck_cat, spark_cat
 
     con = duckdb.connect()
     for t in TABLES:
@@ -1071,16 +1054,9 @@ def test_output_type_categories_match_oracle(spark):
         if name in _EXECUTING or name not in reg.ORACLES:
             continue
         sdf = reg.QUERIES[name](spark, SF_SMALL)
-        stypes = {
-            f.name: spark_cat.get(f.dataType.typeName(), f.dataType.typeName())
-            for f in sdf.schema.fields
-        }
+        stypes = {f.name: spark_cat(f.dataType) for f in sdf.schema.fields}
         rel = con.sql(reg.ORACLES[name])
-        otypes = {
-            c: ("decimal" if str(t).startswith("DECIMAL")
-                else duck_cat.get(str(t), str(t)))
-            for c, t in zip(rel.columns, rel.types)
-        }
+        otypes = {c: duck_cat(t) for c, t in zip(rel.columns, rel.types)}
         bad = [
             f"{col}: spark={stypes.get(col)} duck={otypes.get(col)}"
             for col in sorted(set(stypes) | set(otypes))

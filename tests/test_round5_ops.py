@@ -7,20 +7,28 @@ aggregations instead of per-group sorts. Rows-only in the registry;
 this test IS its accuracy gate, pinned against the exact op.
 """
 
+import pytest
+
 from tests.conftest import SF_SMALL
 
 from proxyhouse_spark import registry
 
+SF_MID = "/root/testdata/sf0.1"
 
-def test_mad_outliers_approx_matches_exact_within_sketch_bound(spark):
+
+# parameterized at BOTH fixture scales (VERDICT r05 next-round #7) so the
+# sketch-vs-exact bound stays honest as fixtures grow — a bound that only
+# ever ran at sf0.01 could drift silently at 10x the group sizes
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MID])
+def test_mad_outliers_approx_matches_exact_within_sketch_bound(spark, sf_dir):
     exact = {
         r.event_type: r
-        for r in registry.QUERIES["q_mad_outliers"](spark, SF_SMALL).collect()
+        for r in registry.QUERIES["q_mad_outliers"](spark, sf_dir).collect()
     }
     approx = {
         r.event_type: r
         for r in registry.QUERIES["q_mad_outliers_approx"](
-            spark, SF_SMALL
+            spark, sf_dir
         ).collect()
     }
     # identical group set and per-group event counts (the sketch only
@@ -41,3 +49,22 @@ def test_mad_outliers_approx_matches_exact_within_sketch_bound(spark):
         assert abs(a.n_outliers - e.n_outliers) <= slack, (
             t, a.n_outliers, e.n_outliers,
         )
+
+
+# anomaly_p99's exact-percentile identity (behavior.py `_ANOM_P99`) holds
+# because both the threshold and the cut live in EXACT milli-units — which
+# assumes every `events.value` is milli-representable.  If a future data-gen
+# change ever carries finer precision, round(value*1000) would quantize the
+# cut away from raw-double semantics, and BOTH engines would agree on the
+# quantized answer, so the differential could never catch the drift
+# (ADVICE r05 #4).  This pins the assumption loudly, at both fixture scales.
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MID])
+def test_events_value_is_milli_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    bad = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("value") != F.round(F.col("value") * 1000) / 1000)
+        .count()
+    )
+    assert bad == 0, f"{bad} events.value rows are not milli-unit exact"

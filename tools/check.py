@@ -134,6 +134,12 @@ def main() -> int:
     for t in TABLES:
         p = f"{args.sf}/{t}.parquet"
         if _os.path.isdir(p):  # Spark-written table (e.g. the ~sf1 scratch)
+            # an interrupted scale_probe write leaves part files without the
+            # _SUCCESS marker; reading them as a complete table would make
+            # every differential over this table silently wrong (ADVICE r05)
+            if not _os.path.exists(f"{p}/_SUCCESS"):
+                print(f"FATAL: {p} has no _SUCCESS marker (partial write?)")
+                return 1
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 

@@ -1,0 +1,132 @@
+"""Collect-free ~sf1 differential for q_stream_interval_join.
+
+The round-5 sf1 campaign verified 319/324 queries by full order-insensitive
+value hash; q_stream_interval_join was the one oracled query left at sf0.1
+because its ~90M-row result made a driver-side collect harness-prohibitive
+(VERDICT r05 "What's missing" #3).  This tool closes that gap with a
+commutative, engine-neutral integer digest computed INSIDE each engine —
+no row ever reaches Python:
+
+  per row   v = (a_id%P)*1000003 + (b_id%P)*999983 + code(uri)*31
+               + (epoch_us(a_ts)%P)*7 + (epoch_us(b_ts)%P)*11   (then %P)
+  digest    = {count(*), sum(v), sum(a_id), sum(b_id)}
+
+All arithmetic stays within BIGINT exactly (max per-row term ~4.3e15, max
+sum ~2e17 « 2^63), so the digest is bit-identical across engines iff the
+multisets of rows agree on every column.  ``code(uri)`` is md5-derived per
+DISTINCT uri (a handful of values) in Python and injected into both engines
+as a tiny dimension — broadcast-joined in Spark, a VALUES list in DuckDB —
+so no engine-specific string hash is ever trusted.
+
+The Spark side runs the REAL two-pass availableNow streaming query
+(cross-restart state restore included); the DuckDB side runs the registered
+oracle SQL verbatim as a subquery.  A digest mismatch on any component
+would localize the divergence (pair set vs payload columns).
+
+Usage: python tools/ijoin_digest.py [--sf /root/repo/.scratch/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from proxyhouse_spark.session import get_spark  # noqa: E402
+from proxyhouse_spark.streaming import pipeline as sp  # noqa: E402
+from proxyhouse_spark.tables import TABLES, epoch_micros  # noqa: E402
+
+P = 2_147_483_647  # 2^31 - 1: keeps every product and 90M-row sum in BIGINT
+
+
+def uri_code(u: str) -> int:
+    return int(hashlib.md5(u.encode()).hexdigest()[:12], 16) % P
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/repo/.scratch/sf1")
+    args = ap.parse_args()
+
+    spark = get_spark("ijoin_digest")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    df = sp.stream_interval_join_query(spark, args.sf)
+
+    # tiny engine-neutral uri dimension (distinct uris are a few dozen:
+    # path × format × auth-extras variants of the synthetic request gen)
+    uris = [r[0] for r in df.select("uri").distinct().collect()]
+    codes = {u: uri_code(u) for u in uris}
+    dim = spark.createDataFrame(
+        [(u, c) for u, c in codes.items()], "uri string, code bigint"
+    )
+
+    v = (
+        (F.col("a_id") % P) * 1000003
+        + (F.col("b_id") % P) * 999983
+        + F.col("code") * 31
+        + (epoch_micros("a_ts") % P) * 7
+        + (epoch_micros("b_ts") % P) * 11
+    ) % P
+    srow = (
+        df.join(F.broadcast(dim), "uri")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("sum_v"),
+            F.sum("a_id").alias("sum_a"),
+            F.sum("b_id").alias("sum_b"),
+        )
+        .collect()[0]
+    )
+    sdig = {k: int(srow[k]) for k in ("n", "sum_v", "sum_a", "sum_b")}
+    t_spark = time.time() - t0
+    print(f"spark  digest: {sdig} ({t_spark:.1f}s, streaming two-pass)")
+
+    import __spark_entry__ as entrymod
+
+    oracle = entrymod.oracle_sql()["q_stream_interval_join"]
+    t0 = time.time()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf}/{t}.parquet"
+        import os
+
+        if os.path.isdir(p):
+            assert os.path.exists(f"{p}/_SUCCESS"), f"partial write: {p}"
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    values = ", ".join(
+        f"('{u.replace(chr(39), chr(39)*2)}', CAST({c} AS BIGINT))"
+        for u, c in codes.items()
+    )
+    sql = f"""
+WITH res AS ({oracle}),
+dim(uri, code) AS (VALUES {values})
+SELECT count(*) AS n,
+       sum(((res.a_id % {P}) * 1000003 + (res.b_id % {P}) * 999983
+            + dim.code * 31 + (epoch_us(res.a_ts) % {P}) * 7
+            + (epoch_us(res.b_ts) % {P}) * 11) % {P}) AS sum_v,
+       sum(res.a_id) AS sum_a, sum(res.b_id) AS sum_b
+FROM res JOIN dim ON res.uri = dim.uri
+"""
+    orow = con.sql(sql).fetchone()
+    odig = dict(zip(("n", "sum_v", "sum_a", "sum_b"), (int(x) for x in orow)))
+    t_duck = time.time() - t0
+    print(f"duckdb digest: {odig} ({t_duck:.1f}s, batch oracle)")
+
+    ok = sdig == odig
+    print(json.dumps({"match": ok, "rows": sdig["n"], "sf": args.sf,
+                      "spark_s": round(t_spark, 1), "duck_s": round(t_duck, 1)}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -137,6 +137,12 @@ def main() -> None:
         help="timed runs per query (median reported). Use 1 for the "
         "minutes-long 100x heavy subset; note it in the writeup.",
     )
+    ap.add_argument(
+        "--build-only",
+        action="store_true",
+        help="build the ~sf1 scratch under .scratch/sf1 and exit — the "
+        "setup step of the standing 100x gate (verify skill step 2)",
+    )
     args = ap.parse_args()
     data_ratio = args.data_ratio
     if data_ratio is None:
@@ -147,6 +153,9 @@ def main() -> None:
 
     spark = get_spark("scale_probe")
     build_scratch(spark)
+    if args.build_only:
+        print(f"scratch ready: {SCRATCH}")
+        return
     names = args.names or None
     small, small_rows = run_suite(spark, args.small, timed_runs=args.runs, names=names)
     big, big_rows = run_suite(spark, SCRATCH, timed_runs=args.runs, names=names)

@@ -24,40 +24,7 @@ import duckdb  # noqa: E402
 
 from proxyhouse_spark.session import get_spark  # noqa: E402
 from proxyhouse_spark.tables import TABLES  # noqa: E402
-
-# Spark typeName() -> category
-_SPARK_CAT = {
-    "byte": "int", "short": "int", "integer": "int", "long": "int",
-    "float": "float", "double": "float",
-    "string": "string", "boolean": "bool", "binary": "binary",
-    "date": "date", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
-}
-
-# DuckDB type id (str(DuckDBPyType)) -> category. DECIMAL handled by prefix.
-_DUCK_CAT = {
-    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
-    "HUGEINT": "int", "UTINYINT": "int", "USMALLINT": "int",
-    "UINTEGER": "int", "UBIGINT": "int", "UHUGEINT": "int",
-    "FLOAT": "float", "DOUBLE": "float",
-    "VARCHAR": "string", "BOOLEAN": "bool", "BLOB": "binary",
-    "DATE": "date", "TIMESTAMP": "timestamp", "TIMESTAMP_NS": "timestamp",
-    "TIMESTAMP_MS": "timestamp", "TIMESTAMP_S": "timestamp",
-    "TIMESTAMP WITH TIME ZONE": "timestamp",
-}
-
-
-def spark_cat(dtype) -> str:
-    name = dtype.typeName()
-    if name == "decimal":
-        return "decimal"
-    return _SPARK_CAT.get(name, name)
-
-
-def duck_cat(t) -> str:
-    s = str(t)
-    if s.startswith("DECIMAL"):
-        return "decimal"
-    return _DUCK_CAT.get(s, s)
+from proxyhouse_spark.typecats import duck_cat, spark_cat  # noqa: E402,F401
 
 
 def main() -> int:
