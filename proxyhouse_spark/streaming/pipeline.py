@@ -113,7 +113,14 @@ def _cleanup_scratch() -> None:
 #: from the session conf (fresh checkpoints every invocation, so 8 here
 #: never conflicts), and production pipelines are untouched — they keep
 #: the session default, sized to the executor fleet.
-STREAM_ORACLE_PARTITIONS = 8
+#: Env override for the ~sf1 digest runs: at 100x the gate fixture the
+#: stateful-join work dominates the per-partition fixed cost, and 8
+#: partitions on 32 cores leaves the host 4x underparallelized (the round-6
+#: sf1 interval-join digest timed out at 8). Results are partition-count
+#: invariant (the local[5] axis proves it), so this only moves wall time.
+STREAM_ORACLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_ORACLE_PARTITIONS", "8")
+)
 
 
 def _oracle_stream_conf(fn):
@@ -137,11 +144,15 @@ def _oracle_stream_conf(fn):
     return wrapper
 
 
-def _await_or_raise(q: StreamingQuery, timeout_s: int = 300) -> None:
-    """availableNow passes finish in seconds; a False return from
-    awaitTermination means the pass is still running and the output dir is
-    incomplete — fail loudly instead of reading partial results as a
-    confusing oracle mismatch."""
+def _await_or_raise(q: StreamingQuery, timeout_s: int | None = None) -> None:
+    """availableNow passes finish in seconds at gate scale; a False return
+    from awaitTermination means the pass is still running and the output dir
+    is incomplete — fail loudly instead of reading partial results as a
+    confusing oracle mismatch.  SPARK_GRAFT_STREAM_TIMEOUT_S raises the
+    bound for ~sf1 differential runs (the 90M-row interval join needs more
+    than the 300 s that covers every gate-scale pass)."""
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT_S", "300"))
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"streaming pass still running after {timeout_s}s")

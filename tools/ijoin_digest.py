@@ -31,10 +31,16 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+# sized for the ~sf1 run: 32 state partitions and a generous pass bound
+# (must be set before the pipeline module reads them at import)
+os.environ.setdefault("SPARK_GRAFT_STREAM_ORACLE_PARTITIONS", "32")
+os.environ.setdefault("SPARK_GRAFT_STREAM_TIMEOUT_S", "3600")
 
 import duckdb  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
@@ -97,8 +103,6 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{args.sf}/{t}.parquet"
-        import os
-
         if os.path.isdir(p):
             assert os.path.exists(f"{p}/_SUCCESS"), f"partial write: {p}"
             p = f"{p}/*.parquet"
