@@ -2,6 +2,8 @@
 harness (tools/check.py) is the primary gate; these pin the *semantics*
 (injected duplicates are actually found, kNN ranks the planted copy first)."""
 
+import pytest
+
 from proxyhouse_spark import registry
 from tests.conftest import SF_SMALL
 
@@ -53,24 +55,29 @@ def test_multimodal_features_deterministic(spark):
     assert r0.head_byte >= 0 and r0.byte_sumsq >= r0.byte_sum
 
 
-def test_approx_distinct_within_hll_error_bound(spark):
+@pytest.mark.parametrize(
+    "sf_dir, bound",
+    [("/root/testdata/sf0.01", 0.05), ("/root/testdata/sf0.1", 0.10)],
+)
+def test_approx_distinct_within_hll_error_bound(spark, sf_dir, bound):
     """q_approx_distinct is the one query without a DuckDB oracle (HLL
-    sketches are engine-specific); pin its accuracy here instead: Spark's
-    HLL++ at default rsd=0.05 must land within 5% of the exact per-group
-    distinct count."""
-    from tests.conftest import SF_SMALL
-
+    sketches are engine-specific); pin its accuracy here instead, at BOTH
+    fixture scales (round 6, same treatment as the MAD sketch). rsd=0.05
+    is a STANDARD DEVIATION, not a hard bound — the sf0.1 fixture's worst
+    group measures 6.7% (~1.3 sigma, tools/approx_probe.py 2026-08-15), so
+    the larger scale pins at 2 sigma while sf0.01 keeps its observed-tight
+    5%."""
     approx = {
         r.event_type: r.approx_users
-        for r in registry.QUERIES["q_approx_distinct"](spark, SF_SMALL).collect()
+        for r in registry.QUERIES["q_approx_distinct"](spark, sf_dir).collect()
     }
     exact = {
         r.event_type: r.n_users
-        for r in registry.QUERIES["q_count_distinct"](spark, SF_SMALL).collect()
+        for r in registry.QUERIES["q_count_distinct"](spark, sf_dir).collect()
     }
     assert set(approx) == set(exact)
     for k, est in approx.items():
-        assert abs(est - exact[k]) <= max(1, 0.05 * exact[k]), (k, est, exact[k])
+        assert abs(est - exact[k]) <= max(1, bound * exact[k]), (k, est, exact[k])
 
 
 def test_normalization_dialects_agree_on_adversarial_text(spark):
@@ -155,19 +162,24 @@ def test_semantic_dedup_drops_exactly_planted_twins(spark):
         assert r.cos_sim >= 0.99
 
 
-def test_approx_percentiles_within_rank_error(spark):
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_approx_percentiles_within_rank_error(spark, sf_dir):
     """q_approx_percentiles is rows-only (sketches are engine-specific);
     its contract is accuracy: with accuracy=1000 the rank error is at most
     1/1000, so each approx quantile must land between the exact quantiles
     at q ± 1/100 (sketch rank error plus non-interpolating value snap —
-    approx_percentile returns an actual element, percentile interpolates)."""
+    approx_percentile returns an actual element, percentile interpolates).
+    Parameterized at both fixture scales (round 6) so the bound stays
+    honest as fixtures grow."""
     approx = {
         r.event_type: r
-        for r in registry.QUERIES["q_approx_percentiles"](spark, SF_SMALL).collect()
+        for r in registry.QUERIES["q_approx_percentiles"](spark, sf_dir).collect()
     }
     from proxyhouse_spark.tables import table
 
-    table(spark, SF_SMALL, "events").createOrReplaceTempView("events")
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
     for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
         lo_q, hi_q = max(q - 0.01, 0.0), min(q + 0.01, 1.0)
         bounds = {
