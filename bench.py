@@ -124,21 +124,24 @@ def main() -> None:
     # ... then the canonical compact line LAST: the driver records only the
     # final ~2000 chars of stdout, and BENCH_r05's single long line was
     # truncated from the front ("parsed": null, headline total lost —
-    # VERDICT r05 next-round #2). This line stays well under 2000 chars so
-    # the tail always contains one complete, parseable JSON record with the
-    # total and every per-query timing.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "spread_median": spread_median,
-            }
-        )
-    )
+    # VERDICT r05 next-round #2). The <2000-char invariant is ENFORCED, not
+    # assumed (ADVICE r06 #3): if the suite ever grows the line past the
+    # window, the per-query map is dropped rather than silently truncating
+    # the total out of the tail.
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "spread_median": spread_median,
+    }
+    line = json.dumps(compact)
+    if len(line) >= 1900:  # margin under the driver's 2000-char tail
+        compact["queries"] = {"dropped": len(timings)}
+        line = json.dumps(compact)
+    assert len(line) < 2000, "compact bench line must survive the tail window"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,7 @@ from proxyhouse_spark.sinks.graphite import MetricStorage  # noqa: E402
 from proxyhouse_spark.sources.http_ingest import IngestShim  # noqa: E402
 from proxyhouse_spark.streaming.pipeline import (  # noqa: E402
     FlushPipeline,
+    _await_or_raise,
     replay_dlq,
 )
 
@@ -93,7 +94,10 @@ def main() -> None:
         fail_predicate=F.col("table_name") == "logs",
         metric_storage=storage,
     )
-    pipe.start(available_now=True).awaitTermination(120)
+    # _await_or_raise fails loudly if the pass outlives the bound; a bare
+    # awaitTermination(120) would return False and let the script read a
+    # partial/absent sink parquet with a confusing downstream error.
+    _await_or_raise(pipe.start(available_now=True), timeout_s=120)
     from proxyhouse_spark.functions.scalars import hide_password
 
     sink = spark.read.parquet(d["sink"]).select(

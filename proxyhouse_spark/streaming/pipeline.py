@@ -122,24 +122,69 @@ STREAM_ORACLE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_STREAM_ORACLE_PARTITIONS", "8")
 )
 
+#: RocksDB state store: the production knob for when streaming state
+#: exceeds executor heap (true 100-TB interval joins). Measured at sf0.1
+#: the state fits in memory and the heap provider is faster (18.6 s vs
+#: 22.6 s — the JNI write/read path has no GC win to pay it back at this
+#: scale), so heap stays the default and RocksDB is env-selected:
+#: SPARK_GRAFT_STREAM_STATE_PROVIDER=rocksdb.
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _stream_partitions_for(sf_dir: str) -> int:
+    """Autoscale the stateful-shuffle width from input bytes when the env
+    override is absent: 8 partitions amortize per-partition state-store
+    fixed costs at gate scale (sf0.01), but underparallelize 4x at ~sf1
+    where the join/agg work dominates (the r06 sf1 digest timed out at 8).
+    Threshold: events source > 4 MiB (sf0.1 is ~2 MiB, ~sf1 is ~16 MiB)
+    → use the full local core count. Results are partition-count invariant
+    (the local[5] verify axis proves it); this only moves wall time."""
+    if "SPARK_GRAFT_STREAM_ORACLE_PARTITIONS" in os.environ:
+        return STREAM_ORACLE_PARTITIONS
+    try:
+        p = os.path.join(sf_dir, "events.parquet")
+        size = (
+            sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith("_")
+            )
+            if os.path.isdir(p)
+            else os.path.getsize(p)
+        )
+    except OSError:
+        return STREAM_ORACLE_PARTITIONS
+    return 32 if size > 4 * 1024 * 1024 else STREAM_ORACLE_PARTITIONS
+
 
 def _oracle_stream_conf(fn):
-    """Scope ``spark.sql.shuffle.partitions`` to STREAM_ORACLE_PARTITIONS
-    for the duration of a q_stream_* oracle function, restoring the
-    caller's setting after. The expensive streaming passes run EAGERLY
-    inside the function (awaitTermination); the returned DataFrame only
-    re-reads their parquet output, so the restore cannot affect results."""
+    """Scope ``spark.sql.shuffle.partitions`` (autoscaled, see
+    ``_stream_partitions_for``) and the state-store provider to a
+    q_stream_* oracle function, restoring the caller's settings after.
+    The expensive streaming passes run EAGERLY inside the function
+    (awaitTermination); the returned DataFrame only re-reads their parquet
+    output, so the restore cannot affect results."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
         key = "spark.sql.shuffle.partitions"
+        pkey = "spark.sql.streaming.stateStore.providerClass"
         prev = spark.conf.get(key)
-        spark.conf.set(key, str(STREAM_ORACLE_PARTITIONS))
+        prev_provider = spark.conf.get(pkey, None)
+        spark.conf.set(key, str(_stream_partitions_for(sf_dir)))
+        if os.environ.get("SPARK_GRAFT_STREAM_STATE_PROVIDER") == "rocksdb":
+            spark.conf.set(pkey, _ROCKSDB_PROVIDER)
         try:
             return fn(spark, sf_dir)
         finally:
             spark.conf.set(key, prev)
+            if prev_provider is None:
+                spark.conf.unset(pkey)
+            else:
+                spark.conf.set(pkey, prev_provider)
 
     return wrapper
 
@@ -445,7 +490,14 @@ def replay_dlq(
         # reference (main.go:479) — we mark replayed rows -1 instead of lying
         F.lit(-1).cast("bigint").alias("batch_id"),
     )
-    if delivered.take(1):
+    # The replayed count is needed for the returned counters anyway; reusing
+    # it as the write guard saves the extra take(1) job (ok derives from the
+    # cached dlq frame, so the count is a cheap cached-filter scan). An
+    # unconditional write is NOT equivalent: an empty append still creates a
+    # zero-row part file, which the quarantine contract forbids
+    # (test_streaming.py pins no parquet under replayed/ when nothing ships).
+    n_replayed = ok.count()
+    if n_replayed:
         delivered.coalesce(1).write.mode("append").parquet(
             os.path.join(sink_dir, "replayed")
         )
@@ -453,7 +505,7 @@ def replay_dlq(
     escalated = failed.withColumn("level", (F.col("level") + 1).cast("int"))
     new_dlq = escalated.unionByName(quarantined)
     counts = {
-        "replayed": ok.count(),
+        "replayed": n_replayed,
         "requeued": escalated.filter(F.col("level") < MAX_LEVEL).count(),
         "quarantined": new_dlq.filter(F.col("level") >= MAX_LEVEL).count(),
     }
@@ -908,6 +960,20 @@ def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IJOIN_DELAY = "10 minutes"
 IJOIN_WINDOW_DAYS = 2
+#: Time-bucket width for the join's composite state key, == the match
+#: window. The raw equi-key (uri) has only dozens of distinct values, so
+#: keying state by uri alone caps the join's parallelism at #uris and makes
+#: every probe scan the ENTIRE per-uri history — the r06 ~sf1 digest run
+#: spent 3709 s streaming vs 38 s batch on exactly that (VERDICT r06 #3).
+#: Keying by (uri, floor(event_time / W)) multiplies key cardinality by
+#: #buckets (timeline/W) and bounds each probe's state scan to a 2W span
+#: instead of the full stream history; the B side is exploded into its two
+#: candidate A-buckets (a_ts ∈ [b_ts - W, b_ts] ⇒ bucket(a_ts) ∈
+#: {bucket(b_ts)-1, bucket(b_ts)} exactly, since W divides the bucket
+#: width), so every true pair still matches exactly once and no false pair
+#: can (the interval predicate is unchanged). At 1000 executors this is the
+#: difference between dozens of usable state partitions and thousands.
+IJOIN_BUCKET_US = IJOIN_WINDOW_DAYS * 86_400 * 1_000_000
 # B-side arrival split for the two-pass run (fixture timeline is
 # 2024-01-01..30). Chosen so pass-2 rows are never late (b_ts > split >
 # watermark₁) and their A partners' state is provably live (eviction needs
@@ -944,6 +1010,11 @@ def interval_join_stream(
             "uri",
         )
         .withWatermark("a_ts", IJOIN_DELAY)
+        # composite state key (see IJOIN_BUCKET_US): bounds per-probe state
+        # scans to a 2W span and lifts the parallelism cap off #uris
+        .withColumn(
+            "a_bucket", F.floor(F.unix_micros("a_ts") / F.lit(IJOIN_BUCKET_US))
+        )
     )
     b = (
         _event_time_as_instant(
@@ -955,11 +1026,24 @@ def interval_join_stream(
             F.col("uri").alias("b_uri"),
         )
         .withWatermark("b_ts", IJOIN_DELAY)
+        # each B row can only match A rows in exactly these two buckets
+        # (bucket width == W, so floor((b-W)/W) == floor(b/W) - 1 always);
+        # the interval predicate below keeps correctness independent of
+        # this pruning — the explode is a pure state-partitioning aid
+        .withColumn(
+            "b_abucket",
+            F.explode(
+                F.array(
+                    F.floor(F.unix_micros("b_ts") / F.lit(IJOIN_BUCKET_US)) - 1,
+                    F.floor(F.unix_micros("b_ts") / F.lit(IJOIN_BUCKET_US)),
+                )
+            ),
+        )
     )
     joined = a.join(
         b,
         F.expr(
-            "uri = b_uri AND b_ts >= a_ts "
+            "uri = b_uri AND a_bucket = b_abucket AND b_ts >= a_ts "
             f"AND b_ts <= a_ts + INTERVAL {IJOIN_WINDOW_DAYS} DAYS"
         ),
         join_type,

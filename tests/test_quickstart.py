@@ -11,14 +11,18 @@ import os
 import sys
 
 
-def test_quickstart_runs_end_to_end(spark, capsys):
-    sys.path.insert(
-        0,
-        os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples"),
+def test_quickstart_runs_end_to_end(spark, capsys, monkeypatch):
+    # syspath_prepend is auto-undone at teardown, and the generically named
+    # 'quickstart' module is popped so neither leaks into later tests.
+    monkeypatch.syspath_prepend(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
     )
     import quickstart
 
-    quickstart.main()  # reuses the active SparkSession (get_spark singleton)
+    try:
+        quickstart.main()  # reuses the active SparkSession (get_spark singleton)
+    finally:
+        sys.modules.pop("quickstart", None)
     out = capsys.readouterr().out
     assert "done." in out
     assert "'replayed': 1" in out

@@ -12,8 +12,14 @@ no row ever reaches Python:
   digest    = {count(*), sum(v), sum(a_id), sum(b_id)}
 
 All arithmetic stays within BIGINT exactly (max per-row term ~4.3e15, max
-sum ~2e17 « 2^63), so the digest is bit-identical across engines iff the
-multisets of rows agree on every column.  ``code(uri)`` is md5-derived per
+sum ~2e17 « 2^63).  The check is one-sided: a digest MISMATCH proves the
+row multisets diverge, while a match is strong probabilistic evidence of
+agreement — a linear sum is not injective on multisets, so compensating
+errors (e.g. +1/-1 split across two rows of one column) could in principle
+cancel.  Three independent components (sum_v with distinct per-column
+coefficients, sum_a, sum_b) plus the exact count shrink that collision
+space; treat a green digest as corroboration alongside the full-hash
+verification the same query has at sf0.1.  ``code(uri)`` is md5-derived per
 DISTINCT uri (a handful of values) in Python and injected into both engines
 as a tiny dimension — broadcast-joined in Spark, a VALUES list in DuckDB —
 so no engine-specific string hash is ever trusted.
