@@ -16,10 +16,13 @@ sum ~2e17 « 2^63).  The check is one-sided: a digest MISMATCH proves the
 row multisets diverge, while a match is strong probabilistic evidence of
 agreement — a linear sum is not injective on multisets, so compensating
 errors (e.g. +1/-1 split across two rows of one column) could in principle
-cancel.  Three independent components (sum_v with distinct per-column
-coefficients, sum_a, sum_b) plus the exact count shrink that collision
-space; treat a green digest as corroboration alongside the full-hash
-verification the same query has at sf0.1.  ``code(uri)`` is md5-derived per
+cancel.  To shrink that collision space the digest carries TWO
+independent coefficient sets (sum_v and sum_w, distinct primes per
+column) plus the raw column sums and the exact count: a divergence
+engineered to cancel in one linear form still has to cancel in the
+second, independently-weighted one.  Treat a green digest as
+corroboration alongside the full-hash verification the same query has at
+sf0.1.  ``code(uri)`` is md5-derived per
 DISTINCT uri (a handful of values) in Python and injected into both engines
 as a tiny dimension — broadcast-joined in Spark, a VALUES list in DuckDB —
 so no engine-specific string hash is ever trusted.
@@ -88,17 +91,27 @@ def main() -> int:
         + (epoch_micros("a_ts") % P) * 7
         + (epoch_micros("b_ts") % P) * 11
     ) % P
+    # second independent coefficient set: an error vector that cancels in v
+    # must also cancel under these weights (different primes per column)
+    w = (
+        (F.col("a_id") % P) * 777767
+        + (F.col("b_id") % P) * 666649
+        + F.col("code") * 101
+        + (epoch_micros("a_ts") % P) * 13
+        + (epoch_micros("b_ts") % P) * 17
+    ) % P
     srow = (
         df.join(F.broadcast(dim), "uri")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(v).alias("sum_v"),
+            F.sum(w).alias("sum_w"),
             F.sum("a_id").alias("sum_a"),
             F.sum("b_id").alias("sum_b"),
         )
         .collect()[0]
     )
-    sdig = {k: int(srow[k]) for k in ("n", "sum_v", "sum_a", "sum_b")}
+    sdig = {k: int(srow[k]) for k in ("n", "sum_v", "sum_w", "sum_a", "sum_b")}
     t_spark = time.time() - t0
     print(f"spark  digest: {sdig} ({t_spark:.1f}s, streaming two-pass)")
 
@@ -124,11 +137,16 @@ SELECT count(*) AS n,
        sum(((res.a_id % {P}) * 1000003 + (res.b_id % {P}) * 999983
             + dim.code * 31 + (epoch_us(res.a_ts) % {P}) * 7
             + (epoch_us(res.b_ts) % {P}) * 11) % {P}) AS sum_v,
+       sum(((res.a_id % {P}) * 777767 + (res.b_id % {P}) * 666649
+            + dim.code * 101 + (epoch_us(res.a_ts) % {P}) * 13
+            + (epoch_us(res.b_ts) % {P}) * 17) % {P}) AS sum_w,
        sum(res.a_id) AS sum_a, sum(res.b_id) AS sum_b
 FROM res JOIN dim ON res.uri = dim.uri
 """
     orow = con.sql(sql).fetchone()
-    odig = dict(zip(("n", "sum_v", "sum_a", "sum_b"), (int(x) for x in orow)))
+    odig = dict(
+        zip(("n", "sum_v", "sum_w", "sum_a", "sum_b"), (int(x) for x in orow))
+    )
     t_duck = time.time() - t0
     print(f"duckdb digest: {odig} ({t_duck:.1f}s, batch oracle)")
 
