@@ -212,6 +212,20 @@ def buffer_aggregate_salted(
     This is the manual fallback for when AQE skew handling can't apply
     (skewed AGGREGATION, not join: AQE splits skewed join partitions, but
     a skewed groupBy partition is irreducible without salting).
+
+    Measured crossover (tools/skew_probe.py, r07; 50%-hot-key synthetic,
+    fresh JVM per sample): this is the spelling for a hot key whose
+    BUFFER exceeds one task's budget, not a default. Below that point the
+    one-stage groupBy wins outright — 8M rows (hot buffer ~40 MB):
+    one-stage 2.2 s rock-stable vs two-stage 61 s median with a 4.5-88 s
+    spill/GC pathology, because Spark's ObjectHashAggregate sort-based
+    fallback already streams the hot group through one task at scan speed
+    while the two-stage pays a second full shuffle of every body byte.
+    Past task capacity the straggler turns superlinear and the ranking
+    flips — 40M rows (hot buffer ~200 MB): one-stage 313 s (183-401),
+    two-stage 172 s (139-186), 1.8x ahead and 5x tighter. At 100 TB the
+    reference's real workload (one table taking half the stream) sits far
+    past the crossover, which is why this spelling exists.
     """
     prepared = with_row_count(with_format(with_fmt(validate_requests(df)), delim))
     salted = prepared.withColumn("salt", (F.col("event_id") % n_salts).cast("int"))

@@ -542,6 +542,16 @@ def scd2_intervals_oracle() -> str:
 # is the spelling that works everywhere. Output is aggregated back per
 # key, so the oracle (a plain unsalted join in DuckDB) proves the rewrite
 # is semantics-preserving.
+#
+# Measured (tools/skew_probe.py, r07; 50%-hot-key synthetic, fresh JVM
+# per sample): at 40M rows the salted spelling runs 2.96 s (2.74-3.08)
+# vs 19.9 s (9.2-26.1) unsalted — 6.7x faster and ~10x tighter, the hot
+# task being GC-bound as well as slow. AQE's skew split measured at
+# 27.2 s, i.e. NO help: OptimizeSkewedJoin silently declines when the
+# join's output partitioning feeds a same-key aggregation (splitting
+# would force an extra shuffle); forceOptimizeSkewedJoin=true recovers
+# only half the gap (13.0 s). For join -> same-key-agg pipelines — this
+# engine's ingest shape — the salted rewrite is the only effective lever.
 # ---------------------------------------------------------------------------
 
 N_JOIN_SALTS = 8
