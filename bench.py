@@ -1,8 +1,8 @@
 """Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints two
 JSON lines: a verbose record (with the per-query spread map), then LAST a
-compact {"metric", "value", "unit", "queries", "sf", "spread_median"} line
-sized to survive the driver's 2000-char stdout-tail capture.
+compact {"metric", "value", "unit", "queries", "sf", "spread_median",
+"settled"} line sized to survive the driver's 2000-char stdout-tail capture.
 
 Each query materializes through the `noop` sink — full computation, no
 driver collect. One warmup of a small action amortizes JVM/codegen startup
@@ -72,10 +72,16 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    spark = get_spark("bench")
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
+# A pass whose per-query spread median reaches this is running inside a
+# host-noise shadow (another tenant, a page-cache/GC hangover from a heavy
+# job); its totals are not comparable round-over-round. Chosen from the
+# record: quiet rounds read spread_median 0.03-0.10, the r07 contended
+# re-run read >0.3 (VERDICT r07: "±25% host noise the single-shot driver
+# bench cannot see").
+SETTLE_THRESHOLD = 0.25
 
+
+def run_suite(spark) -> tuple[dict[str, float], dict[str, float]]:
     # Each query runs once as warmup, then three timed runs; the MEDIAN is
     # reported. The warmup pays one-time costs that amortize away in any
     # real deployment — whole-stage-codegen compilation and HotSpot JIT of
@@ -101,11 +107,36 @@ def main() -> None:
         # comparisons can tell drift from regression (VERDICT r04 item #5:
         # the +12% r03→r04 delta was uniform across untouched queries).
         spreads[name] = round((samples[2] - samples[0]) / samples[1], 3)
+    return timings, spreads
 
-    total = round(sum(timings.values()), 3)
+
+def _median(spreads: dict[str, float]) -> float | None:
     # statistics.median (not the upper-middle element) and an empty-suite
     # guard — this number is the documented noise floor (ADVICE r05 #2).
-    spread_median = round(statistics.median(spreads.values()), 3) if spreads else None
+    return round(statistics.median(spreads.values()), 3) if spreads else None
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # Settle guard (VERDICT r07 next-round #3): the per-query warmups double
+    # as the fixed settle workload; if the pass still reads noisy, run the
+    # whole suite ONCE more and keep the quieter pass. The compact line then
+    # carries settled=true/false so a reader of BENCH_r0N.json can tell a
+    # real regression from a measurement taken inside a noise shadow.
+    timings, spreads = run_suite(spark)
+    spread_median = _median(spreads)
+    passes = 1
+    if spread_median is not None and spread_median >= SETTLE_THRESHOLD:
+        retry_timings, retry_spreads = run_suite(spark)
+        retry_median = _median(retry_spreads)
+        passes = 2
+        if retry_median is not None and retry_median < spread_median:
+            timings, spreads, spread_median = retry_timings, retry_spreads, retry_median
+    settled = spread_median is not None and spread_median < SETTLE_THRESHOLD
+
+    total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Verbose record first (per-query spread map for noise analysis) ...
     print(
@@ -118,6 +149,8 @@ def main() -> None:
                 "sf": sf_val,
                 "spread": spreads,
                 "spread_median": spread_median,
+                "settled": settled,
+                "passes": passes,
             }
         )
     )
@@ -135,6 +168,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
         "spread_median": spread_median,
+        "settled": settled,
     }
     line = json.dumps(compact)
     if len(line) >= 1900:  # margin under the driver's 2000-char tail

@@ -64,20 +64,30 @@ JOIN_VARIANTS = ("join_unsalted", "join_aqe_split", "join_salted")
 AGG_VARIANTS = ("agg_one_stage", "agg_two_stage")
 
 
+def hot_mod_for(hot_share: float) -> int:
+    """The generator can only realize reciprocal hot shares (1/hot_mod of the
+    ids land on the hot key). Round to the nearest supported modulus; the
+    ACHIEVED share (1/hot_mod) is what gets recorded and what keys the
+    dataset cache — a requested 0.6 and 0.4 both realize 0.5 and must not
+    silently reuse (or rebuild) each other's datasets under different
+    labels."""
+    return max(2, int(round(1.0 / hot_share)))
+
+
 def build(spark, rows: int, hot_share: float, n_keys: int) -> tuple[str, str]:
     """Materialize facts + dim once per parameter combination. Deterministic:
     every column derives from the row id, so reruns and both join sides
     agree by construction."""
     from pyspark.sql import functions as F
 
-    tag = f"{rows}_{int(hot_share * 100)}_{n_keys}"
+    hot_mod = hot_mod_for(hot_share)
+    tag = f"{rows}_m{hot_mod}_{n_keys}"
     fact_path = f"{SCRATCH}/facts_{tag}.parquet"
     dim_path = f"{SCRATCH}/dim_{tag}.parquet"
     if os.path.exists(f"{fact_path}/_SUCCESS") and os.path.exists(
         f"{dim_path}/_SUCCESS"
     ):
         return fact_path, dim_path
-    hot_mod = max(2, int(round(1.0 / hot_share)))
     spark.range(rows).select(
         F.col("id"),
         # id % hot_mod == 0 → the hot key (key 0); else uniform over 1..n_keys
@@ -111,7 +121,12 @@ def variant_sql(variant: str, salts: int) -> str:
         WITH dim_x AS (SELECT key, dim_val,
                               explode(sequence(0, {salts - 1})) AS salt
                        FROM dim),
-        fact AS (SELECT key, val, CAST(id % {salts} AS INT) AS salt
+        -- salt via a hash INDEPENDENT of the key derivation: id %% salts is
+        -- correlated with the hot-key predicate (id %% hot_mod == 0), so when
+        -- hot_mod divides salts the hot rows only ever land on a fraction of
+        -- the salts and the measured fan-out silently halves
+        fact AS (SELECT key, val,
+                        CAST(pmod(xxhash64(id + 1), {salts}) AS INT) AS salt
                  FROM facts)
         SELECT /*+ SHUFFLE_HASH(d) */ f.key, {join_agg}
         FROM fact f JOIN dim_x d ON f.key = d.key AND f.salt = d.salt
@@ -126,7 +141,7 @@ def variant_sql(variant: str, salts: int) -> str:
     if variant == "agg_two_stage":
         return f"""
         WITH part AS (
-            SELECT key, CAST(id % {salts} AS INT) AS salt,
+            SELECT key, CAST(pmod(xxhash64(id + 1), {salts}) AS INT) AS salt,
                    collect_list(body) AS bodies_part, count(*) AS n_part
             FROM facts GROUP BY key, salt
         )
@@ -190,7 +205,8 @@ def orchestrate(args) -> int:
     out = {
         "probe": "skew",
         "rows": args.rows,
-        "hot_share": args.hot_share,
+        "hot_share_requested": args.hot_share,
+        "hot_share_achieved": round(1.0 / hot_mod_for(args.hot_share), 4),
         "n_keys": args.n_keys,
         "salts": args.salts,
         "jvms": args.jvms,
