@@ -784,14 +784,23 @@ def simhash_wide_neardup_oracle() -> str:
 # levenshtein never sees the full cross product (the classic ER pipeline:
 # block → compare → match; Fellegi-Sunter / Magellan shape). Record key
 # = the first 40 chars of the normalized text (a title/name stand-in);
-# typo'd variants are synthesized deterministically (every 7th doc gets
-# its 5th character deleted — one edit) so the matcher has real work in
-# both engines. Blocking key = (lang, first 4 chars): an edit at
-# position >= 5 never changes it, so every planted pair shares a block
-# (documented recall bound: edits INSIDE the first 4 chars would need a
-# second blocking pass on e.g. a suffix key — the standard multi-pass
-# blocking answer). The block join is hinted SHUFFLE_HASH (both sides
-# corpus-scaled); levenshtein runs only on within-block candidates.
+# typo'd variants are synthesized deterministically so the matcher has
+# real work in both engines: every 7th doc (mod 3) gets its 5th char
+# deleted (edit OUTSIDE the prefix), every 7th doc (mod 5) gets its 2nd
+# char deleted (edit INSIDE the prefix). MULTI-PASS blocking (the
+# standard ER answer to prefix-blind blocking — Papadakis et al.'s
+# blocking surveys; Magellan's default): pass 0 blocks on (lang, first 4
+# chars) — an edit at position >= 5 never changes it; pass 1 blocks on
+# (lang, LAST 4 chars) — a single edit anywhere before the final 4 chars
+# never changes it, so every <=2-edit pair whose damage is inside the
+# prefix still shares a pass-1 block. A pair is a candidate if ANY pass
+# blocks it together (DISTINCT over the union, BEFORE the compare, so
+# levenshtein runs once per unique candidate). Residual recall bound:
+# only pairs edited in BOTH the first and last 4 chars are unfindable
+# (>= 2 edits at the extremes — outside this operator's planted truth
+# and vanishingly rare for one-edit typos). The block join is hinted
+# SHUFFLE_HASH (both sides corpus-scaled); levenshtein runs only on
+# within-block candidates.
 # ---------------------------------------------------------------------------
 
 FUZZY_MAXDIST = 2
@@ -808,9 +817,16 @@ def _fuzzy_ctes(norm_fn, duck: bool) -> str:
     # oracle computes the full distance — identical values for every
     # surviving row, so the differential is unaffected.
     lev = (
-        "levenshtein(a.rec, b.rec)"
+        "levenshtein(rec_a, rec_b)"
         if duck
-        else f"levenshtein(a.rec, b.rec, 2)"
+        else f"levenshtein(rec_a, rec_b, {FUZZY_MAXDIST})"
+    )
+    # two blocking passes (p=0 prefix key, p=1 suffix key) — spelled as a
+    # lateral expansion so both keys ride ONE block join on (lang, p, blk)
+    expand = (
+        "CROSS JOIN range(0, 2) AS t(p)"
+        if duck
+        else "LATERAL VIEW explode(sequence(0, 1)) t AS p"
     )
     return f"""
     WITH base AS (
@@ -819,14 +835,25 @@ def _fuzzy_ctes(norm_fn, duck: bool) -> str:
       SELECT doc_id + 3000000 AS doc_id, lang,
              substr(rec, 1, 4) || substr(rec, 6) AS rec
       FROM base WHERE doc_id % 7 = 3),
-    recs AS (SELECT * FROM base UNION ALL SELECT * FROM typod),
+    typod_prefix AS (
+      SELECT doc_id + 4000000 AS doc_id, lang,
+             substr(rec, 1, 1) || substr(rec, 3) AS rec
+      FROM base WHERE doc_id % 7 = 5),
+    recs AS (SELECT * FROM base UNION ALL SELECT * FROM typod
+             UNION ALL SELECT * FROM typod_prefix),
     blocked AS (
-      SELECT doc_id, lang, rec, substr(rec, 1, 4) AS blk FROM recs),
-    pairs AS (
-      SELECT {hint}a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST({lev} AS INT) AS dist
+      SELECT doc_id, lang, rec, p,
+             CASE WHEN p = 0 THEN substr(rec, 1, 4)
+                  ELSE right(rec, 4) END AS blk
+      FROM recs {expand}),
+    cands AS (
+      SELECT {hint}DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.rec AS rec_a, b.rec AS rec_b
       FROM blocked a JOIN blocked b
-        ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id),
+        ON a.lang = b.lang AND a.p = b.p AND a.blk = b.blk
+           AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b, CAST({lev} AS INT) AS dist FROM cands),
     matches AS (
       SELECT doc_a, doc_b, dist FROM pairs
       WHERE dist >= 0 AND dist <= {FUZZY_MAXDIST})
