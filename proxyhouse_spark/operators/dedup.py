@@ -794,8 +794,10 @@ def simhash_wide_neardup_oracle() -> str:
 # (lang, LAST 4 chars) — a single edit anywhere before the final 4 chars
 # never changes it, so every <=2-edit pair whose damage is inside the
 # prefix still shares a pass-1 block. A pair is a candidate if ANY pass
-# blocks it together (DISTINCT over the union, BEFORE the compare, so
-# levenshtein runs once per unique candidate). Residual recall bound:
+# blocks it together; the passes are made DISJOINT by a residual
+# predicate (pass 1 keeps only prefix-divergent pairs), so the union
+# needs no dedup exchange and levenshtein runs once per unique
+# candidate. Residual recall bound:
 # only pairs edited in BOTH the first and last 4 chars are unfindable
 # (>= 2 edits at the extremes — outside this operator's planted truth
 # and vanishingly rare for one-edit typos). The block join is hinted
@@ -847,11 +849,16 @@ def _fuzzy_ctes(norm_fn, duck: bool) -> str:
                   ELSE right(rec, 4) END AS blk
       FROM recs {expand}),
     cands AS (
-      SELECT {hint}DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT {hint}a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.rec AS rec_a, b.rec AS rec_b
       FROM blocked a JOIN blocked b
         ON a.lang = b.lang AND a.p = b.p AND a.blk = b.blk
-           AND a.doc_id < b.doc_id),
+           AND a.doc_id < b.doc_id
+      -- pass de-overlap (cheaper than DISTINCT over all candidates): a
+      -- pair sharing the prefix block is emitted by pass 0 alone; pass 1
+      -- keeps only prefix-divergent pairs, so the union is disjoint by
+      -- construction and no dedup exchange is needed
+      WHERE a.p = 0 OR substr(a.rec, 1, 4) <> substr(b.rec, 1, 4)),
     pairs AS (
       SELECT doc_a, doc_b, CAST({lev} AS INT) AS dist FROM cands),
     matches AS (

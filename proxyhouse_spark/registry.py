@@ -879,6 +879,37 @@ FROM a JOIN b ON a.uri = b.uri AND b.b_ts >= a.a_ts
   AND b.b_ts <= a.a_ts + INTERVAL {streaming_pipeline.IJOIN_WINDOW_DAYS} DAY
 """)(streaming_pipeline.stream_interval_join_query)
 
+# NOT registered (the 324-query registry is frozen): the batch oracle for
+# the leftOuter interval-join twin, consumed by tools/ijoin_digest.py
+# --join-type leftOuter and the differential pytest. The unmatched-A
+# emission law is Spark's MEASURED eviction boundary (r08 probe, pinned in
+# tests/test_streaming.py): emit iff a_ts + W + 1ms <= watermark_final,
+# where watermark_final = least over sides of floor_ms(max event time) -
+# delay — Spark's watermark bookkeeping is millisecond-granular and the
+# state-value watermark subtracts one further ms. See
+# streaming/pipeline.py:stream_interval_join_left_query for the two-pass
+# safety argument.
+IJOIN_LEFT_ORACLE = _VALID + f"""
+, a AS (SELECT event_id AS a_id, recv_ts AS a_ts, uri FROM valid
+        WHERE event_id % 2 = 0),
+b AS (SELECT event_id AS b_id, recv_ts AS b_ts, uri FROM valid
+      WHERE event_id % 2 = 1),
+m AS (SELECT a.a_id, b.b_id, a.uri, a.a_ts, b.b_ts
+      FROM a JOIN b ON a.uri = b.uri AND b.b_ts >= a.a_ts
+        AND b.b_ts <= a.a_ts + INTERVAL {streaming_pipeline.IJOIN_WINDOW_DAYS} DAY),
+wm AS (SELECT least(date_trunc('milliseconds', (SELECT max(a_ts) FROM a)),
+                    date_trunc('milliseconds', (SELECT max(b_ts) FROM b)))
+              - INTERVAL 10 MINUTE AS w)
+SELECT a_id, b_id, uri, a_ts, b_ts FROM m
+UNION ALL
+SELECT a.a_id, CAST(NULL AS BIGINT) AS b_id, a.uri, a.a_ts,
+       CAST(NULL AS TIMESTAMP) AS b_ts
+FROM a
+WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.a_id = a.a_id)
+  AND a.a_ts + INTERVAL {streaming_pipeline.IJOIN_WINDOW_DAYS} DAY
+      + INTERVAL 1 MILLISECOND <= (SELECT w FROM wm)
+"""
+
 _ENRICH_DIM = ", ".join(
     f"('{t}', '{r}')" for t, r in streaming_pipeline.ENRICH_ROUTES
 )

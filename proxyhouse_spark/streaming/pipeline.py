@@ -974,11 +974,16 @@ IJOIN_WINDOW_DAYS = 2
 #: can (the interval predicate is unchanged). At 1000 executors this is the
 #: difference between dozens of usable state partitions and thousands.
 IJOIN_BUCKET_US = IJOIN_WINDOW_DAYS * 86_400 * 1_000_000
-# B-side arrival split for the two-pass run (fixture timeline is
-# 2024-01-01..30). Chosen so pass-2 rows are never late (b_ts > split >
-# watermark₁) and their A partners' state is provably live (eviction needs
-# watermark > a_ts + W, and a_ts + W > split by the join condition) — the
-# completeness argument is arithmetic, not an empirically-tuned boundary.
+# Arrival split for the two-pass run — BOTH sides deliver their
+# post-split rows in pass 2 (fixture timeline is 2024-01-01..30). Chosen
+# so pass-2 rows are never late (event time > split > watermark₁) and no
+# inner match is lost to eviction: a pass-2 A row's partners all have
+# b_ts >= a_ts > split (co-arriving in pass 2), and a pass-1 A row
+# evicted before pass 2 has a_ts + W < watermark₁ < split, so its
+# would-be pass-2 partners (b_ts > split) fail the interval predicate —
+# the completeness argument is arithmetic, not an empirically-tuned
+# boundary. Splitting BOTH sides also keeps the watermark honest across
+# the restart (see _interval_join_two_pass).
 IJOIN_SPLIT = "2024-01-24 00:00:00"
 
 
@@ -1057,16 +1062,14 @@ def interval_join_stream(
     )
 
 
-@_oracle_stream_conf
-def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7, oracle-checked: the REAL stream-stream interval join run as two
-    availableNow passes — pass 2 delivers the post-split B rows against
-    A-side state restored from pass 1's checkpoint, so the cross-restart
-    join state is exercised, while the split arithmetic (see IJOIN_SPLIT)
-    guarantees no row is late and no partner is evicted. The emitted union
-    must therefore hash-match the plain batch interval join — any drift in
-    Spark's state-eviction bounds would surface as a differential failure,
-    not a silent result change."""
+def _interval_join_two_pass(
+    spark: SparkSession, sf_dir: str, join_type: str
+) -> DataFrame:
+    """Shared two-pass body of the T7 interval-join oracles: pass 2
+    delivers the post-split rows of BOTH sides against state restored
+    from pass 1's checkpoint, so the cross-restart join state is
+    exercised, while the split arithmetic (see IJOIN_SPLIT) guarantees
+    no row is late and no INNER partner is evicted early."""
     import os
 
     from ..sources.requests import requests_df
@@ -1079,15 +1082,32 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(base, "ckpt")
     req = requests_df(spark, sf_dir)
     split = F.expr(f"TIMESTAMP_NTZ '{IJOIN_SPLIT}'")
-    req.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(a_src)
+    # BOTH sides are split at IJOIN_SPLIT. A one-sided split (r07 shape)
+    # silently freezes the global watermark at pass 1's value: on restart a
+    # watermarked column that receives no new rows contributes only the
+    # RESTORED global watermark (per-side event-time maxima are not part of
+    # checkpoint state), and the min policy pins the global there — measured
+    # at sf0.001: pass 2 emitted zero of the 31 leftOuter evictions the
+    # final watermark law licenses, and a third no-new-data pass emits
+    # nothing at all (availableNow runs no batch without new data or a
+    # watermark advance). Splitting both sides re-derives both per-side
+    # watermarks from pass-2 data, so the trailing no-data batch flushes
+    # under the clean law: wm_final = min over sides of floor_ms(max event
+    # time) - delay. The inner match set is unaffected either way (a
+    # pass-2 A row's partners all have b_ts >= a_ts > split).
+    a_rows = req.filter(F.col("event_id") % 2 == 0)
     b_rows = req.filter(F.col("event_id") % 2 == 1)
+    a_rows.filter(F.col("recv_ts") <= split).coalesce(1).write.parquet(a_src)
     b_rows.filter(F.col("recv_ts") <= split).coalesce(1).write.parquet(b_src)
-    q = interval_join_stream(spark, a_src, b_src, out, ckpt)
+    q = interval_join_stream(spark, a_src, b_src, out, ckpt, join_type)
     _await_or_raise(q)
+    a_rows.filter(F.col("recv_ts") > split).coalesce(1).write.mode(
+        "append"
+    ).parquet(a_src)
     b_rows.filter(F.col("recv_ts") > split).coalesce(1).write.mode(
         "append"
     ).parquet(b_src)
-    q = interval_join_stream(spark, a_src, b_src, out, ckpt)
+    q = interval_join_stream(spark, a_src, b_src, out, ckpt, join_type)
     _await_or_raise(q)
     return spark.read.parquet(out).select(
         "a_id",
@@ -1100,6 +1120,43 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_ts"
         ),
     )
+
+
+@_oracle_stream_conf
+def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7, oracle-checked: the REAL stream-stream interval join run as two
+    availableNow passes (see _interval_join_two_pass). The emitted union
+    must hash-match the plain batch interval join — any drift in Spark's
+    state-eviction bounds would surface as a differential failure, not a
+    silent result change."""
+    return _interval_join_two_pass(spark, sf_dir, "inner")
+
+
+@_oracle_stream_conf
+def stream_interval_join_left_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7b: the leftOuter twin of stream_interval_join_query — same
+    two-pass run, but unmatched A rows are emitted null-padded when the
+    watermark proves no partner can still arrive (state eviction IS the
+    emission trigger). NOT in the frozen 324-query registry; consumed by
+    tools/ijoin_digest.py --join-type leftOuter and the differential
+    pytest against registry.IJOIN_LEFT_ORACLE.
+
+    The batch-expressible emission law was MEASURED, not assumed
+    (.scratch probe, r08, pinned in tests/test_streaming.py): an
+    unmatched A row is emitted iff
+
+        a_ts + IJOIN_WINDOW_DAYS + 1ms <= watermark_final
+
+    at microsecond precision, where watermark_final = min over sides of
+    floor_ms(max event time seen) - IJOIN_DELAY. The 1 ms guard and the
+    ms-floor both come from Spark's watermark bookkeeping being
+    millisecond-granular (event-time stats truncate to ms; the state-value
+    watermark subtracts one further ms). Two-pass safety: the eviction set
+    is monotone in the watermark, so pass-1 emissions are a subset of the
+    final law, and a pass-1-evicted A row's would-be pass-2 partners are
+    impossible by the split arithmetic (b_ts > split > wm_pass1 > a_ts+W).
+    """
+    return _interval_join_two_pass(spark, sf_dir, "leftOuter")
 
 
 # ---------------------------------------------------------------------------

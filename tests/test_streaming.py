@@ -511,6 +511,84 @@ def test_interval_join_left_outer_emits_nulls_on_eviction(spark, tmp_path):
     assert (3, None) not in emitted2, "still-live A state must not emit"
 
 
+def test_interval_join_left_outer_eviction_boundary_is_ms_strict(spark, tmp_path):
+    """T7b emission LAW, measured (r08 probe) and pinned at microsecond
+    precision: an unmatched A row is emitted iff
+
+        a_ts + W + 1ms <= watermark    (watermark = max event - delay)
+
+    — Spark's watermark bookkeeping is ms-granular (event-time stats
+    truncate to ms; the state-value watermark subtracts one further ms),
+    so a row 1us below the watermark boundary does NOT emit while a row
+    exactly 1ms below DOES. registry.IJOIN_LEFT_ORACLE encodes exactly
+    this law; if a Spark upgrade moves the boundary, this test localizes
+    the break (the sf0.001 differential below would fail opaquely)."""
+    from proxyhouse_spark.streaming.pipeline import interval_join_stream
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def req_at(event_id, table, us):
+        r = list(_req(event_id, table, f"({event_id})"))
+        r[1] = dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us)
+        return tuple(r)
+
+    # W = 2 days, delay = 10 min; carriers at W + 10 min on both sides put
+    # the final watermark exactly at t0 + W
+    w_us = 2 * 86_400 * 1_000_000
+    carrier_us = w_us + 600_000_000
+    rows_a = [
+        req_at(1, "t0", 0),       # a+W == wm          -> must NOT emit
+        req_at(2, "t0", -999),    # a+W == wm - 999us  -> must NOT emit
+        req_at(3, "t0", -1000),   # a+W == wm - 1ms    -> must emit
+        req_at(4, "t0", -1001),   # a+W == wm - 1001us -> must emit
+        req_at(5, "t1", carrier_us),  # A-side watermark carrier
+    ]
+    rows_b = [req_at(100, "t2", carrier_us)]  # B-side carrier, no match
+    spark.createDataFrame(rows_a, COLS).coalesce(1).write.parquet(a_dir)
+    spark.createDataFrame(rows_b, COLS).coalesce(1).write.parquet(b_dir)
+    q = interval_join_stream(spark, a_dir, b_dir, out, ckpt,
+                             join_type="leftOuter")
+    assert q.awaitTermination(180)
+    emitted = {r.a_id for r in spark.read.parquet(out).collect()
+               if r.b_id is None}
+    assert emitted == {3, 4}
+
+
+def test_interval_join_left_query_matches_batch_oracle(spark):
+    """T7b end-to-end differential at sf0.001: the REAL two-pass leftOuter
+    run (cross-restart state restore included) must row-for-row match
+    registry.IJOIN_LEFT_ORACLE's batch model in DuckDB — matched pairs AND
+    the watermark-bounded null-padded emissions. Also pins that the fixture
+    actually exercises the outer path (>0 null-padded rows on both sides).
+    The one-sided-split regression this guards: a restarted watermark
+    column with no new rows pins the global watermark at its restored
+    value, silently suppressing every pass-2 eviction (r08 finding —
+    _interval_join_two_pass splits BOTH sides for exactly this reason)."""
+    import duckdb
+
+    from proxyhouse_spark.registry import IJOIN_LEFT_ORACLE
+    from proxyhouse_spark.streaming.pipeline import (
+        stream_interval_join_left_query,
+    )
+    from proxyhouse_spark.tables import TABLES
+    from tests.conftest import SF_SMALL
+
+    rows = stream_interval_join_left_query(spark, SF_SMALL).collect()
+    got = {
+        (r.a_id, r.b_id, r.uri, r.a_ts,
+         None if r.b_ts is None else r.b_ts)
+        for r in rows
+    }
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_SMALL}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    want = set(map(tuple, con.sql(IJOIN_LEFT_ORACLE).fetchall()))
+    assert sum(1 for r in got if r[1] is None) > 0
+    assert got == want
+
+
 def test_update_mode_emits_open_windows_append_does_not(spark, tmp_path):
     """Output-mode contract: update mode emits the CURRENT partial count of
     a still-open window every batch (dashboards), while append emits a

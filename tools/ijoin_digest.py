@@ -32,7 +32,15 @@ The Spark side runs the REAL two-pass availableNow streaming query
 oracle SQL verbatim as a subquery.  A digest mismatch on any component
 would localize the divergence (pair set vs payload columns).
 
+``--join-type leftOuter`` runs the leftOuter twin instead
+(stream_interval_join_left_query vs registry.IJOIN_LEFT_ORACLE — the
+measured eviction-emission law, see that oracle's comment): null-padded
+b_id/b_ts are coalesced to -1 inside v/w in BOTH engines, so the digest
+distinguishes a null-padded row from any matched row (b_id >= 1 always),
+and the raw sum_b skips NULLs identically in both engines.
+
 Usage: python tools/ijoin_digest.py [--sf /root/repo/.scratch/sf1]
+           [--join-type inner|leftOuter]
 """
 
 from __future__ import annotations
@@ -68,13 +76,20 @@ def uri_code(u: str) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--join-type", choices=["inner", "leftOuter"],
+                    default="inner")
     args = ap.parse_args()
+    left = args.join_type == "leftOuter"
 
     spark = get_spark("ijoin_digest")
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
-    df = sp.stream_interval_join_query(spark, args.sf)
+    df = (
+        sp.stream_interval_join_left_query(spark, args.sf)
+        if left
+        else sp.stream_interval_join_query(spark, args.sf)
+    )
 
     # tiny engine-neutral uri dimension (distinct uris are a few dozen:
     # path × format × auth-extras variants of the synthetic request gen)
@@ -84,21 +99,29 @@ def main() -> int:
         [(u, c) for u, c in codes.items()], "uri string, code bigint"
     )
 
+    # leftOuter: null b_id/b_ts -> -1 (unambiguous: matched b_id >= 1 and
+    # epoch_us >= 0 always), mirrored exactly in the DuckDB SQL below
+    b_id = F.coalesce(F.col("b_id"), F.lit(-1)) if left else F.col("b_id")
+    b_us = (
+        F.coalesce(epoch_micros("b_ts"), F.lit(-1))
+        if left
+        else epoch_micros("b_ts")
+    )
     v = (
         (F.col("a_id") % P) * 1000003
-        + (F.col("b_id") % P) * 999983
+        + (b_id % P) * 999983
         + F.col("code") * 31
         + (epoch_micros("a_ts") % P) * 7
-        + (epoch_micros("b_ts") % P) * 11
+        + (b_us % P) * 11
     ) % P
     # second independent coefficient set: an error vector that cancels in v
     # must also cancel under these weights (different primes per column)
     w = (
         (F.col("a_id") % P) * 777767
-        + (F.col("b_id") % P) * 666649
+        + (b_id % P) * 666649
         + F.col("code") * 101
         + (epoch_micros("a_ts") % P) * 13
-        + (epoch_micros("b_ts") % P) * 17
+        + (b_us % P) * 17
     ) % P
     srow = (
         df.join(F.broadcast(dim), "uri")
@@ -117,7 +140,10 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    oracle = entrymod.oracle_sql()["q_stream_interval_join"]
+    if left:
+        from proxyhouse_spark.registry import IJOIN_LEFT_ORACLE as oracle
+    else:
+        oracle = entrymod.oracle_sql()["q_stream_interval_join"]
     t0 = time.time()
     con = duckdb.connect()
     for t in TABLES:
@@ -130,16 +156,18 @@ def main() -> int:
         f"('{u.replace(chr(39), chr(39)*2)}', CAST({c} AS BIGINT))"
         for u, c in codes.items()
     )
+    d_bid = "coalesce(res.b_id, -1)" if left else "res.b_id"
+    d_bus = "coalesce(epoch_us(res.b_ts), -1)" if left else "epoch_us(res.b_ts)"
     sql = f"""
 WITH res AS ({oracle}),
 dim(uri, code) AS (VALUES {values})
 SELECT count(*) AS n,
-       sum(((res.a_id % {P}) * 1000003 + (res.b_id % {P}) * 999983
+       sum((({d_bid} % {P}) * 999983 + (res.a_id % {P}) * 1000003
             + dim.code * 31 + (epoch_us(res.a_ts) % {P}) * 7
-            + (epoch_us(res.b_ts) % {P}) * 11) % {P}) AS sum_v,
-       sum(((res.a_id % {P}) * 777767 + (res.b_id % {P}) * 666649
+            + ({d_bus} % {P}) * 11) % {P}) AS sum_v,
+       sum((({d_bid} % {P}) * 666649 + (res.a_id % {P}) * 777767
             + dim.code * 101 + (epoch_us(res.a_ts) % {P}) * 13
-            + (epoch_us(res.b_ts) % {P}) * 17) % {P}) AS sum_w,
+            + ({d_bus} % {P}) * 17) % {P}) AS sum_w,
        sum(res.a_id) AS sum_a, sum(res.b_id) AS sum_b
 FROM res JOIN dim ON res.uri = dim.uri
 """
@@ -152,6 +180,7 @@ FROM res JOIN dim ON res.uri = dim.uri
 
     ok = sdig == odig
     print(json.dumps({"match": ok, "rows": sdig["n"], "sf": args.sf,
+                      "join_type": args.join_type,
                       "spark_s": round(t_spark, 1), "duck_s": round(t_duck, 1)}))
     return 0 if ok else 1
 
