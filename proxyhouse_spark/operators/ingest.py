@@ -214,7 +214,12 @@ def buffer_aggregate_salted(
     a skewed groupBy partition is irreducible without salting).
 
     Measured crossover (tools/skew_probe.py, r07; 50%-hot-key synthetic,
-    fresh JVM per sample): this is the spelling for a hot key whose
+    fresh JVM per sample; nominal --salts 32, but the probe's salt was
+    then correlated with the hot-key predicate, so the hot key's
+    EFFECTIVE fan-out was 16 — exactly this function's shipped default,
+    making the numbers below measurements of the shipped recipe; the
+    probe's salt has since been decorrelated): this is the spelling for
+    a hot key whose
     BUFFER exceeds one task's budget, not a default. Below that point the
     one-stage groupBy wins outright — 8M rows (hot buffer ~40 MB):
     one-stage 2.2 s rock-stable vs two-stage 61 s median with a 4.5-88 s

@@ -543,15 +543,21 @@ def scd2_intervals_oracle() -> str:
 # key, so the oracle (a plain unsalted join in DuckDB) proves the rewrite
 # is semantics-preserving.
 #
-# Measured (tools/skew_probe.py, r07; 50%-hot-key synthetic, fresh JVM
-# per sample): at 40M rows the salted spelling runs 2.96 s (2.74-3.08)
-# vs 19.9 s (9.2-26.1) unsalted — 6.7x faster and ~10x tighter, the hot
-# task being GC-bound as well as slow. AQE's skew split measured at
-# 27.2 s, i.e. NO help: OptimizeSkewedJoin silently declines when the
-# join's output partitioning feeds a same-key aggregation (splitting
-# would force an extra shuffle); forceOptimizeSkewedJoin=true recovers
-# only half the gap (13.0 s). For join -> same-key-agg pipelines — this
-# engine's ingest shape — the salted rewrite is the only effective lever.
+# Measured AT THE SHIPPED CONFIG (tools/skew_probe.py, r08; 50%-hot-key
+# synthetic, salts=8 == N_JOIN_SALTS, salt decorrelated from the hot-key
+# predicate, fresh JVM per sample, 3-JVM medians, checksums asserted
+# equal): at 40M rows the salted spelling runs 4.02 s (3.97-4.14) vs
+# 10.1 s (10.01-10.43) unsalted — 2.5x faster with a tight envelope; at
+# 8M rows 2.08 s vs 3.37 s (1.6x). AQE's skew split measured at 10.17 s
+# == the straggler, i.e. NO help: OptimizeSkewedJoin silently declines
+# when the join's output partitioning feeds a same-key aggregation
+# (splitting would force an extra shuffle) — r07 additionally measured
+# forceOptimizeSkewedJoin=true recovering only half the gap. For
+# join -> same-key-agg pipelines — this engine's ingest shape — the
+# salted rewrite is the only effective lever, and the win grows with the
+# hot key's absolute size (r07's noisier-host run at effective 16 salts
+# read 6.7x at the same 40M; the ratio is host/scale-dependent, the
+# ORDERING and AQE's inapplicability are not).
 # ---------------------------------------------------------------------------
 
 N_JOIN_SALTS = 8

@@ -1095,6 +1095,10 @@ def _interval_join_two_pass(
     # under the clean law: wm_final = min over sides of floor_ms(max event
     # time) - delay. The inner match set is unaffected either way (a
     # pass-2 A row's partners all have b_ts >= a_ts > split).
+    # Both-side split is also not a COST: an interleaved fresh-JVM A/B at
+    # ~sf1 (r08, 2 samples each, digests all matching) read the r07
+    # one-sided spelling at 877.7-1155.7 s vs 397.7-567.1 s for this one —
+    # pass-1 A state is split-bounded, so pass-1 probes scan less.
     a_rows = req.filter(F.col("event_id") % 2 == 0)
     b_rows = req.filter(F.col("event_id") % 2 == 1)
     a_rows.filter(F.col("recv_ts") <= split).coalesce(1).write.parquet(a_src)
