@@ -233,7 +233,15 @@ def buffer_aggregate_salted(
     past the crossover, which is why this spelling exists.
     """
     prepared = with_row_count(with_format(with_fmt(validate_requests(df)), delim))
-    salted = prepared.withColumn("salt", (F.col("event_id") % n_salts).cast("int"))
+    # hash salt, not `event_id % n_salts`: the modulo spelling silently
+    # loses fan-out when the hot key's ids are non-uniform mod n_salts
+    # (ids striped by source shard); xxhash64 decorrelates the salt from
+    # any id distribution by construction (ADVICE r08 #1). Salt only
+    # partitions — the oracle (same as the unsalted twin) proves output
+    # is unchanged.
+    salted = prepared.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int")
+    )
     partial = salted.groupBy("uri", "fmt", "salt").agg(
         F.collect_list("body").alias("bodies_part"),
         F.sum("n_rows").alias("rowcount_part"),

@@ -534,9 +534,12 @@ def scd2_intervals_oracle() -> str:
 # stream — one shuffle partition would receive ~20% of 100 TB) and the
 # dim side is too large to broadcast (billions of keys in production —
 # simulated by pinning the join off the broadcast path), the fix is:
-# fact gets a deterministic salt (event_id % S — portable, reproducible,
-# no RNG), the dim is exploded ×S, and the join key becomes (key, salt),
-# fanning each hot key across S partitions. AQE's skew-join split solves
+# fact gets a deterministic salt (pmod(xxhash64(event_id), S) — portable,
+# reproducible, no RNG, and decorrelated from ANY id distribution by hash
+# construction: a plain `id % S` silently loses fan-out whenever the hot
+# key's ids are non-uniform mod S, e.g. ids striped by source shard —
+# ADVICE r08 #1), the dim is exploded ×S, and the join key becomes
+# (key, salt), fanning each hot key across S partitions. AQE's skew-join split solves
 # the SORT-side skew for sort-merge joins, but a shuffled HASH join's
 # build side and any downstream keyed agg still see the hot key — salting
 # is the spelling that works everywhere. Output is aggregated back per
@@ -544,9 +547,11 @@ def scd2_intervals_oracle() -> str:
 # is semantics-preserving.
 #
 # Measured AT THE SHIPPED CONFIG (tools/skew_probe.py, r08; 50%-hot-key
-# synthetic, salts=8 == N_JOIN_SALTS, salt decorrelated from the hot-key
-# predicate, fresh JVM per sample, 3-JVM medians, checksums asserted
-# equal): at 40M rows the salted spelling runs 4.02 s (3.97-4.14) vs
+# synthetic, salts=8 == N_JOIN_SALTS, probe salt = the same
+# pmod(xxhash64(·), S) spelling shipped here — its hash input is offset
+# by +1 only because the probe's synthetic KEY derivation already
+# consumes xxhash64(id) — fresh JVM per sample, 3-JVM medians, checksums
+# asserted equal): at 40M rows the salted spelling runs 4.02 s (3.97-4.14) vs
 # 10.1 s (10.01-10.43) unsalted — 2.5x faster with a tight envelope; at
 # 8M rows 2.08 s vs 3.37 s (1.6x). AQE's skew split measured at 10.17 s
 # == the straggler, i.e. NO help: OptimizeSkewedJoin silently declines
@@ -573,7 +578,8 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                          explode(sequence(0, {N_JOIN_SALTS - 1})) AS salt
                   FROM dim),
         fact AS (SELECT event_type, value,
-                        CAST(event_id % {N_JOIN_SALTS} AS INT) AS salt
+                        CAST(pmod(xxhash64(event_id), {N_JOIN_SALTS}) AS INT)
+                          AS salt
                  FROM events)
         SELECT /*+ SHUFFLE_HASH(d) */ f.event_type,
                CAST(count(*) AS BIGINT) AS n,

@@ -899,7 +899,7 @@ m AS (SELECT a.a_id, b.b_id, a.uri, a.a_ts, b.b_ts
         AND b.b_ts <= a.a_ts + INTERVAL {streaming_pipeline.IJOIN_WINDOW_DAYS} DAY),
 wm AS (SELECT least(date_trunc('milliseconds', (SELECT max(a_ts) FROM a)),
                     date_trunc('milliseconds', (SELECT max(b_ts) FROM b)))
-              - INTERVAL 10 MINUTE AS w)
+              - INTERVAL {streaming_pipeline.IJOIN_DELAY_MINUTES} MINUTE AS w)
 SELECT a_id, b_id, uri, a_ts, b_ts FROM m
 UNION ALL
 SELECT a.a_id, CAST(NULL AS BIGINT) AS b_id, a.uri, a.a_ts,

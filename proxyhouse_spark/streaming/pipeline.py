@@ -958,7 +958,15 @@ def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state is O(rows in the W+delay horizon), independent of stream length.
 # ---------------------------------------------------------------------------
 
-IJOIN_DELAY = "10 minutes"
+#: Watermark delay for BOTH join sides, as one numeric source of truth:
+#: the streaming `.withWatermark` string, the batch oracle's `- INTERVAL n
+#: MINUTE` (registry.IJOIN_LEFT_ORACLE), and the boundary test's carrier
+#: offset are all derived from this number, so a future delay change moves
+#: every spelling at once instead of breaking the oracle in a way that
+#: must be re-diagnosed (ADVICE r08 #2).
+IJOIN_DELAY_MINUTES = 10
+IJOIN_DELAY = f"{IJOIN_DELAY_MINUTES} minutes"
+IJOIN_DELAY_US = IJOIN_DELAY_MINUTES * 60 * 1_000_000
 IJOIN_WINDOW_DAYS = 2
 #: Time-bucket width for the join's composite state key, == the match
 #: window. The raw equi-key (uri) has only dozens of distinct values, so

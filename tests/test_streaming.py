@@ -533,10 +533,17 @@ def test_interval_join_left_outer_eviction_boundary_is_ms_strict(spark, tmp_path
         r[1] = dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us)
         return tuple(r)
 
-    # W = 2 days, delay = 10 min; carriers at W + 10 min on both sides put
-    # the final watermark exactly at t0 + W
-    w_us = 2 * 86_400 * 1_000_000
-    carrier_us = w_us + 600_000_000
+    # W = IJOIN_WINDOW_DAYS, delay = IJOIN_DELAY; carriers at W + delay on
+    # both sides put the final watermark exactly at t0 + W (offsets derived
+    # from the pipeline constants so a delay change moves this test too —
+    # ADVICE r08 #2)
+    from proxyhouse_spark.streaming.pipeline import (
+        IJOIN_DELAY_US,
+        IJOIN_WINDOW_DAYS,
+    )
+
+    w_us = IJOIN_WINDOW_DAYS * 86_400 * 1_000_000
+    carrier_us = w_us + IJOIN_DELAY_US
     rows_a = [
         req_at(1, "t0", 0),       # a+W == wm          -> must NOT emit
         req_at(2, "t0", -999),    # a+W == wm - 999us  -> must NOT emit

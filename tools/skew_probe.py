@@ -121,10 +121,14 @@ def variant_sql(variant: str, salts: int) -> str:
         WITH dim_x AS (SELECT key, dim_val,
                               explode(sequence(0, {salts - 1})) AS salt
                        FROM dim),
-        -- salt via a hash INDEPENDENT of the key derivation: id %% salts is
-        -- correlated with the hot-key predicate (id %% hot_mod == 0), so when
-        -- hot_mod divides salts the hot rows only ever land on a fraction of
-        -- the salts and the measured fan-out silently halves
+        -- THE SHIPPED SALT SPELLING (relational.py:join_salted /
+        -- ingest.py:buffer_aggregate_salted, r09): pmod(xxhash64(row id), S).
+        -- The probe hashes id+1 only because its synthetic KEY derivation
+        -- already consumes xxhash64(id) (the hot-key predicate is id %%
+        -- hot_mod == 0 and cold keys are pmod(xxhash64(id), n_keys)) — a
+        -- salt sharing that hash input would correlate with the key. Real
+        -- operators salt a column the join key is not derived from, so
+        -- they hash the id directly; both are decorrelated by construction.
         fact AS (SELECT key, val,
                         CAST(pmod(xxhash64(id + 1), {salts}) AS INT) AS salt
                  FROM facts)
