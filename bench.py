@@ -1,8 +1,10 @@
 """Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints two
-JSON lines: a verbose record (with the per-query spread map), then LAST a
-compact {"metric", "value", "unit", "queries", "sf", "spread_median",
-"settled"} line sized to survive the driver's 2000-char stdout-tail capture.
+JSON lines: a verbose record (with the per-query spread map, per-query
+resample audit, and the rejected suite-pass median), then LAST a compact
+{"metric", "value", "unit", "queries", "sf", "spread_median", "settled",
+"resampled"} line sized to survive the driver's 2000-char stdout-tail
+capture.
 
 Each query materializes through the `noop` sink — full computation, no
 driver collect. One warmup of a small action amortizes JVM/codegen startup
@@ -80,6 +82,33 @@ HEADLINE = [
 # bench cannot see").
 SETTLE_THRESHOLD = 0.25
 
+# Per-QUERY settle criterion (VERDICT r08 #2): the suite-median guard is
+# dominated by the 30+ fast quiet queries, so a handful of heavy queries
+# can ship 2.6x phantom regressions under settled=true (BENCH_r08:
+# q_dedup_clusters 12.2 s recorded vs 4.75 s true level, its own spread
+# 1.128 sitting unused in the record). Any query whose OWN 3-sample
+# spread reaches this is re-run once and the quieter triple kept; the
+# compact line carries the resample count and settled additionally
+# requires no query to finish above this threshold.
+PER_QUERY_THRESHOLD = 0.5
+
+
+def run_query(spark, name: str) -> tuple[float, float]:
+    """Warmup + 3 timed noop-sink runs of one query: (median, spread)."""
+    fn = registry.QUERIES[name]
+    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    # run-to-run spread of the 3 timed samples, as a fraction of the
+    # median — quantifies host-scheduler noise so round-over-round
+    # comparisons can tell drift from regression (VERDICT r04 item #5:
+    # the +12% r03→r04 delta was uniform across untouched queries).
+    return round(samples[1], 3), round((samples[2] - samples[0]) / samples[1], 3)
+
 
 def run_suite(spark) -> tuple[dict[str, float], dict[str, float]]:
     # Each query runs once as warmup, then three timed runs; the MEDIAN is
@@ -93,21 +122,29 @@ def run_suite(spark) -> tuple[dict[str, float], dict[str, float]]:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
-        timings[name] = round(samples[1], 3)
-        # run-to-run spread of the 3 timed samples, as a fraction of the
-        # median — quantifies host-scheduler noise so round-over-round
-        # comparisons can tell drift from regression (VERDICT r04 item #5:
-        # the +12% r03→r04 delta was uniform across untouched queries).
-        spreads[name] = round((samples[2] - samples[0]) / samples[1], 3)
+        timings[name], spreads[name] = run_query(spark, name)
     return timings, spreads
+
+
+def resample_noisy(
+    spark, timings: dict[str, float], spreads: dict[str, float]
+) -> dict[str, dict[str, float]]:
+    """Re-run each query whose own spread crossed PER_QUERY_THRESHOLD.
+
+    The quieter triple wins (mutating timings/spreads in place); the
+    rejected measurement is returned for the verbose record so a
+    BENCH_r0N.json reader can audit how bad the discarded sample was and
+    which one was kept (ADVICE r08 #3 applied per-query).
+    """
+    rejected: dict[str, dict[str, float]] = {}
+    for name in [n for n, s in spreads.items() if s >= PER_QUERY_THRESHOLD]:
+        t2, s2 = run_query(spark, name)
+        if s2 < spreads[name]:
+            rejected[name] = {"timing": timings[name], "spread": spreads[name]}
+            timings[name], spreads[name] = t2, s2
+        else:
+            rejected[name] = {"timing": t2, "spread": s2}
+    return rejected
 
 
 def _median(spreads: dict[str, float]) -> float | None:
@@ -120,21 +157,42 @@ def main() -> None:
     spark = get_spark("bench")
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
-    # Settle guard (VERDICT r07 next-round #3): the per-query warmups double
-    # as the fixed settle workload; if the pass still reads noisy, run the
-    # whole suite ONCE more and keep the quieter pass. The compact line then
-    # carries settled=true/false so a reader of BENCH_r0N.json can tell a
-    # real regression from a measurement taken inside a noise shadow.
+    # Settle guard, two tiers (VERDICT r07 #3 suite-wide, VERDICT r08 #2
+    # per-query): after the suite pass, any query whose OWN spread crossed
+    # PER_QUERY_THRESHOLD is re-run once and the quieter triple kept —
+    # this is the tier the suite-median criterion structurally cannot
+    # provide (30+ fast quiet queries dominate the median while a heavy
+    # query ships a 2.6x phantom under settled=true, BENCH_r08). If the
+    # MEDIAN still reads noisy after that, the whole host is in a noise
+    # shadow: run the suite ONCE more (with its own per-query tier) and
+    # keep the quieter pass, recording the discarded pass's median so the
+    # retry decision is auditable (ADVICE r08 #3).
     timings, spreads = run_suite(spark)
+    rejected_queries = resample_noisy(spark, timings, spreads)
     spread_median = _median(spreads)
     passes = 1
+    rejected_spread_median = None
     if spread_median is not None and spread_median >= SETTLE_THRESHOLD:
         retry_timings, retry_spreads = run_suite(spark)
+        retry_rejected = resample_noisy(spark, retry_timings, retry_spreads)
         retry_median = _median(retry_spreads)
         passes = 2
         if retry_median is not None and retry_median < spread_median:
+            rejected_spread_median = spread_median
             timings, spreads, spread_median = retry_timings, retry_spreads, retry_median
-    settled = spread_median is not None and spread_median < SETTLE_THRESHOLD
+            rejected_queries = retry_rejected
+        else:
+            rejected_spread_median = retry_median
+    # Both tiers must be quiet for settled=true: the median under the
+    # suite threshold AND no individual query still above its own.
+    unsettled_queries = sorted(
+        n for n, s in spreads.items() if s >= PER_QUERY_THRESHOLD
+    )
+    settled = (
+        spread_median is not None
+        and spread_median < SETTLE_THRESHOLD
+        and not unsettled_queries
+    )
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -151,6 +209,13 @@ def main() -> None:
                 "spread_median": spread_median,
                 "settled": settled,
                 "passes": passes,
+                # per-query retries: the DISCARDED (timing, spread) per
+                # resampled query, so noise analysis can audit each keep/
+                # reject decision (ADVICE r08 #3)
+                "resampled": rejected_queries,
+                "unsettled_queries": unsettled_queries,
+                # suite-retry tier: the discarded pass's spread median
+                "rejected_spread_median": rejected_spread_median,
             }
         )
     )
@@ -169,6 +234,7 @@ def main() -> None:
         "sf": sf_val,
         "spread_median": spread_median,
         "settled": settled,
+        "resampled": len(rejected_queries),
     }
     line = json.dumps(compact)
     if len(line) >= 1900:  # margin under the driver's 2000-char tail

@@ -17,6 +17,7 @@ embedded newlines and all three truncation branches are exercised.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.requests import requests_df
 from .ingest import validate_requests
@@ -116,6 +117,112 @@ def gelf_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return base.mapInPandas(pack, PACKET_SCHEMA)
+
+
+def gelf_packet_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_gelf_packet's hash-oracled surface (VERDICT r08 #4 — previously
+    rows-only): zlib output bytes are implementation-defined, so the raw
+    packed_len/n_chunks/wire_bytes columns cannot be cross-engine — but
+    the LAWS relating them can, and the JSON length can be recomputed by
+    the oracle from pure string arithmetic. Emitted per message:
+
+    - json_len: the ACTUAL encoded byte length from the Python encoder;
+      the DuckDB oracle independently recomputes it from the template
+      length + per-character escape arithmetic (Go HTML escaping of
+      ``& < >`` costs 5 extra bytes each; ``\\n``/quote/backslash/tab/CR
+      cost 1) — a real cross-engine value, not a verdict.
+    - chunks_ok: n_chunks == 1 if packed_len < GELF_CHUNK_SIZE (raw
+      datagram, graylog.go:168) else ceil(packed_len / GELF_CHUNK_SIZE).
+    - wire_ok: wire_bytes == packed_len (+ 12-byte GELF header per chunk
+      when chunked: magic 2 + id 8 + seq 1 + count 1).
+    - chunked_ok: the chunked flag is exactly (n_chunks > 1).
+    - pack_ok: zlib size sanity — 8 ≤ packed_len ≤ json_len + 64 (zlib
+      worst case for sub-16KB inputs is len + 11; 64 is slack).
+
+    Byte-exact packing/chunking stays pinned by tests/test_graylog.py
+    (the port of the reference's golden test, graylog_test.go:42-68)."""
+    pk = gelf_packets(spark, sf_dir)
+    c = GELF_CHUNK_SIZE
+    packed = F.col("packed_len")
+    expected_chunks = F.when(packed < c, F.lit(1).cast("int")).otherwise(
+        F.ceil(packed / c).cast("int")
+    )
+    expected_wire = F.when(packed < c, packed).otherwise(
+        packed + 12 * F.col("n_chunks")
+    )
+    return pk.select(
+        "event_id",
+        "json_len",
+        (F.col("n_chunks") == expected_chunks).cast("int").alias("chunks_ok"),
+        (F.col("wire_bytes") == expected_wire).cast("int").alias("wire_ok"),
+        (F.col("chunked") == (F.col("n_chunks") > 1))
+        .cast("int")
+        .alias("chunked_ok"),
+        ((packed >= 8) & (packed <= F.col("json_len") + 64))
+        .cast("int")
+        .alias("pack_ok"),
+    )
+
+
+def _json_base() -> int:
+    """Template byte length of the GELF JSON with empty host/messages and a
+    one-digit timestamp placeholder (subtracted), computed from the REAL
+    encoder so the constant can never drift from it."""
+    from ..sinks.graylog import gelf_json
+
+    return (
+        len(
+            gelf_json(
+                {
+                    "version": GELF_VERSION,
+                    "host": "",
+                    "timestamp": 0,
+                    "file": GELF_FILENAME,
+                    "level": LEVEL_ERROR,
+                    "short_message": "",
+                    "full_message": "",
+                }
+            )
+        )
+        - 1  # the '0' timestamp placeholder
+    )
+
+
+def _esc_len_sql(col: str) -> str:
+    """Escaped byte length of ``col`` under the Go-compatible encoder, as
+    portable SQL: raw bytes + 1 per two-char escape (quote, backslash,
+    \\n, \\t, \\r) + 5 per ``\\u00XX`` HTML escape (& < >). The fixture
+    stream contains no other control characters or U+2028/9 — if data-gen
+    ever adds one, the oracle undercounts and the differential fails
+    LOUDLY rather than silently agreeing. DuckDB dialect: ``strlen`` is
+    its VARCHAR byte-length (octet_length there is BLOB/BIT-only)."""
+    n = lambda ch: f"(length({col}) - length(replace({col}, {ch}, '')))"
+    one = " + ".join(n(ch) for ch in ("chr(34)", "chr(92)", "chr(10)", "chr(9)", "chr(13)"))
+    five = " + ".join(n(ch) for ch in ("'&'", "'<'", "'>'"))
+    return f"(strlen({col}) + {one} + 5 * ({five}))"
+
+
+def gelf_packets_oracle(valid_cte: str) -> str:
+    """DuckDB twin of gelf_packet_law: json_len recomputed from string
+    arithmetic over the SAME message columns the format oracle builds;
+    the packetization laws (zlib-dependent) declared as all-ones."""
+    return (
+        valid_cte
+        + ", m AS (SELECT event_id, recv_ts, "
+        + _MSG
+        + " AS msg FROM valid), g AS ("
+        + _gelf_select("epoch_us(recv_ts) // 1000000")
+        + f""")
+        SELECT event_id,
+               CAST({_json_base()} + length(host)
+                    + length(CAST("timestamp" AS STRING))
+                    + {_esc_len_sql('short_message')}
+                    + {_esc_len_sql('full_message')} AS BIGINT) AS json_len,
+               CAST(1 AS INT) AS chunks_ok, CAST(1 AS INT) AS wire_ok,
+               CAST(1 AS INT) AS chunked_ok, CAST(1 AS INT) AS pack_ok
+        FROM g
+        """
+    )
 
 
 def gelf_format_oracle(valid_cte: str) -> str:

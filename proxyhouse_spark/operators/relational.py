@@ -257,13 +257,42 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: HyperLogLog++ approximate distinct. No oracle — DuckDB's HLL is a
-    different sketch; the driver records a rows-only check (SURVEY §2.4)."""
-    return (
+    """A6: HyperLogLog++ approximate distinct, hash-oracled via its
+    accuracy twin (VERDICT r08 #4 — previously rows-only). DuckDB cannot
+    replay Spark's HLL++ sketch (different hash, different sketch), so the
+    cross-engine contract is the LAW the sketch guarantees, emitted as an
+    integer verdict next to the exact count both engines CAN compute:
+    |approx − exact| ≤ max(2, ⌈0.125·exact⌉) — 2.5σ of the default
+    rsd=0.05, against a worst observed fixture error of 6.7% ≈ 1.3σ
+    (tools/approx_probe.py 2026-08-15). The verdict is deterministic per
+    dataset (HLL++ is hash-based, no RNG), so the driver's hash compare is
+    stable; a sketch regression or a bound violation flips a 1 to 0 and
+    fails the hash loudly."""
+    grouped = (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id").alias("_approx"),
+        )
     )
+    bound = F.greatest(F.lit(2).cast("bigint"), F.ceil(F.col("n_users") * 0.125))
+    return grouped.select(
+        "event_type",
+        "n_users",
+        (F.abs(F.col("_approx") - F.col("n_users")) <= bound)
+        .cast("int")
+        .alias("hll_ok"),
+    )
+
+
+def approx_distinct_oracle() -> str:
+    """The exact twin declares the law: every group's verdict must be 1."""
+    return """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(1 AS INT) AS hll_ok
+    FROM events GROUP BY event_type
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -608,23 +637,49 @@ def join_salted_oracle() -> str:
 
 
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path of q_percentiles: `approx_percentile` (t-digest-style
-    mergeable sketch — map-side partial, O(sketch) shuffle instead of a
-    per-group sort). Rows-only by design: the sketch's answers are
-    engine-specific, so there is no cross-engine oracle — instead
-    tests/test_llm_ops.py pins the accuracy contract against the exact
-    percentiles (rank error within the configured 1/accuracy bound), the
-    same treatment as q_approx_distinct's HLL."""
+    """The scale path of q_percentiles: `approx_percentile` (mergeable
+    quantile sketch — map-side partial, O(sketch) shuffle instead of a
+    per-group sort). Hash-oracled via its accuracy twin (VERDICT r08 #4 —
+    previously rows-only): the sketch's answers are engine-specific, so
+    the cross-engine columns are the EXACT interpolating percentiles
+    (Spark `percentile` ≡ DuckDB `quantile_cont`, the proven q_percentiles
+    identity) and the sketch's guarantee rides along as integer verdicts:
+    with accuracy=1000 the rank error is ≤ 1/1000, so each approx quantile
+    must land between the exact quantiles at q ± 0.01 (sketch rank error
+    plus the non-interpolating value snap — approx_percentile returns an
+    actual element). Deterministic per dataset (no RNG in the sketch), so
+    the hash compare is stable; a rank-error regression flips a verdict
+    to 0 and fails loudly."""
     table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    verdicts = ", ".join(
+        f"CAST(approx_percentile(value, {q}, 1000) "
+        f"BETWEEN percentile(value, {max(q - 0.01, 0.0)}) "
+        f"AND percentile(value, {min(q + 0.01, 1.0)}) AS INT) AS {col}_ok"
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99"))
+    )
     return spark.sql(
-        """
+        f"""
         SELECT event_type,
-               round(approx_percentile(value, 0.5, 1000), 4)  AS p50,
-               round(approx_percentile(value, 0.95, 1000), 4) AS p95,
-               round(approx_percentile(value, 0.99, 1000), 4) AS p99
+               round(percentile(value, 0.5), 4)  AS p50,
+               round(percentile(value, 0.95), 4) AS p95,
+               round(percentile(value, 0.99), 4) AS p99,
+               {verdicts}
         FROM events GROUP BY event_type
         """
     )
+
+
+def approx_percentiles_oracle() -> str:
+    """Exact quantiles cross-engine; the sketch law as all-ones verdicts."""
+    return """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           CAST(1 AS INT) AS p50_ok, CAST(1 AS INT) AS p95_ok,
+           CAST(1 AS INT) AS p99_ok
+    FROM events GROUP BY event_type
+    """
 
 
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -316,8 +316,12 @@ SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type
 """)(relational.count_distinct)
 
-# HLL++ sketch differs from DuckDB's — rows-only check (SURVEY §2.4 A6)
-register("q_approx_distinct")(relational.approx_distinct)
+# HLL++ sketch differs from DuckDB's — hash-oracled via the accuracy-twin
+# verdict (exact count cross-engine, sketch law as an all-ones column;
+# VERDICT r08 #4, previously rows-only). SURVEY §2.4 A6.
+register("q_approx_distinct", relational.approx_distinct_oracle())(
+    relational.approx_distinct
+)
 
 register("q_rollup", """
 SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
@@ -674,10 +678,14 @@ register("q_gelf_format", observability.gelf_format_oracle(_VALID))(
     observability.gelf_format
 )
 
-# zlib output bytes are implementation-defined → rows-only driver check;
-# byte-exact packing/chunking is pinned by tests/test_graylog.py (the port
-# of the reference's golden test, graylog_test.go:42-68).
-register("q_gelf_packet")(observability.gelf_packets)
+# zlib output bytes are implementation-defined → the hash-oracled surface
+# is the packet-law verdict frame plus a cross-engine json_len recomputed
+# by string arithmetic (VERDICT r08 #4, previously rows-only); byte-exact
+# packing/chunking stays pinned by tests/test_graylog.py (the port of the
+# reference's golden test, graylog_test.go:42-68).
+register("q_gelf_packet", observability.gelf_packets_oracle(_VALID))(
+    observability.gelf_packet_law
+)
 
 _N_LINES = (
     "(len(string_split(buffer, chr(10))) - CASE WHEN "
@@ -1028,7 +1036,9 @@ register("q_join_full_outer", relational.join_full_outer_oracle())(
 register("q_unpivot", relational.unpivot_events_oracle())(
     relational.unpivot_events
 )
-register("q_approx_percentiles")(relational.approx_percentiles)
+register("q_approx_percentiles", relational.approx_percentiles_oracle())(
+    relational.approx_percentiles
+)
 register("q_vocab_coverage", textops.vocab_coverage_oracle())(
     textops.vocab_coverage
 )
@@ -1157,7 +1167,9 @@ register("q_qte", behavior.qte_oracle())(behavior.qte)
 register("q_mad_outliers", behavior.mad_outliers_oracle())(
     behavior.mad_outliers
 )
-register("q_mad_outliers_approx")(behavior.mad_outliers_approx)
+register("q_mad_outliers_approx", behavior.mad_outliers_approx_oracle())(
+    behavior.mad_outliers_approx
+)
 register("q_burstiness", behavior.burstiness_oracle())(
     behavior.burstiness
 )

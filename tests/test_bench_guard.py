@@ -1,18 +1,21 @@
-"""bench.py settle guard (VERDICT r07 next-round #3).
+"""bench.py settle guard (VERDICT r07 #3 suite tier, VERDICT r08 #2
+per-query tier).
 
 The driver's per-round bench is a single shot with no noise defense; r07
 proved the shared host can inject ±25% phantom swings into the recorded
-suite total. bench.py therefore re-runs the suite once when the per-query
-spread median crosses SETTLE_THRESHOLD, keeps the quieter pass, and stamps
-``settled`` into the compact line so BENCH_r0N.json readers can tell a
-regression from a shadowed measurement. These tests drive main() with a
-stubbed suite runner — no Spark session — and pin:
+suite total, and r08 proved the suite-MEDIAN criterion alone cannot see a
+heavy query's own 2.6x phantom (30+ fast quiet queries dominate the
+median — BENCH_r08 shipped q_dedup_clusters at 12.2 s under settled=true
+while its own spread, 1.128, sat unused in the record). bench.py now:
 
-- quiet pass: one suite run, settled=true;
-- noisy-then-quiet: exactly two runs, the quieter pass's timings win;
-- noisy-twice: settled=false reaches the compact line;
-- the compact line stays under the driver's 2000-char tail window with the
-  new field present.
+- re-runs any query whose OWN spread >= PER_QUERY_THRESHOLD once and
+  keeps the quieter triple, recording the discarded measurement;
+- retries the whole suite when the median still crosses SETTLE_THRESHOLD,
+  recording the discarded pass's median (ADVICE r08 #3);
+- sets settled=true only when BOTH tiers are quiet;
+- stamps the compact line with the resample count.
+
+These tests drive main() with a stubbed runner — no Spark session.
 """
 
 from __future__ import annotations
@@ -33,49 +36,105 @@ def bench(monkeypatch):
     sys.modules.pop("bench", None)
 
 
-def _run(bench_mod, monkeypatch, capsys, passes):
-    """Drive main() with scripted (timings, spreads) per suite pass."""
-    calls = {"n": 0}
+def _run(bench_mod, monkeypatch, capsys, passes, requeries=()):
+    """Drive main() with scripted (timings, spreads) per suite pass and
+    scripted (median, spread) per run_query resample call."""
+    calls = {"suite": 0, "query": []}
+    requeries = list(requeries)
 
     def fake_suite(spark):
-        result = passes[min(calls["n"], len(passes) - 1)]
-        calls["n"] += 1
-        return result
+        t, s = passes[min(calls["suite"], len(passes) - 1)]
+        calls["suite"] += 1
+        return dict(t), dict(s)
+
+    def fake_query(spark, name):
+        calls["query"].append(name)
+        assert requeries, f"unexpected resample of {name}"
+        return requeries.pop(0)
 
     monkeypatch.setattr(bench_mod, "run_suite", fake_suite)
+    monkeypatch.setattr(bench_mod, "run_query", fake_query)
     bench_mod.main()
     lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     verbose, compact = json.loads(lines[0]), json.loads(lines[-1])
-    return calls["n"], verbose, compact
+    return calls, verbose, compact
 
 
 def test_quiet_pass_runs_once_and_is_settled(bench, monkeypatch, capsys):
     quiet = ({"q_a": 1.0, "q_b": 2.0}, {"q_a": 0.05, "q_b": 0.08})
-    n, verbose, compact = _run(bench, monkeypatch, capsys, [quiet])
-    assert n == 1
+    calls, verbose, compact = _run(bench, monkeypatch, capsys, [quiet])
+    assert calls["suite"] == 1
+    assert calls["query"] == []
     assert compact["settled"] is True
+    assert compact["resampled"] == 0
     assert verbose["passes"] == 1
     assert compact["value"] == 3.0
     assert len(json.dumps(compact)) < 2000
 
 
+def test_noisy_query_resampled_quieter_triple_wins(bench, monkeypatch, capsys):
+    # q_heavy's own spread (0.9) crosses PER_QUERY_THRESHOLD while the
+    # suite median (3 quiet queries) stays quiet — the exact BENCH_r08
+    # shape the old guard missed. The retry is quieter and must replace
+    # both the timing and the spread; the discarded pair is recorded.
+    noisy_q = (
+        {"q_a": 1.0, "q_b": 2.0, "q_c": 1.0, "q_heavy": 12.0},
+        {"q_a": 0.05, "q_b": 0.08, "q_c": 0.06, "q_heavy": 0.9},
+    )
+    calls, verbose, compact = _run(
+        bench, monkeypatch, capsys, [noisy_q], requeries=[(4.7, 0.1)]
+    )
+    assert calls["suite"] == 1
+    assert calls["query"] == ["q_heavy"]
+    assert compact["queries"]["q_heavy"] == 4.7
+    assert compact["value"] == 8.7
+    assert compact["settled"] is True
+    assert compact["resampled"] == 1
+    assert verbose["resampled"]["q_heavy"] == {"timing": 12.0, "spread": 0.9}
+    assert verbose["unsettled_queries"] == []
+
+
+def test_noisy_query_retry_noisier_keeps_first_and_unsettles(
+    bench, monkeypatch, capsys
+):
+    # Retry comes back WORSE: the first triple is kept, the rejected
+    # retry is recorded, and because the kept spread still crosses the
+    # per-query threshold the pass must NOT claim settled even though the
+    # suite median is quiet.
+    noisy_q = (
+        {"q_a": 1.0, "q_b": 2.0, "q_c": 1.0, "q_heavy": 6.0},
+        {"q_a": 0.05, "q_b": 0.08, "q_c": 0.06, "q_heavy": 0.7},
+    )
+    calls, verbose, compact = _run(
+        bench, monkeypatch, capsys, [noisy_q], requeries=[(20.0, 1.3)]
+    )
+    assert calls["query"] == ["q_heavy"]
+    assert compact["queries"]["q_heavy"] == 6.0
+    assert compact["settled"] is False
+    assert verbose["resampled"]["q_heavy"] == {"timing": 20.0, "spread": 1.3}
+    assert verbose["unsettled_queries"] == ["q_heavy"]
+
+
 def test_noisy_first_pass_retries_and_keeps_quieter(bench, monkeypatch, capsys):
-    noisy = ({"q_a": 9.0, "q_b": 9.0}, {"q_a": 0.9, "q_b": 0.4})
+    noisy = ({"q_a": 9.0, "q_b": 9.0}, {"q_a": 0.4, "q_b": 0.4})
     quiet = ({"q_a": 1.0, "q_b": 2.0}, {"q_a": 0.05, "q_b": 0.08})
-    n, verbose, compact = _run(bench, monkeypatch, capsys, [noisy, quiet])
-    assert n == 2
+    calls, verbose, compact = _run(bench, monkeypatch, capsys, [noisy, quiet])
+    assert calls["suite"] == 2
     assert compact["settled"] is True
     assert verbose["passes"] == 2
-    # the quieter (second) pass's totals are what get recorded
+    # the quieter (second) pass's totals are what get recorded, and the
+    # discarded pass's median is kept for the audit trail (ADVICE r08 #3)
     assert compact["value"] == 3.0
+    assert verbose["rejected_spread_median"] == 0.4
 
 
 def test_noisy_both_passes_reports_unsettled(bench, monkeypatch, capsys):
-    noisy1 = ({"q_a": 9.0}, {"q_a": 0.9})
-    noisy2 = ({"q_a": 5.0}, {"q_a": 0.5})
-    n, verbose, compact = _run(bench, monkeypatch, capsys, [noisy1, noisy2])
-    assert n == 2
+    noisy1 = ({"q_a": 9.0}, {"q_a": 0.45})
+    noisy2 = ({"q_a": 5.0}, {"q_a": 0.3})
+    calls, verbose, compact = _run(bench, monkeypatch, capsys, [noisy1, noisy2])
+    assert calls["suite"] == 2
     assert compact["settled"] is False
     # quieter of the two still wins
     assert compact["value"] == 5.0
-    assert compact["spread_median"] == 0.5
+    assert compact["spread_median"] == 0.3
+    assert verbose["rejected_spread_median"] == 0.45

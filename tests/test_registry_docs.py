@@ -21,16 +21,16 @@ def test_readme_counts_match_registry():
 
 
 def test_every_query_runs_or_oracles():
-    # every oracle belongs to a registered query, and the rows-only set is
-    # exactly the documented exceptions
+    # every oracle belongs to a registered query, and since round 9 there
+    # are NO rows-only queries: the four former exceptions
+    # (q_approx_distinct, q_gelf_packet, q_approx_percentiles,
+    # q_mad_outliers_approx) are hash-oracled via accuracy twins — the
+    # engine-specific sketch/zlib values are checked against SQL-declared
+    # laws emitted as integer verdicts next to cross-engine-computable
+    # columns (VERDICT r08 #4).
     assert set(registry.ORACLES) <= set(registry.QUERIES)
     rows_only = set(registry.QUERIES) - set(registry.ORACLES)
-    assert rows_only == {
-        "q_approx_distinct",      # HLL sketch is engine-specific
-        "q_gelf_packet",          # zlib byte counts implementation-defined
-        "q_approx_percentiles",   # t-digest sketch is engine-specific
-        "q_mad_outliers_approx",  # same sketch, accuracy pinned vs exact
-    }
+    assert rows_only == set()
 
 
 def test_every_query_is_documented():
