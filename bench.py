@@ -93,6 +93,32 @@ SETTLE_THRESHOLD = 0.25
 PER_QUERY_THRESHOLD = 0.5
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — None off-Linux."""
+    try:
+        with open("/proc/stat", encoding="ascii") as fh:
+            v = [int(x) for x in fh.readline().split()[1:]]
+        return v[7], sum(v)
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def steal_pct(before, after) -> float | None:
+    """Hypervisor steal share between two _cpu_ticks snapshots.
+
+    The r09 q_triangles diagnosis (tools/tri_probe.py) traced every
+    same-host wall-time outlier — including BENCH_r08's phantom
+    regressions and the r08 verdict's 8× q_triangles spread — to
+    co-tenant steal windows (measured up to 25% of guest CPU), which
+    inflate GC pauses and task CPU time uniformly with zero skew/spill
+    signature. Recording the pass's steal share makes a noisy BENCH
+    record self-describing: a reader sees WHY a pass was resampled or
+    left unsettled instead of re-deriving it from a judge re-run."""
+    if before is None or after is None or after[1] <= before[1]:
+        return None
+    return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 2)
+
+
 def run_query(spark, name: str) -> tuple[float, float]:
     """Warmup + 3 timed noop-sink runs of one query: (median, spread)."""
     fn = registry.QUERIES[name]
@@ -167,20 +193,25 @@ def main() -> None:
     # shadow: run the suite ONCE more (with its own per-query tier) and
     # keep the quieter pass, recording the discarded pass's median so the
     # retry decision is auditable (ADVICE r08 #3).
+    t_before = _cpu_ticks()
     timings, spreads = run_suite(spark)
     rejected_queries = resample_noisy(spark, timings, spreads)
+    steal = steal_pct(t_before, _cpu_ticks())
     spread_median = _median(spreads)
     passes = 1
     rejected_spread_median = None
     if spread_median is not None and spread_median >= SETTLE_THRESHOLD:
+        t_before = _cpu_ticks()
         retry_timings, retry_spreads = run_suite(spark)
         retry_rejected = resample_noisy(spark, retry_timings, retry_spreads)
+        retry_steal = steal_pct(t_before, _cpu_ticks())
         retry_median = _median(retry_spreads)
         passes = 2
         if retry_median is not None and retry_median < spread_median:
             rejected_spread_median = spread_median
             timings, spreads, spread_median = retry_timings, retry_spreads, retry_median
             rejected_queries = retry_rejected
+            steal = retry_steal
         else:
             rejected_spread_median = retry_median
     # Both tiers must be quiet for settled=true: the median under the
@@ -216,6 +247,9 @@ def main() -> None:
                 "unsettled_queries": unsettled_queries,
                 # suite-retry tier: the discarded pass's spread median
                 "rejected_spread_median": rejected_spread_median,
+                # hypervisor steal share over the kept pass (r09: the
+                # measured source of same-host wall outliers)
+                "steal_pct": steal,
             }
         )
     )
@@ -235,6 +269,7 @@ def main() -> None:
         "spread_median": spread_median,
         "settled": settled,
         "resampled": len(rejected_queries),
+        "steal_pct": steal,
     }
     line = json.dumps(compact)
     if len(line) >= 1900:  # margin under the driver's 2000-char tail

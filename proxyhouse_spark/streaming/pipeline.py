@@ -185,8 +185,36 @@ def _oracle_stream_conf(fn):
                 spark.conf.unset(pkey)
             else:
                 spark.conf.set(pkey, prev_provider)
+            _unload_state_stores(spark)
 
     return wrapper
+
+
+def _unload_state_stores(spark: SparkSession) -> None:
+    """Release finished queries' state-store heap NOW, not in ~60 s.
+
+    Spark caches every loaded state-store provider executor-side
+    (``StateStore.loadedProviders``) and only evicts INACTIVE ones on the
+    maintenance tick (``spark.sql.streaming.stateStore.maintenanceInterval``,
+    default 60 s) — so for up to a minute after an availableNow pass
+    terminates, its full state (e.g. q_stream_minhash's corpus-sized
+    sketch index) stays live in the executor heap. Measured effect
+    (tools/tri_probe.py, r09): a heavy batch job launched inside that
+    window GC-thrashes — q_triangles read 37.6–97.0 s wall with 354 s of
+    GC vs its 5–7 s quiet level, zero skew, zero spill — which is exactly
+    the BENCH_r08 phantom-regression neighborhood (q_stream_minhash sits
+    4 slots before the graph ops in the headline suite) and the r08
+    verdict's unexplained 8× q_triangles spread. ``StateStore.stop()``
+    clears the provider cache and parks the maintenance pool; the next
+    streaming query reloads providers lazily from checkpoint files
+    (that's the recovery path availableNow restarts exercise anyway).
+    Only safe — and only called — when no stream is active."""
+    if spark.streams.active:
+        return
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # internal API; a Spark upgrade must not break the data path
 
 
 def _await_or_raise(q: StreamingQuery, timeout_s: int | None = None) -> None:

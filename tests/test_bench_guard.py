@@ -128,6 +128,18 @@ def test_noisy_first_pass_retries_and_keeps_quieter(bench, monkeypatch, capsys):
     assert verbose["rejected_spread_median"] == 0.4
 
 
+def test_steal_pct_arithmetic_and_presence(bench, monkeypatch, capsys):
+    # steal share between two /proc/stat snapshots: 5 steal ticks out of
+    # 100 total elapsed = 5%; degenerate snapshots (None, zero elapsed)
+    # return None instead of dividing
+    assert bench.steal_pct((10, 1000), (15, 1100)) == 5.0
+    assert bench.steal_pct(None, (15, 1100)) is None
+    assert bench.steal_pct((10, 1000), (10, 1000)) is None
+    quiet = ({"q_a": 1.0}, {"q_a": 0.05})
+    _, verbose, compact = _run(bench, monkeypatch, capsys, [quiet])
+    assert "steal_pct" in verbose and "steal_pct" in compact
+
+
 def test_noisy_both_passes_reports_unsettled(bench, monkeypatch, capsys):
     noisy1 = ({"q_a": 9.0}, {"q_a": 0.45})
     noisy2 = ({"q_a": 5.0}, {"q_a": 0.3})
