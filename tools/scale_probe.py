@@ -151,14 +151,23 @@ def main() -> None:
         bench_sf = float(SF_DIR.rstrip("/").split("sf")[-1])
         data_ratio = COPIES * bench_sf / small_sf
 
+    from bench import _cpu_ticks, steal_pct
+
     spark = get_spark("scale_probe")
     build_scratch(spark)
     if args.build_only:
         print(f"scratch ready: {SCRATCH}")
         return
     names = args.names or None
+    # per-side hypervisor-steal share (SURVEY §6 r09 policy): the same
+    # probe measured 26.2x inside a steal storm and 0.9x in a quiet
+    # window for the same query at the same HEAD — a ratio without its
+    # steal trace is not evidence
+    t0 = _cpu_ticks()
     small, small_rows = run_suite(spark, args.small, timed_runs=args.runs, names=names)
+    t1 = _cpu_ticks()
     big, big_rows = run_suite(spark, SCRATCH, timed_runs=args.runs, names=names)
+    t2 = _cpu_ticks()
     ratios = {k: round(big[k] / max(small[k], 1e-9), 1) for k in small}
     out_ratios = {k: round(big_rows[k] / max(small_rows[k], 1), 1) for k in small}
     print(
@@ -171,6 +180,8 @@ def main() -> None:
                 "per_query_ratio": ratios,
                 "output_rows_ratio": out_ratios,
                 "big": big,
+                "steal_pct_small": steal_pct(t0, t1),
+                "steal_pct_big": steal_pct(t1, t2),
             }
         )
     )
