@@ -185,30 +185,31 @@ def _oracle_stream_conf(fn):
                 spark.conf.unset(pkey)
             else:
                 spark.conf.set(pkey, prev_provider)
-            _unload_state_stores(spark)
 
     return wrapper
 
 
-def _unload_state_stores(spark: SparkSession) -> None:
-    """Release finished queries' state-store heap NOW, not in ~60 s.
+def unload_state_stores(spark: SparkSession) -> None:
+    """EXPLICIT hygiene: release finished queries' state-store heap now.
 
     Spark caches every loaded state-store provider executor-side
-    (``StateStore.loadedProviders``) and only evicts INACTIVE ones on the
-    maintenance tick (``spark.sql.streaming.stateStore.maintenanceInterval``,
-    default 60 s) — so for up to a minute after an availableNow pass
-    terminates, its full state (e.g. q_stream_minhash's corpus-sized
-    sketch index) stays live in the executor heap. Measured effect
-    (tools/tri_probe.py, r09): a heavy batch job launched inside that
-    window GC-thrashes — q_triangles read 37.6–97.0 s wall with 354 s of
-    GC vs its 5–7 s quiet level, zero skew, zero spill — which is exactly
-    the BENCH_r08 phantom-regression neighborhood (q_stream_minhash sits
-    4 slots before the graph ops in the headline suite) and the r08
-    verdict's unexplained 8× q_triangles spread. ``StateStore.stop()``
-    clears the provider cache and parks the maintenance pool; the next
-    streaming query reloads providers lazily from checkpoint files
-    (that's the recovery path availableNow restarts exercise anyway).
-    Only safe — and only called — when no stream is active."""
+    (``StateStore.loadedProviders``); the maintenance tick
+    (``spark.sql.streaming.stateStore.maintenanceInterval``, default
+    60 s) evicts the ones no active query holds. For up to a minute
+    after an availableNow pass terminates, its state therefore stays
+    live in the executor heap. The r09 diagnosis (tools/tri_probe.py)
+    measured both sides of the trade and decided AGAINST calling this
+    automatically: the pinned heap at gate scale is small (~50 MB after
+    q_stream_minhash at sf0.1, direct Runtime heap measurement), the
+    same-host wall outliers first attributed to it turned out to be
+    hypervisor steal, and an automatic unload costs ~30% on every
+    stream re-run in the same session (9.0-9.7 s -> 11.6-12.0 s
+    same-session A/B: each run re-loads providers from checkpoint files
+    the cache would have kept warm). Call it explicitly in a
+    long-running mixed pipeline before a heap-critical batch job when
+    the preceding streaming state is known to be large (the ~sf1
+    interval join holds multi-GB state). Only safe - and only acting -
+    when no stream is active."""
     if spark.streams.active:
         return
     try:
