@@ -92,6 +92,16 @@ SETTLE_THRESHOLD = 0.25
 # requires no query to finish above this threshold.
 PER_QUERY_THRESHOLD = 0.5
 
+# Per-query STEAL criterion (r09): a hypervisor-steal window that spans
+# all 3 of a query's samples slows them UNIFORMLY — tight spread, wrong
+# level — so the spread criterion alone cannot see it (the r09 settle
+# run shipped the suite's first 8 queries 2-6x inflated under spreads
+# < 0.2 while /proc/stat read a steal burst). Quiet windows on this
+# guest measure < 0.5% steal; storms 5-30% (tools/tri_probe.py traces).
+# A query whose own window reads >= this is re-run like a noisy one,
+# and the lower-steal triple is kept.
+PER_QUERY_STEAL_PCT = 2.0
+
 
 def _cpu_ticks() -> tuple[int, int] | None:
     """(steal_ticks, total_ticks) from /proc/stat — None off-Linux."""
@@ -119,21 +129,27 @@ def steal_pct(before, after) -> float | None:
     return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 2)
 
 
-def run_query(spark, name: str) -> tuple[float, float]:
-    """Warmup + 3 timed noop-sink runs of one query: (median, spread)."""
+def run_query(spark, name: str) -> tuple[float, float, float | None]:
+    """Warmup + 3 timed noop-sink runs: (median, spread, steal_pct)."""
     fn = registry.QUERIES[name]
     fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     samples = []
+    t_before = _cpu_ticks()
     for _ in range(3):
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
+    q_steal = steal_pct(t_before, _cpu_ticks())
     samples.sort()
     # run-to-run spread of the 3 timed samples, as a fraction of the
     # median — quantifies host-scheduler noise so round-over-round
     # comparisons can tell drift from regression (VERDICT r04 item #5:
     # the +12% r03→r04 delta was uniform across untouched queries).
-    return round(samples[1], 3), round((samples[2] - samples[0]) / samples[1], 3)
+    return (
+        round(samples[1], 3),
+        round((samples[2] - samples[0]) / samples[1], 3),
+        q_steal,
+    )
 
 
 def run_suite(spark) -> tuple[dict[str, float], dict[str, float]]:
@@ -147,29 +163,56 @@ def run_suite(spark) -> tuple[dict[str, float], dict[str, float]]:
     # 100 TB projection scales from.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    steals: dict[str, float | None] = {}
     for name in HEADLINE:
-        timings[name], spreads[name] = run_query(spark, name)
-    return timings, spreads
+        timings[name], spreads[name], steals[name] = run_query(spark, name)
+    return timings, spreads, steals
+
+
+def _query_noisy(spread: float, q_steal: float | None) -> bool:
+    """A triple needs a retry when its own spread OR its own steal window
+    crossed the per-query thresholds — the two contamination signatures
+    (variable-sample noise vs uniform steal-window slowdown)."""
+    return spread >= PER_QUERY_THRESHOLD or (
+        q_steal is not None and q_steal >= PER_QUERY_STEAL_PCT
+    )
 
 
 def resample_noisy(
-    spark, timings: dict[str, float], spreads: dict[str, float]
+    spark,
+    timings: dict[str, float],
+    spreads: dict[str, float],
+    steals: dict[str, float | None],
 ) -> dict[str, dict[str, float]]:
-    """Re-run each query whose own spread crossed PER_QUERY_THRESHOLD.
+    """Re-run each query whose own spread or steal window crossed the
+    per-query thresholds.
 
-    The quieter triple wins (mutating timings/spreads in place); the
+    The less-contaminated triple wins (mutating the dicts in place):
+    lower steal first — steal only ever inflates, so the lower-steal
+    measurement is closer to the true level — then lower spread. The
     rejected measurement is returned for the verbose record so a
     BENCH_r0N.json reader can audit how bad the discarded sample was and
     which one was kept (ADVICE r08 #3 applied per-query).
     """
+
+    def score(spread: float, q_steal: float | None) -> tuple:
+        contaminated = q_steal is not None and q_steal >= PER_QUERY_STEAL_PCT
+        return (contaminated, spread)
+
     rejected: dict[str, dict[str, float]] = {}
-    for name in [n for n, s in spreads.items() if s >= PER_QUERY_THRESHOLD]:
-        t2, s2 = run_query(spark, name)
-        if s2 < spreads[name]:
-            rejected[name] = {"timing": timings[name], "spread": spreads[name]}
-            timings[name], spreads[name] = t2, s2
+    for name in [
+        n for n in spreads if _query_noisy(spreads[n], steals[n])
+    ]:
+        t2, s2, st2 = run_query(spark, name)
+        if score(s2, st2) < score(spreads[name], steals[name]):
+            rejected[name] = {
+                "timing": timings[name],
+                "spread": spreads[name],
+                "steal": steals[name],
+            }
+            timings[name], spreads[name], steals[name] = t2, s2, st2
         else:
-            rejected[name] = {"timing": t2, "spread": s2}
+            rejected[name] = {"timing": t2, "spread": s2, "steal": st2}
     return rejected
 
 
@@ -184,26 +227,31 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
 
     # Settle guard, two tiers (VERDICT r07 #3 suite-wide, VERDICT r08 #2
-    # per-query): after the suite pass, any query whose OWN spread crossed
-    # PER_QUERY_THRESHOLD is re-run once and the quieter triple kept —
-    # this is the tier the suite-median criterion structurally cannot
-    # provide (30+ fast quiet queries dominate the median while a heavy
-    # query ships a 2.6x phantom under settled=true, BENCH_r08). If the
-    # MEDIAN still reads noisy after that, the whole host is in a noise
-    # shadow: run the suite ONCE more (with its own per-query tier) and
-    # keep the quieter pass, recording the discarded pass's median so the
-    # retry decision is auditable (ADVICE r08 #3).
+    # per-query + the r09 per-query steal criterion): after the suite
+    # pass, any query whose OWN spread or OWN steal window crossed the
+    # per-query thresholds is re-run once and the less-contaminated
+    # triple kept — the tiers the suite-median criterion structurally
+    # cannot provide (30+ fast quiet queries dominate the median while a
+    # heavy query ships a 2.6x phantom under settled=true, BENCH_r08; and
+    # a steal window spanning all 3 samples slows them uniformly, so the
+    # spread never moves). If the MEDIAN still reads noisy after that,
+    # the whole host is in a noise shadow: run the suite ONCE more (with
+    # its own per-query tier) and keep the quieter pass, recording the
+    # discarded pass's median so the retry decision is auditable
+    # (ADVICE r08 #3).
     t_before = _cpu_ticks()
-    timings, spreads = run_suite(spark)
-    rejected_queries = resample_noisy(spark, timings, spreads)
+    timings, spreads, steals = run_suite(spark)
+    rejected_queries = resample_noisy(spark, timings, spreads, steals)
     steal = steal_pct(t_before, _cpu_ticks())
     spread_median = _median(spreads)
     passes = 1
     rejected_spread_median = None
     if spread_median is not None and spread_median >= SETTLE_THRESHOLD:
         t_before = _cpu_ticks()
-        retry_timings, retry_spreads = run_suite(spark)
-        retry_rejected = resample_noisy(spark, retry_timings, retry_spreads)
+        retry_timings, retry_spreads, retry_steals = run_suite(spark)
+        retry_rejected = resample_noisy(
+            spark, retry_timings, retry_spreads, retry_steals
+        )
         retry_steal = steal_pct(t_before, _cpu_ticks())
         retry_median = _median(retry_spreads)
         passes = 2
@@ -211,13 +259,15 @@ def main() -> None:
             rejected_spread_median = spread_median
             timings, spreads, spread_median = retry_timings, retry_spreads, retry_median
             rejected_queries = retry_rejected
+            steals = retry_steals
             steal = retry_steal
         else:
             rejected_spread_median = retry_median
-    # Both tiers must be quiet for settled=true: the median under the
-    # suite threshold AND no individual query still above its own.
+    # All tiers must be quiet for settled=true: the median under the
+    # suite threshold AND no individual query still above its own spread
+    # or steal threshold.
     unsettled_queries = sorted(
-        n for n, s in spreads.items() if s >= PER_QUERY_THRESHOLD
+        n for n in spreads if _query_noisy(spreads[n], steals[n])
     )
     settled = (
         spread_median is not None
@@ -237,6 +287,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "spread": spreads,
+                "query_steal": steals,
                 "spread_median": spread_median,
                 "settled": settled,
                 "passes": passes,
