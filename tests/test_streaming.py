@@ -167,6 +167,45 @@ def test_watermark_drops_late_rows(spark, dirs, tmp_path):
     assert 6 not in out     # still open — unemitted, state bounded
 
 
+def test_unload_state_stores_between_runs_preserves_state(spark, dirs, tmp_path):
+    """The explicit heap-hygiene utility (r09): StateStore.stop() clears
+    the executor-side provider cache between availableNow runs, forcing
+    the next run down the checkpoint-reload path — results must be
+    IDENTICAL to the warm-cache run of the same scenario (the watermark
+    test above). Also pins that it is a no-op while streams are active
+    and safe to call twice."""
+    from proxyhouse_spark.streaming.pipeline import (
+        unload_state_stores,
+        windowed_counts,
+    )
+
+    out_dir = str(tmp_path / "wins")
+
+    def req_at(event_id, minute):
+        r = list(_req(event_id, "t0", f"({event_id})"))
+        r[1] = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+        return tuple(r)
+
+    batch1 = [req_at(1, 10), req_at(2, 20), req_at(3, 180)]
+    spark.createDataFrame(batch1, COLS).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    windowed_counts(spark, dirs["source"], out_dir, dirs["ckpt"]).awaitTermination(120)
+    unload_state_stores(spark)
+    unload_state_stores(spark)  # idempotent
+
+    batch2 = [req_at(4, 30), req_at(5, 360)]
+    spark.createDataFrame(batch2, COLS).coalesce(1).write.mode("append").parquet(
+        dirs["source"]
+    )
+    windowed_counts(spark, dirs["source"], out_dir, dirs["ckpt"]).awaitTermination(120)
+
+    out = {r.window_start.hour: r.n_requests for r in spark.read.parquet(out_dir).collect()}
+    assert out[0] == 2      # late event_id=4 NOT counted — state restored
+    assert out[3] == 1
+    assert 6 not in out
+
+
 def test_dedup_stream_suppresses_dups_within_watermark(spark, dirs, tmp_path):
     """Watermark-bounded streaming dedup: duplicates within the delay are
     suppressed (even across restarts), and state is EVICTED once the
