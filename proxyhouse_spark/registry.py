@@ -1546,9 +1546,9 @@ _LEAD = [
 ]
 
 
-def _gate_results() -> tuple[set[str], list[str]]:
+def _gate_results() -> tuple[set[str], list[str], dict[str, tuple[int, str]]]:
     """Read every CORRECTNESS_r*.json and split sampled keys into
-    (confirmed, failed).
+    (confirmed, failed, latest-record map).
 
     Confirmed = the gate actually PASSED: ``hash_match == true``, or the
     designed rows-only path (``err == "no_oracle"`` with a row count).
@@ -1558,15 +1558,29 @@ def _gate_results() -> tuple[set[str], list[str]]:
     out of the driver's 50-key window so their fixes would never be
     re-verified (VERDICT r04 finding #3).  Failed keys now go back to
     the FRONT of the window instead.
+
+    ``latest`` maps each sampled key to ``(round, kind)`` for its most
+    recent record, where kind is ``"hash"`` (hash_match true),
+    ``"rows_only"`` (the designed no_oracle path), or ``"fail"``.  The
+    rotation uses it two ways (VERDICT r09 #1/#6): a key whose LATEST
+    record is rows_only but which NOW carries an oracle was converted
+    after its last sample and must be re-gated first; and with zero
+    never-sampled keys left, the repeat half of each window should be
+    the keys with the OLDEST records, so refactors that postdate an old
+    green record get re-verified instead of the same young keys cycling.
     """
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     passed: set[str] = set()
     sampled: list[str] = []
+    latest: dict[str, tuple[int, str]] = {}
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path, encoding="utf-8") as f:
                 data = _json.load(f)
@@ -1581,28 +1595,55 @@ def _gate_results() -> tuple[set[str], list[str]]:
                 sampled.append(k)
             if v.get("hash_match") is True:
                 passed.add(k)
+                kind = "hash"
             elif v.get("err") == "no_oracle" and v.get("spark_rows") is not None:
                 passed.add(k)  # rows-only by documented design
+                kind = "rows_only"
+            else:
+                kind = "fail"
+            if rnd >= latest.get(k, (-1, ""))[0]:
+                latest[k] = (rnd, kind)
     failed = [k for k in sampled if k not in passed]
-    return passed, failed
+    return passed, failed, latest
 
 
 def _rotated(keys: list[str]) -> list[str]:
-    passed, failed = _gate_results()
+    passed, failed, latest = _gate_results()
     confirmed = (set(_DRIVER_CONFIRMED) | passed) - set(failed)
     relead = [k for k in failed if k in QUERIES]
     relead_set = set(relead)
+    # Keys whose latest driver record predates their oracle: sampled as
+    # rows_only (err=no_oracle) but an oracle exists NOW — the round-9
+    # accuracy-twin conversions.  Until the driver re-samples them with
+    # the hash gate, the "fully driver-confirmed" claim has judge-only
+    # corners (VERDICT r09 #1), so they lead the window.
+    stale_weak = [
+        k for k in keys
+        if k not in relead_set
+        and latest.get(k, (0, ""))[1] == "rows_only"
+        and k in ORACLES
+    ]
+    stale_weak_set = set(stale_weak)
     lead = [
         k for k in _LEAD
-        if k in QUERIES and k not in confirmed and k not in relead_set
+        if k in QUERIES and k not in confirmed
+        and k not in relead_set and k not in stale_weak_set
     ]
-    lead_set = relead_set | set(lead)
+    lead_set = relead_set | set(lead) | stale_weak_set
     rest_unseen = [
         k for k in keys
         if k not in confirmed and k not in lead_set
     ]
-    seen = [k for k in keys if k in confirmed]
-    return relead + lead + rest_unseen + seen
+    # Repeat half: oldest driver record first (stable by registry order
+    # within a round), so every key's record age is bounded by
+    # ceil(324/50) windows instead of the youngest keys re-cycling
+    # (VERDICT r09 #6).  _DRIVER_CONFIRMED keys absent from the JSON
+    # files (a checkout without them) sort as round 0 = oldest.
+    seen = sorted(
+        (k for k in keys if k in confirmed and k not in lead_set),
+        key=lambda k: latest.get(k, (0, ""))[0],
+    )
+    return relead + stale_weak + lead + rest_unseen + seen
 
 
 _order = _rotated(list(QUERIES))

@@ -63,3 +63,39 @@ def test_check_norm_rejects_decimal_outright():
     with pytest.raises(TypeError, match="DOUBLE"):
         check.norm(Decimal("123.456000"))
     assert check.norm(123.456) == "123.456"  # floats unaffected
+
+
+def test_rotation_leads_with_stale_weak_then_oldest_records():
+    """The driver samples the FIRST 50 keys of queries() order, so the
+    rotation IS the sampling policy (VERDICT r09 #1/#6). With zero
+    never-sampled keys left, the window must lead with keys whose latest
+    driver record is rows_only but which now carry an oracle (the r09
+    accuracy-twin conversions — their driver records predate the
+    conversion), then fill with the OLDEST-record keys so every record's
+    age stays bounded instead of young keys re-cycling."""
+    import glob
+    import json
+
+    keys = list(registry.QUERIES)
+    _, _, latest = registry._gate_results()
+
+    # the converted twins lead the window
+    stale_weak = {
+        k for k in keys
+        if latest.get(k, (0, ""))[1] == "rows_only" and k in registry.ORACLES
+    }
+    n = len(stale_weak)
+    assert set(keys[:n]) == stale_weak
+
+    # the confirmed tail is ordered by record age (oldest first); keys
+    # sharing a round keep stable relative order
+    files = glob.glob("/root/repo/CORRECTNESS_r*.json")
+    if files:
+        rounds = [latest.get(k, (0, ""))[0] for k in keys[n:]]
+        assert rounds == sorted(rounds)
+        # and the rest of the window (driver samples 50) is drawn from
+        # the stalest records available (the stale_weak lead jumps the
+        # age queue by design, so it is excluded here)
+        window_max = max(latest.get(k, (0, ""))[0] for k in keys[n:50])
+        outside_min = min(latest.get(k, (9999, ""))[0] for k in keys[50:])
+        assert window_max <= outside_min + 1
