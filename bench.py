@@ -1,14 +1,19 @@
 """Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints two
-JSON lines: a verbose record (with the per-query spread map, per-query
-resample audit, and the rejected suite-pass median), then LAST a compact
-{"metric", "value", "unit", "queries", "sf", "spread_median", "settled",
-"resampled"} line sized to survive the driver's 2000-char stdout-tail
-capture.
+JSON lines: a verbose record (with the per-query spread/steal maps, the
+per-query resample audit, band-tier fields, and the rejected suite-pass
+median), then LAST a compact {"metric", "value", "unit", "queries", "sf",
+"spread_median", "settled", "resampled", "steal_pct"} line sized to
+survive the driver's 2000-char stdout-tail capture.
 
 Each query materializes through the `noop` sink — full computation, no
 driver collect. One warmup of a small action amortizes JVM/codegen startup
-out of the first measurement.
+out of the first measurement. A four-tier settle guard (suite spread
+median, per-query spread, per-query steal window, absolute band vs
+bench_bands.json — the rolling minimum of settled medians) resamples
+contaminated queries keeping the fastest triple, and a run claims
+settled=true only when every tier is quiet; settled runs rewrite the
+band file.
 """
 
 from __future__ import annotations
@@ -98,9 +103,32 @@ PER_QUERY_THRESHOLD = 0.5
 # run shipped the suite's first 8 queries 2-6x inflated under spreads
 # < 0.2 while /proc/stat read a steal burst). Quiet windows on this
 # guest measure < 0.5% steal; storms 5-30% (tools/tri_probe.py traces).
-# A query whose own window reads >= this is re-run like a noisy one,
-# and the lower-steal triple is kept.
+# A query whose own window reads >= this is re-run like a noisy one.
 PER_QUERY_STEAL_PCT = 2.0
+
+# Absolute reference tier (VERDICT r09 #2): BENCH_r09 shipped
+# q_containment_dedup at 23.2 s — 10x its 2.26 s true level — while
+# passing BOTH per-query criteria (spread 0.39 < 0.5, window steal
+# < 2%): sub-window steal bursts or co-tenant memory-bandwidth pressure
+# can inflate all 3 samples uniformly without tripping either
+# contamination signature. The only defense that spans every such mode
+# is an absolute band: bench_bands.json keeps the rolling MINIMUM of
+# settled medians per query (written by this script whenever a run
+# settles), and any kept median above BAND_FACTOR x its band is treated
+# as contaminated — resampled while attempts remain, and listed in
+# unsettled_queries (settled=false) if it never returns to band. A
+# DELIBERATE slowdown (accepted algorithmic change) is rebased by
+# running once with SPARK_GRAFT_BENCH_REBASE=1, which ignores and then
+# rewrites the band file from that run's settled medians.
+BAND_FACTOR = 2.0
+BANDS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_bands.json"
+)
+
+# Per-query attempt bound (1 initial + up to 2 resamples) and a global
+# resample budget so a full-suite storm cannot quadruple the run.
+MAX_ATTEMPTS = 3
+MAX_TOTAL_RESAMPLES = 40
 
 
 def _cpu_ticks() -> tuple[int, int] | None:
@@ -152,7 +180,54 @@ def run_query(spark, name: str) -> tuple[float, float, float | None]:
     )
 
 
-def run_suite(spark) -> tuple[dict[str, float], dict[str, float]]:
+def _read_bands_file(sf_val) -> dict[str, float]:
+    """bench_bands.json contents for the current scale factor; empty when
+    absent, unparseable, for another sf, or under
+    SPARK_GRAFT_BENCH_REBASE=1 (deliberate-slowdown escape hatch — see
+    BAND_FACTOR comment)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_REBASE"):
+        return {}
+    try:
+        with open(BANDS_PATH, encoding="utf-8") as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(data, dict) or data.get("sf") != sf_val:
+        return {}
+    bands = data.get("bands")
+    if not isinstance(bands, dict):
+        return {}
+    return {k: float(v) for k, v in bands.items()}
+
+
+def load_bands(sf_val) -> dict[str, float]:
+    """Per-query reference bands (rolling min of settled medians) the
+    absolute tier checks kept medians against."""
+    return _read_bands_file(sf_val)
+
+
+def save_bands(sf_val, timings: dict[str, float], meta: dict) -> None:
+    """On a settled run, persist min(existing band, new median) per suite
+    query — the rolling minimum converges on the true level because noise
+    only ever inflates a 3-sample median. Queries dropped from HEADLINE
+    are pruned so stale bands can't block future settles."""
+    old = _read_bands_file(sf_val)
+    payload = {
+        "sf": sf_val,
+        "bands": {
+            q: round(min(old.get(q, t), t), 3) for q, t in timings.items()
+        },
+        **meta,
+    }
+    tmp = BANDS_PATH + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+    os.replace(tmp, BANDS_PATH)
+
+
+def run_suite(spark) -> tuple[
+    dict[str, float], dict[str, float], dict[str, float | None]
+]:
     # Each query runs once as warmup, then three timed runs; the MEDIAN is
     # reported. The warmup pays one-time costs that amortize away in any
     # real deployment — whole-stage-codegen compilation and HotSpot JIT of
@@ -178,42 +253,64 @@ def _query_noisy(spread: float, q_steal: float | None) -> bool:
     )
 
 
+def _band_violation(timing: float, band: float | None) -> bool:
+    """Third contamination signature (VERDICT r09 #2): the kept median
+    sits above BAND_FACTOR x the rolling minimum of settled medians —
+    catches uniform inflation that shows neither a wide spread nor a
+    window-averaged steal burst."""
+    return band is not None and timing > BAND_FACTOR * band
+
+
+def _contaminated(name, timings, spreads, steals, bands) -> bool:
+    return _query_noisy(spreads[name], steals[name]) or _band_violation(
+        timings[name], bands.get(name)
+    )
+
+
 def resample_noisy(
     spark,
     timings: dict[str, float],
     spreads: dict[str, float],
     steals: dict[str, float | None],
-) -> dict[str, dict[str, float]]:
-    """Re-run each query whose own spread or steal window crossed the
-    per-query thresholds.
+    bands: dict[str, float],
+    rejected: dict[str, list[dict]],
+    budget: list[int],
+) -> None:
+    """Re-run (up to MAX_ATTEMPTS-1 times, within the global resample
+    budget) each query flagged by any of the three contamination
+    signatures: own spread, own steal window, or absolute band.
 
-    The less-contaminated triple wins (mutating the dicts in place):
-    lower steal first — steal only ever inflates, so the lower-steal
-    measurement is closer to the true level — then lower spread. The
-    rejected measurement is returned for the verbose record so a
-    BENCH_r0N.json reader can audit how bad the discarded sample was and
-    which one was kept (ADVICE r08 #3 applied per-query).
+    The FASTER triple wins (mutating the dicts in place): on this host
+    noise only ever inflates — co-tenant steal and memory-bandwidth
+    pressure add wall time, nothing removes it — so a 3-sample median
+    can never fall below the true level and min(median) is strictly
+    closest to truth (VERDICT r09 #3: the old lower-steal-first rule
+    kept a 7.05 s quiet pass over a 4.27 s stolen one whose level was
+    demonstrably nearer the 3.30 s truth). The discarded triples are
+    appended to ``rejected`` with their spread/steal so a BENCH_r0N.json
+    reader can audit every keep/reject decision (ADVICE r08 #3).
     """
-
-    def score(spread: float, q_steal: float | None) -> tuple:
-        contaminated = q_steal is not None and q_steal >= PER_QUERY_STEAL_PCT
-        return (contaminated, spread)
-
-    rejected: dict[str, dict[str, float]] = {}
-    for name in [
-        n for n in spreads if _query_noisy(spreads[n], steals[n])
-    ]:
-        t2, s2, st2 = run_query(spark, name)
-        if score(s2, st2) < score(spreads[name], steals[name]):
-            rejected[name] = {
-                "timing": timings[name],
-                "spread": spreads[name],
-                "steal": steals[name],
-            }
-            timings[name], spreads[name], steals[name] = t2, s2, st2
-        else:
-            rejected[name] = {"timing": t2, "spread": s2, "steal": st2}
-    return rejected
+    for name in list(timings):
+        attempts = 1
+        while (
+            attempts < MAX_ATTEMPTS
+            and budget[0] > 0
+            and _contaminated(name, timings, spreads, steals, bands)
+        ):
+            t2, s2, st2 = run_query(spark, name)
+            attempts += 1
+            budget[0] -= 1
+            if t2 < timings[name]:
+                rejected.setdefault(name, []).append({
+                    "timing": timings[name],
+                    "spread": spreads[name],
+                    "steal": steals[name],
+                })
+                timings[name], spreads[name], steals[name] = t2, s2, st2
+            else:
+                rejected.setdefault(name, []).append(
+                    {"timing": t2, "spread": s2, "steal": st2}
+                )
 
 
 def _median(spreads: dict[str, float]) -> float | None:
@@ -225,49 +322,77 @@ def _median(spreads: dict[str, float]) -> float | None:
 def main() -> None:
     spark = get_spark("bench")
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    bands = load_bands(sf_val)
 
-    # Settle guard, two tiers (VERDICT r07 #3 suite-wide, VERDICT r08 #2
-    # per-query + the r09 per-query steal criterion): after the suite
-    # pass, any query whose OWN spread or OWN steal window crossed the
-    # per-query thresholds is re-run once and the less-contaminated
-    # triple kept — the tiers the suite-median criterion structurally
-    # cannot provide (30+ fast quiet queries dominate the median while a
-    # heavy query ships a 2.6x phantom under settled=true, BENCH_r08; and
-    # a steal window spanning all 3 samples slows them uniformly, so the
-    # spread never moves). If the MEDIAN still reads noisy after that,
-    # the whole host is in a noise shadow: run the suite ONCE more (with
-    # its own per-query tier) and keep the quieter pass, recording the
-    # discarded pass's median so the retry decision is auditable
-    # (ADVICE r08 #3).
-    t_before = _cpu_ticks()
+    # Settle guard, four tiers (VERDICT r07 #3 suite-wide, VERDICT r08 #2
+    # per-query spread, r09 per-query steal, r09-verdict #2 absolute
+    # band): after the suite pass, any query flagged by its OWN spread,
+    # its OWN steal window, or the absolute band is re-run (bounded per
+    # query and globally) and the FASTEST triple kept — the tiers the
+    # suite-median criterion structurally cannot provide (30+ fast quiet
+    # queries dominate the median while a heavy query ships a 2.6x
+    # phantom under settled=true, BENCH_r08; a steal window spanning all
+    # 3 samples slows them uniformly so the spread never moves,
+    # BENCH_r09 tail; and sub-window bursts/bandwidth pressure evade
+    # both, BENCH_r09's 10x q_containment_dedup). If the MEDIAN still
+    # reads noisy after that, the whole host is in a noise shadow: run
+    # the suite ONCE more and merge per-query by the same min(median)
+    # rule, recording the discarded pass's median so the retry decision
+    # is auditable (ADVICE r08 #3).
+    budget = [MAX_TOTAL_RESAMPLES]
+    rejected_queries: dict[str, list[dict]] = {}
+    run_t0 = _cpu_ticks()
     timings, spreads, steals = run_suite(spark)
-    rejected_queries = resample_noisy(spark, timings, spreads, steals)
-    steal = steal_pct(t_before, _cpu_ticks())
+    resample_noisy(
+        spark, timings, spreads, steals, bands, rejected_queries, budget
+    )
     spread_median = _median(spreads)
     passes = 1
     rejected_spread_median = None
     if spread_median is not None and spread_median >= SETTLE_THRESHOLD:
-        t_before = _cpu_ticks()
         retry_timings, retry_spreads, retry_steals = run_suite(spark)
-        retry_rejected = resample_noisy(
-            spark, retry_timings, retry_spreads, retry_steals
-        )
-        retry_steal = steal_pct(t_before, _cpu_ticks())
         retry_median = _median(retry_spreads)
         passes = 2
-        if retry_median is not None and retry_median < spread_median:
-            rejected_spread_median = spread_median
-            timings, spreads, spread_median = retry_timings, retry_spreads, retry_median
-            rejected_queries = retry_rejected
-            steals = retry_steals
-            steal = retry_steal
-        else:
-            rejected_spread_median = retry_median
+        # the noisier pass's median goes to the audit trail; the kept
+        # numbers are the per-query min-merge of both passes
+        rejected_spread_median = max(
+            m for m in (spread_median, retry_median) if m is not None
+        )
+        for name in timings:
+            t2 = retry_timings.get(name)
+            if t2 is not None and t2 < timings[name]:
+                rejected_queries.setdefault(name, []).append({
+                    "timing": timings[name],
+                    "spread": spreads[name],
+                    "steal": steals[name],
+                })
+                timings[name] = t2
+                spreads[name] = retry_spreads[name]
+                steals[name] = retry_steals[name]
+            elif t2 is not None:
+                rejected_queries.setdefault(name, []).append({
+                    "timing": t2,
+                    "spread": retry_spreads[name],
+                    "steal": retry_steals[name],
+                })
+        resample_noisy(
+            spark, timings, spreads, steals, bands, rejected_queries, budget
+        )
+        spread_median = _median(spreads)
+    # overall hypervisor-steal share across the whole kept run (with
+    # per-query merging there is no single "kept pass"; per-query steal
+    # windows are in the verbose record)
+    steal = steal_pct(run_t0, _cpu_ticks())
     # All tiers must be quiet for settled=true: the median under the
-    # suite threshold AND no individual query still above its own spread
-    # or steal threshold.
+    # suite threshold AND no individual query still flagged by its own
+    # spread, its own steal window, or the absolute band.
     unsettled_queries = sorted(
-        n for n in spreads if _query_noisy(spreads[n], steals[n])
+        n for n in spreads
+        if _contaminated(n, timings, spreads, steals, bands)
+    )
+    band_violations = sorted(
+        n for n in timings if _band_violation(timings[n], bands.get(n))
     )
     settled = (
         spread_median is not None
@@ -276,7 +401,15 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    if settled:
+        # every settled run tightens the rolling-minimum reference bands
+        # the absolute tier checks future runs against
+        save_bands(sf_val, timings, {
+            "total": total,
+            "spread_median": spread_median,
+            "steal_pct": steal,
+            "source": "bench.py settled run (rolling min of settled medians)",
+        })
     # Verbose record first (per-query spread map for noise analysis) ...
     print(
         json.dumps(
@@ -291,11 +424,17 @@ def main() -> None:
                 "spread_median": spread_median,
                 "settled": settled,
                 "passes": passes,
-                # per-query retries: the DISCARDED (timing, spread) per
-                # resampled query, so noise analysis can audit each keep/
-                # reject decision (ADVICE r08 #3)
+                # per-query retries: the DISCARDED triples (a list per
+                # resampled query — multi-attempt since r10), so noise
+                # analysis can audit each keep/reject decision
+                # (ADVICE r08 #3)
                 "resampled": rejected_queries,
                 "unsettled_queries": unsettled_queries,
+                # absolute-band tier (VERDICT r09 #2): queries whose kept
+                # median still exceeds BAND_FACTOR x their rolling-min
+                # settled band, and how many bands were loaded
+                "band_violations": band_violations,
+                "bands_loaded": len(bands),
                 # suite-retry tier: the discarded pass's spread median
                 "rejected_spread_median": rejected_spread_median,
                 # hypervisor steal share over the kept pass (r09: the
@@ -319,7 +458,7 @@ def main() -> None:
         "sf": sf_val,
         "spread_median": spread_median,
         "settled": settled,
-        "resampled": len(rejected_queries),
+        "resampled": sum(len(v) for v in rejected_queries.values()),
         "steal_pct": steal,
     }
     line = json.dumps(compact)
