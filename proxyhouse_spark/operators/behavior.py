@@ -2740,7 +2740,14 @@ def mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains run in ONE statement, the cross-engine columns are the exact
     twin's (event_type, n_events), and the sketch-vs-exact bounds ride
     along as integer verdicts the oracle declares all-ones. Deterministic
-    per dataset (no RNG in the sketch)."""
+    per dataset (no RNG in the sketch).
+
+    NOTE (ADVICE r09 #2): because the REGISTERED op is this
+    gate-instrumented twin, it executes the exact per-group-sort chain
+    too and is strictly more expensive than q_mad_outliers; the
+    O(sketch) scale claim and any quoted probe figures apply to the
+    sketch-only chain (the `approx_percentile` CTE alone), which is the
+    variant a 100 TB deployment would run."""
     _events(spark, sf_dir)
     tol = MAD_APPROX_REL_TOL
     return spark.sql(

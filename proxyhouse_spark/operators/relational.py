@@ -637,9 +637,15 @@ def join_salted_oracle() -> str:
 
 
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path of q_percentiles: `approx_percentile` (mergeable
+    """The scale path of q_percentiles is `approx_percentile` (mergeable
     quantile sketch — map-side partial, O(sketch) shuffle instead of a
-    per-group sort). Hash-oracled via its accuracy twin (VERDICT r08 #4 —
+    per-group sort). NOTE (ADVICE r09 #2): what is REGISTERED here is the
+    gate-instrumented accuracy TWIN — it runs the exact interpolating
+    percentiles AND the sketch in one statement, so it is strictly more
+    expensive than q_percentiles; the O(sketch) scale claim and any
+    quoted probe figures apply to the sketch-only chain (the three
+    `approx_percentile` calls alone), which is what a 100 TB deployment
+    would run. Hash-oracled via its accuracy twin (VERDICT r08 #4 —
     previously rows-only): the sketch's answers are engine-specific, so
     the cross-engine columns are the EXACT interpolating percentiles
     (Spark `percentile` ≡ DuckDB `quantile_cont`, the proven q_percentiles

@@ -66,8 +66,9 @@ def _parse_event_log(log_dir: str) -> list[dict]:
             )
         elif not f.startswith("."):
             paths.append(p)
-    lines = (line for p in paths for line in open(p, encoding="utf-8"))
-    if True:
+    for p in paths:
+        with open(p, encoding="utf-8") as fh:
+            lines = fh.readlines()
         for line in lines:
             try:
                 ev = json.loads(line)
