@@ -353,3 +353,41 @@ def simhash64_hi_duck(ws: str = "ws") -> str:
 
 def simhash64_lo_duck(ws: str = "ws") -> str:
     return _simhash32_word(ws, "w2", 32, duck=True)
+
+
+# ---------------------------------------------------------------------------
+# Relational simhash (r10, guide §4.1 "prefer codegen'd expressions"):
+# the per-row nested HOF folds above evaluate an interpreted lambda per
+# (bit, token) pair — 64·T evaluations per doc for the wide fingerprint,
+# measured 3.4 s of q_simhash_wide's 3.7 s at sf0.1. The same integer
+# arithmetic phrased RELATIONALLY — explode tokens, one whole-stage-
+# codegen'd HashAggregate with one SUM per bit position, then a single
+# projection packing bits — does the identical Σ(2·bit−1) > 0 test as
+# 2·Σbit > n_tokens (exact integers, same result bit for bit). The
+# DuckDB oracle keeps the fold spelling; the differential gate proves
+# the equality. These helpers emit the SUM list and the bit-packing
+# projection; the frame builders in operators/dedup.py own the
+# explode/groupBy shape.
+# ---------------------------------------------------------------------------
+
+
+def simhash_bit_sums_spark(word: str, prefix: str, width: int = 32) -> str:
+    """One SUM aggregate per bit position of ``word`` (a 32-bit int
+    column): position q (1-based, MSB first) is bit (width - q)."""
+    return ", ".join(
+        f"sum(CAST(shiftright({word}, {width - q}) & 1 AS BIGINT)) "
+        f"AS {prefix}{q}"
+        for q in range(1, width + 1)
+    )
+
+
+def simhash_pack_spark(prefix: str, nt: str = "nt", width: int = 32) -> str:
+    """Pack per-position counts back into the fingerprint word: bit q set
+    iff the majority vote Σ(2·bit−1) = 2·count − n_tokens is > 0."""
+    terms = " + ".join(
+        f"(CASE WHEN 2 * {prefix}{q} > {nt} "
+        f"THEN CAST({1 << (width - q)} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for q in range(1, width + 1)
+    )
+    return f"CAST({terms} AS BIGINT)"

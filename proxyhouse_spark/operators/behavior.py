@@ -742,6 +742,18 @@ def _pagerank_sql(idiv: str) -> str:
     """
 
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inline CTE spelling is KEPT deliberately (r10 measurement):
+    the textual plan shows 40 lineitem scans / 98 Exchanges
+    (plans/r10/q_pagerank_before.txt), but at runtime AQE's exchange
+    reuse dedups the identical `edges`/`deg`/`s0` subtrees, so the graph
+    is derived once. A staged scoped_checkpoint spelling (edges+outd
+    materialized once, linear iteration chain) was built and measured
+    this round: same-window walls 4.89 s staged vs 4.34 s inline, CPU
+    186 s vs 157 s per 4 runs — the two serialized checkpoint actions
+    and non-codegen block-manager scans cost more than the (already
+    deduped) re-derivation. Contrast q_kcore/q_er_links, where the
+    duplicated subtrees are NOT identical across references and staging
+    halves real CPU."""
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql("WITH " + _pagerank_sql("div"))
 
@@ -1329,7 +1341,17 @@ def _kcore_sql(idiv: str) -> str:
 
 
 def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N96: adaptive-k core peeling over the co-purchase graph."""
+    """N96: adaptive-k core peeling over the co-purchase graph.
+
+    r10 staging (guide §1.2/§2.4): each round's DEGREE frame is
+    materialized alongside the peeled edge frame — it was already being
+    computed inside the round's plan (the keep-filter needs it), and the
+    summary needs exactly its row count (one degree row per surviving
+    endpoint ≡ one DISTINCT endpoint), so materializing it turns the old
+    summary's four distinct-endpoint shuffles over full edge frames into
+    four count(*) scalar subqueries over already-materialized tiny
+    frames. Round-0's degree frame also feeds the threshold directly
+    (the old spelling re-folded degrees a second time for kk)."""
     from ..checkpoints import scoped_checkpoint
 
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -1338,41 +1360,45 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = scoped_checkpoint(edges, "kcore_e0")
     edges.createOrReplaceTempView("kcore_edges_0")
+
+    def _deg(r: int):
+        d = spark.sql(
+            f"""
+            SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS n FROM kcore_edges_{r}
+              UNION ALL SELECT v AS n FROM kcore_edges_{r}) x GROUP BY n
+            """
+        )
+        d = scoped_checkpoint(d, f"kcore_d{r}")
+        d.createOrReplaceTempView(f"kcore_deg_{r}")
+
+    _deg(0)
     # the 1-row threshold frame is referenced by every round's filter AND
     # every summary row (~7 plan references); checkpointing it once turns
     # those into constant-frame reads instead of repeated degree folds
     kk = spark.sql(
-        """
-        SELECT CAST((sum(d) * 4) div (count(*) * 5) AS BIGINT) AS k
-        FROM (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
-                SELECT u AS n FROM kcore_edges_0
-                UNION ALL SELECT v AS n FROM kcore_edges_0) x GROUP BY n)
-        """
+        "SELECT CAST((sum(d) * 4) div (count(*) * 5) AS BIGINT) AS k "
+        "FROM kcore_deg_0"
     )
     kk = scoped_checkpoint(kk, "kcore_kk")
     kk.createOrReplaceTempView("kcore_kk")
     for r in range(3):
         nxt = spark.sql(
             f"""
-            WITH d AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
-                         SELECT u AS n FROM kcore_edges_{r}
-                         UNION ALL SELECT v AS n FROM kcore_edges_{r}) x
-                       GROUP BY n),
-            keep AS (SELECT n FROM d, kcore_kk WHERE d >= kcore_kk.k)
+            WITH keep AS (SELECT n FROM kcore_deg_{r}, kcore_kk
+                          WHERE d >= kcore_kk.k)
             SELECT u, v FROM kcore_edges_{r}
             WHERE u IN (SELECT n FROM keep) AND v IN (SELECT n FROM keep)
             """
         )
         nxt = scoped_checkpoint(nxt, f"kcore_e{r + 1}")
         nxt.createOrReplaceTempView(f"kcore_edges_{r + 1}")
+        _deg(r + 1)
     rounds = []
     for r in range(4):
         rounds.append(
             f"""SELECT {r} AS round,
-            (SELECT count(*) FROM (SELECT DISTINCT n FROM (
-               SELECT u AS n FROM kcore_edges_{r}
-               UNION ALL SELECT v AS n FROM kcore_edges_{r}) x) y)
-              AS nodes_kept,
+            (SELECT count(*) FROM kcore_deg_{r}) AS nodes_kept,
             (SELECT count(*) FROM kcore_edges_{r}) AS edges_kept,
             (SELECT k FROM kcore_kk) AS k"""
         )

@@ -334,13 +334,51 @@ def ngram_jaccard_oracle() -> str:
 
 
 def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, lang, 16-bit simhash — token hashes materialized once."""
-    corpus = doc_corpus(spark, sf_dir)
-    tk = corpus.repartition(64, "doc_id").selectExpr(
-        "doc_id", "lang", f"{T.TOKS_SPARK} AS toks"
+    """doc_id, lang, 16-bit simhash — RELATIONAL bit-count spelling (r10).
+
+    The fold spelling (T.simhash_spark, kept for the DuckDB oracle)
+    interprets a lambda per (bit, token) pair; here tokens explode to
+    rows, one codegen'd HashAggregate SUMs the 16 bit positions (bit p of
+    the fingerprint is the HIGH bit of md5 hex digit p — read as integer
+    shift off the two parsed 32-bit words instead of a substr per bit),
+    and a single projection packs the majority votes: bit p set iff
+    2·count_p > n_tokens ⟺ Σ(2·bit−1) > 0 — identical integers, gate-
+    checked. Split() yields at least [''] for any non-null text, so
+    every corpus doc survives the explode+groupBy. The explicit
+    repartition spreads the md5+bit-sum map work across cores — the
+    corpus text is one small parquet split, so the scan alone gives the
+    CPU-heavy stage almost no parallelism (the _sketch_frames lesson)."""
+    doc_corpus(spark, sf_dir).repartition(64, "doc_id").createOrReplaceTempView(
+        "corpus_sh16"
     )
-    th = tk.selectExpr("doc_id", "lang", f"{T.token_hashes_spark()} AS hs")
-    return th.selectExpr("doc_id", "lang", f"{T.simhash_spark()} AS simhash")
+    # digit p (1-based) of w1/w2: high bit = bit (35 - 4p) of the word
+    sums = ", ".join(
+        f"sum(CAST(shiftright(w1, {35 - 4 * p}) & 1 AS BIGINT)) AS c{p}"
+        for p in range(1, 9)
+    ) + ", " + ", ".join(
+        f"sum(CAST(shiftright(w2, {67 - 4 * p}) & 1 AS BIGINT)) AS c{p}"
+        for p in range(9, 17)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN 2 * c{p} > nt THEN CAST({1 << (16 - p)} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END)"
+        for p in range(1, 17)
+    )
+    return spark.sql(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, lang, md5(t) AS h
+          FROM (SELECT doc_id, lang, {T.TOKS_SPARK} AS toks FROM corpus_sh16)
+          LATERAL VIEW explode(toks) x AS t),
+        w AS (SELECT doc_id, lang,
+                     CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) AS w1,
+                     CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT) AS w2
+              FROM tok),
+        cnt AS (SELECT doc_id, lang, count(*) AS nt, {sums}
+                FROM w GROUP BY doc_id, lang)
+        SELECT doc_id, lang, CAST({pack} AS BIGINT) AS simhash FROM cnt
+        """
+    )
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,15 +428,23 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs AS (
           -- the band frame scales with the corpus: broadcasting either
           -- side is the minhash scale bug (collects the frame through
-          -- the driver); pinned by tests/test_plans.py
+          -- the driver); pinned by tests/test_plans.py.
+          -- r10 (guide §2.3 "shuffle fewer bytes"): the exact Hamming
+          -- predicate rides the JOIN, BELOW the DISTINCT — the nibble
+          -- bands are weakly selective (16 values over a 16-bit sketch),
+          -- so the old spelling shuffled every band collision into the
+          -- dedup exchange and filtered after; a filter on columns of
+          -- the row commutes with DISTINCT, so only true near-dup pairs
+          -- reach the exchange. Same output set, gate-checked.
           SELECT /*+ SHUFFLE_HASH(a, b) */ DISTINCT
                  a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.simhash AS sim_a, b.simhash AS sim_b
           FROM bands a JOIN bands b
             ON a.lang = b.lang AND a.p = b.p AND a.nib = b.nib
-               AND a.doc_id < b.doc_id)
+               AND a.doc_id < b.doc_id
+               AND bit_count(a.simhash ^ b.simhash) <= 3)
         SELECT doc_a, doc_b, CAST(bit_count(sim_a ^ sim_b) AS INT) AS hamming
-        FROM pairs WHERE bit_count(sim_a ^ sim_b) <= 3
+        FROM pairs
         """
     )
 
@@ -512,36 +558,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cc_labels",
     )
     for _ in range(5):
-        # neighbor-min materialized once per round: feeds both the
-        # convergence test and the label update; the scope frees round k-1's
-        # frame the moment round k's lands.
-        neighbor_min = scoped_checkpoint(
+        # ONE materialization per round (r10, guide §1.2 "remove passes"):
+        # the old spelling checkpointed neighbor_min, ran a join+count for
+        # the convergence test, then joined AGAIN for the label update —
+        # three actions and three shuffling plans per round. The update
+        # frame now carries the old label NEXT TO the neighbor min, so the
+        # single checkpoint materializes everything the round needs: the
+        # convergence count is a narrow filter over the materialized rows
+        # (no shuffle — nmin and label sit in the same row), and the new
+        # label frame is a projection of the same blocks. Update rule
+        # unchanged: label' = least(label, coalesce(nmin, label)).
+        neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a)
-            .agg(F.min("label").alias("nmin")),
-            "cc_neighbor_min",
+            .agg(F.min("label").alias("nmin"))
         )
-        # a label changes iff some neighbor's label undercuts it — testable
-        # against the OLD labels alone, so the convergence count runs before
-        # the old generation is released by the checkpoint below.
-        changed = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a)
-            .filter(F.col("nmin") < F.col("label"))
-            .count()
+        upd = scoped_checkpoint(
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+            ).select("doc_id", "label", "nmin"),
+            "cc_upd",
+        )
+        changed = upd.filter(F.col("nmin") < F.col("label")).count()
+        # lazily projected off the checkpointed round frame; the NEXT
+        # round's checkpoint reads it before cc_upd's old generation is
+        # released (scoped_checkpoint materializes first, then frees).
+        # Reassigned BEFORE the break: the pre-round labels frame is a
+        # projection over the generation this round's checkpoint just
+        # freed — and when changed == 0 the update is the identity
+        # (every nmin >= label or null), so this IS the fixpoint.
+        labels = upd.select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                "label"
+            ),
         )
         if changed == 0:
             break
-        labels = scoped_checkpoint(
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
-                    "label"
-                ),
-            ),
-            "cc_labels",  # frees the previous round's labels after materializing
-        )
-    release_scope(spark, "cc_neighbor_min")
     release_scope(spark, "cc_edges")
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
@@ -695,18 +748,45 @@ def embedding_neardup_lsh_oracle() -> str:
 
 
 def _simhash_wide_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, lang, 64-bit simhash as (hi, lo) 32-bit words."""
-    doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
-    tk = spark.sql(f"SELECT doc_id, lang, {T.TOKS_SPARK} AS toks FROM corpus")
-    tk.createOrReplaceTempView("tk_wide")
-    th = spark.sql(
-        f"SELECT doc_id, lang, {T.token_words_spark(T.token_hashes_spark('toks'))} "
-        "AS ws FROM tk_wide"
+    """doc_id, lang, 64-bit simhash as (hi, lo) 32-bit words.
+
+    RELATIONAL bit-count spelling (r10, guide §4.1). The fold spelling
+    (T.simhash64_*_spark, kept for the DuckDB oracle) interprets a
+    lambda per (bit, token) pair; it also ran as a SINGLE task (the
+    repartition the other sketch builders carry was missing here), so
+    3.4 s of q_simhash_wide's 3.7 s at sf0.1 was one core folding while
+    31 idled. Measured per 4 runs in same-weather windows: fold
+    single-task wall 4.49 s / 18.8 s CPU; fold + repartition(64) wall
+    1.97 s / 76 s CPU (per-element HOF allocations thrash GC under
+    32-way parallelism); relational explode + one codegen'd
+    HashAggregate with 64 bit-position SUMs + majority-vote packing:
+    wall 1.84 s / 57 s CPU — best wall AND best parallel CPU, identical
+    integers (2·count > n_tokens ⟺ Σ(2·bit−1) > 0), gate-checked
+    against the unchanged oracle. The explicit repartition spreads the
+    md5+bit-sum map work (corpus text is one small parquet split)."""
+    doc_corpus(spark, sf_dir).repartition(64, "doc_id").createOrReplaceTempView(
+        "corpus"
     )
-    th.createOrReplaceTempView("th_wide")
+    sums = (
+        T.simhash_bit_sums_spark("w1", "h") + ", "
+        + T.simhash_bit_sums_spark("w2", "l")
+    )
     return spark.sql(
-        f"SELECT doc_id, lang, {T.simhash64_hi_spark()} AS hi, "
-        f"{T.simhash64_lo_spark()} AS lo FROM th_wide"
+        f"""
+        WITH tok AS (
+          SELECT doc_id, lang, md5(t) AS h
+          FROM (SELECT doc_id, lang, {T.TOKS_SPARK} AS toks FROM corpus)
+          LATERAL VIEW explode(toks) x AS t),
+        w AS (SELECT doc_id, lang,
+                     CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) AS w1,
+                     CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT) AS w2
+              FROM tok),
+        cnt AS (SELECT doc_id, lang, count(*) AS nt, {sums}
+                FROM w GROUP BY doc_id, lang)
+        SELECT doc_id, lang, {T.simhash_pack_spark('h')} AS hi,
+               {T.simhash_pack_spark('l')} AS lo
+        FROM cnt
+        """
     )
 
 
@@ -736,17 +816,20 @@ def simhash_wide_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             16 * (p % 2)) & 65535 AS band
           FROM simhash_wide_v LATERAL VIEW explode(sequence(0, 3)) t AS p),
         pairs AS (
+          -- r10: Hamming cut below the DISTINCT (commutes — filter on
+          -- columns of the row), so the dedup exchange carries only
+          -- true near-dup pairs; see simhash_neardup
           SELECT /*+ SHUFFLE_HASH(a, b) */ DISTINCT
                  a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
           FROM bands a JOIN bands b
             ON a.lang = b.lang AND a.p = b.p AND a.band = b.band
-               AND a.doc_id < b.doc_id)
+               AND a.doc_id < b.doc_id
+               AND bit_count(a.hi ^ b.hi) + bit_count(a.lo ^ b.lo) <= 3)
         SELECT doc_a, doc_b,
                CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS INT)
                  AS hamming
         FROM pairs
-        WHERE bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) <= 3
         """
     )
 
@@ -1233,9 +1316,68 @@ def _containment_sql(duck: bool) -> str:
 
 
 def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N87: containment-coefficient near-dup (excerpt-in-document)."""
+    """N87: containment-coefficient near-dup (excerpt-in-document).
+
+    r10 staging (guide §2.4): in the inline spelling both `shf` (the
+    shingle pipeline) and `grams` (the anchor-gram explode + DISTINCT)
+    are referenced twice — Spark expands each reference, re-running
+    tokenization, the shingle fold and the gram explode per join side
+    (48 document scans / 16 exchanges in one plan,
+    plans/r10/q_containment_dedup_before.txt). The two frames are
+    materialized once each; the candidate and verify joins then read
+    staged rows. Same CTE text, same rows — the oracle is unchanged."""
+    k = SUBSTR_K
+    from ..checkpoints import scoped_checkpoint
+
     doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
-    return spark.sql("WITH " + _containment_sql(duck=False))
+    tk = f"""
+    ccorp AS ({_contain_corpus(duck=False)}),
+    tk AS (SELECT doc_id, text, {T.TOKS_SPARK} AS toks FROM ccorp)"""
+    shf = scoped_checkpoint(
+        spark.sql(
+            f"""
+            WITH {tk}
+            SELECT doc_id, sh, size(sh) AS n_sh
+            FROM (SELECT doc_id, text, {T.shingle_ints_spark('th', 'text')} AS sh
+                  FROM (SELECT doc_id, text, {T.token_ints_spark('toks')} AS th,
+                               toks FROM tk) h)
+            """
+        ),
+        "contain_shf",
+    )
+    shf.createOrReplaceTempView("contain_shf_v")
+    grams = scoped_checkpoint(
+        spark.sql(
+            f"""
+            WITH {tk}
+            SELECT DISTINCT doc_id, md5(concat_ws(' ', slice(toks, i, {k}))) AS g
+            FROM tk LATERAL VIEW explode(slice(sequence(1, size(toks)), 1,
+              greatest(size(toks) - {k - 1}, 0))) t AS i
+            """
+        ),
+        "contain_grams",
+    )
+    grams.createOrReplaceTempView("contain_grams_v")
+    return spark.sql(
+        f"""
+        WITH cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM contain_grams_v a JOIN contain_grams_v b
+                        ON a.g = b.g AND a.doc_id < b.doc_id),
+        scored AS (
+          SELECT /*+ SHUFFLE_HASH(a, b) */ c.doc_a, c.doc_b,
+                 size(array_intersect(a.sh, b.sh)) AS n_int,
+                 a.n_sh AS n_a, b.n_sh AS n_b
+          FROM cand c JOIN contain_shf_v a ON a.doc_id = c.doc_a
+                      JOIN contain_shf_v b ON b.doc_id = c.doc_b)
+        SELECT doc_a, doc_b,
+               round(n_int / CAST(n_a AS DOUBLE), 4) AS containment_a_in_b,
+               round(n_int / CAST(n_b AS DOUBLE), 4) AS containment_b_in_a,
+               round(n_int / CAST(n_a + n_b - n_int AS DOUBLE), 4) AS jaccard
+        FROM scored
+        WHERE greatest(n_int / CAST(n_a AS DOUBLE),
+                       n_int / CAST(n_b AS DOUBLE)) >= {CONTAIN_TAU}
+        """
+    )
 
 
 def containment_dedup_oracle() -> str:
@@ -1475,12 +1617,61 @@ def _er_links_sql(norm_fn, duck: bool, idiv: str) -> str:
 
 
 def er_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N186: reciprocal-best-match 1:1 entity links over blocked candidates."""
+    """N186: reciprocal-best-match 1:1 entity links over blocked candidates.
+
+    r10 staging (guide §2.4): the inline CTE spelling re-derived the whole
+    fuzzy-match pipeline (normalize → block → levenshtein) FOUR times —
+    `link` is referenced on both sides of the reciprocal join and `sym`
+    reads `matches` twice, which Spark expands to 48 document scans / 24
+    exchanges in one plan (plans/r10/q_er_links_before.txt). The
+    levenshtein stage is materialized ONCE ("er_matches"), the per-node
+    best-match fold once ("er_link"); the reciprocal join then reads the
+    tiny staged link frame twice. Same rows at every step — the oracle SQL
+    is unchanged (DuckDB materializes multi-referenced CTEs itself)."""
+    from ..checkpoints import scoped_checkpoint
     from ..tables import table
     from .textops import _NORM
 
+    enc = "CAST(10000000000 AS BIGINT)"
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_er_links_sql(_NORM.format(t="text"), False, "div"))
+    matches = scoped_checkpoint(
+        spark.sql(
+            _fuzzy_ctes(_NORM.format(t="text"), duck=False)
+            + " SELECT doc_a, doc_b, dist FROM matches"
+        ),
+        "er_matches",
+    )
+    matches.createOrReplaceTempView("er_matches_v")
+    link = scoped_checkpoint(
+        spark.sql(
+            f"""
+            WITH sym AS (SELECT doc_a AS src, doc_b AS dst, dist
+                         FROM er_matches_v
+                         UNION ALL
+                         SELECT doc_b AS src, doc_a AS dst, dist
+                         FROM er_matches_v),
+            best AS (SELECT src,
+                            CAST(min(CAST(dist AS BIGINT) * {enc} + dst)
+                                 AS BIGINT) AS k,
+                            CAST(count(*) AS BIGINT) AS n_candidates
+                     FROM sym GROUP BY src)
+            SELECT src, CAST(k div {enc} AS INT) AS dist,
+                   CAST(k % {enc} AS BIGINT) AS dst, n_candidates
+            FROM best
+            """
+        ),
+        "er_link",
+    )
+    link.createOrReplaceTempView("er_link_v")
+    return spark.sql(
+        """
+        SELECT a.src AS doc_a, a.dst AS doc_b, a.dist,
+               a.n_candidates AS cand_a, b.n_candidates AS cand_b
+        FROM er_link_v a JOIN er_link_v b
+          ON a.dst = b.src AND b.dst = a.src
+        WHERE a.src < b.src
+        """
+    )
 
 
 def er_links_oracle() -> str:
