@@ -47,54 +47,45 @@ SEM_TAU = 0.98
 
 
 def _dot(a: str, b: str, duck: bool) -> str:
-    """Spark side (r10, guide §4.1): the fold `aggregate(zip_with(a, b,
-    (x, y) -> x * y), 0, +)` evaluates an INTERPRETED lambda per element
-    — 64 closure calls plus a zipped-pair allocation per dot product,
-    and the k-means assign evaluates one dot per (vector, centroid)
-    pair. The unrolled 64-term sum is a plain codegen'd expression tree
-    and is BIT-IDENTICAL: the fold computes ((0 + x0) + x1) + … and the
-    unrolled sum computes (x0 + x1) + … — the same left-to-right float
-    addition order (0 + x0 == x0 exactly), so every downstream round()
-    sees the same double. DuckDB oracle spelling unchanged."""
     if duck:
         return f"list_sum(list_transform(range(1, {DIM + 1}), i -> {a}[i] * {b}[i]))"
-    return "(" + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(DIM)) + ")"
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
 
 
 def _norm2(a: str, duck: bool) -> str:
     if duck:
         return f"list_sum(list_transform({a}, x -> x * x))"
-    return "(" + " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(DIM)) + ")"
+    return (
+        f"aggregate(transform({a}, x -> x * x), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
 
 
 def _assign(src: str, cents: str, duck: bool) -> str:
     """argmin squared distance: |c|² - 2·v·c (|v|² is constant per row).
 
-    Spark spelling (r10, guide §2.3/§2.4): the old row_number window
-    shuffled rows×K (vector, centroid, dist) tuples by vec_id and sorted
-    them just to keep rank 1. `min_by(c, struct(dist, c))` is the same
-    argmin with the same (dist, c) tie-break, but it is a declarative
-    aggregate with map-side partial aggregation: the K candidate rows
-    per vector collapse to one BEFORE any exchange, so the shuffle
-    carries rows, not rows×K, and nothing sorts. |c|² is hoisted to the
-    K-row centroid side (one fold per centroid, not one per pair).
-    struct comparison vs ORDER BY: both compare (double, int)
-    lexicographically; round() never yields -0.0 (BigDecimal path), so
-    the comparators agree everywhere. Oracle spelling unchanged."""
-    if duck:
-        d = f"round({_norm2('c.ce', duck)} - 2 * {_dot('v.e', 'c.ce', duck)}, 6)"
-        return f"""(
+    r10 measured non-change (guide §1.1 — empirical beats
+    first-principles): a rewrite of the Spark side to unrolled 64-term
+    dot products plus a `min_by(c, struct(dist, c))` partial-agg argmin
+    (shuffle rows instead of rows×K) was built, gate-checked
+    hash-identical, and A/B-measured against this spelling with
+    interleaved fresh-JVM rounds: q_semantic_dedup read 5.1–5.8 s wall /
+    ~3.8 s CPU per run with the rewrite vs 3.4–3.7 s wall / ~3.1 s CPU
+    here (steal < 0.4% windows). With K=16 the rows×K window never
+    dominates at this K, while the 16×64-term codegen'd distance
+    projection costs more CPU than the interpreted fold it replaced, so
+    the rewrite was reverted. At a K where rows×K shuffle bytes matter
+    (SemDeDup's K≈11k), the min_by spelling is the one to re-try."""
+    d = f"round({_norm2('c.ce', duck)} - 2 * {_dot('v.e', 'c.ce', duck)}, 6)"
+    return f"""(
       SELECT vec_id, e, c FROM (
         SELECT v.vec_id, v.e, c.c,
                row_number() OVER (PARTITION BY v.vec_id ORDER BY {d}, c.c) AS rn
         FROM {src} v CROSS JOIN {cents} c) t
       WHERE rn = 1)"""
-    d = f"round(c.cn2 - 2 * {_dot('v.e', 'c.ce', duck)}, 6)"
-    return f"""(
-      SELECT v.vec_id, any_value(v.e) AS e, min_by(c.c, struct({d}, c.c)) AS c
-      FROM {src} v CROSS JOIN
-           (SELECT c, ce, {_norm2('ce', duck)} AS cn2 FROM {cents}) c
-      GROUP BY v.vec_id)"""
 
 
 def _recompute(assign: str, duck: bool) -> str:
@@ -410,6 +401,7 @@ def _merge_kmeans(batch_df: DataFrame, cent_path: str, snap: str,
                   batch_id: int) -> None:
     import os
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..operators.cdc import _snapshot_applied
@@ -418,18 +410,21 @@ def _merge_kmeans(batch_df: DataFrame, cent_path: str, snap: str,
         return
     sess = batch_df.sparkSession
     cents = sess.read.parquet(cent_path)
-    # r10: same argmin rewrite as _assign(duck=False) — unrolled
-    # codegen'd distance (bit-identical to the fold; see _dot) and
-    # min_by partial aggregation instead of a rows×K window sort
-    cents = cents.withColumn("cn2", F.expr(_norm2("ce", False)))
-    dist = f"round(cn2 - 2 * {_dot('e', 'ce', False)}, 6)"
+    dist = (
+        "round(aggregate(transform(ce, x -> x * x), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v) - 2 * aggregate(zip_with(e, ce, "
+        "(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+    )
     assigned = (
         batch_df.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.expr(f"min_by(c, struct({dist}, c))").alias("c"),
-            F.expr("any_value(e)").alias("e"),
+        .withColumn("dist", F.expr(dist))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("dist", "c")
+            ),
         )
+        .filter("rn = 1")
         .select("c", "e")
     )
     partial = (

@@ -1318,66 +1318,23 @@ def _containment_sql(duck: bool) -> str:
 def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N87: containment-coefficient near-dup (excerpt-in-document).
 
-    r10 staging (guide §2.4): in the inline spelling both `shf` (the
-    shingle pipeline) and `grams` (the anchor-gram explode + DISTINCT)
-    are referenced twice — Spark expands each reference, re-running
-    tokenization, the shingle fold and the gram explode per join side
-    (48 document scans / 16 exchanges in one plan,
-    plans/r10/q_containment_dedup_before.txt). The two frames are
-    materialized once each; the candidate and verify joins then read
-    staged rows. Same CTE text, same rows — the oracle is unchanged."""
-    k = SUBSTR_K
-    from ..checkpoints import scoped_checkpoint
-
+    r10 measured non-change (guide §1.1, the q_pagerank lesson): the
+    textual plan expands `shf` and `grams` per join-side reference (48
+    document scans / 16 Exchanges,
+    plans/r10/q_containment_dedup_before.txt), so a staged spelling
+    (both frames scoped_checkpoint'ed once) was built and gate-checked.
+    Interleaved fresh-JVM A/B in steal-quiet windows read the staged
+    version SLOWER: 2.2–2.9 s wall / ~19–20 s CPU per 4 runs vs
+    1.9–2.2 s / ~18 s inline. Both duplicated subtrees are IDENTICAL
+    across their references (a self-join and a two-sided read of one
+    frame), which is exactly the case AQE's ReusedExchange dedups at
+    runtime — the runtime plan computes each subtree once and the
+    staging only added two serialized checkpoint actions plus
+    non-codegen block-manager scans. Inline spelling kept; the staging
+    recipe stays the right one when the referenced subtrees are NOT
+    identical (see er_links/kcore, where it halves real CPU)."""
     doc_corpus(spark, sf_dir).createOrReplaceTempView("corpus")
-    tk = f"""
-    ccorp AS ({_contain_corpus(duck=False)}),
-    tk AS (SELECT doc_id, text, {T.TOKS_SPARK} AS toks FROM ccorp)"""
-    shf = scoped_checkpoint(
-        spark.sql(
-            f"""
-            WITH {tk}
-            SELECT doc_id, sh, size(sh) AS n_sh
-            FROM (SELECT doc_id, text, {T.shingle_ints_spark('th', 'text')} AS sh
-                  FROM (SELECT doc_id, text, {T.token_ints_spark('toks')} AS th,
-                               toks FROM tk) h)
-            """
-        ),
-        "contain_shf",
-    )
-    shf.createOrReplaceTempView("contain_shf_v")
-    grams = scoped_checkpoint(
-        spark.sql(
-            f"""
-            WITH {tk}
-            SELECT DISTINCT doc_id, md5(concat_ws(' ', slice(toks, i, {k}))) AS g
-            FROM tk LATERAL VIEW explode(slice(sequence(1, size(toks)), 1,
-              greatest(size(toks) - {k - 1}, 0))) t AS i
-            """
-        ),
-        "contain_grams",
-    )
-    grams.createOrReplaceTempView("contain_grams_v")
-    return spark.sql(
-        f"""
-        WITH cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                      FROM contain_grams_v a JOIN contain_grams_v b
-                        ON a.g = b.g AND a.doc_id < b.doc_id),
-        scored AS (
-          SELECT /*+ SHUFFLE_HASH(a, b) */ c.doc_a, c.doc_b,
-                 size(array_intersect(a.sh, b.sh)) AS n_int,
-                 a.n_sh AS n_a, b.n_sh AS n_b
-          FROM cand c JOIN contain_shf_v a ON a.doc_id = c.doc_a
-                      JOIN contain_shf_v b ON b.doc_id = c.doc_b)
-        SELECT doc_a, doc_b,
-               round(n_int / CAST(n_a AS DOUBLE), 4) AS containment_a_in_b,
-               round(n_int / CAST(n_b AS DOUBLE), 4) AS containment_b_in_a,
-               round(n_int / CAST(n_a + n_b - n_int AS DOUBLE), 4) AS jaccard
-        FROM scored
-        WHERE greatest(n_int / CAST(n_a AS DOUBLE),
-                       n_int / CAST(n_b AS DOUBLE)) >= {CONTAIN_TAU}
-        """
-    )
+    return spark.sql("WITH " + _containment_sql(duck=False))
 
 
 def containment_dedup_oracle() -> str:
