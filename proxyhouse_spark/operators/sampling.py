@@ -406,7 +406,17 @@ def _inc_partial(pred: str, trunc: str) -> str:
     return f"""(
       SELECT event_type, {trunc} AS day,
              CAST(count(*) AS BIGINT) AS n,
-             sum(value) AS total,
+             -- partials carry EXACT integer cents (the fixture value
+             -- domain is the cents grid), so merge(state, delta) equals
+             -- the one-shot recompute EXACTLY — float-sum partials are
+             -- only associative up to ulp error, and the derived
+             -- avg_value then sits half an ulp from a round() boundary
+             -- that Spark (shortest-repr BigDecimal rounding) and
+             -- DuckDB (binary rounding) resolve differently (r10: the
+             -- sf0.001 signup/2024-01-18 group hit avg = 30703/800 =
+             -- 38.37875 exactly and the engines split 38.3788/38.3787).
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
              round(min(value), 2) AS vmin,
              round(max(value), 2) AS vmax
       FROM events WHERE {pred} GROUP BY event_type, {trunc})"""
@@ -415,25 +425,27 @@ def _inc_partial(pred: str, trunc: str) -> str:
 def _inc_sql(trunc: str, split_lit: str) -> str:
     state = _inc_partial(f"ts < {split_lit}", trunc)
     delta = _inc_partial(f"ts >= {split_lit}", trunc)
+    # avg_value = cents/(100·n) rounded HALF-UP to 4 decimals, computed
+    # with the mod-subtract exact division (tv_distance pattern): with
+    # b = 200·cents + n and d = 2·n, (b - b%d)/d is the exact half-up
+    # integer of 10^4·avg (value domain nonnegative), and the final
+    # /10000.0 renders it as the same double on both engines.
+    b = "(200 * cents + n)"
+    d = "(2 * n)"
     return f"""
     WITH state AS {state},
     delta AS {delta},
     merged AS (
       SELECT event_type, day,
              CAST(sum(n) AS BIGINT) AS n,
-             -- partials carry RAW sums; round once after the merge.
-             -- Rounding inside partials loses sub-cent residue and the
-             -- merged total drifts from the one-shot recompute — the
-             -- incremental-maintenance bug the oracle exists to catch.
-             -- (min/max commute with rounding — monotone — so those may
-             -- be rounded early.)
-             round(sum(total), 2) AS total,
+             CAST(sum(cents) AS BIGINT) AS cents,
              round(min(vmin), 2) AS vmin,
              round(max(vmax), 2) AS vmax
       FROM (SELECT * FROM state UNION ALL SELECT * FROM delta) u
       GROUP BY event_type, day)
-    SELECT event_type, day, n, total, vmin, vmax,
-           round(total / n, 4) AS avg_value
+    SELECT event_type, day, n,
+           CAST(cents AS DOUBLE) / 100 AS total, vmin, vmax,
+           ({b} - {b} % {d}) / {d} / 10000.0 AS avg_value
     FROM merged
     """
 
@@ -451,18 +463,25 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_rollup_oracle() -> str:
     # one-shot recompute over ALL rows — merge(state, delta) must equal it
     # (DuckDB date_trunc('day') yields DATE; cast to TIMESTAMP to match
-    # Spark's NTZ day column)
+    # Spark's NTZ day column). Carries the same exact-cents arithmetic as
+    # the merged path: total and avg_value derive from the integer cents
+    # sum, and avg_value is the mod-subtract exact half-up of
+    # cents/(100·n) at 4 decimals — see _inc_sql.
     trunc = "CAST(date_trunc('day', ts) AS TIMESTAMP)"
+    b = "(200 * cents + n)"
+    d = "(2 * n)"
     return f"""
     WITH full_agg AS (
       SELECT event_type, {trunc} AS day,
              CAST(count(*) AS BIGINT) AS n,
-             round(sum(value), 2) AS total,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
              round(min(value), 2) AS vmin,
              round(max(value), 2) AS vmax
       FROM events GROUP BY event_type, {trunc})
-    SELECT event_type, day, n, total, vmin, vmax,
-           round(total / n, 4) AS avg_value
+    SELECT event_type, day, n,
+           CAST(cents AS DOUBLE) / 100 AS total, vmin, vmax,
+           ({b} - {b} % {d}) / {d} / 10000.0 AS avg_value
     FROM full_agg
     """
 
