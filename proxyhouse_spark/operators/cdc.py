@@ -694,9 +694,11 @@ def stream_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # run without ever re-reading a document). Per-batch cost is genuinely
 # incremental: the index is APPEND-ONLY (each batch adds its own
 # sketches — no snapshot rewrite), and the verify join's sketch sides
-# are semi-join-restricted to the candidate doc ids first, so the wide
-# shingle arrays shuffled per batch are bounded by band collisions, not
-# index size. Pair emission is append-only with a distinct on read, so
+# are restricted to the candidate doc ids first via a BROADCAST
+# semi-join, so the wide shingle arrays shuffled per batch are bounded
+# by band collisions, not index size (r10: the restriction used to be a
+# SHUFFLE_HASH semi-join below a whole-index doc_id dedup, which still
+# shuffled every index row per batch). Pair emission is append-only with a distinct on read, so
 # at-least-once replay of a batch is harmless; the batch-id fence
 # skips exact same-batch replays, and cross-restart re-delivery of a
 # doc is deduped by doc_id on index read.
@@ -727,13 +729,20 @@ def _merge_minhash(
     batch_sig, batch_bands = _sketch_frames(
         batch_df.select("doc_id", "text"), [], [], "strmh"
     )
-    # keyed on read: a cross-restart re-delivery (new batch id, so the
-    # fence doesn't catch it) appended a duplicate sketch — identical by
-    # construction, so any winner is correct
-    index_sig = _snapshot_read(spark, snap, sig_schema).dropDuplicates(["doc_id"])
+    # RAW index read — dedup is deferred until after the candidate
+    # restriction below. The old spelling dropDuplicates(["doc_id"])-ed
+    # here, which physically shuffled the ENTIRE index — wide shingle
+    # arrays included — once per batch (the Deduplicate exchange keys on
+    # doc_id and carries every column), i.e. O(index) per batch, the
+    # exact cost this operator's contract says it avoids. A
+    # cross-restart duplicate sketch row is identical by construction,
+    # so: its band rows are identical (absorbed by the candidate
+    # DISTINCT), and any winner is correct wherever a dedup does run.
+    index_sig = _snapshot_read(spark, snap, sig_schema)
     # the index probe goes through the SAME band_explode as the batch
     # side — one copy of the band layout, so a band-count change can
-    # never desync the probe from the stored index
+    # never desync the probe from the stored index; only the narrow
+    # (doc_id, m0..m7) columns are read for it (parquet column pruning)
     index_bands = band_explode(
         index_sig.select("doc_id", *[f"m{s}" for s in range(T.N_HASHES)])
     )
@@ -756,20 +765,26 @@ def _merge_minhash(
         .distinct()
     )
     # verify sides restricted to candidate docs BEFORE the wide shingle
-    # arrays shuffle: without the semi-joins each batch would shuffle
-    # the ENTIRE index's shingles twice — O(corpus) per batch, exactly
-    # what the incremental pattern exists to avoid
+    # arrays shuffle — and the restriction itself is a BROADCAST
+    # semi-join (guide §3.1: broadcast the bounded side instead of
+    # shuffling the big one). The candidate id list is bounded by band
+    # collisions, not index size, so it broadcasts safely; the old
+    # SHUFFLE_HASH semi-joins moved every index row (wide sh arrays
+    # included) through a doc_id exchange per batch. The doc_id dedup
+    # (cross-restart re-delivery: identical rows, any winner) now runs
+    # on the restricted survivors only — O(candidates), not O(index).
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     sketches = index_sig.unionByName(batch_sig.select(index_sig.columns))
-    x = sketches.hint("shuffle_hash").join(
-        cands.select(F.col("doc_a").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
-    ).selectExpr("doc_id AS doc_a", "sh AS sh_a", "n_sh AS na")
-    y = sketches.hint("shuffle_hash").join(
-        cands.select(F.col("doc_b").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_semi",
-    ).selectExpr("doc_id AS doc_b", "sh AS sh_b", "n_sh AS nb")
+    restricted = (
+        sketches.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .dropDuplicates(["doc_id"])
+    )
+    x = restricted.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n_sh AS na")
+    y = restricted.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n_sh AS nb")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     verified = (
