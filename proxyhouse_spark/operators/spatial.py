@@ -271,8 +271,9 @@ def morans_i_oracle() -> str:
 # hash-match the one-shot batch q_spatial_join (checked against its
 # oracle VERBATIM through the differential gate). Pair emission is
 # append-only with a distinct on read, the batch-id fence absorbs
-# same-batch replays, and a cross-restart re-delivered point is deduped
-# by id on index read — the geometry is idempotent throughout.
+# same-batch replays, and a cross-restart re-delivered point's duplicate
+# index row yields only duplicate candidate hits, which the pair
+# DISTINCT collapses — the geometry is idempotent throughout.
 # ---------------------------------------------------------------------------
 
 
@@ -289,9 +290,13 @@ def _merge_spatial(
     pairs_dir = os.path.join(base_dir, "pairs")
     if _snapshot_applied(snap, batch_id):
         return
-    index = _snapshot_read(
-        spark, snap, "id bigint, x bigint, y bigint"
-    ).dropDuplicates(["id"])
+    # RAW index read — no per-batch dedup. The old dropDuplicates(["id"])
+    # here shuffled the whole index through an id exchange every batch,
+    # O(index) where the contract promises O(batch); a cross-restart
+    # re-delivered point's duplicate row is identical by construction,
+    # so its duplicate hits collapse in the pair DISTINCT below and the
+    # emitted set is unchanged (r10, the _merge_minhash finding).
+    index = _snapshot_read(spark, snap, "id bigint, x bigint, y bigint")
     build = index.unionByName(batch_df.select("id", "x", "y"))
     cell = build.select(
         "id", "x", "y",
