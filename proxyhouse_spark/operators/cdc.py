@@ -773,10 +773,11 @@ def _merge_minhash(
     # included) through a doc_id exchange per batch. The doc_id dedup
     # (cross-restart re-delivery: identical rows, any winner) now runs
     # on the restricted survivors only — O(candidates), not O(index).
-    cand_ids = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .union(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # no DISTINCT on the id list: the broadcast hash relation dedups its
+    # build side inherently, and the semi-join semantics don't care —
+    # skipping it removes one shuffle + two AQE stages per batch
+    cand_ids = cands.select(F.col("doc_a").alias("doc_id")).union(
+        cands.select(F.col("doc_b").alias("doc_id"))
     )
     sketches = index_sig.unionByName(batch_sig.select(index_sig.columns))
     restricted = (
@@ -801,8 +802,17 @@ def _merge_minhash(
     # a rewrite of the accumulated snapshot (O(batch), not O(corpus));
     # the batch marker makes the append idempotent under same-batch-id
     # replay. Underscore-prefixed marker files are invisible to the
-    # parquet reader.
-    batch_sig.select(index_sig.columns).write.mode("append").parquet(snap)
+    # parquet reader. coalesce(8) bounds the files-per-append: the
+    # sketch frame carries the builder's 64-way repartition, and 64 tiny
+    # files per batch is the small-files growth mode (guide §6) — the
+    # snapshot would hold batches×64 files; batch_sig is already
+    # materialized (localCheckpoint), so the coalesce is a narrow block
+    # concat, not a parallelism loss in the sketch compute. A production
+    # deployment sizes this by bytes (maxRecordsPerFile / target file
+    # size); 8 keeps gate-scale appends one-file-per-core-group.
+    batch_sig.select(index_sig.columns).coalesce(8).write.mode(
+        "append"
+    ).parquet(snap)
     open(os.path.join(snap, f"_applied_{batch_id}"), "w").close()
     from ..checkpoints import release_scope
 
