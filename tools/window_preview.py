@@ -29,7 +29,7 @@ def main() -> int:
     from proxyhouse_spark.registry import _gate_results
 
     keys = list(entrymod.queries())
-    passed, failed = _gate_results()
+    passed, failed, _latest = _gate_results()
     sampled = passed | set(failed)
 
     window = keys[: args.n]
