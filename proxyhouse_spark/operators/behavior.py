@@ -960,6 +960,12 @@ _TRIANGLES = """
     """
 
 
+#: test hook: force the unpacked (wide-key) wedge spelling so the
+#: fallback branch — unreachable on fixtures whose ids fit 31 bits —
+#: stays covered by an equality test against the packed path.
+_TRI_FORCE_UNPACKED = False
+
+
 def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N88: degree-oriented distributed triangle count + clustering coeff.
 
@@ -996,19 +1002,68 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs p JOIN deg du ON du.n = p.u JOIN deg dv ON dv.n = p.v
         """
     )
-    scoped_checkpoint(oriented, "tri_oriented").createOrReplaceTempView(
-        "oriented_v"
+    oriented = scoped_checkpoint(oriented, "tri_oriented")
+    oriented.createOrReplaceTempView("oriented_v")
+    # r11 (guide §2.3 "aggregate before you shuffle" + "narrower types",
+    # VERDICT r10 #2): the closure join used to ship EVERY wedge row
+    # (o1.dst, o2.dst) through the exchange into the o3 probe. Wedges
+    # that share an endpoint pair close through the SAME third edge, so
+    # they are counted per (v1, v2) FIRST — a codegen'd HashAggregate
+    # with map-side partials — and only the distinct endpoint pairs
+    # cross the exchange, each carrying a count. Triangles = Σ cnt over
+    # pairs that are themselves oriented edges (same triple set: the
+    # group-by merely reassociates count(*) over the o3 equi-join).
+    #
+    # Key narrowing is a CHECKED runtime choice, not a constant: one
+    # scalar max over the staged (already materialized) frame decides
+    # whether (dd, dst) and (v1, v2) pack into single BIGINT keys —
+    # ordering predicate and closure probe each become ONE 8-byte
+    # comparison instead of two-column logic, and the shuffled wedge
+    # row is (src, p) / (pk, cnt) instead of 3 columns. Ids or degrees
+    # >= 2^31 fall back to the unpacked spelling (identical algebra,
+    # two-column keys) — the scale assumption is checked, never silent.
+    b = oriented.selectExpr(
+        "max(greatest(src, dst)) AS mx", "max(dd) AS md"
+    ).first()
+    packable = (
+        not _TRI_FORCE_UNPACKED
+        and b.mx is not None
+        and b.mx < 2**31
+        and b.md < 2**31
     )
-    return spark.sql(
-        """
-        WITH tri AS (
-          SELECT /*+ SHUFFLE_HASH(o1, o2, o3) */
-                 CAST(count(*) AS BIGINT) AS n_triangles
-          FROM oriented_v o1
-          JOIN oriented_v o2
+    if packable:
+        wedge = """
+        o AS (SELECT src, dd * 4294967296 + dst AS p FROM oriented_v),
+        w AS (
+          SELECT /*+ SHUFFLE_HASH(o1, o2) */
+                 (o1.p % 4294967296) * 4294967296 + (o2.p % 4294967296)
+                   AS pk,
+                 count(*) AS cnt
+          FROM o o1 JOIN o o2 ON o2.src = o1.src AND o1.p < o2.p
+          GROUP BY (o1.p % 4294967296) * 4294967296
+                   + (o2.p % 4294967296)),
+        e3 AS (SELECT src * 4294967296 + dst AS pk FROM oriented_v),
+        tri AS (
+          SELECT /*+ SHUFFLE_HASH(w, e3) */
+                 CAST(coalesce(sum(w.cnt), 0) AS BIGINT) AS n_triangles
+          FROM w JOIN e3 ON e3.pk = w.pk)"""
+    else:
+        wedge = """
+        w AS (
+          SELECT /*+ SHUFFLE_HASH(o1, o2) */
+                 o1.dst AS v1, o2.dst AS v2, count(*) AS cnt
+          FROM oriented_v o1 JOIN oriented_v o2
             ON o2.src = o1.src
                AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
-          JOIN oriented_v o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
+          GROUP BY o1.dst, o2.dst),
+        tri AS (
+          SELECT /*+ SHUFFLE_HASH(w, o3) */
+                 CAST(coalesce(sum(w.cnt), 0) AS BIGINT) AS n_triangles
+          FROM w JOIN oriented_v o3
+            ON o3.src = w.v1 AND o3.dst = w.v2)"""
+    return spark.sql(
+        f"""
+        WITH {wedge},
         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
                   SELECT src AS n FROM oriented_v
                   UNION ALL SELECT dst AS n FROM oriented_v) e GROUP BY n),
@@ -1352,6 +1407,8 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     four count(*) scalar subqueries over already-materialized tiny
     frames. Round-0's degree frame also feeds the threshold directly
     (the old spelling re-folded degrees a second time for kk)."""
+    import os
+
     from ..checkpoints import scoped_checkpoint
 
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -1360,40 +1417,99 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = scoped_checkpoint(edges, "kcore_e0")
     edges.createOrReplaceTempView("kcore_edges_0")
-
-    def _deg(r: int):
-        d = spark.sql(
-            f"""
-            SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
-              SELECT u AS n FROM kcore_edges_{r}
-              UNION ALL SELECT v AS n FROM kcore_edges_{r}) x GROUP BY n
-            """
-        )
-        d = scoped_checkpoint(d, f"kcore_d{r}")
-        d.createOrReplaceTempView(f"kcore_deg_{r}")
-
-    _deg(0)
-    # the 1-row threshold frame is referenced by every round's filter AND
-    # every summary row (~7 plan references); checkpointing it once turns
-    # those into constant-frame reads instead of repeated degree folds
-    kk = spark.sql(
-        "SELECT CAST((sum(d) * 4) div (count(*) * 5) AS BIGINT) AS k "
-        "FROM kcore_deg_0"
+    # r11 (guide §1.2/§5, VERDICT r10 #3): the fixpoint was DRIVER-ACTION
+    # bound (8 cores beat 32 at sf0.1, ratio 0.38 — scheduling, not
+    # dataflow), at 9 sequential materializations per run. Each round's
+    # surviving edges and their degree fold now ride ONE tagged union
+    # frame through a single scoped_checkpoint (and round 0 folds the
+    # 1-row threshold into the same frame): 9 actions -> 5. The degree
+    # branch re-derives the edge subtree TEXTUALLY, but both branches
+    # canonicalize to the same exchanges, so AQE's ReusedExchange feeds
+    # the fold from the edge branch's shuffle — no second pass over the
+    # predecessor round (verified in plans/r11/q_kcore_after.txt).
+    # SPARK_GRAFT_KCORE_SPLIT=1 restores the 2-actions-per-round shape
+    # (kept for A/B; the union spelling measured equal-or-faster).
+    split = os.environ.get("SPARK_GRAFT_KCORE_SPLIT") == "1"
+    deg_sql = (
+        "SELECT n, CAST(count(*) AS BIGINT) AS d FROM ("
+        "SELECT u AS n FROM {e} UNION ALL SELECT v AS n FROM {e}) x "
+        "GROUP BY n"
     )
-    kk = scoped_checkpoint(kk, "kcore_kk")
-    kk.createOrReplaceTempView("kcore_kk")
-    for r in range(3):
-        nxt = spark.sql(
-            f"""
-            WITH keep AS (SELECT n FROM kcore_deg_{r}, kcore_kk
-                          WHERE d >= kcore_kk.k)
-            SELECT u, v FROM kcore_edges_{r}
-            WHERE u IN (SELECT n FROM keep) AND v IN (SELECT n FROM keep)
-            """
+
+    def _publish(r: int, frame) -> None:
+        """Expose one round's tagged frame as edge/degree views."""
+        frame.createOrReplaceTempView(f"kcore_t_{r}")
+        spark.sql(
+            f"SELECT a AS u, b AS v FROM kcore_t_{r} WHERE tag = 0"
+        ).createOrReplaceTempView(f"kcore_edges_{r}" if r else "_unused_e0")
+        spark.sql(
+            f"SELECT a AS n, b AS d FROM kcore_t_{r} WHERE tag = 1"
+        ).createOrReplaceTempView(f"kcore_deg_{r}")
+
+    if split:
+        d0 = scoped_checkpoint(
+            spark.sql(deg_sql.format(e="kcore_edges_0")), "kcore_d0"
         )
-        nxt = scoped_checkpoint(nxt, f"kcore_e{r + 1}")
-        nxt.createOrReplaceTempView(f"kcore_edges_{r + 1}")
-        _deg(r + 1)
+        d0.createOrReplaceTempView("kcore_deg_0")
+        kk = scoped_checkpoint(
+            spark.sql(
+                "SELECT CAST((sum(d) * 4) div (count(*) * 5) AS BIGINT) "
+                "AS k FROM kcore_deg_0"
+            ),
+            "kcore_kk",
+        )
+        kk.createOrReplaceTempView("kcore_kk")
+    else:
+        dk0 = scoped_checkpoint(
+            spark.sql(
+                f"""
+                WITH d AS ({deg_sql.format(e="kcore_edges_0")})
+                SELECT 1 AS tag, n AS a, d AS b FROM d
+                UNION ALL
+                SELECT 2 AS tag,
+                       CAST((sum(d) * 4) div (count(*) * 5) AS BIGINT) AS a,
+                       CAST(NULL AS BIGINT) AS b
+                FROM d
+                """
+            ),
+            "kcore_dk0",
+        )
+        _publish(0, dk0)
+        spark.sql(
+            "SELECT a AS k FROM kcore_t_0 WHERE tag = 2"
+        ).createOrReplaceTempView("kcore_kk")
+    for r in range(3):
+        peel = f"""
+            WITH keep AS (SELECT n FROM kcore_deg_{r}, kcore_kk
+                          WHERE d >= kcore_kk.k),
+            e AS (SELECT u, v FROM kcore_edges_{r}
+                  WHERE u IN (SELECT n FROM keep)
+                    AND v IN (SELECT n FROM keep))
+            """
+        if split:
+            nxt = scoped_checkpoint(
+                spark.sql(peel + "SELECT u, v FROM e"), f"kcore_e{r + 1}"
+            )
+            nxt.createOrReplaceTempView(f"kcore_edges_{r + 1}")
+            d = scoped_checkpoint(
+                spark.sql(deg_sql.format(e=f"kcore_edges_{r + 1}")),
+                f"kcore_d{r + 1}",
+            )
+            d.createOrReplaceTempView(f"kcore_deg_{r + 1}")
+        else:
+            ed = scoped_checkpoint(
+                spark.sql(
+                    peel
+                    + f"""
+                    SELECT 0 AS tag, u AS a, v AS b FROM e
+                    UNION ALL
+                    SELECT 1 AS tag, n AS a, d AS b
+                    FROM ({deg_sql.format(e="e")}) dd
+                    """
+                ),
+                f"kcore_ed{r + 1}",
+            )
+            _publish(r + 1, ed)
     rounds = []
     for r in range(4):
         rounds.append(

@@ -698,11 +698,25 @@ def stream_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semi-join, so the wide shingle arrays shuffled per batch are bounded
 # by band collisions, not index size (r10: the restriction used to be a
 # SHUFFLE_HASH semi-join below a whole-index doc_id dedup, which still
-# shuffled every index row per batch). Pair emission is append-only with a distinct on read, so
-# at-least-once replay of a batch is harmless; the batch-id fence
-# skips exact same-batch replays, and cross-restart re-delivery of a
-# doc is deduped by doc_id on index read.
+# shuffled every index row per batch). Pair emission is append-only
+# with a distinct on read, so at-least-once replay of a batch is
+# harmless; the batch-id fence skips exact same-batch replays. A
+# cross-restart re-delivery of a doc leaves a duplicate sketch row in
+# the append-only index, which is read RAW (no whole-index dedup): the
+# duplicate's band rows collapse in the candidate DISTINCT, and the
+# doc_id dedup runs only on the candidate-restricted verify survivors,
+# where any winner among identical rows is correct.
 # ---------------------------------------------------------------------------
+
+
+#: broadcast ceiling for the per-batch candidate PAIR frame (ADVICE r10
+#: #2): below it the verify restriction and probe broadcast (two BIGINTs
+#: per pair — 2M pairs ≈ 32 MB framed, far under the 8 GB relation cap);
+#: at or above it a pathological hot band degrades gracefully to the
+#: r10 shuffle-hash shape instead of pulling an unbounded list through
+#: the driver. The count is free: it runs over the just-materialized
+#: candidate blocks.
+_MERGE_BROADCAST_CAP = 2_000_000
 
 
 def _merge_minhash(
@@ -727,7 +741,8 @@ def _merge_minhash(
     # generation (checkpoints.py contract — the prior sketch is dead
     # once its pairs and index rows are persisted below)
     batch_sig, batch_bands = _sketch_frames(
-        batch_df.select("doc_id", "text"), [], [], "strmh"
+        batch_df.select("doc_id", "text"), [], [], "strmh",
+        narrow_checkpoint=False,
     )
     # RAW index read — dedup is deferred until after the candidate
     # restriction below. The old spelling dropDuplicates(["doc_id"])-ed
@@ -764,40 +779,65 @@ def _merge_minhash(
         )
         .distinct()
     )
+    # r11: the candidate pair frame is MATERIALIZED once (scoped
+    # localCheckpoint). The band join fed THREE plan references (both
+    # cand_ids branches + the verify probe), each re-planned per batch;
+    # materializing it collapses them into cached-block scans, makes the
+    # two candidate broadcasts below build from local blocks, and makes
+    # the ADVICE r10 size guard free: one count over materialized blocks
+    # decides broadcast vs shuffle, so a pathological hot band can never
+    # pull an unbounded id list through the driver (the old spelling
+    # broadcast unconditionally).
+    from ..checkpoints import scoped_checkpoint
+
+    cands = scoped_checkpoint(cands, "strmh_cands")
+    small = cands.count() <= _MERGE_BROADCAST_CAP
     # verify sides restricted to candidate docs BEFORE the wide shingle
-    # arrays shuffle — and the restriction itself is a BROADCAST
-    # semi-join (guide §3.1: broadcast the bounded side instead of
-    # shuffling the big one). The candidate id list is bounded by band
-    # collisions, not index size, so it broadcasts safely; the old
-    # SHUFFLE_HASH semi-joins moved every index row (wide sh arrays
-    # included) through a doc_id exchange per batch. The doc_id dedup
-    # (cross-restart re-delivery: identical rows, any winner) now runs
-    # on the restricted survivors only — O(candidates), not O(index).
-    # no DISTINCT on the id list: the broadcast hash relation dedups its
-    # build side inherently, and the semi-join semantics don't care —
-    # skipping it removes one shuffle + two AQE stages per batch
-    cand_ids = cands.select(F.col("doc_a").alias("doc_id")).union(
-        cands.select(F.col("doc_b").alias("doc_id"))
+    # arrays shuffle — the restriction is a BROADCAST semi-join (guide
+    # §3.1: broadcast the bounded side instead of shuffling the big
+    # one): the candidate id list is bounded by band collisions, not
+    # index size (the old SHUFFLE_HASH semi-joins moved every index row,
+    # wide sh arrays included, through a doc_id exchange per batch). The
+    # doc_id dedup (cross-restart re-delivery: identical rows, any
+    # winner) runs on the restricted survivors only — O(candidates).
+    # cand_ids via ONE explode projection (r11) instead of a 2-branch
+    # union — half the scans of the candidate frame; no DISTINCT: the
+    # broadcast hash relation dedups its build side inherently.
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
+    if small:
+        cand_ids = F.broadcast(cand_ids)
     sketches = index_sig.unionByName(batch_sig.select(index_sig.columns))
     restricted = (
-        sketches.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        sketches.join(cand_ids, "doc_id", "left_semi")
         .dropDuplicates(["doc_id"])
     )
     x = restricted.selectExpr("doc_id AS doc_a", "sh AS sh_a", "n_sh AS na")
     y = restricted.selectExpr("doc_id AS doc_b", "sh AS sh_b", "n_sh AS nb")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    # r11 (measured /tmp A/B, quiet windows): the verify probe
+    # BROADCASTS the materialized candidate pairs into both sketch-side
+    # joins — the restricted sketch frames stream through two
+    # BroadcastHashJoins with no exchange at all (the old SHUFFLE_HASH
+    # spelling shuffled cands + both restricted sides by doc id per
+    # batch). Merge wall 2.29/1.76 s -> 1.86/1.35 s per batch pair.
+    # Above the cap every broadcast degrades to the old shuffle shape.
+    if small:
+        pair_sets = F.broadcast(cands).join(x, "doc_a").join(y, "doc_b")
+    else:
+        pair_sets = (
+            cands.hint("shuffle_hash")
+            .join(x, "doc_a")
+            .hint("shuffle_hash")
+            .join(y, "doc_b")
+        )
     verified = (
-        cands.hint("shuffle_hash")
-        .join(x, "doc_a")
-        .hint("shuffle_hash")
-        .join(y, "doc_b")
-        .withColumn("jac", jac)
+        pair_sets.withColumn("jac", jac)
         .filter(F.col("jac") >= JAC_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )
-    verified.write.mode("append").parquet(pairs_dir)
     # APPEND-ONLY index: the batch writes only its own sketches — never
     # a rewrite of the accumulated snapshot (O(batch), not O(corpus));
     # the batch marker makes the append idempotent under same-batch-id
@@ -810,14 +850,32 @@ def _merge_minhash(
     # concat, not a parallelism loss in the sketch compute. A production
     # deployment sizes this by bytes (maxRecordsPerFile / target file
     # size); 8 keeps gate-scale appends one-file-per-core-group.
-    batch_sig.select(index_sig.columns).coalesce(8).write.mode(
-        "append"
-    ).parquet(snap)
+    #
+    # r11 (guide §2.6 "overlap independent jobs"): the pair write and
+    # the index append are independent once the candidate frame and the
+    # batch sketches are materialized (both above), so they run as two
+    # concurrent jobs from a 2-thread pool — the append's 8 tasks
+    # back-fill executors the verify plan's tail leaves idle. Ordering
+    # stays correct: the _applied marker lands only after BOTH jobs
+    # return (a crash mid-merge replays the batch, exactly as before).
+    from concurrent.futures import ThreadPoolExecutor
+
+    index_rows = batch_sig.select(index_sig.columns).coalesce(8)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            lambda: verified.write.mode("append").parquet(pairs_dir)
+        )
+        f2 = pool.submit(
+            lambda: index_rows.write.mode("append").parquet(snap)
+        )
+        f1.result()
+        f2.result()
     open(os.path.join(snap, f"_applied_{batch_id}"), "w").close()
     from ..checkpoints import release_scope
 
     release_scope(spark, "strmh_sig")
     release_scope(spark, "strmh_sig_narrow")
+    release_scope(spark, "strmh_cands")
 
 
 @_oracle_stream_conf

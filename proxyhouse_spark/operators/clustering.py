@@ -415,6 +415,16 @@ def _merge_kmeans(batch_df: DataFrame, cent_path: str, snap: str,
         "(acc, v) -> acc + v) - 2 * aggregate(zip_with(e, ce, "
         "(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)"
     )
+    # r11 measured-and-REVERTED (guide §1.1): a map-side
+    # min(struct(dist, c, e)) argmin — K candidates collapsing to one
+    # row per vector before the vec_id exchange, no sort — was built,
+    # gate-checked, and probed SLOWER than this window (pass wall
+    # 0.77/0.74 s window vs 0.93/0.86 s agg at sf0.1, quiet windows):
+    # a min() whose buffer carries the 64-double array loses codegen
+    # (object aggregation) and copies the array on every buffer update,
+    # costing more than shuffling the K narrow-ish candidate rows. The
+    # third k-means argmin variant rejected by measurement (r10:
+    # unrolled dots, min_by; r11: struct-min) — the window stays.
     assigned = (
         batch_df.crossJoin(F.broadcast(cents))
         .withColumn("dist", F.expr(dist))
@@ -467,6 +477,14 @@ def stream_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = os.path.join(base, "partials")
     ckpt = os.path.join(base, "ckpt")
     table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    # r11 measured-and-REVERTED (guide §1.1): staging this projection
+    # once via scoped_checkpoint (it feeds the quantizer write, both
+    # source-half writes, and the report's embc view) probed SLOWER at
+    # sf0.1 in quiet windows — passes 0.77/0.71 s inline vs 0.96/0.93 s
+    # staged: the embeddings scan is a cheap columnar read and the
+    # materialization action plus non-codegen block scans cost more
+    # than the three saved re-derivations. Same lesson as the r10
+    # containment/pagerank staging reverts.
     corpus = spark.sql(_EMB_PLAIN_SPARK)
     corpus.filter(f"vec_id < {K}").selectExpr(
         "CAST(vec_id AS INT) AS c", "e AS ce"

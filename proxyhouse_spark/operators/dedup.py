@@ -112,7 +112,7 @@ def band_explode(sig_df, extras=()):
     )
 
 
-def _sketch_frames(base, sig_extra, band_extra, scope):
+def _sketch_frames(base, sig_extra, band_extra, scope, narrow_checkpoint=True):
     """Shared shingle→minhash→band staging for the MinHash operators.
     minhash_neardup and minhash_incremental MUST sketch identically —
     one builder keeps the hash parameters, checkpoint strategy and band
@@ -147,10 +147,18 @@ def _sketch_frames(base, sig_extra, band_extra, scope):
         ),
         f"{scope}_sig",
     )
-    sig_narrow = scoped_checkpoint(
-        sig.select("doc_id", *band_extra, *[f"m{s}" for s in range(T.N_HASHES)]),
-        f"{scope}_sig_narrow",
+    sig_narrow = sig.select(
+        "doc_id", *band_extra, *[f"m{s}" for s in range(T.N_HASHES)]
     )
+    if narrow_checkpoint:
+        # batch ops read the band frame from several plan branches; the
+        # shingle-free checkpoint keeps those scans narrow (a
+        # checkpointed-RDD scan cannot column-prune)
+        sig_narrow = scoped_checkpoint(sig_narrow, f"{scope}_sig_narrow")
+    # r11: the streaming merge passes narrow_checkpoint=False — its band
+    # frame is consumed by exactly one join per batch, so the projection
+    # over the wide checkpoint's blocks (a local narrow read, no shuffle)
+    # is cheaper than a second materialization action every micro-batch.
     return sig, band_explode(sig_narrow, band_extra)
 
 
@@ -429,13 +437,13 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
           -- the band frame scales with the corpus: broadcasting either
           -- side is the minhash scale bug (collects the frame through
           -- the driver); pinned by tests/test_plans.py.
-          -- r10 (guide §2.3 "shuffle fewer bytes"): the exact Hamming
-          -- predicate rides the JOIN, BELOW the DISTINCT — the nibble
-          -- bands are weakly selective (16 values over a 16-bit sketch),
-          -- so the old spelling shuffled every band collision into the
-          -- dedup exchange and filtered after; a filter on columns of
-          -- the row commutes with DISTINCT, so only true near-dup pairs
-          -- reach the exchange. Same output set, gate-checked.
+          -- r10: the exact Hamming predicate spelled on the JOIN, below
+          -- the DISTINCT. NOTE (VERDICT r10): this makes EXPLICIT what
+          -- Catalyst already did — the before-plan (plans/r10/
+          -- q_simhash_neardup_before.txt:74) shows the optimizer had
+          -- pushed the bit_count filter through the DISTINCT on its own
+          -- (it references only grouping columns). Source hygiene, zero
+          -- plan delta; NOT a shuffle-bytes change. Gate-checked.
           SELECT /*+ SHUFFLE_HASH(a, b) */ DISTINCT
                  a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.simhash AS sim_a, b.simhash AS sim_b
@@ -573,13 +581,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(edges.doc_a)
             .agg(F.min("label").alias("nmin"))
         )
+        # r11 (VERDICT r10 #3, guide §1.2): the convergence count rides
+        # the SAME action as the materialization — an observe() metric
+        # is aggregated by the checkpoint job itself (verified: observed
+        # metrics fire on localCheckpoint), so the per-round
+        # filter-count job disappears: one driver action per round.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         upd = scoped_checkpoint(
             labels.join(
                 neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
-            ).select("doc_id", "label", "nmin"),
+            )
+            .select("doc_id", "label", "nmin")
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("nmin") < F.col("label")).cast("long")
+                ).alias("changed"),
+            ),
             "cc_upd",
         )
-        changed = upd.filter(F.col("nmin") < F.col("label")).count()
+        changed = obs.get["changed"] or 0
         # lazily projected off the checkpointed round frame; the NEXT
         # round's checkpoint reads it before cc_upd's old generation is
         # released (scoped_checkpoint materializes first, then frees).
@@ -816,9 +839,10 @@ def simhash_wide_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                             16 * (p % 2)) & 65535 AS band
           FROM simhash_wide_v LATERAL VIEW explode(sequence(0, 3)) t AS p),
         pairs AS (
-          -- r10: Hamming cut below the DISTINCT (commutes — filter on
-          -- columns of the row), so the dedup exchange carries only
-          -- true near-dup pairs; see simhash_neardup
+          -- r10: Hamming cut spelled below the DISTINCT. NOTE (VERDICT
+          -- r10): cosmetic — Catalyst already pushed this predicate
+          -- through the DISTINCT (plans/r10/q_simhash_wide_before.txt:74);
+          -- zero plan delta. See simhash_neardup.
           SELECT /*+ SHUFFLE_HASH(a, b) */ DISTINCT
                  a.doc_id AS doc_a, b.doc_id AS doc_b,
                  a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
@@ -1573,6 +1597,32 @@ def _er_links_sql(norm_fn, duck: bool, idiv: str) -> str:
     )
 
 
+#: min-encode base for er_links' (dist, dst) -> BIGINT argmin key.
+ER_ENC = 10_000_000_000
+#: largest dist the encode can carry without BIGINT overflow:
+#: dist * ER_ENC + dst < 2^63 for every dst < ER_ENC.
+ER_MAX_DIST = (2**63 - 1) // ER_ENC - 1
+
+
+def _er_minenc_sql(dist: str, dst: str) -> str:
+    """Guarded (dist, dst) -> dist*ER_ENC + dst min-encode (VERDICT r10
+    #7): the packing silently assumed dst < 10^10 and dist small enough
+    not to overflow BIGINT — fine for every fixture, but an UNDECLARED
+    scale assumption. A corpus whose doc ids (or distances) breach the
+    bound now fails loudly at runtime instead of silently corrupting the
+    argmin; the guard is a codegen'd per-row comparison, not an extra
+    pass."""
+    return (
+        f"CASE WHEN {dst} < 0 OR {dst} >= {ER_ENC} "
+        f"OR {dist} < 0 OR {dist} > {ER_MAX_DIST} "
+        f"THEN CAST(raise_error(concat('er_links min-encode out of range "
+        f"(requires 0 <= dst < 1e10, 0 <= dist <= 9.2e8): dist=', "
+        f"CAST({dist} AS STRING), ' dst=', CAST({dst} AS STRING))) "
+        f"AS BIGINT) "
+        f"ELSE CAST({dist} AS BIGINT) * CAST({ER_ENC} AS BIGINT) + {dst} END"
+    )
+
+
 def er_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N186: reciprocal-best-match 1:1 entity links over blocked candidates.
 
@@ -1608,7 +1658,7 @@ def er_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                          SELECT doc_b AS src, doc_a AS dst, dist
                          FROM er_matches_v),
             best AS (SELECT src,
-                            CAST(min(CAST(dist AS BIGINT) * {enc} + dst)
+                            CAST(min({_er_minenc_sql("dist", "dst")})
                                  AS BIGINT) AS k,
                             CAST(count(*) AS BIGINT) AS n_candidates
                      FROM sym GROUP BY src)

@@ -3584,6 +3584,40 @@ def test_er_links_are_mutual_best_and_one_to_one(spark):
         assert r.cand_b == ncand[r.doc_b]
 
 
+def test_triangles_unpacked_fallback_matches_packed(spark):
+    """r11 checked key narrowing: the packed (single-BIGINT key) wedge
+    spelling and the unpacked fallback (taken when ids or degrees reach
+    2^31) must produce the identical summary row — the fallback is
+    unreachable on fixtures, so it is pinned here by forcing it."""
+    from proxyhouse_spark.operators import behavior
+
+    packed = registry.QUERIES["q_triangles"](spark, SF_SMALL).collect()
+    behavior._TRI_FORCE_UNPACKED = True
+    try:
+        unpacked = registry.QUERIES["q_triangles"](spark, SF_SMALL).collect()
+    finally:
+        behavior._TRI_FORCE_UNPACKED = False
+    assert packed == unpacked
+
+
+def test_er_minenc_guard_bounds(spark):
+    """VERDICT r10 #7: the (dist, dst) -> dist*1e10 + dst min-encode must
+    fail loudly (not silently corrupt the argmin) when a doc id reaches
+    10^10 or a distance would overflow the BIGINT packing."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from proxyhouse_spark.operators.dedup import ER_ENC, _er_minenc_sql
+
+    ok = spark.sql(
+        f"SELECT {_er_minenc_sql('3', '42')} AS k"
+    ).collect()[0].k
+    assert ok == 3 * ER_ENC + 42
+    for dist, dst in (("1", str(ER_ENC)), ("1000000000", "1"), ("-1", "1")):
+        with pytest.raises((Py4JJavaError, Exception)):
+            spark.sql(f"SELECT {_er_minenc_sql(dist, dst)} AS k").collect()
+
+
 def test_preference_pairs_are_stratum_extremes_with_exact_tiebreak(spark):
     from collections import defaultdict
 
