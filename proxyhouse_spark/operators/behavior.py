@@ -960,12 +960,6 @@ _TRIANGLES = """
     """
 
 
-#: test hook: force the unpacked (wide-key) wedge spelling so the
-#: fallback branch — unreachable on fixtures whose ids fit 31 bits —
-#: stays covered by an equality test against the packed path.
-_TRI_FORCE_UNPACKED = False
-
-
 def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N88: degree-oriented distributed triangle count + clustering coeff.
 
@@ -1002,68 +996,38 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs p JOIN deg du ON du.n = p.u JOIN deg dv ON dv.n = p.v
         """
     )
-    oriented = scoped_checkpoint(oriented, "tri_oriented")
-    oriented.createOrReplaceTempView("oriented_v")
-    # r11 (guide §2.3 "aggregate before you shuffle" + "narrower types",
-    # VERDICT r10 #2): the closure join used to ship EVERY wedge row
-    # (o1.dst, o2.dst) through the exchange into the o3 probe. Wedges
-    # that share an endpoint pair close through the SAME third edge, so
-    # they are counted per (v1, v2) FIRST — a codegen'd HashAggregate
-    # with map-side partials — and only the distinct endpoint pairs
-    # cross the exchange, each carrying a count. Triangles = Σ cnt over
-    # pairs that are themselves oriented edges (same triple set: the
-    # group-by merely reassociates count(*) over the o3 equi-join).
-    #
-    # Key narrowing is a CHECKED runtime choice, not a constant: one
-    # scalar max over the staged (already materialized) frame decides
-    # whether (dd, dst) and (v1, v2) pack into single BIGINT keys —
-    # ordering predicate and closure probe each become ONE 8-byte
-    # comparison instead of two-column logic, and the shuffled wedge
-    # row is (src, p) / (pk, cnt) instead of 3 columns. Ids or degrees
-    # >= 2^31 fall back to the unpacked spelling (identical algebra,
-    # two-column keys) — the scale assumption is checked, never silent.
-    b = oriented.selectExpr(
-        "max(greatest(src, dst)) AS mx", "max(dd) AS md"
-    ).first()
-    packable = (
-        not _TRI_FORCE_UNPACKED
-        and b.mx is not None
-        and b.mx < 2**31
-        and b.md < 2**31
+    # r11 measured-and-REVERTED, twice (guide §1.1 — two more instances
+    # of empirical-beats-first-principles; quiet windows, steal < 0.3%):
+    # (a) VERDICT r10 #2's wedge PRE-AGGREGATION — count wedges per
+    #     (v1, v2) endpoint pair so only distinct pairs cross the
+    #     closure exchange — read 7.29 s / 86 s CPU per run vs 4.01 s /
+    #     41 s CPU for this spelling: the fixture graph's wedge endpoint
+    #     pairs are almost all DISTINCT, so the extra HashAggregate
+    #     built a giant hash table and reduced nothing.
+    # (b) CHECKED KEY PACKING — (dd, dst) and the closure key each into
+    #     one BIGINT behind a runtime max(id)/max(degree) < 2^31 check —
+    #     read 4.17 s / 45 s CPU: qtime's shuffle-bytes metric was
+    #     IDENTICAL (2836.6 MB per 4 runs) with and without packing,
+    #     proving the wedge/closure exchanges were never the dominant
+    #     shuffle — the oriented STAGING (items self-join + pair
+    #     DISTINCT + degree joins, ~2.1-3.0 s) and the wedge join's CPU
+    #     (~2.0-2.8 s) split the wall, and packing only added pack/
+    #     unpack arithmetic to the CPU half. At a scale where ids fit
+    #     32 bits AND the closure exchange dominates, (b) is the first
+    #     thing to re-try; at sf0.1 both lose.
+    scoped_checkpoint(oriented, "tri_oriented").createOrReplaceTempView(
+        "oriented_v"
     )
-    if packable:
-        wedge = """
-        o AS (SELECT src, dd * 4294967296 + dst AS p FROM oriented_v),
-        w AS (
-          SELECT /*+ SHUFFLE_HASH(o1, o2) */
-                 (o1.p % 4294967296) * 4294967296 + (o2.p % 4294967296)
-                   AS pk,
-                 count(*) AS cnt
-          FROM o o1 JOIN o o2 ON o2.src = o1.src AND o1.p < o2.p
-          GROUP BY (o1.p % 4294967296) * 4294967296
-                   + (o2.p % 4294967296)),
-        e3 AS (SELECT src * 4294967296 + dst AS pk FROM oriented_v),
-        tri AS (
-          SELECT /*+ SHUFFLE_HASH(w, e3) */
-                 CAST(coalesce(sum(w.cnt), 0) AS BIGINT) AS n_triangles
-          FROM w JOIN e3 ON e3.pk = w.pk)"""
-    else:
-        wedge = """
-        w AS (
-          SELECT /*+ SHUFFLE_HASH(o1, o2) */
-                 o1.dst AS v1, o2.dst AS v2, count(*) AS cnt
-          FROM oriented_v o1 JOIN oriented_v o2
+    return spark.sql(
+        """
+        WITH tri AS (
+          SELECT /*+ SHUFFLE_HASH(o1, o2, o3) */
+                 CAST(count(*) AS BIGINT) AS n_triangles
+          FROM oriented_v o1
+          JOIN oriented_v o2
             ON o2.src = o1.src
                AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
-          GROUP BY o1.dst, o2.dst),
-        tri AS (
-          SELECT /*+ SHUFFLE_HASH(w, o3) */
-                 CAST(coalesce(sum(w.cnt), 0) AS BIGINT) AS n_triangles
-          FROM w JOIN oriented_v o3
-            ON o3.src = w.v1 AND o3.dst = w.v2)"""
-    return spark.sql(
-        f"""
-        WITH {wedge},
+          JOIN oriented_v o3 ON o3.src = o1.dst AND o3.dst = o2.dst),
         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
                   SELECT src AS n FROM oriented_v
                   UNION ALL SELECT dst AS n FROM oriented_v) e GROUP BY n),
@@ -1407,118 +1371,93 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     four count(*) scalar subqueries over already-materialized tiny
     frames. Round-0's degree frame also feeds the threshold directly
     (the old spelling re-folded degrees a second time for kk)."""
-    import os
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
 
     from ..checkpoints import scoped_checkpoint
 
+    # r11 (VERDICT r10 #3, guide §1.2/§5): the fixpoint was DRIVER-ACTION
+    # bound (8 cores beat 32 at sf0.1 — scheduling, not dataflow). Two
+    # alternatives were measured in interleaved fresh-JVM A/B rounds:
+    # (a) fusing each round's edge+degree checkpoint into ONE tagged
+    #     union frame (9 actions -> 5) was wall-NEUTRAL locally (3.7 vs
+    #     4.0 s medians, within round-to-round noise) but read +48%
+    #     shuffle bytes (671 vs 452 MB per 4 runs) and +56% tasks — the
+    #     degree branch re-runs the peel join from the reused exchange,
+    #     i.e. it trades an O(1)-latency driver action for a duplicated
+    #     O(edges) pass. Rejected: wrong trade at scale.
+    # (b) KEPT: every summary quantity now rides an observe() metric on
+    #     the materialization that already computes it (observed metrics
+    #     fire on localCheckpoint — verified), so the old final action's
+    #     12 scalar-subquery stages (4 union branches x 3 subqueries
+    #     over the checkpointed views) collapse into a pre-computed
+    #     4-row local frame. Same engine-computed numbers — each count
+    #     is aggregated inside the round's own job, nothing is collected
+    #     but the per-round scalars the summary row carries anyway.
     table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    n_edges: list[int] = []
+    n_nodes: list[int] = []
+
+    def _count_obs(df):
+        obs = Observation()
+        return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
+
     edges = spark.sql(
         f"WITH {_copurchase_cte(mat=False)} SELECT u, v FROM pairs"
     )
-    edges = scoped_checkpoint(edges, "kcore_e0")
+    e_obs, obs = _count_obs(edges)
+    edges = scoped_checkpoint(e_obs, "kcore_e0")
+    n_edges.append(obs.get["n"])
     edges.createOrReplaceTempView("kcore_edges_0")
-    # r11 (guide §1.2/§5, VERDICT r10 #3): the fixpoint was DRIVER-ACTION
-    # bound (8 cores beat 32 at sf0.1, ratio 0.38 — scheduling, not
-    # dataflow), at 9 sequential materializations per run. Each round's
-    # surviving edges and their degree fold now ride ONE tagged union
-    # frame through a single scoped_checkpoint (and round 0 folds the
-    # 1-row threshold into the same frame): 9 actions -> 5. The degree
-    # branch re-derives the edge subtree TEXTUALLY, but both branches
-    # canonicalize to the same exchanges, so AQE's ReusedExchange feeds
-    # the fold from the edge branch's shuffle — no second pass over the
-    # predecessor round (verified in plans/r11/q_kcore_after.txt).
-    # SPARK_GRAFT_KCORE_SPLIT=1 restores the 2-actions-per-round shape
-    # (kept for A/B; the union spelling measured equal-or-faster).
-    split = os.environ.get("SPARK_GRAFT_KCORE_SPLIT") == "1"
-    deg_sql = (
-        "SELECT n, CAST(count(*) AS BIGINT) AS d FROM ("
-        "SELECT u AS n FROM {e} UNION ALL SELECT v AS n FROM {e}) x "
-        "GROUP BY n"
-    )
 
-    def _publish(r: int, frame) -> None:
-        """Expose one round's tagged frame as edge/degree views."""
-        frame.createOrReplaceTempView(f"kcore_t_{r}")
-        spark.sql(
-            f"SELECT a AS u, b AS v FROM kcore_t_{r} WHERE tag = 0"
-        ).createOrReplaceTempView(f"kcore_edges_{r}" if r else "_unused_e0")
-        spark.sql(
-            f"SELECT a AS n, b AS d FROM kcore_t_{r} WHERE tag = 1"
-        ).createOrReplaceTempView(f"kcore_deg_{r}")
-
-    if split:
-        d0 = scoped_checkpoint(
-            spark.sql(deg_sql.format(e="kcore_edges_0")), "kcore_d0"
-        )
-        d0.createOrReplaceTempView("kcore_deg_0")
-        kk = scoped_checkpoint(
-            spark.sql(
-                "SELECT CAST((sum(d) * 4) div (count(*) * 5) AS BIGINT) "
-                "AS k FROM kcore_deg_0"
-            ),
-            "kcore_kk",
-        )
-        kk.createOrReplaceTempView("kcore_kk")
-    else:
-        dk0 = scoped_checkpoint(
-            spark.sql(
-                f"""
-                WITH d AS ({deg_sql.format(e="kcore_edges_0")})
-                SELECT 1 AS tag, n AS a, d AS b FROM d
-                UNION ALL
-                SELECT 2 AS tag,
-                       CAST((sum(d) * 4) div (count(*) * 5) AS BIGINT) AS a,
-                       CAST(NULL AS BIGINT) AS b
-                FROM d
-                """
-            ),
-            "kcore_dk0",
-        )
-        _publish(0, dk0)
-        spark.sql(
-            "SELECT a AS k FROM kcore_t_0 WHERE tag = 2"
-        ).createOrReplaceTempView("kcore_kk")
-    for r in range(3):
-        peel = f"""
-            WITH keep AS (SELECT n FROM kcore_deg_{r}, kcore_kk
-                          WHERE d >= kcore_kk.k),
-            e AS (SELECT u, v FROM kcore_edges_{r}
-                  WHERE u IN (SELECT n FROM keep)
-                    AND v IN (SELECT n FROM keep))
+    def _deg(r: int):
+        d = spark.sql(
+            f"""
+            SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+              SELECT u AS n FROM kcore_edges_{r}
+              UNION ALL SELECT v AS n FROM kcore_edges_{r}) x GROUP BY n
             """
-        if split:
-            nxt = scoped_checkpoint(
-                spark.sql(peel + "SELECT u, v FROM e"), f"kcore_e{r + 1}"
-            )
-            nxt.createOrReplaceTempView(f"kcore_edges_{r + 1}")
-            d = scoped_checkpoint(
-                spark.sql(deg_sql.format(e=f"kcore_edges_{r + 1}")),
-                f"kcore_d{r + 1}",
-            )
-            d.createOrReplaceTempView(f"kcore_deg_{r + 1}")
-        else:
-            ed = scoped_checkpoint(
-                spark.sql(
-                    peel
-                    + f"""
-                    SELECT 0 AS tag, u AS a, v AS b FROM e
-                    UNION ALL
-                    SELECT 1 AS tag, n AS a, d AS b
-                    FROM ({deg_sql.format(e="e")}) dd
-                    """
-                ),
-                f"kcore_ed{r + 1}",
-            )
-            _publish(r + 1, ed)
-    rounds = []
-    for r in range(4):
-        rounds.append(
-            f"""SELECT {r} AS round,
-            (SELECT count(*) FROM kcore_deg_{r}) AS nodes_kept,
-            (SELECT count(*) FROM kcore_edges_{r}) AS edges_kept,
-            (SELECT k FROM kcore_kk) AS k"""
         )
-    return spark.sql(" UNION ALL ".join(rounds) + " ORDER BY round")
+        d_obs, obs = _count_obs(d)
+        d = scoped_checkpoint(d_obs, f"kcore_d{r}")
+        n_nodes.append(obs.get["n"])
+        d.createOrReplaceTempView(f"kcore_deg_{r}")
+
+    _deg(0)
+    # the 1-row threshold frame is referenced by every round's filter;
+    # checkpointing it once turns those into constant-frame reads, and
+    # its observe carries the k value out for the summary
+    kk_obs = Observation()
+    kk = scoped_checkpoint(
+        spark.sql(
+            "SELECT CAST((sum(d) * 4) div (count(*) * 5) AS BIGINT) AS k "
+            "FROM kcore_deg_0"
+        ).observe(kk_obs, F.max("k").alias("k")),
+        "kcore_kk",
+    )
+    k_val = kk_obs.get["k"]
+    kk.createOrReplaceTempView("kcore_kk")
+    for r in range(3):
+        nxt = spark.sql(
+            f"""
+            WITH keep AS (SELECT n FROM kcore_deg_{r}, kcore_kk
+                          WHERE d >= kcore_kk.k)
+            SELECT u, v FROM kcore_edges_{r}
+            WHERE u IN (SELECT n FROM keep) AND v IN (SELECT n FROM keep)
+            """
+        )
+        nxt_obs, obs = _count_obs(nxt)
+        nxt = scoped_checkpoint(nxt_obs, f"kcore_e{r + 1}")
+        n_edges.append(obs.get["n"])
+        nxt.createOrReplaceTempView(f"kcore_edges_{r + 1}")
+        _deg(r + 1)
+    return spark.createDataFrame(
+        [
+            (r, n_nodes[r] or 0, n_edges[r] or 0, k_val)
+            for r in range(4)
+        ],
+        "round int, nodes_kept bigint, edges_kept bigint, k bigint",
+    )
 
 
 def kcore_oracle() -> str:

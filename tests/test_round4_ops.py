@@ -3584,22 +3584,6 @@ def test_er_links_are_mutual_best_and_one_to_one(spark):
         assert r.cand_b == ncand[r.doc_b]
 
 
-def test_triangles_unpacked_fallback_matches_packed(spark):
-    """r11 checked key narrowing: the packed (single-BIGINT key) wedge
-    spelling and the unpacked fallback (taken when ids or degrees reach
-    2^31) must produce the identical summary row — the fallback is
-    unreachable on fixtures, so it is pinned here by forcing it."""
-    from proxyhouse_spark.operators import behavior
-
-    packed = registry.QUERIES["q_triangles"](spark, SF_SMALL).collect()
-    behavior._TRI_FORCE_UNPACKED = True
-    try:
-        unpacked = registry.QUERIES["q_triangles"](spark, SF_SMALL).collect()
-    finally:
-        behavior._TRI_FORCE_UNPACKED = False
-    assert packed == unpacked
-
-
 def test_er_minenc_guard_bounds(spark):
     """VERDICT r10 #7: the (dist, dst) -> dist*1e10 + dst min-encode must
     fail loudly (not silently corrupt the argmin) when a doc id reaches
